@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — every graft entrypoint (Bench, Verify, ScalaTest) builds
+  * its SparkSession here so the engine contract is pinned in exactly one place:
+  *
+  *   - `spark.sql.ansi.enabled=false`: the reference workload
+  *     (/root/reference/src/main/scala/tiago/cebola/challenge.scala:102,141-151)
+  *     relies on non-ANSI cast semantics (unparseable string -> null,
+  *     'nan' -> Double.NaN). Spark 4.x flips the default to ANSI-on, which
+  *     would turn those silent coercions into CAST_INVALID_INPUT errors.
+  *   - UTC session time zone so to_date/parquet DATE logical values are
+  *     stable across machines.
+  *   - master from the environment, never hardcoded (the reference hardcodes
+  *     "local"; on a real cluster the master comes from spark-submit).
+  *   - shuffle partitions sized to the local core count rather than the 200
+  *     default — on a real cluster this is instead driven by AQE coalescing
+  *     from an intentionally high initial partition count.
+  */
+object GraftSession {
+
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
+  def build(appName: String = "graft"): SparkSession = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // the driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
+      // Spark 4 rejects by default; read it as nanos-since-epoch LONG
+      // (ordering-compatible — no registered query outputs the raw ts)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate can hand back a pre-existing session whose conf differs;
+    // re-assert the two semantics-bearing settings on the session itself.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

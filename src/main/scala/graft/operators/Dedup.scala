@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Deduplication operators for a large-scale training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design (the whole point of these):
+  *   - exact dedup is a hash shuffle on the dedup key — never a global sort,
+  *     never a driver collect;
+  *   - near-dup goes through MinHash/SimHash BUCKETING so the join is
+  *     per-bucket, not all-pairs: candidate generation is
+  *     O(docs × bands), and only hash-colliding pairs are verified. An
+  *     all-pairs similarity join at 100 TB is ~10^21 comparisons — the
+  *     banding is what makes the problem tractable, and the band count is
+  *     the recall/cost dial (8 bands × 4 rows ⇒ collision prob.
+  *     1-(1-j^4)^8, ≈0.97 at j=0.8, ≈0.06 at j=0.3);
+  *   - all hashes are xxhash64 (codegen'd Catalyst expression, no UDFs).
+  */
+object Dedup {
+
+  /** Exact dedup, window form: keep the lowest-doc_id row per identical
+    * text. One hash shuffle on the (hashed) key; no global sort.
+    */
+  def exactByText(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    IO.table(spark, sfDir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup, fingerprint form: group by content hash. At scale this is
+    * the cheaper shape (the 16-byte digest shuffles instead of the full
+    * text) and it reports duplicate multiplicity.
+    */
+  def exactByHash(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("fp")
+
+  /** Word tokens + 3-word shingles of a text column. Documents shorter than
+    * the shingle width fall back to a single whole-text shingle.
+    */
+  private def withShingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array(col("text"))))
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → `numPerms` min-hashes (seeded xxhash64) → group the
+    * signature into `bands` bands of `numPerms/bands` rows → explode to
+    * (band_index, band_hash) keys → self-join per band bucket → exact
+    * token-set Jaccard on the candidates only → threshold.
+    *
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minHashNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+
+    val sig = array((0 until numPerms).map { j =>
+      array_min(transform(col("shingles"), s => xxhash64(lit(j), s)))
+    }: _*)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
+    }: _*)
+
+    val docs = withShingles(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("toks"), col("shingles"))
+      .withColumn("sig", sig)
+      .select(col("doc_id"), posexplode(bandHashes))
+      .select(col("doc_id"), col("pos"), col("col").as("band"))
+
+    // Per-bucket self-join: only docs agreeing on a whole band collide.
+    val cand = docs.as("a")
+      .join(docs.as("b"),
+        col("a.pos") === col("b.pos") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // Verify candidates with exact token-set Jaccard.
+    val tokSets = withShingles(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), array_distinct(col("toks")).as("tokset"))
+    cand
+      .join(tokSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("tokset", "tok_a"), "doc_a")
+      .join(tokSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("tokset", "tok_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-duplicate pairs.
+    *
+    * 64-bit SimHash over distinct word tokens (bit b set iff the majority of
+    * token hashes have bit b set), bucketed on 4 × 16-bit bands (two docs
+    * within Hamming distance 3 of each other must agree on at least one
+    * 16-bit band — pigeonhole), then exact Hamming verification via
+    * bit_count(xor).
+    */
+  def simHashNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 8): DataFrame = {
+    val docs = IO.table(spark, sfDir, "documents")
+      .withColumn("tok_hashes",
+        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+                 acc | shiftleft(
+                   case when 2 * size(filter(tok_hashes,
+                            h -> (shiftright(h, b) & 1) = 1))
+                          >= size(tok_hashes)
+                        then 1L else 0L end, b))"""))
+      .select(col("doc_id"), col("simhash"))
+
+    val banded = docs
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map { b =>
+          expr(s"shiftright(simhash, ${b * 16}) & 65535")
+        }: _*)))
+      .select(col("doc_id"), col("simhash"), col("pos"),
+        col("col").as("band"))
+
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.pos") === col("b.pos") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram Jaccard similarity join on a bounded id range — the exact
+    * (non-approximate) baseline the MinHash path is checked against. The id
+    * bound keeps the all-pairs comparison explicitly scoped: this is the
+    * oracle/debug shape, NOT the 100 TB shape (that's minHashNearDupPairs).
+    */
+  def ngramJaccardPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocId: Long = 200L,
+      minJaccard: Double = 0.3): DataFrame = {
+    val grams = IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),
+               i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"""))
+          .as("grams"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
+          / size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Standardizers
+import graft.sources.IO
+
+/** The reference's five-query capability surface (SURVEY.md §0), re-expressed
+  * as composable DataFrame transforms. Semantics are pinned to the committed
+  * golden artifacts in /root/reference/src/main/resources/ (SURVEY.md §5);
+  * citations below are into
+  * /root/reference/src/main/scala/tiago/cebola/challenge.scala.
+  *
+  * Scale notes (100 TB posture):
+  *   - [[bestApps]] keeps the reference's global sort for parity; at scale
+  *     prefer `sortWithinPartitions` + a top-k, since a global orderBy is a
+  *     full range-partitioning shuffle whose sampling pass reads everything.
+  *   - [[standardizePerApp]]'s collect_list is bounded here (an app appears
+  *     at most ~10 times); never reuse this shape for unbounded groups.
+  *   - [[joinSentiment]] relies on auto-broadcast for the small sentiment
+  *     side; when the right side outgrows the broadcast threshold Spark
+  *     falls back to a shuffled sort-merge join on App — correct either way.
+  */
+object PlayStore {
+
+  /** Part 1 (challenge.scala:80-88): per-app average sentiment polarity from
+    * the user-reviews table, with null/NaN averages zero-filled.
+    *
+    * The reviews table's numeric columns arrive as strings whose missing
+    * marker is the literal 'nan'; `avg` implicit-casts and a single NaN
+    * review poisons its app's whole average (SURVEY.md §2.9.2) — then
+    * na.fill(0) maps both NaN and null (no parseable reviews at all) to 0.0.
+    * That poisoning is the shipped reference semantics; do not null-skip.
+    */
+  def averageSentimentByApp(reviews: DataFrame): DataFrame =
+    reviews
+      .groupBy("App")
+      .agg(avg("Sentiment_Polarity").cast("double").as("Average_Sentiment_Polarity"))
+      .na.fill(0)
+      .select("App", "Average_Sentiment_Polarity")
+
+  /** Part 2 (challenge.scala:100-113): apps with Rating >= 4.0 sorted
+    * descending, written as `§`-delimited CSV, then re-read with fresh
+    * inference.
+    *
+    * CRITICAL parity detail: `Rating` is still a STRING column here (CSV
+    * inference is poisoned by quote-mangled rows), so `>= 4.0` is a non-ANSI
+    * string→double coercion and the sort is LEXICOGRAPHIC on the string —
+    * the committed best_apps.csv runs "5.0".."4.0" with the malformed
+    * Rating="19" row last. Do not cast before sorting.
+    */
+  def bestApps(spark: SparkSession, store: DataFrame, outDir: String): DataFrame = {
+    val filtered = store
+      .filter(col("Rating").isNotNull && !col("Rating").isNaN && col("Rating") >= 4.0)
+      .orderBy(desc("Rating"))
+    IO.csvRoundTrip(spark, filtered, outDir, IO.SectionDelimiter)
+  }
+
+  /** Part 3 (challenge.scala:139-168): standardize column types, then
+    * collapse to one row per App: categories collected into an array,
+    * max() across every other column (including max over DATE and over
+    * ARRAY<STRING> — element-wise lexicographic).
+    *
+    * The trailing dropDuplicates is a semantic no-op (groupBy already
+    * guarantees App uniqueness) kept for fidelity; Catalyst plans it as a
+    * second aggregate that reuses the existing hash partitioning, so it
+    * costs no extra shuffle.
+    */
+  def standardizePerApp(store: DataFrame): DataFrame =
+    Standardizers
+      .standardizeColumns(store)
+      .groupBy("App")
+      .agg(
+        collect_list("Category").as("Categories"),
+        max("Rating").as("Rating"),
+        max("Reviews").as("Reviews"),
+        max("Size").as("Size"),
+        max("Installs").as("Installs"),
+        max("Type").as("Type"),
+        max("Price").as("Price"),
+        max("Content Rating").as("Content_Rating"),
+        max("Genres").as("Genres"),
+        max("Last_Updated").as("Last_Updated"),
+        max("Current Ver").as("Current_Version"),
+        max("Android Ver").as("Minimum_Android_Version"))
+      .dropDuplicates("App")
+      .select(
+        "App", "Categories", "Rating", "Reviews", "Size", "Installs", "Type",
+        "Price", "Content_Rating", "Genres", "Last_Updated",
+        "Current_Version", "Minimum_Android_Version")
+
+  /** Part 4 (challenge.scala:183-197): left-join the per-app sentiment onto
+    * the standardized table, drop the duplicate join key from the right
+    * side, round-trip through gzip parquet (which also materializes the
+    * lineage — Part 5 reads files, not the Part-1..4 plan).
+    */
+  def joinSentiment(
+      spark: SparkSession,
+      perApp: DataFrame,
+      sentiment: DataFrame,
+      outDir: String): DataFrame = {
+    val joined = perApp
+      .join(sentiment, sentiment("App") === perApp("App"), "left")
+      .drop(sentiment("App"))
+    IO.parquetGzipRoundTrip(spark, joined, outDir)
+  }
+
+  /** Part 5 (challenge.scala:212-230): explode Genres; per-genre app count,
+    * average rating, average sentiment; gzip parquet round-trip.
+    * `avg` ignores the nulls the left join introduced — an all-unmatched
+    * genre yields null sentiment, not 0.
+    */
+  def metricsByGenre(spark: SparkSession, cleaned: DataFrame, outDir: String): DataFrame = {
+    val metrics = cleaned
+      .withColumn("Genre", explode(col("Genres")))
+      .groupBy("Genre")
+      .agg(
+        count("*").as("Count"),
+        avg("Rating").as("Average_Rating"),
+        avg("Average_Sentiment_Polarity").as("Average_Sentiment_Polarity"))
+    IO.parquetGzipRoundTrip(spark, metrics, outDir)
+  }
+
+  // ---- wiring against the reference's bundled inputs ----
+
+  /** Bundled Play-Store CSV (read-only reference checkout). */
+  val StoreCsvPath =
+    "/root/reference/src/main/resources/originals/googleplaystore.csv"
+
+  /** The reviews CSV is a stripped blob in the reference checkout
+    * (.MISSING_LARGE_BLOBS); tests and registered queries use the
+    * synthesized fixture with the same schema + 'nan' marker convention
+    * (FIXTURES.md §1.2).
+    */
+  val ReviewsFixturePath = "/root/repo/src/test/resources/user_reviews_fixture.csv"
+
+  def readStore(spark: SparkSession): DataFrame =
+    IO.readCsv(spark, StoreCsvPath)
+
+  def readReviews(spark: SparkSession): DataFrame =
+    IO.readCsv(spark, ReviewsFixturePath)
+}

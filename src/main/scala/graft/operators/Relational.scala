@@ -1,0 +1,440 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.IO
+
+/** The relational operator surface (SURVEY.md §2) exercised as named queries
+  * over the driver testdata (TESTDATA.md), each with a DuckDB-equivalent
+  * oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Cross-engine determinism rules used throughout (the driver hash-compares
+  * values against DuckDB):
+  *   - per-row floating arithmetic is left exact — IEEE ops on the same
+  *     inputs are bit-identical in both engines;
+  *   - aggregated doubles are summed as DECIMAL (exact, order-insensitive)
+  *     and cast back to double, because a distributed double sum is
+  *     order-dependent and would never hash-match a single-threaded oracle;
+  *   - every query ends in a total deterministic ORDER BY.
+  *
+  * Scale notes are attached per query; the global ones: aggregations rely on
+  * partial (map-side) aggregation before the hash exchange, joins broadcast
+  * the dimension side when it is small and otherwise shuffle on the join key,
+  * and all scans are parquet with column pruning (verified via explain in
+  * the PlanAuditSpec test).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    IO.table(spark, sfDir, name)
+
+  /** Exact order-insensitive sum of a 2-decimal-valued double column. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average: decimal sum over non-null count. */
+  private def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(c)
+
+  // ---------------------------------------------------------------- sources
+
+  /** S1: CSV sink+scan round-trip with header + schema inference. */
+  def s1CsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val rt = IO.csvRoundTrip(spark, t(spark, sfDir, "region"),
+      IO.scratchDir("graft_s1"), delimiter = ",")
+    rt.select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  /** S2/K1: CSV round-trip through the reference's `§` delimiter. */
+  def s2CsvSectionDelim(spark: SparkSession, sfDir: String): DataFrame = {
+    val rt = IO.csvRoundTrip(spark, t(spark, sfDir, "nation"),
+      IO.scratchDir("graft_s2"), IO.SectionDelimiter)
+    rt.select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey")
+  }
+
+  /** S3: parquet scan with column pruning (ReadSchema should list 3 cols). */
+  def s3ParquetScan(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+
+  /** K2: gzip parquet sink + re-scan round-trip. */
+  def k2ParquetGzipRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    IO.parquetGzipRoundTrip(spark, t(spark, sfDir, "supplier"),
+        IO.scratchDir("graft_k2"))
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+
+  /** K3: the console sink's implicit limit-21 (show()) as a real plan:
+    * CollectLimit over a sorted child.
+    */
+  def k3ShowLimit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(21)
+
+  // ------------------------------------------------------------- projection
+
+  /** P1: column pruning/reorder — scan must read only the 3 columns. */
+  def p1SelectPrune(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P2: withColumn — per-row arithmetic stays exact (no rounding). */
+  def p2WithColumn(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("gross", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .select("l_orderkey", "l_linenumber", "gross")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3: rename via alias. */
+  def p3Rename(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .orderBy("id")
+
+  /** P4: left join keeping both sides' key, then drop the right-side copy by
+    * parent reference — the Part-4 disambiguation shape (challenge.scala:185).
+    */
+  def p4DropDupKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val cust = t(spark, sfDir, "customer")
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"), "left")
+      .drop(cust("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- filters
+
+  /** Synthetic null/NaN column over events: 'error' rows → NaN, 'view' rows
+    * → null — gives the testdata the missing-value shapes the PlayStore
+    * contract cares about (SURVEY.md §2.9).
+    */
+  private def eventsWithMissing(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events").withColumn(
+      "v",
+      when(col("event_type") === "error", lit(Double.NaN))
+        .when(col("event_type") === "view", lit(null).cast("double"))
+        .otherwise(col("value")))
+
+  /** F1: the Part-2 conjunctive filter — isNotNull && !isNaN && >= lit. */
+  def f1ConjFilter(spark: SparkSession, sfDir: String): DataFrame =
+    eventsWithMissing(spark, sfDir)
+      .filter(col("v").isNotNull && !col("v").isNaN && col("v") >= 100.0)
+      .select("event_id", "v")
+      .orderBy("event_id")
+
+  /** F2: when/otherwise chain (CASE WHEN). */
+  def f2CaseWhen(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("bucket",
+        when(col("l_quantity") < 10, lit("low"))
+          .when(col("l_quantity") < 30, lit("mid"))
+          .otherwise(lit("high")))
+      .select("l_orderkey", "l_linenumber", "bucket")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F3: endsWith (case-sensitive, like the reference's "K" quirk). */
+  def f3EndsWith(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .filter(col("p_name").endsWith("bolt"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** F4: contains. */
+  def f4Contains(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .filter(col("p_name").contains("wid"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** F5: equality against a literal of a different type (string "1" vs int
+    * column) — non-ANSI implicit coercion.
+    */
+  def f5EqCoerce(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_linenumber") === "1")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey")
+
+  // ------------------------------------------------------------------ sorts
+
+  /** O1: global sort, descending on a STRING column (lexicographic — the
+    * Part-2 contract), with a unique tiebreaker for determinism.
+    * Physical plan: range-partitioning exchange + per-partition sort.
+    */
+  def o1SortDescString(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy(desc("o_orderpriority"), asc("o_orderkey"))
+
+  /** O2: top-k — orderBy + limit collapses to TakeOrderedAndProject (no
+    * global sort materialization; each partition keeps only k rows).
+    */
+  def o2TopK(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select("event_id", "value")
+      .orderBy(desc("value"), asc("event_id"))
+      .limit(50)
+
+  // ----------------------------------------------------------- aggregations
+
+  /** A1: groupBy + average (exact via decimal sum / count). */
+  def a1GroupAvg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .groupBy("c_nationkey")
+      .agg(davg(col("c_acctbal")).as("avg_acctbal"),
+        count(lit(1)).as("num_customers"))
+      .orderBy("c_nationkey")
+
+  /** A2: multi-max in one aggregate, including max over DATE. */
+  def a2MultiMax(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        max("l_quantity").as("max_qty"),
+        max(col("l_shipdate").cast("date")).as("max_ship_date"),
+        max("l_linestatus").as("max_status"))
+      .orderBy("l_returnflag")
+
+  /** A2b: max over ARRAY<STRING> — element-wise lexicographic array
+    * ordering, the Part-3 `max(Genres)` shape (challenge.scala:162).
+    */
+  def a2MaxArray(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .withColumn("name_words", split(col("p_name"), " "))
+      .groupBy("p_brand")
+      .agg(max("name_words").as("max_name_words"))
+      .orderBy("p_brand")
+
+  /** A3: collect_list — order-normalized with sort_array because list order
+    * is partition-dependent (SURVEY.md §2.5-A3).
+    */
+  def a3CollectList(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_linenumber")).as("line_numbers"))
+      .orderBy("l_orderkey")
+
+  /** A4: count(*). */
+  def a4CountStar(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count("*").as("cnt"))
+      .orderBy("event_type")
+
+  /** A5: avg over a column with nulls — nulls ignored by both sum and count;
+    * an all-null group yields null (NULL/0 division).
+    */
+  def a5AvgWithNulls(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("v",
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(davg(col("v")).as("avg_v"), count(col("v")).as("cnt_v"))
+      .orderBy("event_type")
+
+  /** A6: dropDuplicates on the projected key columns (deterministic form of
+    * the Part-3 dedup; with non-key columns present the survivor row would
+    * be arbitrary).
+    */
+  def a6DropDuplicates(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .dropDuplicates("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A7: na.fill(0) — replaces null AND NaN in every numeric column in
+    * scope (the Part-1/3 contract, challenge.scala:86,143).
+    */
+  def a7NaFill(spark: SparkSession, sfDir: String): DataFrame =
+    eventsWithMissing(spark, sfDir)
+      .select("event_id", "v")
+      .na.fill(0)
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------ joins
+
+  /** J1: left outer equi-join + aggregate over the nullable side. Customer
+    * is the smaller side but must stay on the left (outer) — Spark plans a
+    * broadcast of orders only if it fits; otherwise shuffled SMJ on the key.
+    */
+  def j1LeftJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(cust("c_custkey").as("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("num_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2: explicit broadcast of the dimension side — at 100 TB the fact side
+    * never moves; only the ~MB part table is shipped to executors.
+    */
+  def j2BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_type")
+
+  // ------------------------------------------------------------ expressions
+
+  /** E1: regexp_extract with a capture group. */
+  def e1RegexpExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  /** E2: round(expr, 2) on non-decimal-aligned values. */
+  def e2Round(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") / 7.0, 2).as("price_seventh"))
+      .orderBy("o_orderkey")
+
+  /** E3: to_date with the reference's "MMMM d, yyyy" pattern
+    * (challenge.scala:150) — format a timestamp to the English long form
+    * and parse it back.
+    */
+  def e3ToDateFmt(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "MMMM d, yyyy").as("pretty"),
+        to_date(date_format(col("o_orderdate"), "MMMM d, yyyy"), "MMMM d, yyyy")
+          .as("parsed"))
+      .orderBy("o_orderkey")
+
+  /** E4: split into array<string>. */
+  def e4Split(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      .orderBy("p_partkey")
+
+  /** E5: non-ANSI casts — unparseable → null, literal 'nan' → Double.NaN
+    * (SURVEY.md §2.9.1). Oracle uses TRY_CAST for the same semantics.
+    */
+  def e5NonAnsiCast(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        col("event_type").cast("double").as("bad_double"),
+        regexp_extract(col("props"), "\\{\"k\": (\\d+)\\}", 1).cast("long")
+          .as("k_val"),
+        when(col("event_type") === "error", lit("nan")).otherwise(lit("1.5"))
+          .cast("double").as("nan_or_num"))
+      .orderBy("event_id")
+
+  /** E7: chained arithmetic (exact IEEE, no rounding). */
+  def e7Arithmetic(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** E8: boolean && and !. */
+  def e8Boolean(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 10 && !(col("l_returnflag") === "A"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------------- generators
+
+  /** G1: explode over a split array — Generate(Explode). */
+  def g1Explode(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .withColumn("word", explode(split(col("p_name"), " ")))
+      .select("p_partkey", "word")
+      .orderBy("p_partkey", "word")
+
+  // -------------------------------------------------- windows (engine-level)
+
+  /** W1: per-group top-k via row_number window — the scale-safe alternative
+    * to a global sort (only k rows survive per partition key).
+    */
+  def w1RowNumberTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rank")
+  }
+
+  /** W2: running sum per user ordered by time — explicit ROWS frame with a
+    * unique ordering key; the sum itself is exact via decimal.
+    */
+  def w2RunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  // -------------------------------------------------------------- headliners
+
+  /** TPC-H Q1-shaped scan+agg — the bench headline (BASELINE.md). One scan,
+    * partial agg, single hash exchange on a 6-value grouping key.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fact⋈fact join + agg — the second bench headline. Shuffles both sides
+    * on orderkey unless AQE broadcasts the filtered orders side.
+    */
+  def qJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Star join through region→nation→customer→orders→lineitem (TPC-H
+    * Q5-shaped). Dimension chain broadcasts; only the two fact tables
+    * shuffle. Exercises multi-join reordering + AQE.
+    */
+  def qStarJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+}

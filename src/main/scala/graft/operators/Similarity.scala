@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Two paths:
+  *   - [[cosineTopK]]: brute-force exact top-k — broadcast the (small) query
+  *     set against the full corpus; correct baseline at any scale where the
+  *     query set is small, since the corpus never shuffles.
+  *   - [[lshCosineTopK]]: random-hyperplane LSH bucketing — the 100 TB path.
+  *     Corpus and queries are both hashed to sign-pattern buckets; only
+  *     same-bucket pairs are scored, turning O(Q×N) into O(Q×N/2^bits)
+  *     expected. Recall is tuned by the number of hyperplanes (fewer bits →
+  *     bigger buckets → higher recall, more work).
+  *
+  * All vector math is Catalyst higher-order functions (zip_with/aggregate)
+  * over double arrays — codegen-friendly, no UDFs, no driver collect.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (deterministic double arithmetic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Exact brute-force cosine top-k: for each query vector (vec_id <
+    * numQueries) the k nearest other vectors. The query side is broadcast;
+    * ranking is a per-query row_number window (k rows survive per query
+    * partition — no global sort).
+    */
+  def cosineTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG, seed constant) —
+    * no RNG at plan time, so the bucketing is stable across runs/executors.
+    */
+  private def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    var state = 0x5DEECE66DL
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-pattern bucket id of vector column `v` under the given planes. */
+  private def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      when(dot(v, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via random-hyperplane LSH: score only same-bucket
+    * candidates. With `numPlanes` bits the corpus splits into 2^numPlanes
+    * buckets; the bucket join is an equi-join (hash shuffle on bucket id),
+    * never a cross join.
+    */
+  def lshCosineTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      numPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus(spark, sfDir).withColumn("bucket", lshBucket(col("v"), planes))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: all same-bucket
+    * pairs with cosine above the threshold. The near-dup analogue of
+    * [[Dedup.minHashNearDupPairs]] for dense vectors.
+    */
+  def embeddingNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      minCosine: Double = 0.9,
+      numPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus(spark, sfDir)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .select(col("vec_id"), col("v"), col("bucket"))
+    c.as("a")
+      .join(c.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+}

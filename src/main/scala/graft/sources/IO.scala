@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Typed readers/writers for the engine's source/sink surface
+  * (SURVEY.md §2.1: S1-S3 scans, K1-K3 sinks), plus the write-then-reread
+  * combinators the reference pipelines embody
+  * (/root/reference/src/main/scala/tiago/cebola/challenge.scala:104-112,
+  * 186-196, 219-229).
+  */
+object IO {
+
+  /** The reference's custom CSV field delimiter (challenge.scala:11). */
+  val SectionDelimiter = "§" // §
+
+  /** S1/S2 — CSV scan with header + schema inference. Inference costs an
+    * extra eager pass over the data; at 100 TB callers should pass an
+    * explicit schema instead (see `readCsvWithSchema`).
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      delimiter: String = ",",
+      header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Schema-pinned CSV scan — the scale path: no inference pass. */
+  def readCsvWithSchema(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .schema(schema)
+      .csv(path)
+
+  /** S3 — parquet scan. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Testdata table loader (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** K1 — CSV sink, header + custom delimiter, overwrite. */
+  def writeCsv(
+      df: DataFrame,
+      path: String,
+      delimiter: String = ",",
+      header: Boolean = true): Unit =
+    df.write
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .mode(SaveMode.Overwrite)
+      .csv(path)
+
+  /** K2 — parquet sink, gzip-compressed, overwrite. */
+  def writeParquetGzip(df: DataFrame, path: String): Unit =
+    df.write
+      .option("compression", "gzip")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Write df as delimited CSV then read it back with fresh schema
+    * inference — the Part-2 shape (challenge.scala:104-112). The re-read
+    * frame's schema can legitimately differ from the written frame's
+    * (inference over the clean delimited text re-types columns).
+    */
+  def csvRoundTrip(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      delimiter: String = SectionDelimiter): DataFrame = {
+    writeCsv(df, path, delimiter)
+    readCsv(spark, path, delimiter)
+  }
+
+  /** Write df as gzip parquet then read it back — the Part-4/5 shape
+    * (challenge.scala:186-196). Acts as a materialization barrier: the
+    * re-read plan starts from files, not from the upstream lineage.
+    */
+  def parquetGzipRoundTrip(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String): DataFrame = {
+    writeParquetGzip(df, path)
+    readParquet(spark, path)
+  }
+
+  /** Scratch dir for round-trip sinks (never inside /root/repo). */
+  def scratchDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+}
