@@ -119,13 +119,14 @@ object Dedup {
     * 64-bit SimHash over distinct word tokens (bit b set iff the majority of
     * token hashes have bit b set), bucketed on 4 × 16-bit bands (two docs
     * within Hamming distance 3 of each other must agree on at least one
-    * 16-bit band — pigeonhole), then exact Hamming verification via
+    * 16-bit band — pigeonhole, so recall is exact up to distance 3; beyond
+    * that the banding is best-effort), then exact Hamming verification via
     * bit_count(xor).
     */
   def simHashNearDupPairs(
       spark: SparkSession,
       sfDir: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     val docs = IO.table(spark, sfDir, "documents")
       .withColumn("tok_hashes",
         expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))

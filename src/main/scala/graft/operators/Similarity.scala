@@ -111,7 +111,7 @@ object Similarity {
   def embeddingNearDupPairs(
       spark: SparkSession,
       sfDir: String,
-      minCosine: Double = 0.9,
+      minCosine: Double = 0.35,
       numPlanes: Int = 6,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)

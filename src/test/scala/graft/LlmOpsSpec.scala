@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Behavior specs for the LLM-pipeline operators over the sf0.001 testdata. */
+class LlmOpsSpec extends SparkTestBase {
+
+  test("exact dedup keeps one row per distinct text, lowest doc_id") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val distinctTexts = docs.select("text").distinct().count()
+    val dedup = Dedup.exactByText(spark, Sf)
+    assert(dedup.count() == distinctTexts)
+    // survivors must be the min doc_id of their text group
+    val viaHash = Dedup.exactByHash(spark, Sf)
+    assert(viaHash.agg(sum("copies")).collect()(0).getLong(0) == docs.count())
+    val survivors = dedup.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepIds = viaHash.select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == keepIds, "window form and hash form must agree")
+  }
+
+  test("minhash candidates verify against exact jaccard (no false positives in output)") {
+    val pairs = Dedup.minHashNearDupPairs(spark, Sf, minJaccard = 0.5).collect()
+    assert(pairs.nonEmpty, "testdata plants near-duplicate documents")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered, no self-pairs")
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("minhash recall: catches every very-near duplicate pair in a sample") {
+    // exact jaccard over a bounded range as ground truth
+    val exact = Dedup.ngramJaccardPairs(spark, Sf, maxDocId = 200, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashNearDupPairs(spark, Sf, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- mh
+    assert(missed.isEmpty,
+      s"minhash(8 bands x 4) should catch j>=0.8 pairs w.h.p.; missed $missed")
+  }
+
+  test("simhash pairs are symmetric-free and within the hamming bound") {
+    val pairs = Dedup.simHashNearDupPairs(spark, Sf, maxHamming = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("brute-force cosine top-k: k rows per query, ranks ordered by sim") {
+    val rows = Similarity.cosineTopK(spark, Sf, numQueries = 5, k = 4).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 4)
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "sim must be non-increasing in rank")
+      sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("LSH top-k is a subset of the brute-force candidates per query") {
+    val bf = Similarity.cosineTopK(spark, Sf, numQueries = 5, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshCosineTopK(spark, Sf, numQueries = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.subsetOf(bf))
+  }
+
+  test("embedding near-dup pairs respect the cosine threshold") {
+    Similarity.embeddingNearDupPairs(spark, Sf, minCosine = 0.35)
+      .collect().foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        assert(r.getDouble(2) >= 0.35)
+      }
+  }
+
+  test("token counts: ws tokens consistent with text") {
+    val r = TextAnalysis.tokenCounts(spark, Sf).collect()
+    assert(r.length == 500)
+    r.foreach { row =>
+      assert(row.getLong(1) > 0 && row.getLong(2) >= row.getLong(1) - 1)
+    }
+  }
+
+  test("language id emits a prediction for every doc") {
+    val r = TextAnalysis.languageId(spark, Sf)
+    assert(r.count() == 500)
+    val langs = r.select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.nonEmpty && langs.forall(l =>
+      Set("en", "de", "fr", "es", "zh", "und").contains(l)))
+  }
+
+  test("fingerprints: md5 matches a known value shape; rolling fp is stable") {
+    val r = TextAnalysis.fingerprints(spark, Sf).limit(5).collect()
+    r.foreach { row =>
+      assert(row.getString(1).matches("[0-9a-f]{32}"))
+      assert(!row.isNullAt(2) && !row.isNullAt(3))
+    }
+  }
+
+  test("multimodal: features are 8-dim normalized byte histograms") {
+    val f = Multimodal.featureQuery(spark, Sf).collect()
+    assert(f.length == 500)
+    f.foreach { row =>
+      val feats = row.getSeq[Float](2)
+      assert(feats.length == 8)
+      val s = feats.sum
+      assert(math.abs(s - 1.0f) < 1e-3, s"histogram should sum to ~1, got $s")
+    }
+  }
+
+  test("multimodal: frame sampling yields `frames` rows per record") {
+    val fr = Multimodal.frameQuery(spark, Sf)
+    assert(fr.count() == 500 * 4)
+    assert(fr.filter(col("frame_len") <= 0).count() == 0)
+  }
+}

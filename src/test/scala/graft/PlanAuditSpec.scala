@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Physical-plan audits — the 100 TB posture claims, asserted on explain
+  * output so a regression (lost pushdown, lost broadcast, surprise global
+  * sort) fails CI rather than only showing up at scale.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("parquet scan prunes columns (S3/P1)") {
+    val p = plan(Relational.s3ParquetScan(spark, Sf))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("p_partkey") && read.contains("p_name")
+      && !read.contains("p_brand"), s"scan must read only selected cols: $read")
+  }
+
+  test("filter pushes to the parquet scan (F3)") {
+    val p = plan(Relational.f3EndsWith(spark, Sf))
+    assert(p.contains("PushedFilters") &&
+      (p.contains("StringEndsWith") || p.contains("EndsWith")),
+      s"endsWith must reach the scan:\n$p")
+  }
+
+  test("orderBy+limit plans as TakeOrderedAndProject, not a global sort (O2)") {
+    val p = plan(Relational.o2TopK(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("explicit broadcast join plans as BroadcastHashJoin (J2)") {
+    val p = plan(Relational.j2BroadcastJoin(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("star join broadcasts the dimension chain (headline)") {
+    val p = plan(Relational.qStarJoin(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations do partial (map-side) aggregation before the exchange") {
+    val p = plan(Relational.q1PricingSummary(spark, Sf))
+    assert(p.contains("HashAggregate"), p)
+    val exchangeIdx = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && firstAgg >= 0, p)
+    // partial aggregate appears below (after in text) the exchange
+    assert(p.lastIndexOf("HashAggregate") > exchangeIdx,
+      "expect partial_ aggregate under the shuffle")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    val p = Relational.e7Arithmetic(spark, Sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("minhash LSH candidate join is an equi-join on band keys, never a cross join") {
+    val p = plan(Dedup.minHashNearDupPairs(spark, Sf))
+    assert(!p.contains("CartesianProduct"),
+      s"LSH banding must produce an equi-join:\n$p")
+  }
+
+  test("LSH ANN join is bucket-equi, brute-force stays broadcast (no shuffle of corpus)") {
+    val lsh = plan(Similarity.lshCosineTopK(spark, Sf))
+    assert(!lsh.contains("CartesianProduct"), lsh)
+    val bf = plan(Similarity.cosineTopK(spark, Sf))
+    assert(bf.contains("BroadcastNestedLoopJoin") || bf.contains("BroadcastHashJoin"),
+      s"query side must broadcast; corpus must not shuffle:\n$bf")
+  }
+
+  test("exact dedup shuffles on the dedup key only (no global sort)") {
+    val p = plan(Dedup.exactByText(spark, Sf))
+    // the window needs one hash partitioning on text; the final orderBy is
+    // the test-determinism sort. No range exchange before the window.
+    val windowIdx = p.indexOf("Window")
+    val firstRange = p.indexOf("rangepartitioning")
+    assert(windowIdx >= 0, p)
+    assert(firstRange == -1 || firstRange < windowIdx,
+      "no range shuffle below the window (only the final presentation sort)")
+  }
+}
