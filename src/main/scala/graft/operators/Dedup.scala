@@ -77,16 +77,21 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
 
-    val sig = array((0 until numPerms).map { j =>
-      array_min(transform(col("shingles"), s => xxhash64(lit(j), s)))
-    }: _*)
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
-    }: _*)
+    // Signature via explode + hash aggregation: the map-side partial agg
+    // collapses shingles to one signature row per doc per partition before
+    // the shuffle, so signature computation scales with input splits.
+    val exploded = withShingles(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val minExprs = (0 until numPerms).map { j =>
+      min(xxhash64(lit(j), col("sh"))).as(s"m$j")
+    }
+    val sigDf = exploded.groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
 
-    val docs = withShingles(IO.table(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("toks"), col("shingles"))
-      .withColumn("sig", sig)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*)
+    }: _*)
+    val docs = sigDf
       .select(col("doc_id"), posexplode(bandHashes))
       .select(col("doc_id"), col("pos"), col("col").as("band"))
 
@@ -127,17 +132,24 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    val docs = IO.table(spark, sfDir, "documents")
-      .withColumn("tok_hashes",
-        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-                 acc | shiftleft(
-                   case when 2 * size(filter(tok_hashes,
-                            h -> (shiftright(h, b) & 1) = 1))
-                          >= size(tok_hashes)
-                        then 1L else 0L end, b))"""))
-      .select(col("doc_id"), col("simhash"))
+    // Bit-majority via explode + one hash aggregation with 64 conditional
+    // sums (codegen'd, map-side combined) — far cheaper than per-row nested
+    // higher-order functions over the token array.
+    val tokHashes = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(expr(s"int(shiftright(h, $b) & 1)")).as(s"b$b")
+    }
+    val counted = tokHashes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    // distinct powers of two, so + is bitwise-or (incl. the sign bit, which
+    // wraps — intended)
+    val simhash = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val docs = counted.select(col("doc_id"), simhash.as("simhash"))
 
     val banded = docs
       .select(col("doc_id"), col("simhash"),
