@@ -43,6 +43,7 @@ object GraftSession {
     // re-assert the two semantics-bearing settings on the session itself.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.CosineSimilarityExpr.register(spark)
     spark
   }
 }

@@ -66,6 +66,10 @@ object SparkEntry {
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
+    // scale patterns: skew salting, stream-twin windowed agg, sessionization
+    "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
+    "stream_window_agg" -> (Relational.windowAgg _),
+    "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     // headline analytics
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_join_agg" -> (Relational.qJoinAgg _),
@@ -100,6 +104,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d)),
     "emb_near_dup_pairs" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     // LLM-pipeline: text analysis
@@ -221,6 +226,28 @@ object SparkEntry {
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, event_id""",
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_window_agg" ->
+      """SELECT make_timestamp((epoch_ns(ts) // 60000000000) * 60000000) AS window_start,
+                event_type, COUNT(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "sess_batch" ->
+      """WITH w AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tns
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, tns,
+                  SUM(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM w)
+         SELECT user_id, session_seq, COUNT(*) AS events,
+                (MAX(tns) - MIN(tns)) // 1000000 AS duration_ms
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

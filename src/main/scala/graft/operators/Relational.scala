@@ -397,6 +397,36 @@ object Relational {
 
   // -------------------------------------------------------------- headliners
 
+  /** Salted two-phase aggregation — the skew pattern: a hot grouping key
+    * (only 5 event_type values under 32+ cores) first aggregates on
+    * (key, salt) so every core gets work, then merges the partials. Same
+    * result as a direct groupBy, ~salt× the parallelism on the hot key.
+    * At 100 TB this is the difference between one straggler task owning a
+    * monster key and the cluster finishing together (AQE skew handling
+    * covers joins; aggregation skew needs this shape).
+    */
+  def skewSaltedAgg(spark: SparkSession, sfDir: String, salt: Int = 16): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(salt)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast(DecimalType(18, 2))).as("s"))
+      .groupBy("event_type")
+      .agg(sum("c").as("cnt"), sum("s").cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  /** Minute-bucket windowed aggregation over the event stream's batch view
+    * — the batch twin of [[graft.streaming.EventStream.windowedTypeCounts]]
+    * (ts arrives as nanos-since-epoch, see GraftSession).
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("window_start",
+        expr("timestamp_micros((ts div 60000000000) * 60000000)"))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** TPC-H Q1-shaped scan+agg — the bench headline (BASELINE.md). One scan,
     * partial agg, single hash exchange on a 6-value grouping key.
     */

@@ -58,6 +58,28 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** [[cosineTopK]] with the native codegen'd
+    * [[graft.functions.CosineSimilarityExpr]] instead of the HOF
+    * composition — one fused loop per pair; bitwise-identical scores
+    * (same fold order), registered in GraftSession as SQL `cosine_sim`.
+    */
+  def cosineTopKNative(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(qv, v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed LCG, seed constant) —
     * no RNG at plan time, so the bucketing is stable across runs/executors.
     */

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events shape (event_id, ts,
+  * user_id, event_type, value). The reference is batch-only (SURVEY.md
+  * §2.11); this module is the engine-level extension: the same aggregations
+  * expressed incrementally, so the 100 TB batch pipeline and its streaming
+  * ingest share one DataFrame dialect.
+  *
+  * Scale posture: watermarks bound state (late data beyond the watermark is
+  * dropped, state for closed windows is evicted); sessionization state is
+  * per-key and timeout-evicted — no unbounded driver or executor state.
+  */
+object EventStream {
+
+  /** Tumbling-window count+sum per event_type with a watermark. Works on
+    * any streaming or batch frame with (ts: timestamp, event_type, value).
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(count: Long, start: Long, lastSeen: Long)
+  case class SessionOut(user_id: Long, events: Long, durationMs: Long,
+      closed: Boolean)
+
+  /** Gap-based sessionization with explicit state: a session closes after
+    * `gapMs` of event-time silence per user. Demonstrates
+    * mapGroupsWithState — the engine's escape hatch for custom streaming
+    * state machines.
+    *
+    * Event-time timeout + watermark, so state is bounded: a key's state is
+    * evicted (and its session emitted as closed) once the watermark passes
+    * lastSeen + gap. (ProcessingTimeTimeout is avoided deliberately — on
+    * Spark 4.1.2 it degenerates into continuous empty micro-batches.)
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.count, s.lastSeen - s.start, closed = true)
+          } else {
+            val times = batch.map(_.ts.getTime).toVector.sorted
+            val merged = state.getOption match {
+              case Some(s) if times.headOption.forall(_ - s.lastSeen <= gapMs) =>
+                SessionState(s.count + times.size, s.start,
+                  times.lastOption.getOrElse(s.lastSeen))
+              case _ =>
+                SessionState(times.size, times.headOption.getOrElse(0L),
+                  times.lastOption.getOrElse(0L))
+            }
+            state.update(merged)
+            // must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(merged.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+            SessionOut(userId, merged.count, merged.lastSeen - merged.start,
+              closed = false)
+          }
+      }
+  }
+
+  /** Batch-mode sessionization of the same semantics (gap-based session ids
+    * via lag + running sum) — lets the batch table and the stream agree on
+    * session boundaries, and is DuckDB-oracle-able.
+    */
+  def sessionizeBatch(
+      spark: SparkSession,
+      sfDir: String,
+      gapNs: Long = 30L * 60 * 1000 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ts read as nanos-since-epoch long (GraftSession.nanosAsLong)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(sess))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("events"),
+        expr("(max(ts) - min(ts)) div 1000000").as("duration_ms"))
+      .orderBy("user_id", "session_seq")
+  }
+}

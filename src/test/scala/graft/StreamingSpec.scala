@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming specs: the transforms run against a real
+  * MemoryStream (incremental execution, state store, watermark), not just
+  * their batch twins.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate incrementally over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.windowedTypeCounts(mem.toDF(), "1 minute", "2 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:50"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 00:01:10"), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:01:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize keeps per-user state across micro-batches and closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 10:20:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 7's lastSeen + gap
+      mem.addData(Event(4, ts("2024-01-01 14:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts("2024-01-01 16:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "events", "durationMs", "closed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // user 7's state accumulated across micro-batches (10:20 within the
+      // 30-min gap of 10:10), then closed by watermark: 3 events, 20 min
+      assert(rows.contains((7L, 3L, 20 * 60 * 1000L, true)),
+        s"expected closed 3-event session for user 7, got ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("batch sessionization agrees with itself on session invariants") {
+    val sess = EventStream.sessionizeBatch(spark, Sf)
+    val events = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(sess.agg(sum("events")).collect()(0).getLong(0) == events,
+      "every event lands in exactly one session")
+    assert(sess.filter(col("duration_ms") < 0).count() == 0)
+  }
+
+  test("native cosine_sim expression matches the HOF composition bitwise") {
+    val df = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(50)
+    val a = df.as("a"); val b = df.as("b")
+    val both = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        expr("cosine_sim(a.v, b.v)").as("native"),
+        graft.operators.Similarity.cosine(col("a.v"), col("b.v")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+}
