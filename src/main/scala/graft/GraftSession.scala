@@ -36,6 +36,9 @@ object GraftSession {
       // Spark 4 rejects by default; read it as nanos-since-epoch LONG
       // (ordering-compatible — no registered query outputs the raw ts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed tables (bucketing tests/showcases) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,6 +53,19 @@ object SparkEntry {
     // joins (J1 + engine-level)
     "j1_left_join_agg" -> (Relational.j1LeftJoinAgg _),
     "j2_broadcast_join" -> (Relational.j2BroadcastJoin _),
+    "j3_semi_join" -> (Relational.semiJoin _),
+    "j4_anti_join" -> (Relational.antiJoin _),
+    "j5_asof_lookup" -> (Relational.asofLastPurchase _),
+    // set operations
+    "set_union_all" -> (Relational.setUnionAll _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_except" -> (Relational.setExcept _),
+    // multi-dimensional aggregation
+    "rollup_agg" -> (Relational.rollupAgg _),
+    "cube_agg" -> (Relational.cubeAgg _),
+    "pivot_agg" -> (Relational.pivotAgg _),
+    // semi-structured
+    "json_extract" -> (Relational.jsonExtract _),
     // expressions (E1-E8)
     "e1_regexp_extract" -> (Relational.e1RegexpExtract _),
     "e2_round" -> (Relational.e2Round _),
@@ -197,6 +210,46 @@ object SparkEntry {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_type ORDER BY p_type""",
+    "j3_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "j4_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "j5_asof_lookup" ->
+      """SELECT event_id, user_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+         FROM events ORDER BY event_id""",
+    "set_union_all" ->
+      """SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         ORDER BY id""",
+    "set_intersect" ->
+      """SELECT o_custkey AS id FROM orders
+         INTERSECT SELECT c_custkey AS id FROM customer WHERE c_acctbal > 0
+         ORDER BY id""",
+    "set_except" ->
+      """SELECT c_custkey AS id FROM customer
+         EXCEPT SELECT o_custkey AS id FROM orders
+         ORDER BY id""",
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_agg" ->
+      """SELECT user_id,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "json_extract" ->
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
     "e1_regexp_extract" ->
       "SELECT p_partkey, regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num FROM part ORDER BY p_partkey",
     "e2_round" ->

@@ -395,6 +395,104 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  // ------------------------------------------- set ops / multi-dim / joins 2
+
+  /** Set ops: UNION ALL of two filtered scans. */
+  def setUnionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("id"))
+      .unionAll(
+        c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("id")))
+      .orderBy("id")
+  }
+
+  /** Set ops: INTERSECT (set semantics) — customers that both placed an
+    * order and hold a positive balance.
+    */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders").select(col("o_custkey").as("id"))
+      .intersect(t(spark, sfDir, "customer")
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("id")))
+      .orderBy("id")
+
+  /** Set ops: EXCEPT (set semantics) — customers with no orders. */
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_custkey").as("id"))
+      .except(t(spark, sfDir, "orders").select(col("o_custkey").as("id")))
+      .orderBy("id")
+
+  /** ROLLUP over (status, priority): per-group, per-status subtotal, and
+    * grand total rows.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** CUBE over (returnflag, linestatus). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** PIVOT: per-user event counts, one column per event type (explicit
+    * value list — at scale never let pivot infer the distinct values).
+    */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+
+  /** JSON extraction from the events props column. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  /** Left-semi join: customers having at least one order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    c.join(t(spark, sfDir, "orders"),
+        c("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    c.join(t(spark, sfDir, "orders"),
+        c("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** As-of lookup: for every event, the most recent at-or-before purchase
+    * timestamp of the same user. Expressed as a running last-non-null over
+    * the per-user time order — the scale-friendly as-of shape (one shuffle
+    * on the key, no range-condition join explosion). DuckDB's native
+    * ASOF JOIN gives the same semantics for the oracle.
+    */
+  def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
+      // oracle's DuckDB reads parquet TIMESTAMP_NS at micro precision
+      .withColumn("purchase_us",
+        when(col("event_type") === "purchase", expr("ts div 1000")))
+      .withColumn("last_purchase_us",
+        last("purchase_us", ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "last_purchase_us")
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------- headliners
 
   /** Salted two-phase aggregation — the skew pattern: a hot grouping key

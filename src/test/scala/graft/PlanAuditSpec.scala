@@ -75,6 +75,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"query side must broadcast; corpus must not shuffle:\n$bf")
   }
 
+  test("partitioned parquet layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.IO.scratchDir("prune")
+    spark.read.parquet(s"$Sf/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val p = plan(spark.read.parquet(dir).filter(col("event_type") === "click"))
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"partition filter must prune directories, not scan+filter:\n$p")
+    assert(!p.contains("Filter ("), "no residual row filter expected")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.read.parquet(s"$Sf/orders.parquet")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    spark.read.parquet(s"$Sf/customer.parquet")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    if (p.contains("SortMergeJoin")) {
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must not re-shuffle either side:\n$p")
+    }
+  }
+
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
     // the window needs one hash partitioning on text; the final orderBy is
