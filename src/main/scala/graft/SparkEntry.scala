@@ -125,6 +125,8 @@ object SparkEntry {
     "txt_quality" -> (TextAnalysis.qualityScores _),
     "txt_lang_id" -> (TextAnalysis.languageId _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
+    "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> (Multimodal.featureQuery _),
@@ -334,6 +336,26 @@ object SparkEntry {
                 len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,
                 n_chars
          FROM documents ORDER BY doc_id""",
+    "txt_top_bigrams" ->
+      """WITH g AS (
+           SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2])) AS bigram
+           FROM documents WHERE len(string_split(text, ' ')) >= 2)
+         SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
+         ORDER BY cnt DESC, bigram LIMIT 100""",
+    "txt_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, term),
+         dlen AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+         dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  (CAST(tfreq AS DOUBLE) / dlen) * ln((n + 1.0) / (dfreq + 1.0)) AS score
+           FROM tf JOIN dlen USING (doc_id) JOIN dfr USING (term) CROSS JOIN n)
+         SELECT doc_id, term, CAST(score AS FLOAT) AS score FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+         ORDER BY doc_id, term""",
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 16) AS head16 FROM documents ORDER BY doc_id",
   )

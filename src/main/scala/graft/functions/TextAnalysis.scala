@@ -94,6 +94,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level top bigrams: explode rolling 2-grams, count, keep the
+    * top 100 under a deterministic total order. Partial aggregation
+    * collapses per-partition counts before the shuffle; the final limit is
+    * a TakeOrdered, not a global sort.
+    */
+  def topBigrams(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> concat_ws(' ', slice(toks, i + 1, 2)))""")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(topN)
+
+  /** TF-IDF top-3 terms per document. All inputs to the score are exact
+    * integers, so the double score is bit-identical across engines:
+    * (tf/dlen) * ln((N+1)/(df+1)). Three aggregations + one broadcastable
+    * corpus-size frame; ranking is a per-doc row_number window.
+    */
+  def tfIdfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = IO.table(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tfreq"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dlen, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tfreq").cast("double") / col("dlen"))
+          * log((col("n") + lit(1.0)) / (col("dfreq") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // float: JVM Math.log and C libm log differ by 1 ulp on some inputs;
+      // the float rounding absorbs it (ranking still uses the double score)
+      .select(col("doc_id"), col("term"), col("score").cast("float").as("score"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Document fingerprints: a cryptographic content id (md5), a cheap
     * 64-bit content id (xxhash64), and a winnowing-style robust fingerprint
     * (min xxhash64 over 5-word rolling shingles — stable under small edits

@@ -1,0 +1,191 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, JoinedRow, Literal, SortOrder, UnsafeProjection, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, LessThan, LessThanOrEqual, PredicateHelper, RowNumber}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Per-key top-k as a first-class operator.
+  *
+  * Users write the idiomatic form —
+  * {{{ df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
+  *      .filter(col("rn") <= k) }}}
+  * — and [[TopKRewriteRule]] rewrites it into [[TopKPerKeyNode]], planned by
+  * [[TopKStrategy]] as a TWO-PHASE physical operator:
+  *
+  *   TopKFinalExec  (requires clustering on the keys; streams each sorted
+  *        ^          group emitting the first k rows with their rank)
+  *        |  <- Exchange(hash on keys) + Sort inserted by EnsureRequirements
+  *   TopKPartialExec (per input partition: bounded max-heap of size k per
+  *                    key — only k rows PER KEY PER PARTITION reach the
+  *                    shuffle)
+  *
+  * Why this matters at 100 TB: the stock plan shuffles EVERY row of every
+  * key to the window sort, then discards all but k. The partial phase cuts
+  * shuffled bytes to ~k × keys × partitions — for a 1000-executor scan
+  * keeping top-3 of millions of rows per key, orders of magnitude less
+  * network and spill. Same idea as TakeOrderedAndProject, generalized per
+  * key. (Registered via SparkSessionExtensions in GraftSession.)
+  */
+case class TopKPerKeyNode(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    rankAttr: Attribute,
+    child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Rewrites Filter(rn <= k) over a single-row_number Window into
+  * [[TopKPerKeyNode]]. Extra filter conjuncts are preserved above the node;
+  * global (un-partitioned) windows are left alone (TakeOrdered territory);
+  * k is bounded so the per-key heaps stay small.
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val MaxK = 10000
+
+  private object RankLimit {
+    /** Matches `rank <= lit` / `rank < lit` and yields the inclusive k. */
+    def unapply(e: Expression): Option[(Attribute, Int)] = e match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v))
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v - 1))
+      // rn = 1 is top-1 (the exact-dedup shape); rn = v for v > 1 is NOT top-k
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: Attribute, Literal(1, IntegerType)) => Some((a, 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+          w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+            partitionSpec, orderSpec, child, _))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rankAttr = alias.toAttribute
+      conjuncts.collectFirst {
+        case rl @ RankLimit(a, k)
+            if a.semanticEquals(rankAttr) && k > 0 && k <= MaxK => (rl, k)
+      } match {
+        case Some((rankPred, k)) =>
+          val topk = TopKPerKeyNode(k, partitionSpec, orderSpec, rankAttr, child)
+          val rest = conjuncts.filterNot(_ eq rankPred)
+          if (rest.isEmpty) topk else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), topk)
+        case None => f
+      }
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, part, order, rank, child) =>
+      TopKFinalExec(k, part, order, rank,
+        TopKPartialExec(k, part, order, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Map-side phase: per input partition, a bounded max-heap of size k per
+  * key. No distribution requirement — runs right on the scan output.
+  */
+case class TopKPartialExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(partitionExprs, child.output)
+      val ord = GenerateOrdering.generate(order, child.output)
+      // max-heap: head is the WORST retained row; evict it when a better
+      // (ordering-smaller) row arrives and the heap is full
+      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < k) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+}
+
+/** Reduce-side phase: child is clustered on the keys and sorted by
+  * (keys, order); stream each group emitting the first k rows with their
+  * 1-based rank appended.
+  */
+case class TopKFinalExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    rankAttr: Attribute,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionExprs.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partitionExprs.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(partitionExprs, child.output)
+      val toUnsafe = UnsafeProjection.create(output, output)
+      var currentKey: InternalRow = null
+      var rank = 0
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.flatMap { row =>
+        val key = keyProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          rank = 0
+        }
+        rank += 1
+        if (rank <= k) {
+          rankRow.update(0, rank)
+          Iterator.single(toUnsafe(joined(row, rankRow)))
+        } else Iterator.empty
+      }
+    }, preservesPartitioning = true)
+}
+
+object TopKPerKey {
+  /** SparkSessionExtensions hook (wired in GraftSession.build). */
+  def install(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}

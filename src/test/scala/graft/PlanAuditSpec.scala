@@ -90,6 +90,16 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs persist; clear them so saveAsTable doesn't hit LOCATION_ALREADY_EXISTS
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(f => { if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() })
+        d.delete()
+      }
+    }
     spark.read.parquet(s"$Sf/orders.parquet")
       .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
     spark.read.parquet(s"$Sf/customer.parquet")
@@ -107,12 +117,24 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
-    // the window needs one hash partitioning on text; the final orderBy is
-    // the test-determinism sort. No range exchange before the window.
-    val windowIdx = p.indexOf("Window")
+    // rn = 1 is rewritten to the two-phase top-k operator; the only
+    // exchange below it is the hash clustering on the key. The final
+    // orderBy is the presentation sort.
+    val topkIdx = p.indexOf("TopKFinal")
     val firstRange = p.indexOf("rangepartitioning")
-    assert(windowIdx >= 0, p)
-    assert(firstRange == -1 || firstRange < windowIdx,
-      "no range shuffle below the window (only the final presentation sort)")
+    assert(topkIdx >= 0, p)
+    assert(firstRange == -1 || firstRange < topkIdx,
+      "no range shuffle below the top-k (only the final presentation sort)")
+  }
+
+  test("row_number<=k window rewrites to the two-phase TopK operator") {
+    val p = plan(Relational.w1RowNumberTopK(spark, Sf))
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+      s"Filter(rn<=3, Window(row_number)) must plan as two-phase top-k:\n$p")
+    // partial phase must sit BELOW the exchange (map-side pruning)
+    val partialIdx = p.indexOf("TopKPartial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"TopKPartial must be under the shuffle:\n$p")
   }
 }
