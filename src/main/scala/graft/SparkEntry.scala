@@ -66,6 +66,8 @@ object SparkEntry {
     "pivot_agg" -> (Relational.pivotAgg _),
     // semi-structured
     "json_extract" -> (Relational.jsonExtract _),
+    // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
+    "sketch_profile" -> (Relational.sketchProfile _),
     // expressions (E1-E8)
     "e1_regexp_extract" -> (Relational.e1RegexpExtract _),
     "e2_round" -> (Relational.e2Round _),

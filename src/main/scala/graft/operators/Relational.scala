@@ -395,6 +395,24 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- sketches
+
+  /** Sketch aggregates — the single-pass, mergeable summaries a 100 TB
+    * corpus profile runs instead of exact distinct/percentile (exact
+    * distinct is a full shuffle of every distinct value; HLL++ and
+    * t-digest-style summaries merge partial sketches of bounded size).
+    * Approximate by construction → no byte-exact DuckDB oracle; accuracy
+    * bounds are asserted in RelationalSketchSpec.
+    */
+  def sketchProfile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
+      .orderBy("event_type")
+
   // ------------------------------------------- set ops / multi-dim / joins 2
 
   /** Set ops: UNION ALL of two filtered scans. */

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Standardizers
+import graft.sources.IO
+
+/** Property-based tests (SURVEY.md §5.3#4): parsers never throw under
+  * non-ANSI semantics, IO round-trips are lossless, and the custom TopK
+  * operator agrees with an in-Scala reference on random data.
+  *
+  * (Raw ScalaCheck generators with fixed seeds — the scalatest/scalacheck
+  * bridge artifact is not on the offline resolver, and deterministic seeds
+  * make failures reproducible anyway.)
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val dirtyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.oneOf("", "NaN", "nan", "Varies with device", "1.9M", "201k", "512K",
+      "$4.99", "$0", "Everyone", "February 11, 2018", "10,000+", "4.1", "-3"),
+    Gen.listOfN(8, Gen.asciiPrintableChar).map(_.mkString))
+
+  test("standardizers never throw on arbitrary dirty strings (non-ANSI contract)") {
+    samples(Gen.listOfN(40, dirtyString)).foreach { values =>
+      val df = values.toDF("Size")
+        .withColumn("Price", col("Size"))
+        .withColumn("Rating", col("Size"))
+        .withColumn("LU", col("Size"))
+      // collect forces evaluation; any throw fails the property
+      val n = df.select(
+        Standardizers.sizeMb(col("Size")),
+        Standardizers.priceToEur(col("Price")),
+        Standardizers.ratingOrNull(col("Rating")),
+        Standardizers.parseUpdateDate(col("LU")),
+        Standardizers.splitGenres(col("Size"))).collect().length
+      assert(n == values.length)
+    }
+  }
+
+  test("gzip parquet round-trip is lossless for mixed-type rows") {
+    val gen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.alphaNumStr,
+      Gen.chooseNum(-1e12, 1e12)))
+    samples(gen).foreach { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val back = IO.parquetGzipRoundTrip(spark, df, IO.scratchDir("prop_pq"))
+        .as[(Long, String, Double)].collect().toList.sorted
+      assert(back == rows.sorted)
+    }
+  }
+
+  test("§-CSV round-trip preserves string cells without the delimiter") {
+    // cells containing the delimiter get quoted by the writer — also
+    // lossless, but this property pins the common path
+    val cell = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    samples(Gen.listOfN(20, Gen.zip(cell, cell))).foreach { rows =>
+      val df = rows.toDF("x", "y")
+      val back = IO.csvRoundTrip(spark, df, IO.scratchDir("prop_csv"))
+        .as[(String, String)].collect().toList.sorted
+      assert(back == rows.sorted)
+    }
+  }
+
+  test("TopK rewrite agrees with an in-Scala reference on random data") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 100000)))
+    samples(gen, n = 8).foreach { pairs =>
+      // unique (key, value) rows so ordering ties cannot make the expected
+      // result ambiguous
+      val rows = pairs.distinct
+      val df = rows.toDF("key", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("value"))
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("key", "value", "rn")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+        vs.map(_._2).sorted(Ordering[Int].reverse).take(3)
+          .zipWithIndex.map { case (v, i) => (k, v, i + 1) }
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("TopK rewrite with extra filter conjuncts keeps the residual filter") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("key", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(desc("value"))
+    val out = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("key") =!= 0)
+      .select("key", "value", "rn")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val expected = (1 to 4).flatMap { k =>
+      Seq((k, 95 + k, 1), (k, 90 + k, 2))
+    }.toSet
+    assert(out == expected)
+  }
+}

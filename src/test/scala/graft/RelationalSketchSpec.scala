@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Accuracy bounds for the sketch aggregates (no byte-exact oracle exists
+  * for approximate operators — the contract is the error bound).
+  */
+class RelationalSketchSpec extends SparkTestBase {
+
+  test("HLL++ distinct counts are within 5% of exact; percentiles bracket the data") {
+    val sketch = Relational.sketchProfile(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = spark.read.parquet(s"$Sf/events.parquet")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"),
+        min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sketch.keySet == exact.keySet)
+    exact.foreach { case (k, (users, lo, hi)) =>
+      val (approxUsers, p50, p99) = sketch(k)
+      assert(math.abs(approxUsers - users) <= math.max(1L, (users * 0.05).toLong),
+        s"$k: approx $approxUsers vs exact $users")
+      assert(p50 >= lo && p50 <= hi && p99 >= p50 && p99 <= hi,
+        s"$k: percentiles out of range: p50=$p50 p99=$p99 in [$lo,$hi]")
+    }
+  }
+}
