@@ -44,9 +44,12 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate can hand back a pre-existing session whose conf differs;
-    // re-assert the two semantics-bearing settings on the session itself.
+    // re-assert the semantics-bearing settings on the session itself.
+    // (The TopK extension cannot be retrofitted onto a foreign session —
+    // plans still work, they just lose the rewrite.)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.CosineSimilarityExpr.register(spark)
     spark
   }

@@ -353,9 +353,9 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n FROM documents),
          scored AS (
            SELECT tf.doc_id, tf.term,
-                  (CAST(tfreq AS DOUBLE) / dlen) * ln((n + 1.0) / (dfreq + 1.0)) AS score
+                  CAST((CAST(tfreq AS DOUBLE) / dlen) * ln((n + 1.0) / (dfreq + 1.0)) AS FLOAT) AS score
            FROM tf JOIN dlen USING (doc_id) JOIN dfr USING (term) CROSS JOIN n)
-         SELECT doc_id, term, CAST(score AS FLOAT) AS score FROM scored
+         SELECT doc_id, term, score FROM scored
          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
          ORDER BY doc_id, term""",
     "mm_binary_meta" ->

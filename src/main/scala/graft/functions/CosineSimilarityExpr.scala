@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * sweep the dot-product loop is the hot instruction stream, so shaving the
   * three HOF passes (dot, |a|, |b|) to one matters.
   *
-  * Semantics: null if either side is null; mismatched lengths score over
-  * the common prefix; zero vectors yield NaN (0/0) — same as the HOF form.
+  * Semantics: null if either side, or any element in the scored prefix, is
+  * null (matching the HOF form, where a null element nulls the aggregate);
+  * mismatched lengths score over the common prefix; zero vectors yield NaN
+  * (0/0).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +38,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Unconditionally nullable: a null ELEMENT nulls the score even when
+    * both array columns themselves are non-nullable.
+    */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,6 +52,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -64,10 +72,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin

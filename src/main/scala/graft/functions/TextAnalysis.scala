@@ -17,13 +17,10 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(text, "\\s+")
 
-  /** BPE-ish subword-ish tokens: maximal runs of letters/digits plus single
-    * punctuation marks (a regex stand-in for a real byte-pair vocabulary).
+  /** Token counting: whitespace tokens next to BPE-ish regex tokens
+    * (maximal alnum runs plus single punctuation marks — a regex stand-in
+    * for a real byte-pair vocabulary).
     */
-  def regexTokens(text: Column): Column =
-    expr(s"regexp_extract_all(${text.toString}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
-
-  /** Token counting: whitespace tokens and regex tokens side by side. */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     IO.table(spark, sfDir, "documents")
       .select(
@@ -73,8 +70,10 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  /** Language ID: argmax over per-language stopword hit counts; ties and
-    * zero-evidence documents fall back to "und" (undetermined). Returns the
+  /** Language ID: argmax over per-language stopword hit counts;
+    * zero-evidence documents fall back to "und" (undetermined), and exact
+    * ties resolve deterministically to the lexicographically-greatest
+    * language code (struct max compares (hits, lang)). Returns the
     * prediction next to the table's labelled lang for eyeballing accuracy.
     */
   def languageId(spark: SparkSession, sfDir: String): DataFrame = {
@@ -128,17 +127,20 @@ object TextAnalysis {
       .join(dlen, "doc_id")
       .join(dfreq, "term")
       .crossJoin(broadcast(n))
+      // float: JVM Math.log and C libm log differ by 1 ulp on some inputs;
+      // the float rounding absorbs it. BOTH the output and the ranking use
+      // the float score, so cross-engine top-k selection is deterministic
+      // too (a double-score rank could pick different rows at a 1-ulp tie).
       .withColumn("score",
-        (col("tfreq").cast("double") / col("dlen"))
+        ((col("tfreq").cast("double") / col("dlen"))
           * log((col("n") + lit(1.0)) / (col("dfreq") + lit(1.0))))
+          .cast("float"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      // float: JVM Math.log and C libm log differ by 1 ulp on some inputs;
-      // the float rounding absorbs it (ranking still uses the double score)
-      .select(col("doc_id"), col("term"), col("score").cast("float").as("score"))
+      .select("doc_id", "term", "score")
       .orderBy("doc_id", "term")
   }
 

@@ -100,6 +100,13 @@ object TopKStrategy extends SparkStrategy {
 
 /** Map-side phase: per input partition, a bounded max-heap of size k per
   * key. No distribution requirement — runs right on the scan output.
+  *
+  * Memory bound: at most [[TopKPartialExec.MaxTrackedKeys]] keys are
+  * tracked (k rows each). Rows of further keys stream straight through
+  * un-pruned — the partial phase is a best-effort shuffle reducer, never a
+  * correctness point (the final phase prunes everything), so unlike a
+  * spillable sort it can simply stop buffering under high key cardinality
+  * (e.g. dedup keyed by full document text).
   */
 case class TopKPartialExec(
     k: Int,
@@ -120,18 +127,34 @@ case class TopKPartialExec(
       // max-heap: head is the WORST retained row; evict it when a better
       // (ordering-smaller) row arrives and the heap is full
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      val passthrough = it.flatMap { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < k) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          case None if heaps.size < TopKPartialExec.MaxTrackedKeys =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+            Iterator.empty
+          case None => // over the key budget: stop pruning, stream through
+            Iterator.single(row)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
+}
+
+object TopKPartialExec {
+  /** Key-tracking budget per task — bounds partial-phase memory at
+    * ~MaxTrackedKeys × k rows regardless of input key cardinality.
+    */
+  val MaxTrackedKeys = 1 << 14
 }
 
 /** Reduce-side phase: child is clustered on the keys and sorted by

@@ -41,8 +41,12 @@ object EventStream {
 
   /** Gap-based sessionization with explicit state: a session closes after
     * `gapMs` of event-time silence per user. Demonstrates
-    * mapGroupsWithState — the engine's escape hatch for custom streaming
-    * state machines.
+    * flatMapGroupsWithState — the engine's escape hatch for custom
+    * streaming state machines. Emits every CLOSED session exactly once
+    * (whether closed by a gap-separated successor event or by the
+    * watermark timeout) plus an open-session progress row per batch, and
+    * splits on every intra-batch gap — the same boundaries as
+    * [[sessionizeBatch]].
     *
     * Event-time timeout + watermark, so state is bounded: a key's state is
     * evicted (and its session emitted as closed) once the watermark passes
@@ -57,29 +61,40 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionOut(userId, s.count, s.lastSeen - s.start, closed = true)
+            Iterator.single(
+              SessionOut(userId, s.count, s.lastSeen - s.start, closed = true))
           } else {
             val times = batch.map(_.ts.getTime).toVector.sorted
-            val merged = state.getOption match {
-              case Some(s) if times.headOption.forall(_ - s.lastSeen <= gapMs) =>
-                SessionState(s.count + times.size, s.start,
-                  times.lastOption.getOrElse(s.lastSeen))
-              case _ =>
-                SessionState(times.size, times.headOption.getOrElse(0L),
-                  times.lastOption.getOrElse(0L))
+            if (times.isEmpty) Iterator.empty
+            else {
+              val closed = Vector.newBuilder[SessionOut]
+              var open = state.getOption
+              times.foreach { t =>
+                open = open match {
+                  case Some(s) if t - s.lastSeen <= gapMs =>
+                    Some(SessionState(s.count + 1, s.start, t))
+                  case Some(s) => // gap: close the running session, start anew
+                    closed += SessionOut(userId, s.count, s.lastSeen - s.start,
+                      closed = true)
+                    Some(SessionState(1, t, t))
+                  case None => Some(SessionState(1, t, t))
+                }
+              }
+              val cur = open.get // times is non-empty here
+              state.update(cur)
+              // must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(cur.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+              (closed.result() :+
+                SessionOut(userId, cur.count, cur.lastSeen - cur.start,
+                  closed = false)).iterator
             }
-            state.update(merged)
-            // must be strictly beyond the current watermark
-            state.setTimeoutTimestamp(
-              math.max(merged.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
-            SessionOut(userId, merged.count, merged.lastSeen - merged.start,
-              closed = false)
           }
       }
   }

@@ -68,7 +68,19 @@ class StreamingSpec extends SparkTestBase {
       // 30-min gap of 10:10), then closed by watermark: 3 events, 20 min
       assert(rows.contains((7L, 3L, 20 * 60 * 1000L, true)),
         s"expected closed 3-event session for user 7, got ${rows.mkString(", ")}")
+      // user 9's 14:00 session must be emitted closed when the
+      // gap-separated 16:00 successor arrives (not silently dropped)
+      assert(rows.contains((9L, 1L, 0L, true)),
+        s"expected closed 1-event session for user 9, got ${rows.mkString(", ")}")
     } finally q.stop()
+  }
+
+  test("cosine_sim returns null when a scored element is null (matches HOF)") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS s,
+                cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS ok""").collect()(0)
+    assert(r.isNullAt(0), "null element must null the score")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
   test("batch sessionization agrees with itself on session invariants") {
