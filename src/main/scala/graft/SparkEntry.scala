@@ -121,9 +121,11 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d)),
+    "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "emb_near_dup_pairs" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     // LLM-pipeline: text analysis
     "txt_token_counts" -> (TextAnalysis.tokenCounts _),
+    "corpus_stats" -> (graft.functions.CorpusStatsAggregator.perSource _),
     "txt_quality" -> (TextAnalysis.qualityScores _),
     "txt_lang_id" -> (TextAnalysis.languageId _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -333,6 +335,12 @@ object SparkEntry {
          ORDER BY doc_id""",
     "dedup_exact_hash" ->
       "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY md5(text) ORDER BY fp",
+    "corpus_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                SUM(len(string_split(text, ' '))) AS total_tokens,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+                MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+         FROM documents GROUP BY source ORDER BY source""",
     "txt_token_counts" ->
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,

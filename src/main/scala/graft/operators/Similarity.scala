@@ -126,6 +126,43 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 vector quantization: per-vector symmetric scale (127 / max|x|),
+    * stored as array<tinyint> + one float scale — 4x smaller than float32,
+    * 8x smaller than the double pipeline. At 100 TB of embeddings the
+    * quantized corpus is what fits in cluster memory for ANN; the spec
+    * checks recall@k against the full-precision ranking.
+    */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("scale",
+        when(col("max_abs") > 0, col("max_abs") / 127.0).otherwise(lit(1.0)))
+      .select(col("vec_id"), col("label"), col("scale"),
+        transform(col("v"), x => round(x / col("scale"), 0).cast("byte")).as("q"))
+
+  /** Brute-force top-k over the QUANTIZED vectors (dequantize on the fly:
+    * cosine is scale-invariant per vector, so the int8 arrays compare
+    * directly).
+    */
+  def quantizedTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val c = quantize(spark, sfDir)
+      .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v"))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(qv, v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: all same-bucket
     * pairs with cosine above the threshold. The near-dup analogue of
     * [[Dedup.minHashNearDupPairs]] for dense vectors.

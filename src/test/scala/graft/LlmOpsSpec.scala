@@ -70,6 +70,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(lsh.subsetOf(bf))
   }
 
+  test("int8-quantized ANN preserves most of full-precision recall@5") {
+    val full = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (full & quant).size.toDouble / full.size
+    assert(recall >= 0.6, s"recall@5 after int8 quantization = $recall")
+  }
+
+  test("typed corpus-stats aggregator agrees with built-in aggregates") {
+    val typed = graft.functions.CorpusStatsAggregator.perSource(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val builtin = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("m"),
+        max("n_chars").as("mx"), min("n_chars").as("mn"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    assert(typed == builtin)
+  }
+
   test("embedding near-dup pairs respect the cosine threshold") {
     Similarity.embeddingNearDupPairs(spark, Sf, minCosine = 0.35)
       .collect().foreach { r =>
