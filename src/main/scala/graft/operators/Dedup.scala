@@ -103,9 +103,17 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // Verify candidates with exact token-set Jaccard.
-    val tokSets = withShingles(IO.table(spark, sfDir, "documents"))
-      .select(col("doc_id"), array_distinct(col("toks")).as("tokset"))
+    // Verify candidates with exact token-set Jaccard. Prune BEFORE
+    // tokenizing: semi-join documents against the (tiny, broadcastable)
+    // candidate id set first, so the second pass tokenizes only candidate
+    // docs instead of re-tokenizing the whole corpus.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val tokSets = IO.table(spark, sfDir, "documents")
+      .join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("tokset"))
     cand
       .join(tokSets.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("tokset", "tok_a"), "doc_a")

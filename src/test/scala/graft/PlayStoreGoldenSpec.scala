@@ -104,6 +104,20 @@ class PlayStoreGoldenSpec extends SparkTestBase {
     }
   }
 
+  test("Part 3 spot counts from SURVEY.md §5.2 / FIXTURES.md") {
+    import org.apache.spark.sql.functions.{col, size}
+    val df3 = PlayStore.standardizePerApp(PlayStore.readStore(spark))
+    assert(df3.filter(col("Size").isNull).count() == 1541,
+      "lowercase-k + 'Varies with device' sizes must all be null")
+    assert(df3.filter(col("Rating") === 0.0).count() == 1465,
+      "na.fill(0) scope must zero the NaN-derived ratings")
+    assert(df3.filter(col("Price").isNull).count() == 3)
+    assert(df3.filter(col("Price") > 0).count() == 756)
+    assert(df3.filter(col("Last_Updated").isNull).count() == 3)
+    assert(df3.filter(size(col("Categories")) > 1).count() == 798,
+      "798 multi-category apps after the per-app collect_list")
+  }
+
   test("Part 5 spot values from SURVEY.md §5.2") {
     val df1 = PlayStore.averageSentimentByApp(PlayStore.readReviews(spark))
     val df3 = PlayStore.standardizePerApp(PlayStore.readStore(spark))
