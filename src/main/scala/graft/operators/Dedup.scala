@@ -91,9 +91,14 @@ object Dedup {
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*)
     }: _*)
+    // persist: the banded frame feeds BOTH sides of the self-join, and the
+    // candidate pairs feed three consumers — without persistence Spark
+    // re-derives the whole signature pipeline once per reference (observed
+    // 4x signature computation in the executed plan)
     val docs = sigDf
       .select(col("doc_id"), posexplode(bandHashes))
       .select(col("doc_id"), col("pos"), col("col").as("band"))
+      .persist()
 
     // Per-bucket self-join: only docs agreeing on a whole band collide.
     val cand = docs.as("a")
@@ -102,6 +107,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist()
 
     // Verify candidates with exact token-set Jaccard. Prune BEFORE
     // tokenizing: semi-join documents against the (tiny, broadcastable)
@@ -159,6 +165,8 @@ object Dedup {
     }.reduce(_ + _)
     val docs = counted.select(col("doc_id"), simhash.as("simhash"))
 
+    // persist: both sides of the band self-join read this frame; without it
+    // the 64-bit-majority aggregation runs twice
     val banded = docs
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { b =>
@@ -166,6 +174,7 @@ object Dedup {
         }: _*)))
       .select(col("doc_id"), col("simhash"), col("pos"),
         col("col").as("band"))
+      .persist()
 
     banded.as("a")
       .join(banded.as("b"),

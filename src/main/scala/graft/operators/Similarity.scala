@@ -174,9 +174,11 @@ object Similarity {
       numPlanes: Int = 6,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
+    // persist: the bucketed corpus feeds both sides of the self-join
     val c = corpus(spark, sfDir)
       .withColumn("bucket", lshBucket(col("v"), planes))
       .select(col("vec_id"), col("v"), col("bucket"))
+      .persist()
     c.as("a")
       .join(c.as("b"),
         col("a.bucket") === col("b.bucket")
