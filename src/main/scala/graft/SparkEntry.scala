@@ -78,6 +78,8 @@ object SparkEntry {
     "e8_boolean" -> (Relational.e8Boolean _),
     // generators (G1)
     "g1_explode" -> (Relational.g1Explode _),
+    "e9_string_funcs" -> (Relational.stringFuncs _),
+    "e10_date_funcs" -> (Relational.dateFuncs _),
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
@@ -277,6 +279,25 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity >= 10 AND NOT (l_returnflag = 'A') ORDER BY l_orderkey, l_linenumber",
     "g1_explode" ->
       "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part ORDER BY p_partkey, word",
+    "e9_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name, lower(p_brand) AS lower_brand,
+                trim('  ' || p_type || ' ') AS trimmed,
+                concat_ws('-', p_brand, p_type) AS joined,
+                substr(p_name, 1, 4) AS head4,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                replace(p_name, ' ', '_') AS snake,
+                lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+         FROM part ORDER BY p_partkey""",
+    "e10_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST((CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH) AS DATE) AS minus2m,
+                date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS INT) AS days_since
+         FROM orders ORDER BY o_orderkey""",
     "w1_row_number_topk" ->
       """SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS "rank",
                 o_orderkey, o_totalprice

@@ -395,6 +395,41 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** String-function surface: case mapping, trim, concat, substring,
+    * length, replace, lpad — the everyday scalar layer.
+    */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lower(col("p_brand")).as("lower_brand"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+        substring(col("p_name"), 1, 4).as("head4"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+      .orderBy("p_partkey")
+
+  /** Date/time arithmetic surface: add/sub days, truncation, extraction,
+    * day difference against a fixed anchor.
+    */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        col("od"),
+        date_add(col("od"), 30).as("plus30"),
+        add_months(col("od"), -2).as("minus2m"),
+        trunc(col("od"), "month").as("month_start"),
+        year(col("od")).as("yr"),
+        month(col("od")).as("mo"),
+        dayofmonth(col("od")).as("dom"),
+        datediff(col("od"), lit("2024-01-01").cast("date")).as("days_since"))
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------- sketches
 
   /** Sketch aggregates — the single-pass, mergeable summaries a 100 TB

@@ -91,6 +91,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopK partial phase stays correct past the tracked-key budget (passthrough path)") {
+    // more distinct keys than TopKPartialExec.MaxTrackedKeys (16384) in a
+    // single partition: overflow keys stream through un-pruned and the
+    // final phase must still produce exact per-key top-1
+    val n = graft.plans.TopKPartialExec.MaxTrackedKeys + 5000
+    val df = spark.range(n.toLong).toDF("key")
+      .withColumn("value", col("key") % 7)
+      .repartition(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(desc("value"))
+    val out = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(out.count() == n.toLong, "every key keeps exactly its top-1 row")
+    assert(out.queryExecution.executedPlan.toString.contains("TopKFinal"))
+  }
+
   test("TopK rewrite with extra filter conjuncts keeps the residual filter") {
     val df = (1 to 100).map(i => (i % 5, i)).toDF("key", "value")
     val w = org.apache.spark.sql.expressions.Window
