@@ -94,7 +94,9 @@ object Dedup {
     // persist: the banded frame feeds BOTH sides of the self-join, and the
     // candidate pairs feed three consumers — without persistence Spark
     // re-derives the whole signature pipeline once per reference (observed
-    // 4x signature computation in the executed plan)
+    // 4x signature computation in the executed plan). The cached blocks are
+    // MEMORY_AND_DISK and LRU-evicted under pressure; a long-lived session
+    // running many such queries can also spark.catalog.clearCache()
     val docs = sigDf
       .select(col("doc_id"), posexplode(bandHashes))
       .select(col("doc_id"), col("pos"), col("col").as("band"))

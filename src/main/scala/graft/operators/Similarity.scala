@@ -36,6 +36,30 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
 
+  /** Shared ANN ranking scaffold: broadcast the (small) query side against
+    * `c` (must expose vec_id and v, plus optional extra join keys via
+    * `joinCond`), score with `sim`, keep k per query by row_number.
+    */
+  private def rankTopK(
+      c: DataFrame,
+      simCol: org.apache.spark.sql.Column,
+      numQueries: Int,
+      k: Int,
+      extraCond: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val q = c.filter(col("vec_id") < numQueries)
+      .select((c.columns.map(n => col(n).as(s"q_$n"))): _*)
+      .withColumnRenamed("q_vec_id", "qid")
+      .withColumnRenamed("q_v", "qv")
+    val cond = extraCond.foldLeft(col("vec_id") =!= col("qid"))(_ && _)
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    c.join(broadcast(q), cond)
+      .withColumn("sim", simCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Exact brute-force cosine top-k: for each query vector (vec_id <
     * numQueries) the k nearest other vectors. The query side is broadcast;
     * ranking is a per-query row_number window (k rows survive per query
@@ -45,18 +69,9 @@ object Similarity {
       spark: SparkSession,
       sfDir: String,
       numQueries: Int = 10,
-      k: Int = 5): DataFrame = {
-    val c = corpus(spark, sfDir)
-    val q = c.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
-  }
+      k: Int = 5): DataFrame =
+    rankTopK(corpus(spark, sfDir).select("vec_id", "v"),
+      cosine(col("qv"), col("v")), numQueries, k)
 
   /** [[cosineTopK]] with the native codegen'd
     * [[graft.functions.CosineSimilarityExpr]] instead of the HOF
@@ -67,18 +82,9 @@ object Similarity {
       spark: SparkSession,
       sfDir: String,
       numQueries: Int = 10,
-      k: Int = 5): DataFrame = {
-    val c = corpus(spark, sfDir)
-    val q = c.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", expr("cosine_sim(qv, v)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
-  }
+      k: Int = 5): DataFrame =
+    rankTopK(corpus(spark, sfDir).select("vec_id", "v"),
+      expr("cosine_sim(qv, v)"), numQueries, k)
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG, seed constant) —
     * no RNG at plan time, so the bucketing is stable across runs/executors.
@@ -112,18 +118,11 @@ object Similarity {
       numPlanes: Int = 6,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val c = corpus(spark, sfDir).withColumn("bucket", lshBucket(col("v"), planes))
-    val q = c.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("bucket").as("qbucket"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    c.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
+    val c = corpus(spark, sfDir)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .select("vec_id", "v", "bucket")
+    rankTopK(c, cosine(col("qv"), col("v")), numQueries, k,
+      extraCond = Some(col("bucket") === col("q_bucket")))
   }
 
   /** Int8 vector quantization: per-vector symmetric scale (127 / max|x|),
@@ -149,19 +148,11 @@ object Similarity {
       spark: SparkSession,
       sfDir: String,
       numQueries: Int = 10,
-      k: Int = 5): DataFrame = {
-    val c = quantize(spark, sfDir)
-      .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v"))
-    val q = c.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", expr("cosine_sim(qv, v)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
-  }
+      k: Int = 5): DataFrame =
+    rankTopK(
+      quantize(spark, sfDir)
+        .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v")),
+      expr("cosine_sim(qv, v)"), numQueries, k)
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: all same-bucket
     * pairs with cosine above the threshold. The near-dup analogue of

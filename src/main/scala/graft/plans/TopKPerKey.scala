@@ -127,6 +127,8 @@ case class TopKPartialExec(
       // max-heap: head is the WORST retained row; evict it when a better
       // (ordering-smaller) row arrives and the heap is full
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      // budget in ROWS, so large k shrinks the tracked-key count
+      val maxTrackedKeys = math.max(1, TopKPartialExec.MaxBufferedRows / k)
       val passthrough = it.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
@@ -137,12 +139,12 @@ case class TopKPartialExec(
               heap.enqueue(row.copy())
             }
             Iterator.empty
-          case None if heaps.size < TopKPartialExec.MaxTrackedKeys =>
+          case None if heaps.size < maxTrackedKeys =>
             val heap = mutable.PriorityQueue.empty[InternalRow](ord)
             heap.enqueue(row.copy())
             heaps.put(key.copy(), heap)
             Iterator.empty
-          case None => // over the key budget: stop pruning, stream through
+          case None => // over the row budget: stop pruning, stream through
             Iterator.single(row)
         }
       }
@@ -151,10 +153,14 @@ case class TopKPartialExec(
 }
 
 object TopKPartialExec {
-  /** Key-tracking budget per task — bounds partial-phase memory at
-    * ~MaxTrackedKeys × k rows regardless of input key cardinality.
+  /** Row-buffering budget per task — bounds partial-phase memory at
+    * ~MaxBufferedRows row copies regardless of k or key cardinality
+    * (tracked keys = MaxBufferedRows / k).
     */
-  val MaxTrackedKeys = 1 << 14
+  val MaxBufferedRows = 1 << 17
+
+  /** Tracked-key budget at k=1 — kept for tests pinning the overflow path. */
+  def MaxTrackedKeys: Int = MaxBufferedRows
 }
 
 /** Reduce-side phase: child is clustered on the keys and sorted by

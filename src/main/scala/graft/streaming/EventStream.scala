@@ -77,12 +77,21 @@ object EventStream {
               var open = state.getOption
               times.foreach { t =>
                 open = open match {
-                  case Some(s) if t - s.lastSeen <= gapMs =>
-                    Some(SessionState(s.count + 1, s.start, t))
-                  case Some(s) => // gap: close the running session, start anew
+                  // within gap of the session interval [start, lastSeen]
+                  // (covers late out-of-order events inside the watermark:
+                  // merge WITHOUT rewinding lastSeen, so durations never go
+                  // negative and later gap checks use the true latest time)
+                  case Some(s) if t >= s.start - gapMs && t <= s.lastSeen + gapMs =>
+                    Some(SessionState(s.count + 1, math.min(s.start, t),
+                      math.max(s.lastSeen, t)))
+                  case Some(s) if t > s.lastSeen + gapMs =>
+                    // gap forward: close the running session, start anew
                     closed += SessionOut(userId, s.count, s.lastSeen - s.start,
                       closed = true)
                     Some(SessionState(1, t, t))
+                  case Some(s) => // older than start - gap: a stale fragment
+                    closed += SessionOut(userId, 1, 0, closed = true)
+                    Some(s)
                   case None => Some(SessionState(1, t, t))
                 }
               }
