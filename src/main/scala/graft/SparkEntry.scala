@@ -87,6 +87,7 @@ object SparkEntry {
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
     "stream_window_agg" -> (Relational.windowAgg _),
     "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
+    "sess_window_builtin" -> (Relational.sessionWindowAgg _),
     // headline analytics
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_join_agg" -> (Relational.qJoinAgg _),
@@ -328,9 +329,21 @@ object SparkEntry {
          SELECT user_id, session_seq, COUNT(*) AS events,
                 (MAX(tns) - MIN(tns)) // 1000000 AS duration_ms
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "sess_window_builtin" ->
+      """WITH w AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id, tus,
+                  SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM w)
+         SELECT user_id, make_timestamp(MIN(tus)) AS session_start, COUNT(*) AS events
+         FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                 CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
                 MAX(l_quantity) AS max_qty,

@@ -578,6 +578,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Built-in gap session windows (session_window) over the events batch
+    * view — the declarative sibling of the explicit
+    * [[graft.streaming.EventStream.sessionizeBatch]] lag/sum formulation;
+    * in streaming mode the same expression maintains merging session state.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("tss", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("events"))
+      .orderBy("user_id", "session_start")
+
   /** TPC-H Q1-shaped scan+agg — the bench headline (BASELINE.md). One scan,
     * partial agg, single hash exchange on a 6-value grouping key.
     */
@@ -585,7 +599,9 @@ object Relational {
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
+        // quantities are integral: an exact long sum beats decimal both in
+        // speed (codegen'd long adds) and determinism
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
         max("l_quantity").as("max_qty"),
