@@ -175,8 +175,12 @@ object Similarity {
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        col("a.v").as("va"), col("b.v").as("vb"))
+      // native fused-loop expression: one pass per pair vs three
+      // interpreted HOF folds
+      .withColumn("cos_sim", expr("cosine_sim(va, vb)"))
       .filter(col("cos_sim") >= minCosine)
+      .select("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
 }
