@@ -121,7 +121,9 @@ object Similarity {
     val c = corpus(spark, sfDir)
       .withColumn("bucket", lshBucket(col("v"), planes))
       .select("vec_id", "v", "bucket")
-    rankTopK(c, cosine(col("qv"), col("v")), numQueries, k,
+    // native fused-loop scoring on the scale path (bitwise-identical to the
+    // HOF form — see StreamingSpec's equality test)
+    rankTopK(c, expr("cosine_sim(qv, v)"), numQueries, k,
       extraCond = Some(col("bucket") === col("q_bucket")))
   }
 
