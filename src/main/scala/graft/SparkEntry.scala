@@ -83,6 +83,7 @@ object SparkEntry {
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
+    "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
     "stream_window_agg" -> (Relational.windowAgg _),
@@ -307,6 +308,16 @@ object SparkEntry {
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, event_id""",
+    "w3_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -546,6 +546,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** W3: the analytic-window family — lag/lead offsets, rank/dense_rank
+    * (gap vs no-gap ties), ntile bucketing — one window definition, one
+    * shuffle on the partition key.
+    */
+  def w3AnalyticWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, sfDir, "orders")
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price",
+        "rnk", "drnk", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // -------------------------------------------------------------- headliners
 
   /** Salted two-phase aggregation — the skew pattern: a hot grouping key
