@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, PlayStore, Relational, Similarity}
@@ -14,6 +15,17 @@ import graft.sources.IO
   * deterministic ORDER BY — the driver hash-compares values).
   */
 object SparkEntry {
+
+  /** Serialize array-typed output columns to delimited strings at the
+    * registered-query boundary: the driver's compare harness sorts rows in
+    * pandas, which cannot hash ndarray cells. The underlying operators keep
+    * their array types (ScalaTest asserts on those); only the driver-facing
+    * registration flattens. The matching oracle uses array_to_string.
+    */
+  private def joinArrays(df: DataFrame, sep: String, names: String*): DataFrame =
+    names.foldLeft(df) { (d, n) =>
+      d.withColumn(n, concat_ws(sep, col(n).cast("array<string>")))
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
