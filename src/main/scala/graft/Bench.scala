@@ -53,6 +53,10 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] = cases.map {
       case (name, mk) =>
         def once(): Either[String, Double] = {
+          // each timing starts from a cache-free session so no query's
+          // number depends on what ran before it (r3's minhash swing was
+          // cache-state accumulation across the 21-query session)
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try {
             run(mk())

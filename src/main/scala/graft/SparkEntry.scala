@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
 
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, PlayStore, Relational, Similarity}
@@ -20,11 +20,16 @@ object SparkEntry {
     * registered-query boundary: the driver's compare harness sorts rows in
     * pandas, which cannot hash ndarray cells. The underlying operators keep
     * their array types (ScalaTest asserts on those); only the driver-facing
-    * registration flattens. The matching oracle uses array_to_string.
+    * registration flattens. Oracled queries pair this with
+    * `array_to_string(..., sep)` on the DuckDB side; the null guard keeps
+    * the two aligned (concat_ws would render a NULL array as '', DuckDB
+    * array_to_string renders it as NULL).
     */
   private def joinArrays(df: DataFrame, sep: String, names: String*): DataFrame =
     names.foldLeft(df) { (d, n) =>
-      d.withColumn(n, concat_ws(sep, col(n).cast("array<string>")))
+      d.withColumn(n,
+        when(col(n).isNull, lit(null))
+          .otherwise(concat_ws(sep, col(n).cast("array<string>"))))
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -56,8 +61,10 @@ object SparkEntry {
     // aggregations (A1-A7)
     "a1_group_avg" -> (Relational.a1GroupAvg _),
     "a2_multi_max" -> (Relational.a2MultiMax _),
-    "a2b_max_array" -> (Relational.a2MaxArray _),
-    "a3_collect_list" -> (Relational.a3CollectList _),
+    "a2b_max_array" -> ((s, d) =>
+      joinArrays(Relational.a2MaxArray(s, d), "|", "max_name_words")),
+    "a3_collect_list" -> ((s, d) =>
+      joinArrays(Relational.a3CollectList(s, d), "|", "line_numbers")),
     "a4_count_star" -> (Relational.a4CountStar _),
     "a5_avg_with_nulls" -> (Relational.a5AvgWithNulls _),
     "a6_drop_duplicates" -> (Relational.a6DropDuplicates _),
@@ -84,7 +91,7 @@ object SparkEntry {
     "e1_regexp_extract" -> (Relational.e1RegexpExtract _),
     "e2_round" -> (Relational.e2Round _),
     "e3_to_date_fmt" -> (Relational.e3ToDateFmt _),
-    "e4_split" -> (Relational.e4Split _),
+    "e4_split" -> ((s, d) => joinArrays(Relational.e4Split(s, d), "|", "words")),
     "e5_non_ansi_cast" -> (Relational.e5NonAnsiCast _),
     "e7_arithmetic" -> (Relational.e7Arithmetic _),
     "e8_boolean" -> (Relational.e8Boolean _),
@@ -112,13 +119,23 @@ object SparkEntry {
         .orderBy("App")),
     "ps_part2_best_apps" -> ((s, _) =>
       PlayStore.bestApps(s, PlayStore.readStore(s), IO.scratchDir("graft_ps2"))),
+    // Categories comes from collect_list (partition-order-dependent,
+    // SURVEY.md §2.5-A3): sort before flattening so the registered output
+    // is deterministic. The golden specs keep the raw array semantics.
     "ps_part3_standardize" -> ((s, _) =>
-      PlayStore.standardizePerApp(PlayStore.readStore(s)).orderBy("App")),
+      joinArrays(
+        PlayStore.standardizePerApp(PlayStore.readStore(s))
+          .withColumn("Categories", sort_array(col("Categories")))
+          .orderBy("App"),
+        "|", "Categories", "Genres")),
     "ps_part4_cleaned" -> ((s, _) => {
       val df1 = PlayStore.averageSentimentByApp(PlayStore.readReviews(s))
       val df3 = PlayStore.standardizePerApp(PlayStore.readStore(s))
-      PlayStore.joinSentiment(s, df3, df1, IO.scratchDir("graft_ps4"))
-        .orderBy("App")
+      joinArrays(
+        PlayStore.joinSentiment(s, df3, df1, IO.scratchDir("graft_ps4"))
+          .withColumn("Categories", sort_array(col("Categories")))
+          .orderBy("App"),
+        "|", "Categories", "Genres")
     }),
     "ps_part5_metrics" -> ((s, _) => {
       val df1 = PlayStore.averageSentimentByApp(PlayStore.readReviews(s))
@@ -149,7 +166,8 @@ object SparkEntry {
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
-    "mm_features" -> (Multimodal.featureQuery _),
+    "mm_features" -> ((s, d) =>
+      joinArrays(Multimodal.featureQuery(s, d), "|", "features")),
     "mm_frames" -> (Multimodal.frameQuery _),
   )
 
@@ -205,9 +223,9 @@ object SparkEntry {
                 MAX(l_linestatus) AS max_status
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a2b_max_array" ->
-      "SELECT p_brand, MAX(string_split(p_name, ' ')) AS max_name_words FROM part GROUP BY p_brand ORDER BY p_brand",
+      "SELECT p_brand, array_to_string(MAX(string_split(p_name, ' ')), '|') AS max_name_words FROM part GROUP BY p_brand ORDER BY p_brand",
     "a3_collect_list" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), '|') AS line_numbers
          FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey ORDER BY l_orderkey""",
     "a4_count_star" ->
       "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
@@ -281,7 +299,7 @@ object SparkEntry {
                 CAST(strptime(strftime(o_orderdate, '%B %-d, %Y'), '%B %-d, %Y') AS DATE) AS parsed
          FROM orders ORDER BY o_orderkey""",
     "e4_split" ->
-      "SELECT p_partkey, string_split(p_name, ' ') AS words FROM part ORDER BY p_partkey",
+      "SELECT p_partkey, array_to_string(string_split(p_name, ' '), '|') AS words FROM part ORDER BY p_partkey",
     "e5_non_ansi_cast" ->
       """SELECT event_id, TRY_CAST(event_type AS DOUBLE) AS bad_double,
                 TRY_CAST(regexp_extract(props, '\{"k": ([0-9]+)\}', 1) AS BIGINT) AS k_val,
@@ -346,8 +364,8 @@ object SparkEntry {
            FROM events),
          s AS (
            SELECT user_id, event_id, tns,
-                  SUM(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                  CAST(SUM(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM w)
          SELECT user_id, session_seq, COUNT(*) AS events,
                 (MAX(tns) - MIN(tns)) // 1000000 AS duration_ms
@@ -394,7 +412,7 @@ object SparkEntry {
       "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY md5(text) ORDER BY fp",
     "corpus_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-                SUM(len(string_split(text, ' '))) AS total_tokens,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
                 MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
          FROM documents GROUP BY source ORDER BY source""",

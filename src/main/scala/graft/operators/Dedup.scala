@@ -24,11 +24,20 @@ import graft.sources.IO
 object Dedup {
 
   /** Exact dedup, window form: keep the lowest-doc_id row per identical
-    * text. One hash shuffle on the (hashed) key; no global sort.
+    * text. The window key is a 192-bit composite fingerprint
+    * (xxhash64 + md5) of the text, NOT the text itself: the shuffle then
+    * moves ~24 bytes of key per row instead of the full document (at 100 TB
+    * the text column IS the data), and Catalyst prunes `text` from the
+    * exchange entirely since nothing downstream reads it. Two independent
+    * hashes stand in for an equality verify — a false merge needs a
+    * simultaneous 64-bit AND 128-bit collision (P < 2^-120); a pipeline
+    * that cannot tolerate that keys the window by the text column directly.
     */
   def exactByText(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
+    val w = Window.partitionBy("fp_xx", "fp_md5").orderBy("doc_id")
     IO.table(spark, sfDir, "documents")
+      .withColumn("fp_xx", xxhash64(col("text")))
+      .withColumn("fp_md5", md5(col("text").cast("binary")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "lang", "source", "n_chars")
@@ -91,16 +100,20 @@ object Dedup {
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*)
     }: _*)
-    // persist: the banded frame feeds BOTH sides of the self-join, and the
-    // candidate pairs feed three consumers — without persistence Spark
-    // re-derives the whole signature pipeline once per reference (observed
-    // 4x signature computation in the executed plan). The cached blocks are
-    // MEMORY_AND_DISK and LRU-evicted under pressure; a long-lived session
-    // running many such queries can also spark.catalog.clearCache()
+    // localCheckpoint (eager): the banded frame feeds BOTH sides of the
+    // self-join, and the candidate pairs feed three consumers — without
+    // materialization Spark re-derives the whole signature pipeline once
+    // per reference (observed 4x signature computation in the executed
+    // plan). Unlike persist(), the checkpointed blocks are released by the
+    // ContextCleaner as soon as the returned frame is dereferenced, so a
+    // long-lived session running many such queries does not accumulate
+    // cached frames (the r3 bench regression). On a real cluster the blocks
+    // are not fault-tolerant to executor loss — a production pipeline that
+    // needs recovery would persist to reliable storage instead.
     val docs = sigDf
       .select(col("doc_id"), posexplode(bandHashes))
       .select(col("doc_id"), col("pos"), col("col").as("band"))
-      .persist()
+      .localCheckpoint()
 
     // Per-bucket self-join: only docs agreeing on a whole band collide.
     val cand = docs.as("a")
@@ -109,7 +122,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist()
+      .localCheckpoint()
 
     // Verify candidates with exact token-set Jaccard. Prune BEFORE
     // tokenizing: semi-join documents against the (tiny, broadcastable)
@@ -167,8 +180,10 @@ object Dedup {
     }.reduce(_ + _)
     val docs = counted.select(col("doc_id"), simhash.as("simhash"))
 
-    // persist: both sides of the band self-join read this frame; without it
-    // the 64-bit-majority aggregation runs twice
+    // localCheckpoint (eager): both sides of the band self-join read this
+    // frame; without materialization the 64-bit-majority aggregation runs
+    // twice. Blocks are ContextCleaner-released once the result frame is
+    // dereferenced (no session-lifetime cache leak — see minHashNearDupPairs).
     val banded = docs
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map { b =>
@@ -176,7 +191,7 @@ object Dedup {
         }: _*)))
       .select(col("doc_id"), col("simhash"), col("pos"),
         col("col").as("band"))
-      .persist()
+      .localCheckpoint()
 
     banded.as("a")
       .join(banded.as("b"),

@@ -14,10 +14,16 @@ import graft.sources.IO
   *     set against the full corpus; correct baseline at any scale where the
   *     query set is small, since the corpus never shuffles.
   *   - [[lshCosineTopK]]: random-hyperplane LSH bucketing — the 100 TB path.
-  *     Corpus and queries are both hashed to sign-pattern buckets; only
-  *     same-bucket pairs are scored, turning O(Q×N) into O(Q×N/2^bits)
-  *     expected. Recall is tuned by the number of hyperplanes (fewer bits →
-  *     bigger buckets → higher recall, more work).
+  *     Corpus and queries are hashed into `bands` INDEPENDENT sign-pattern
+  *     bucket sets (an OR-construction, same shape as
+  *     [[Dedup.minHashNearDupPairs]]'s banding): a pair is a candidate if it
+  *     collides in ANY band, so recall is 1-(1-p^planes)^bands instead of a
+  *     single band's p^planes. The planes-per-band count scales with corpus
+  *     size (2^planes ≈ N / targetBucketRows), holding expected bucket
+  *     occupancy — and therefore the per-bucket join residue — constant as
+  *     the corpus grows: candidate volume is O(N × bands × bucketRows),
+  *     linear in N, never the O(N²/2^fixedPlanes) a fixed bucket count
+  *     degrades to.
   *
   * All vector math is Catalyst higher-order functions (zip_with/aggregate)
   * over double arrays — codegen-friendly, no UDFs, no driver collect.
@@ -52,8 +58,12 @@ object Similarity {
       .withColumnRenamed("q_v", "qv")
     val cond = extraCond.foldLeft(col("vec_id") =!= col("qid"))(_ && _)
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    // float score for output AND ranking: the float rounding absorbs the
+    // ≤1-ulp double drift between engines (JVM vs C libm), so the DuckDB
+    // list_cosine_similarity oracle selects the same top-k rows and hashes
+    // identically (same rationale as TextAnalysis.tfIdfTopTerms).
     c.join(broadcast(q), cond)
-      .withColumn("sim", simCol)
+      .withColumn("sim", simCol.cast("float"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")
@@ -86,11 +96,12 @@ object Similarity {
     rankTopK(corpus(spark, sfDir).select("vec_id", "v"),
       expr("cosine_sim(qv, v)"), numQueries, k)
 
-  /** Deterministic pseudo-random hyperplanes (fixed LCG, seed constant) —
-    * no RNG at plan time, so the bucketing is stable across runs/executors.
+  /** Deterministic pseudo-random hyperplanes (fixed LCG) — no RNG at plan
+    * time, so the bucketing is stable across runs/executors; `seed`
+    * decorrelates the plane sets of different bands.
     */
-  private def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
-    var state = 0x5DEECE66DL
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    var state = seed * 0x9E3779B97F4A7C15L + 0x5DEECE66DL
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
       (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
@@ -105,26 +116,75 @@ object Similarity {
       when(dot(v, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k via random-hyperplane LSH: score only same-bucket
-    * candidates. With `numPlanes` bits the corpus splits into 2^numPlanes
-    * buckets; the bucket join is an equi-join (hash shuffle on bucket id),
-    * never a cross join.
+  /** One bucket id per band, each from an independent hyperplane set. */
+  private def bandedBuckets(v: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      lshBucket(v, hyperplanes(planesPerBand, dim, b + 1L))
+    }: _*)
+
+  /** Planes-per-band scaled to the corpus: 2^planes ≈ rows/targetBucketRows
+    * keeps expected bucket occupancy constant as the corpus grows, so the
+    * per-bucket self-join residue stays linear in corpus size. The corpus
+    * row count is parquet-metadata-cheap (count-pushdown scan).
+    */
+  private[operators] def adaptivePlanesPerBand(
+      corpusRows: Long,
+      targetBucketRows: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(corpusRows, 1).toDouble / targetBucketRows)
+        / math.log(2.0)).toInt
+    math.min(math.max(needed, 4), 24)
+  }
+
+  /** Banded (pos, bucket) keys of the corpus — the LSH analogue of
+    * [[Dedup.minHashNearDupPairs]]'s band explode. localCheckpoint (eager):
+    * the frame feeds both sides of the candidate join; blocks are
+    * ContextCleaner-released when the result is dereferenced (no
+    * session-lifetime cache leak).
+    */
+  private def bandedCorpus(c: DataFrame, bands: Int, planesPerBand: Int, dim: Int): DataFrame =
+    c.select(col("vec_id"), posexplode(bandedBuckets(col("v"), bands, planesPerBand, dim)))
+      .select(col("vec_id"), col("pos"), col("col").as("bucket"))
+      .localCheckpoint()
+
+  /** Approximate top-k via multi-band random-hyperplane LSH: a corpus
+    * vector is scored for a query iff they share a (band, bucket) key —
+    * an equi-join on the banded keys (hash shuffle, never a cross join),
+    * candidates deduplicated before scoring so multi-band collisions are
+    * scored once.
     */
   def lshCosineTopK(
       spark: SparkSession,
       sfDir: String,
       numQueries: Int = 10,
       k: Int = 5,
-      numPlanes: Int = 6,
+      bands: Int = 4,
+      planesPerBand: Int = -1,
       dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val c = corpus(spark, sfDir)
-      .withColumn("bucket", lshBucket(col("v"), planes))
-      .select("vec_id", "v", "bucket")
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val ppb =
+      if (planesPerBand > 0) planesPerBand
+      else adaptivePlanesPerBand(c.count())
+    val banded = bandedCorpus(c, bands, ppb, dim)
+    val qBanded = banded.filter(col("vec_id") < numQueries)
+      .withColumnRenamed("vec_id", "qid")
+    val candIds = banded.join(broadcast(qBanded), Seq("pos", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+      .distinct()
+    val qv = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     // native fused-loop scoring on the scale path (bitwise-identical to the
-    // HOF form — see StreamingSpec's equality test)
-    rankTopK(c, expr("cosine_sim(qv, v)"), numQueries, k,
-      extraCond = Some(col("bucket") === col("q_bucket")))
+    // HOF form — see StreamingSpec's equality test); float for the same
+    // cross-engine determinism as rankTopK.
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    candIds.join(c, "vec_id")
+      .join(broadcast(qv), "qid")
+      .withColumn("sim", expr("cosine_sim(qv, v)").cast("float"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
   }
 
   /** Int8 vector quantization: per-vector symmetric scale (127 / max|x|),
@@ -156,30 +216,47 @@ object Similarity {
         .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v")),
       expr("cosine_sim(qv, v)"), numQueries, k)
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: all same-bucket
-    * pairs with cosine above the threshold. The near-dup analogue of
+  /** Distinct LSH candidate pairs of the corpus under the multi-band
+    * OR-construction — exposed so the scale spec can assert candidate
+    * volume grows ~linearly (not quadratically) with corpus size.
+    */
+  def embeddingCandidatePairs(
+      spark: SparkSession,
+      sfDir: String,
+      bands: Int = 4,
+      planesPerBand: Int = -1,
+      dim: Int = 64,
+      targetBucketRows: Int = 64): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val ppb =
+      if (planesPerBand > 0) planesPerBand
+      else adaptivePlanesPerBand(c.count(), targetBucketRows)
+    val banded = bandedCorpus(c, bands, ppb, dim)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.pos") === col("b.pos") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH candidates (any-band
+    * collision) verified with exact cosine. The near-dup analogue of
     * [[Dedup.minHashNearDupPairs]] for dense vectors.
     */
   def embeddingNearDupPairs(
       spark: SparkSession,
       sfDir: String,
       minCosine: Double = 0.35,
-      numPlanes: Int = 6,
+      bands: Int = 4,
+      planesPerBand: Int = -1,
       dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    // persist: the bucketed corpus feeds both sides of the self-join
-    val c = corpus(spark, sfDir)
-      .withColumn("bucket", lshBucket(col("v"), planes))
-      .select(col("vec_id"), col("v"), col("bucket"))
-      .persist()
-    c.as("a")
-      .join(c.as("b"),
-        col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      // native fused-loop expression: one pass per pair vs three
-      // interpreted HOF folds
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    // native fused-loop expression: one pass per pair vs three
+    // interpreted HOF folds
+    embeddingCandidatePairs(spark, sfDir, bands, planesPerBand, dim)
+      .join(c.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cos_sim", expr("cosine_sim(va, vb)"))
       .filter(col("cos_sim") >= minCosine)
       .select("vec_a", "vec_b", "cos_sim")

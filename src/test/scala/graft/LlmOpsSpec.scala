@@ -55,7 +55,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(byQ.keySet == (0L until 5L).toSet)
     byQ.values.foreach { rs =>
       assert(rs.length == 4)
-      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getFloat(3).toDouble)
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
         "sim must be non-increasing in rank")
       sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001))
@@ -68,6 +68,37 @@ class LlmOpsSpec extends SparkTestBase {
     val lsh = Similarity.lshCosineTopK(spark, Sf, numQueries = 5, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(lsh.subsetOf(bf))
+  }
+
+  test("LSH top-k recall vs exact brute force (multi-band OR-construction)") {
+    val bf = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshCosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"multi-band LSH recall@5 = $recall")
+  }
+
+  test("LSH candidate volume grows ~linearly, not quadratically, when the corpus doubles") {
+    val base = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val n = base.count()
+    val dir = graft.sources.IO.scratchDir("lsh_scale")
+    base.union(base.withColumn("vec_id", col("vec_id") + lit(n)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // targetBucketRows=16 puts the 500-row corpus above the plane-count
+    // floor, so the doubling actually exercises the adaptive split
+    val c1 = Similarity.embeddingCandidatePairs(spark, Sf, targetBucketRows = 16).count()
+    val c2 = Similarity.embeddingCandidatePairs(spark, dir, targetBucketRows = 16).count()
+    // adaptive planes add a bit per doubling, splitting every bucket: the
+    // candidate count should ~2x (+n for the planted exact duplicates),
+    // where a fixed bucket count would ~4x. 3x + n is the linear-vs-
+    // quadratic discriminator with slack for bucket-split randomness.
+    assert(c2 <= 3 * c1 + n,
+      s"corpus 2x must not blow up candidates quadratically: $c1 -> $c2 (n=$n)")
+    // and the doubled corpus must still catch its planted exact duplicates
+    val planted = Similarity.embeddingNearDupPairs(spark, dir, minCosine = 0.999)
+      .count()
+    assert(planted >= n, s"every duplicated vector pair must collide: $planted < $n")
   }
 
   test("int8-quantized ANN preserves most of full-precision recall@5") {
