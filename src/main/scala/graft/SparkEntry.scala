@@ -144,6 +144,13 @@ object SparkEntry {
       PlayStore.metricsByGenre(s, df4, IO.scratchDir("graft_ps5"))
         .orderBy("Genre")
     }),
+    // parquet-shaped twins of the reference pipelines (the originals read
+    // the reference CSV, invisible to the parquet oracle; golden specs pin
+    // their byte-level parity, these rows give the driver a hashable check
+    // of the same operator compositions)
+    "ps1_twin_parquet" -> (PlayStore.ps1TwinParquet _),
+    "ps2_twin_parquet" -> (PlayStore.ps2TwinParquet _),
+    "ps5_twin_parquet" -> (PlayStore.ps5TwinParquet _),
     // LLM-pipeline: dedup
     "dedup_exact" -> (Dedup.exactByText _),
     "dedup_exact_hash" -> (Dedup.exactByHash _),
@@ -162,6 +169,10 @@ object SparkEntry {
     "txt_quality" -> (TextAnalysis.qualityScores _),
     "txt_lang_id" -> (TextAnalysis.languageId _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
+    // md5-only projection: the full fingerprint row keeps xxhash64 columns
+    // DuckDB cannot reproduce; this twin gives the content-id path an oracle
+    "txt_fingerprints_md5" -> ((s, d) =>
+      TextAnalysis.fingerprints(s, d).select("doc_id", "fp_md5")),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: multimodal
@@ -443,5 +454,125 @@ object SparkEntry {
          ORDER BY doc_id, term""",
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 16) AS head16 FROM documents ORDER BY doc_id",
+    "mm_frames" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                  octet_length(CAST(text AS BLOB)) AS nb
+           FROM documents),
+         f AS (SELECT media_id, kind, nb, unnest([0, 1, 2, 3]) AS frame_idx FROM d)
+         SELECT media_id, kind, CAST(frame_idx AS INT) AS frame_idx,
+                CAST(GREATEST(LEAST(GREATEST(nb // 4, 1), nb - frame_idx * (nb // 4)), 0) AS BIGINT) AS frame_len
+         FROM f ORDER BY media_id, frame_idx""",
+    "txt_quality" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+                CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
+                CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                  / len(toks) AS stopword_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / n_chars AS alpha_ratio,
+                LEAST(1.0,
+                  (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks)) * 2.0
+                  + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+         FROM t ORDER BY doc_id""",
+    "txt_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS labelled_lang,
+                  string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, labelled_lang, toks, unnest([
+             {'l': 'en', 'w': ['the','and','of','to','in','is','that','for']},
+             {'l': 'de', 'w': ['der','die','das','und','ist','nicht','ein','zu']},
+             {'l': 'fr', 'w': ['le','la','les','et','est','un','une','pour']},
+             {'l': 'es', 'w': ['el','la','los','y','es','un','una','para']},
+             {'l': 'zh', 'w': ['的','是','了','在','我','有','和','不']}]) AS cand
+           FROM t),
+         h AS (
+           SELECT doc_id, labelled_lang, cand.l AS cl,
+                  len(list_filter(toks, x -> list_contains(cand.w, x))) AS hits
+           FROM c)
+         SELECT doc_id,
+                CASE WHEN hits > 0 THEN cl ELSE 'und' END AS predicted_lang,
+                labelled_lang
+         FROM h
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cl DESC) = 1
+         ORDER BY doc_id""",
+    "txt_fingerprints_md5" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "ann_topk_bruteforce" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    // identical oracle for the native-expression variant: the custom
+    // Expression is spec-pinned bitwise-equal to the HOF composition
+    "ann_topk_native" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "ann_topk_quantized" ->
+      """WITH v0 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+           FROM v0),
+         v AS (
+           SELECT vec_id,
+                  list_transform(v, x -> round(x / (CASE WHEN max_abs > 0 THEN max_abs / 127.0 ELSE 1.0 END), 0)) AS v
+           FROM m),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+         g AS (
+           SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS grams
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
+    "ps1_twin_parquet" ->
+      """SELECT user_id,
+                CASE WHEN MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 THEN 0.0
+                     ELSE COALESCE(
+                       CAST(SUM(CASE WHEN event_type <> 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                         / COUNT(CASE WHEN event_type <> 'view' THEN value END), 0.0)
+                END AS avg_polarity
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "ps2_twin_parquet" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 150000.0 ORDER BY o_orderkey",
+    "ps5_twin_parquet" ->
+      """WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice FROM part)
+         SELECT word, COUNT(*) AS cnt,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
+         FROM w GROUP BY word ORDER BY word""",
   )
 }

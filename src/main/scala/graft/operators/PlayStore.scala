@@ -122,6 +122,64 @@ object PlayStore {
     IO.parquetGzipRoundTrip(spark, metrics, outDir)
   }
 
+  // ---- parquet-shaped twins of Parts 1/2/5 ----
+  //
+  // The real pipelines read the reference's bundled CSV, which the driver's
+  // DuckDB oracle cannot see — their byte-level parity is pinned by the
+  // golden specs instead. These twins run the same operator compositions
+  // over the sfDir parquet tables so the driver gets a hashable oracle row
+  // per pipeline shape. Aggregated doubles go through exact DECIMAL sums on
+  // both sides (cross-engine FP determinism); the NaN-poisoning path
+  // (SURVEY.md §2.9.2) is exercised genuinely by na.fill(0).
+
+  /** Part-1 twin: per-user "sentiment" average over events with the Part-1
+    * null/NaN contract — 'view' rows carry no polarity (null, ignored by
+    * the average), any 'error' row poisons its user's average to NaN, and
+    * na.fill(0) maps both NaN and all-null users to 0.0.
+    */
+  def ps1TwinParquet(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") =!= "view", col("value").cast("decimal(18,2)")))
+          .cast("double")
+          / count(when(col("event_type") =!= "view", col("value"))))
+          .as("clean_avg"),
+        max(when(col("event_type") === "error", lit(1)).otherwise(lit(0)))
+          .as("has_err"))
+      .select(col("user_id"),
+        when(col("has_err") === 1, lit(Double.NaN)).otherwise(col("clean_avg"))
+          .as("avg_polarity"))
+      .na.fill(0)
+      .orderBy("user_id")
+
+  /** Part-2 twin: threshold filter + lexicographic sort on the stringified
+    * measure + `§`-delimited CSV round-trip with fresh inference.
+    */
+  def ps2TwinParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val best = IO.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_totalprice").isNotNull && !col("o_totalprice").isNaN
+        && col("o_totalprice") >= 150000.0)
+      .orderBy(desc("o_orderstatus"))
+    IO.csvRoundTrip(spark, best, IO.scratchDir("graft_ps2t"), IO.SectionDelimiter)
+  }
+
+  /** Part-5 twin: explode a split column, per-key count + exact-decimal
+    * average, gzip parquet round-trip.
+    */
+  def ps5TwinParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val metrics = IO.table(spark, sfDir, "part")
+      .withColumn("word", explode(split(col("p_name"), " ")))
+      .groupBy("word")
+      .agg(
+        count("*").as("cnt"),
+        (sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+          / count(col("p_retailprice"))).as("avg_price"))
+    IO.parquetGzipRoundTrip(spark, metrics, IO.scratchDir("graft_ps5t"))
+      .orderBy("word")
+  }
+
   // ---- wiring against the reference's bundled inputs ----
 
   /** Bundled Play-Store CSV (read-only reference checkout). */
