@@ -54,6 +54,18 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("fp")
 
+  /** Deterministic (odd multiplier, offset) pairs for the affine minhash
+    * permutation family — fixed LCG, no RNG at plan time.
+    */
+  private def permutationMixers(n: Int): Seq[(Long, Long)] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state
+    }
+    Seq.fill(n)((next() | 1L, next()))
+  }
+
   /** Word tokens + 3-word shingles of a text column. Documents shorter than
     * the shingle width fall back to a single whole-text shingle.
     */
@@ -89,10 +101,16 @@ object Dedup {
     // Signature via explode + hash aggregation: the map-side partial agg
     // collapses shingles to one signature row per doc per partition before
     // the shuffle, so signature computation scales with input splits.
+    // Each shingle is string-hashed ONCE; the numPerms permutations are
+    // affine remixes (odd multiplier + offset, wrapping 64-bit) of that one
+    // hash — a universal-hash family, so min over shingles is a valid
+    // minhash per permutation at 1/numPerms of the string-hashing cost.
     val exploded = withShingles(IO.table(spark, sfDir, "documents"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val minExprs = (0 until numPerms).map { j =>
-      min(xxhash64(lit(j), col("sh"))).as(s"m$j")
+      .select(col("doc_id"),
+        explode(transform(col("shingles"), s => xxhash64(s))).as("h"))
+    val mixers = permutationMixers(numPerms)
+    val minExprs = mixers.zipWithIndex.map { case ((a, b), j) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m$j")
     }
     val sigDf = exploded.groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
