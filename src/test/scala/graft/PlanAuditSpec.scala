@@ -127,6 +127,19 @@ class PlanAuditSpec extends SparkTestBase {
       "no range shuffle below the top-k (only the final presentation sort)")
   }
 
+  test("exact dedup shuffles hashes, not document text") {
+    val p = plan(Dedup.exactByText(spark, Sf))
+    // the window key is the (xxhash64, md5) fingerprint, so the exchange
+    // must cluster on the fingerprint columns and the full text column must
+    // be projected away before the shuffle
+    val exchange = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
+    assert(exchange.isDefined, p)
+    assert(exchange.get.contains("fp_xx") && exchange.get.contains("fp_md5"),
+      s"shuffle must key on the fingerprint: ${exchange.get}")
+    assert(!exchange.get.contains("text#"),
+      s"text must be pruned before the exchange: ${exchange.get}")
+  }
+
   test("row_number<=k window rewrites to the two-phase TopK operator") {
     val p = plan(Relational.w1RowNumberTopK(spark, Sf))
     assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
