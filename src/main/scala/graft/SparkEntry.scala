@@ -75,6 +75,7 @@ object SparkEntry {
     "j3_semi_join" -> (Relational.semiJoin _),
     "j4_anti_join" -> (Relational.antiJoin _),
     "j5_asof_lookup" -> (Relational.asofLastPurchase _),
+    "j6_range_join" -> (Relational.rangeJoinBucketed _),
     // set operations
     "set_union_all" -> (Relational.setUnionAll _),
     "set_intersect" -> (Relational.setIntersect _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
     "stream_window_agg" -> (Relational.windowAgg _),
     "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
+    "dedup_events_batch" -> ((s, d) => graft.streaming.EventStream.dedupEventsBatch(s, d)),
     "sess_window_builtin" -> (Relational.sessionWindowAgg _),
     // headline analytics
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -270,6 +272,19 @@ object SparkEntry {
                 last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
          FROM events ORDER BY event_id""",
+    "j6_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase')
+         SELECT e.event_id, p.purchase_id, e.tus - p.pus AS lag_us
+         FROM e JOIN p ON e.user_id = p.user_id
+           AND e.tus >= p.pus AND e.tus < p.pus + 3600000000
+           AND e.event_id <> p.purchase_id
+         ORDER BY event_id, purchase_id""",
+    "dedup_events_batch" ->
+      """SELECT user_id, event_type, epoch_ns(ts) // 60000000000 AS minute_bucket,
+                MIN(event_id) AS keep_id, COUNT(*) AS copies
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "set_union_all" ->
       """SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
          UNION ALL SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'AUTOMOBILE'

@@ -526,6 +526,63 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Interval/range join, bucketed: attribute every event to the purchase
+    * windows [purchase_ts, purchase_ts + 1h) of the same user it falls in.
+    *
+    * The naive expression is an equi-join on user_id with a residual range
+    * predicate — on a skewed key that is one task grinding through
+    * events×windows pairs per hot user. The scale shape grids time into
+    * interval-width buckets: each window covers exactly 2 adjacent
+    * hour-buckets (exploded), each event maps to 1, and the join becomes a
+    * pure equi-join on (user_id, bucket) with the range check as a cheap
+    * residual — candidate pairs are bounded by per-(user, hour)
+    * co-occurrence, not per-user volume, and the pair set needs no dedup
+    * (an event lives in exactly one bucket). RangeJoinSpec pins equality
+    * with the naive form.
+    */
+  def rangeJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
+    // oracle's DuckDB reads parquet TIMESTAMP_NS at micro precision
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("bucket", expr(s"tus div $hourUs"))
+    val win = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("w_user"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("w_start"))
+      .withColumn("bucket",
+        explode(array(expr(s"w_start div $hourUs"),
+          expr(s"w_start div $hourUs") + 1)))
+    ev.join(win,
+        ev("bucket") === win("bucket") && ev("user_id") === win("w_user")
+          && ev("tus") >= win("w_start") && ev("tus") < win("w_start") + hourUs
+          && ev("event_id") =!= win("purchase_id"))
+      .select(col("event_id"), col("purchase_id"),
+        (col("tus") - col("w_start")).as("lag_us"))
+      .orderBy("event_id", "purchase_id")
+  }
+
+  /** The naive form of [[rangeJoinBucketed]] — equi on user + residual
+    * range. Kept un-registered as the spec's ground truth.
+    */
+  def rangeJoinNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+    val win = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("w_user"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("w_start"))
+    ev.join(win,
+        ev("user_id") === win("w_user")
+          && ev("tus") >= win("w_start") && ev("tus") < win("w_start") + hourUs
+          && ev("event_id") =!= win("purchase_id"))
+      .select(col("event_id"), col("purchase_id"),
+        (col("tus") - col("w_start")).as("lag_us"))
+      .orderBy("event_id", "purchase_id")
+  }
+
   /** As-of lookup: for every event, the most recent at-or-before purchase
     * timestamp of the same user. Expressed as a running last-non-null over
     * the per-user time order — the scale-friendly as-of shape (one shuffle

@@ -108,6 +108,31 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup: emit the first event seen per
+    * (user_id, event_type, minute) key; duplicate arrivals inside the
+    * watermark are dropped and per-key dedup state is evicted once the
+    * watermark passes — bounded state, unlike a plain
+    * `dropDuplicates` whose key set grows forever on a stream.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("minute_start", date_trunc("minute", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_start")
+      .select("event_id", "user_id", "event_type", "minute_start")
+
+  /** Batch twin of [[dedupStream]] with a deterministic survivor (lowest
+    * event_id per key) and the duplicate multiplicity — DuckDB-oracle-able;
+    * StreamingSpec pins that the stream emits exactly these keys.
+    */
+  def dedupEventsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      // ts is nanos-since-epoch long here (GraftSession.nanosAsLong)
+      .withColumn("minute_bucket", expr("ts div 60000000000"))
+      .groupBy("user_id", "event_type", "minute_bucket")
+      .agg(min("event_id").as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("user_id", "event_type", "minute_bucket")
+
   /** Batch-mode sessionization of the same semantics (gap-based session ids
     * via lag + running sum) — lets the batch table and the stream agree on
     * session boundaries, and is DuckDB-oracle-able.

@@ -75,6 +75,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates and matches the batch twin's keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.dedupStream(mem.toDF(), "2 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:40"), 1, "click", 2.0), // dup key
+        Event(3, ts("2024-01-01 00:00:50"), 2, "view", 3.0),
+        Event(4, ts("2024-01-01 00:01:10"), 1, "click", 4.0)) // next minute
+      q.processAllAvailable()
+      // advance the watermark so appended rows flush
+      mem.addData(Event(9, ts("2024-01-01 00:10:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream")
+        .select("user_id", "event_type", "minute_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toString))
+        .toSet
+      assert(keys.contains((1L, "click", "2024-01-01 00:00:00.0")))
+      assert(keys.contains((1L, "click", "2024-01-01 00:01:00.0")))
+      assert(keys.contains((2L, "view", "2024-01-01 00:00:00.0")))
+      // the duplicate (event 2) must NOT add a second row for its key
+      assert(spark.table("dedup_stream")
+        .filter("user_id = 1 AND minute_start = timestamp'2024-01-01 00:00:00'")
+        .count() == 1)
+    } finally q.stop()
+  }
+
   test("cosine_sim returns null when a scored element is null (matches HOF)") {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS s,
