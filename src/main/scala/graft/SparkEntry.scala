@@ -44,6 +44,9 @@ object SparkEntry {
     "s3_parquet_scan" -> (Relational.s3ParquetScan _),
     "k2_parquet_gzip_roundtrip" -> (Relational.k2ParquetGzipRoundTrip _),
     "k3_show_limit" -> (Relational.k3ShowLimit _),
+    "k4_json_roundtrip" -> (Relational.k4JsonRoundTrip _),
+    "k5_orc_roundtrip" -> (Relational.k5OrcRoundTrip _),
+    "k6_partitioned_roundtrip" -> (Relational.k6PartitionedRoundTrip _),
     // projection (P1-P4)
     "p1_select_prune" -> (Relational.p1SelectPrune _),
     "p2_with_column" -> (Relational.p2WithColumn _),
@@ -84,6 +87,9 @@ object SparkEntry {
     "rollup_agg" -> (Relational.rollupAgg _),
     "cube_agg" -> (Relational.cubeAgg _),
     "pivot_agg" -> (Relational.pivotAgg _),
+    "grouping_sets_agg" -> (Relational.groupingSetsAgg _),
+    "exact_median" -> (Relational.exactMedian _),
+    "sql_via_view" -> (Relational.sqlViaView _),
     // semi-structured
     "json_extract" -> (Relational.jsonExtract _),
     // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
@@ -202,6 +208,12 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "k3_show_limit" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 21",
+    "k4_json_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "k5_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "k6_partitioned_roundtrip" ->
+      "SELECT event_id, user_id, value, event_type FROM events WHERE event_type = 'click' ORDER BY event_id",
     "p1_select_prune" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_with_column" ->
@@ -316,6 +328,23 @@ object SparkEntry {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "json_extract" ->
       "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
+    "grouping_sets_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "exact_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the Spark side runs this IDENTICAL string through spark.sql over temp
+    // views — one SQL text, two engines
+    "sql_via_view" ->
+      """SELECT n_name, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
     "e1_regexp_extract" ->
       "SELECT p_partkey, regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num FROM part ORDER BY p_partkey",
     "e2_round" ->

@@ -80,6 +80,40 @@ object Relational {
       .orderBy("o_orderkey")
       .limit(21)
 
+  /** K4: JSON-lines sink + scan round-trip (interchange format; see
+    * IO.jsonRoundTrip's scale note).
+    */
+  def k4JsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    IO.jsonRoundTrip(spark,
+        t(spark, sfDir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        IO.scratchDir("graft_k4"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** K5: zlib ORC sink + vectorized scan round-trip — the second columnar
+    * format next to parquet.
+    */
+  def k5OrcRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    IO.orcRoundTrip(spark,
+        t(spark, sfDir, "part").select("p_partkey", "p_name", "p_retailprice"),
+        IO.scratchDir("graft_k5"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+
+  /** K6: hive-partitioned parquet sink + pruned scan round-trip: the filter
+    * on the partition column must prune directories (asserted in
+    * PlanAuditSpec for this layout), so the query reads one partition's
+    * files, not the table.
+    */
+  def k6PartitionedRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    IO.partitionedParquetRoundTrip(spark,
+        t(spark, sfDir, "events")
+          .select("event_id", "user_id", "value", "event_type"),
+        IO.scratchDir("graft_k6"), "event_type")
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+
   // ------------------------------------------------------------- projection
 
   /** P1: column pruning/reorder — scan must read only the 3 columns. */
@@ -489,6 +523,47 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Explicit GROUPING SETS: the two single-column marginals without the
+    * grand total or the cross — the shape rollup/cube cannot express.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Exact (non-approximate) percentiles — sort-based `percentile`, the
+    * exact twin of sketchProfile's percentile_approx. Linear interpolation
+    * over integral-valued doubles, so cross-engine deterministic.
+    */
+  def exactMedian(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
+  /** The SQL entry point: the same engine surface exposed as SQL text over
+    * temp views — parsed by Spark's parser into the identical plans the
+    * DataFrame queries build (the oracle runs the very same string).
+    */
+  val SqlViaViewText: String =
+    """SELECT n_name, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  def sqlViaView(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(SqlViaViewText)
+  }
 
   /** PIVOT: per-user event counts, one column per event type (explicit
     * value list — at scale never let pivot infer the distinct values).

@@ -96,6 +96,40 @@ object IO {
     readParquet(spark, path)
   }
 
+  /** Write df as JSON lines then read it back with inference — extends the
+    * source/sink matrix beyond the reference's CSV/parquet (SURVEY.md §2.1).
+    * JSON inference loses integer-vs-long width and column order; callers
+    * re-select/cast. At 100 TB, JSON is an interchange format, not a scan
+    * format — the round-trip exists for capability, parquet is the scale
+    * path.
+    */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.json(path)
+  }
+
+  /** Write df as zlib ORC then read it back — the columnar-format twin of
+    * [[parquetGzipRoundTrip]]; exercises the second vectorized-scan format.
+    */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.option("compression", "zlib").mode(SaveMode.Overwrite).orc(path)
+    spark.read.orc(path)
+  }
+
+  /** Write df hive-partitioned by `partitionCol` then read it back — the
+    * layout whose directory pruning PlanAuditSpec asserts. The partition
+    * column round-trips through the directory name (string-typed on
+    * re-read for non-inferable types).
+    */
+  def partitionedParquetRoundTrip(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      partitionCol: String): DataFrame = {
+    df.write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Scratch dir for round-trip sinks (never inside /root/repo). */
   def scratchDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
