@@ -51,6 +51,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.CosineSimilarityExpr.register(spark)
+    graft.functions.DotProductExpr.register(spark)
     spark
   }
 }

@@ -170,6 +170,7 @@ object SparkEntry {
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     "emb_near_dup_pairs" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     // LLM-pipeline: text analysis
     "txt_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -586,6 +587,17 @@ object SparkEntry {
          q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
          scored AS (
            SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "ann_topk_dot" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT qid, vec_id, CAST(list_inner_product(qv, v) AS FLOAT) AS sim
            FROM q CROSS JOIN v WHERE vec_id <> qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim

@@ -109,11 +109,17 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(next()))
   }
 
-  /** Sign-pattern bucket id of vector column `v` under the given planes. */
+  /** Sign-pattern bucket id of vector column `v` under the given planes.
+    * Projections go through the native dot_product expression — with
+    * bands × planes projections per corpus row this is the bucketing
+    * stage's hot loop, and the fused codegen'd loop replaces an
+    * interpreted zip_with+aggregate fold per plane.
+    */
   private def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit(_)): _*)
-      when(dot(v, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+      when(call_function("dot_product", v, planeLit) > 0, lit(1 << i))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   /** One bucket id per band, each from an independent hyperplane set. */
@@ -186,6 +192,19 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
       .orderBy("qid", "rank")
   }
+
+  /** Maximum-inner-product top-k (un-normalized dot score) — the ranking
+    * used when embedding magnitude carries signal (e.g. popularity-scaled
+    * retrieval vectors). Same broadcast/no-corpus-shuffle shape as
+    * [[cosineTopK]], scored by the native dot_product expression.
+    */
+  def dotTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5): DataFrame =
+    rankTopK(corpus(spark, sfDir).select("vec_id", "v"),
+      expr("dot_product(qv, v)"), numQueries, k)
 
   /** Int8 vector quantization: per-vector symmetric scale (127 / max|x|),
     * stored as array<tinyint> + one float scale — 4x smaller than float32,

@@ -124,6 +124,27 @@ class StreamingSpec extends SparkTestBase {
     assert(sess.filter(col("duration_ms") < 0).count() == 0)
   }
 
+  test("native dot_product expression matches the HOF fold bitwise; null element nulls it") {
+    val df = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(50)
+    val a = df.as("a"); val b = df.as("b")
+    val both = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        expr("dot_product(a.v, b.v)").as("native"),
+        graft.operators.Similarity.dot(col("a.v"), col("b.v")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val n = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS s")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("native cosine_sim expression matches the HOF composition bitwise") {
     val df = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
