@@ -52,6 +52,7 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.CosineSimilarityExpr.register(spark)
     graft.functions.DotProductExpr.register(spark)
+    graft.functions.SimHash64Expr.register(spark)
     spark
   }
 }

@@ -179,24 +179,15 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    // Bit-majority via explode + one hash aggregation with 64 conditional
-    // sums (codegen'd, map-side combined) — far cheaper than per-row nested
-    // higher-order functions over the token array.
-    val tokHashes = IO.table(spark, sfDir, "documents")
+    // Bit-majority via the native simhash64 expression over the per-row
+    // token-hash array: the signature stage is SHUFFLE-FREE (one codegen'd
+    // pass per document), where the previous explode → groupBy(doc) →
+    // 64-conditional-sums shape shuffled a row per (doc, token) just to
+    // re-assemble per-doc counts.
+    val docs = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(expr("array_distinct(split(text, ' '))")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(expr(s"int(shiftright(h, $b) & 1)")).as(s"b$b")
-    }
-    val counted = tokHashes.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    // distinct powers of two, so + is bitwise-or (incl. the sign bit, which
-    // wraps — intended)
-    val simhash = (0 until 64).map { b =>
-      when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val docs = counted.select(col("doc_id"), simhash.as("simhash"))
+        expr("simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
+          .as("simhash"))
 
     // localCheckpoint (eager): both sides of the band self-join read this
     // frame; without materialization the 64-bit-majority aggregation runs

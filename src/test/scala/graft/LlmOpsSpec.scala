@@ -41,6 +41,28 @@ class LlmOpsSpec extends SparkTestBase {
       s"minhash(8 bands x 4) should catch j>=0.8 pairs w.h.p.; missed $missed")
   }
 
+  test("native simhash64 matches the aggregation-based bit-majority form") {
+    val tokHashes = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(expr(s"int(shiftright(h, $b) & 1)")).as(s"b$b")
+    }
+    val counted = tokHashes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val simhash = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val viaAgg = counted.select(col("doc_id"), simhash.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("simhash pairs are symmetric-free and within the hamming bound") {
     val pairs = Dedup.simHashNearDupPairs(spark, Sf, maxHamming = 3).collect()
     pairs.foreach { r =>
