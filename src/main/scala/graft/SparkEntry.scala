@@ -184,6 +184,9 @@ object SparkEntry {
       TextAnalysis.fingerprints(s, d).select("doc_id", "fp_md5")),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
+    // LLM-pipeline: corpus preparation
+    "corpus_pack_sequences" -> ((s, d) => graft.operators.CorpusPrep.packSequences(s, d)),
+    "corpus_train_val_split" -> ((s, d) => graft.operators.CorpusPrep.trainValSplit(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -497,6 +500,23 @@ object SparkEntry {
          SELECT doc_id, term, score FROM scored
          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
          ORDER BY doc_id, term""",
+    "corpus_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, shard, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS offset_in_shard,
+                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS BIGINT) AS seq_id
+         FROM d ORDER BY doc_id""",
+    "corpus_train_val_split" ->
+      """SELECT doc_id,
+                ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+                CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 95
+                     THEN 'train' ELSE 'val' END AS split
+         FROM documents ORDER BY doc_id""",
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 16) AS head16 FROM documents ORDER BY doc_id",
     "mm_frames" ->

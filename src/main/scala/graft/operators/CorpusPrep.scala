@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Corpus-preparation operators for a training-data pipeline: sequence
+  * packing (assigning documents to fixed-token-budget training sequences)
+  * and deterministic content-hash train/validation splitting.
+  *
+  * Scale notes: packing is computed per shard (documents are hashed into
+  * shards first), so every window is a bounded partition and the plan
+  * shuffles once on the shard key — there is no global ordering anywhere.
+  * The split is a pure per-row projection (no shuffle, no RNG): membership
+  * is a function of the content hash, so it is stable across runs,
+  * executors, and engines, and survivors of a re-crawl keep their split.
+  */
+object CorpusPrep {
+
+  /** Greedy in-order sequence packing within `numShards` hash shards: docs
+    * are laid end-to-end in doc_id order per shard, and a document starts
+    * the sequence its cumulative offset falls into (documents may straddle
+    * a boundary; the training loader handles truncation). Output:
+    * (doc_id, shard, n_tokens, offset_in_shard, seq_id).
+    */
+  def packSequences(
+      spark: SparkSession,
+      sfDir: String,
+      ctxLen: Long = 2048L,
+      numShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % numShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("offset_in_shard",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      // integral div, not double division: offsets can exceed 2^53 at scale
+      .withColumn("seq_id", expr(s"offset_in_shard div $ctxLen"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val split on the content hash: the first 8 hex
+    * digits of md5(text) parsed as an integer, mod 100 — bucket < 95 is
+    * train. Content-keyed (not doc_id-keyed), so duplicate texts land in
+    * the same split and cannot leak train data into validation.
+    */
+  def trainValSplit(
+      spark: SparkSession,
+      sfDir: String,
+      trainPct: Int = 95): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("val")))
+      .orderBy("doc_id")
+}
