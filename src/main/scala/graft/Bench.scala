@@ -42,7 +42,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "ann_topk_bruteforce", "ann_topk_native", "ann_topk_lsh",
       "emb_near_dup_pairs", "txt_token_counts", "txt_fingerprints",
-      "txt_tfidf_top_terms", "mm_features")
+      "txt_tfidf_top_terms", "mm_features",
+      "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split")
     val cases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
