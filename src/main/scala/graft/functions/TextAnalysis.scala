@@ -146,19 +146,24 @@ object TextAnalysis {
 
   /** Document fingerprints: a cryptographic content id (md5), a cheap
     * 64-bit content id (xxhash64), and a winnowing-style robust fingerprint
-    * (min xxhash64 over 5-word rolling shingles — stable under small edits
-    * outside the minimal shingle).
+    * (min hash over 5-word rolling windows — stable under small edits
+    * outside the minimal window). Each token is hashed once and the window
+    * fingerprint hashes the 5 token-hashes, so the rolling pass allocates
+    * no per-window strings (the previous concat_ws form rebuilt the window
+    * text for every position — the dominant cost of this linear scan).
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     IO.table(spark, sfDir, "documents")
-      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("th", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
         xxhash64(col("text")).as("fp_xx64"),
         expr("""array_min(transform(
-                  sequence(0, greatest(size(toks) - 5, 0)),
-                  i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 5)))))""")
+                  sequence(0, greatest(size(th) - 5, 0)),
+                  i -> xxhash64(element_at(th, i + 1), element_at(th, i + 2),
+                                element_at(th, i + 3), element_at(th, i + 4),
+                                element_at(th, i + 5))))""")
           .as("fp_rolling_min"))
       .orderBy("doc_id")
 }

@@ -121,6 +121,36 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_start")
       .select("event_id", "user_id", "event_type", "minute_start")
 
+  /** Stream-stream interval join: attribute each event to the purchase
+    * windows [purchase_ts, purchase_ts + 1h) of the same user — the
+    * streaming twin of the batch `j6_range_join`
+    * ([[graft.operators.Relational.rangeJoinBucketed]]).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * against purchase time from BOTH directions, so Spark can compute how
+    * long each side's rows must be retained and evict join state as the
+    * watermarks advance — without the time bound, stream-stream join state
+    * grows forever.
+    */
+  def attributionJoinStream(
+      events: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val e = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    e.join(p,
+      col("user_id") === col("p_user")
+        && col("ts") >= col("p_ts")
+        && col("ts") < col("p_ts") + expr("interval 1 hour")
+        && col("event_id") =!= col("purchase_id"))
+      .select("event_id", "purchase_id", "user_id")
+  }
+
   /** Batch twin of [[dedupStream]] with a deterministic survivor (lowest
     * event_id per key) and the duplicate multiplicity — DuckDB-oracle-able;
     * StreamingSpec pins that the stream emits exactly these keys.

@@ -124,6 +124,35 @@ class StreamingSpec extends SparkTestBase {
     assert(sess.filter(col("duration_ms") < 0).count() == 0)
   }
 
+  test("stream-stream interval join attributes events to purchase windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[Event]
+    val puMem = MemoryStream[Event]
+    val out = EventStream.attributionJoinStream(evMem.toDF(), puMem.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      puMem.addData(Event(100, ts("2024-01-01 10:00:00"), 1, "purchase", 9.99))
+      evMem.addData(
+        Event(1, ts("2024-01-01 10:20:00"), 1, "click", 0.0), // inside window
+        Event(2, ts("2024-01-01 11:20:00"), 1, "view", 0.0),  // outside (>1h)
+        Event(3, ts("2024-01-01 10:30:00"), 2, "click", 0.0)) // other user
+      q.processAllAvailable()
+      // advance both watermarks so joined rows flush in append mode
+      puMem.addData(Event(101, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+      evMem.addData(Event(9, ts("2024-01-01 15:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attribution")
+        .select("event_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 100L)), s"in-window event must join: $pairs")
+      assert(!pairs.contains((2L, 100L)), "out-of-window event must not join")
+      assert(!pairs.contains((3L, 100L)), "other user's event must not join")
+    } finally q.stop()
+  }
+
   test("native dot_product expression matches the HOF fold bitwise; null element nulls it") {
     val df = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
