@@ -112,6 +112,7 @@ object SparkEntry {
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
+    "skew_salted_join" -> ((s, d) => Relational.skewSaltedJoin(s, d)),
     "stream_window_agg" -> (Relational.windowAgg _),
     "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "dedup_events_batch" -> ((s, d) => graft.streaming.EventStream.dedupEventsBatch(s, d)),
@@ -411,6 +412,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "skew_salted_join" ->
+      """SELECT event_id, event_type, type_cnt
+         FROM events JOIN (SELECT event_type, COUNT(*) AS type_cnt
+                           FROM events GROUP BY event_type) d USING (event_type)
+         ORDER BY event_id""",
     "stream_window_agg" ->
       """SELECT make_timestamp((epoch_ns(ts) // 60000000000) * 60000000) AS window_start,
                 event_type, COUNT(*) AS cnt,

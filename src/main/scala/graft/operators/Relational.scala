@@ -715,6 +715,31 @@ object Relational {
       .agg(sum("c").as("cnt"), sum("s").cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Salted shuffle join — the join-side skew pattern: replicate each dim
+    * row `salt` times (one per salt value), salt the fact side by a
+    * row-local key, and equi-join on (key, salt) so a hot join key's rows
+    * spread over `salt` tasks instead of one straggler. The shuffle-hash
+    * hint keeps the demo honest (the 5-row dim would otherwise broadcast
+    * and no shuffle would exist to salt); in production this shape applies
+    * when the dim is too big to broadcast AND the fact key is skewed —
+    * AQE's skew handling covers sort-merge splits, salting covers the
+    * cases AQE can't re-split (e.g. a single monster key).
+    */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String, salt: Int = 8): DataFrame = {
+    val dim = t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("type_cnt"))
+    val dimSalted = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      .hint("shuffle_hash")
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("salt", pmod(col("event_id"), lit(salt)).cast("int"))
+      .join(dimSalted, Seq("event_type", "salt"))
+      .select("event_id", "event_type", "type_cnt")
+      .orderBy("event_id")
+  }
+
   /** Minute-bucket windowed aggregation over the event stream's batch view
     * — the batch twin of [[graft.streaming.EventStream.windowedTypeCounts]]
     * (ts arrives as nanos-since-epoch, see GraftSession).
