@@ -54,10 +54,14 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] = cases.map {
       case (name, mk) =>
         def once(): Either[String, Double] = {
-          // each timing starts from a cache-free session so no query's
+          // start each timing from a cache-free session so no query's
           // number depends on what ran before it (r3's minhash swing was
-          // cache-state accumulation across the 21-query session)
+          // cache-state accumulation across the 21-query session).
+          // clearCache drops CacheManager entries; the gc lets the
+          // ContextCleaner reclaim localCheckpoint RDD blocks, which live
+          // outside the catalog cache and are freed on dereference.
           spark.catalog.clearCache()
+          System.gc()
           val t0 = System.nanoTime()
           try {
             run(mk())

@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * with the surrounding tokenize/hash projections.
   *
   * Semantics: null if the array is null or any element is null; an empty
-  * array yields 0L (no evidence, all-zero signature — ties at n=0 are
-  * "at least half of zero", matching the 2*cnt >= n majority rule the
-  * aggregation form used).
+  * array yields 0L (no evidence → all-zero signature, special-cased: the
+  * bare majority rule would set every bit at n=0, and the aggregation form
+  * this replaces emitted no row at all for a token-less doc).
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
@@ -40,6 +40,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
+    if (n == 0) return 0L
     val cnt = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -83,8 +84,10 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
          |  }
          |}
          |long $sig = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if (2 * $cnt[$b] >= $n) $sig |= (1L << $b);
+         |if ($n > 0) {
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if (2 * $cnt[$b] >= $n) $sig |= (1L << $b);
+         |  }
          |}
          |${ev.value} = $sig;
        """.stripMargin

@@ -42,32 +42,39 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
 
-  /** Shared ANN ranking scaffold: broadcast the (small) query side against
-    * `c` (must expose vec_id and v, plus optional extra join keys via
-    * `joinCond`), score with `sim`, keep k per query by row_number.
+  /** Per-query top-k over a scored candidate frame (qid, vec_id, sim):
+    * rank by the FLOAT score — the float rounding absorbs the ≤1-ulp
+    * double drift between engines (JVM vs C libm), so the DuckDB
+    * list_cosine_similarity / list_inner_product oracles select the same
+    * top-k rows and hash identically (same rationale as
+    * TextAnalysis.tfIdfTopTerms).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared exhaustive-ANN scaffold: broadcast the (small) query side
+    * against `c` (must expose vec_id and v), score every pair with `sim`,
+    * keep k per query.
     */
   private def rankTopK(
       c: DataFrame,
       simCol: org.apache.spark.sql.Column,
       numQueries: Int,
-      k: Int,
-      extraCond: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      k: Int): DataFrame = {
     val q = c.filter(col("vec_id") < numQueries)
       .select((c.columns.map(n => col(n).as(s"q_$n"))): _*)
       .withColumnRenamed("q_vec_id", "qid")
       .withColumnRenamed("q_v", "qv")
-    val cond = extraCond.foldLeft(col("vec_id") =!= col("qid"))(_ && _)
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    // float score for output AND ranking: the float rounding absorbs the
-    // ≤1-ulp double drift between engines (JVM vs C libm), so the DuckDB
-    // list_cosine_similarity oracle selects the same top-k rows and hashes
-    // identically (same rationale as TextAnalysis.tfIdfTopTerms).
-    c.join(broadcast(q), cond)
-      .withColumn("sim", simCol.cast("float"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
+    topKPerQuery(
+      c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("sim", simCol.cast("float")),
+      k)
   }
 
   /** Exact brute-force cosine top-k: for each query vector (vec_id <
@@ -181,16 +188,12 @@ object Similarity {
     val qv = c.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     // native fused-loop scoring on the scale path (bitwise-identical to the
-    // HOF form — see StreamingSpec's equality test); float for the same
-    // cross-engine determinism as rankTopK.
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
-    candIds.join(c, "vec_id")
-      .join(broadcast(qv), "qid")
-      .withColumn("sim", expr("cosine_sim(qv, v)").cast("float"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "sim")
-      .orderBy("qid", "rank")
+    // HOF form — see StreamingSpec's equality test)
+    topKPerQuery(
+      candIds.join(c, "vec_id")
+        .join(broadcast(qv), "qid")
+        .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
+      k)
   }
 
   /** Maximum-inner-product top-k (un-normalized dot score) — the ranking

@@ -84,12 +84,18 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
-  test("LSH top-k is a subset of the brute-force candidates per query") {
-    val bf = Similarity.cosineTopK(spark, Sf, numQueries = 5, k = 500)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val lsh = Similarity.lshCosineTopK(spark, Sf, numQueries = 5, k = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(lsh.subsetOf(bf))
+  test("LSH top-k scores are EXACT for every pair it returns (approximation is candidate-selection only)") {
+    // k=500 >= corpus size, so brute force scores every (query, other) pair
+    val bfSims = Similarity.cosineTopK(spark, Sf, numQueries = 5, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getFloat(3)).toMap
+    val lsh = Similarity.lshCosineTopK(spark, Sf, numQueries = 5, k = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bfSims.contains(key))
+      assert(bfSims(key) == r.getFloat(3),
+        s"LSH must score candidates with the exact metric: $key")
+    }
   }
 
   test("LSH top-k recall vs exact brute force (multi-band OR-construction)") {

@@ -128,16 +128,30 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("exact dedup shuffles hashes, not document text") {
-    val p = plan(Dedup.exactByText(spark, Sf))
     // the window key is the (xxhash64, md5) fingerprint, so the exchange
     // must cluster on the fingerprint columns and the full text column must
-    // be projected away before the shuffle
-    val exchange = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
-    assert(exchange.isDefined, p)
-    assert(exchange.get.contains("fp_xx") && exchange.get.contains("fp_md5"),
-      s"shuffle must key on the fingerprint: ${exchange.get}")
-    assert(!exchange.get.contains("text#"),
-      s"text must be pruned before the exchange: ${exchange.get}")
+    // be projected away before the shuffle — checked on the exchange NODE's
+    // output attributes (the tree's one-line rendering never lists them, so
+    // a string match on the plan text would be vacuous)
+    val root = Dedup.exactByText(spark, Sf).queryExecution.executedPlan
+    // AdaptiveSparkPlanExec is a leaf wrapper — collect() would not descend
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, exec.toString)
+    val hashEx = exchanges.filter(_.outputPartitioning.toString.contains("fp_xx"))
+    assert(hashEx.nonEmpty,
+      s"shuffle must key on the fingerprint: ${exchanges.map(_.outputPartitioning)}")
+    hashEx.foreach { e =>
+      assert(e.outputPartitioning.toString.contains("fp_md5"))
+      assert(!e.output.exists(_.name == "text"),
+        s"text must be pruned before the exchange: ${e.output.map(_.name)}")
+    }
   }
 
   test("row_number<=k window rewrites to the two-phase TopK operator") {
