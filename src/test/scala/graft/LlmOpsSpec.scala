@@ -161,6 +161,38 @@ class LlmOpsSpec extends SparkTestBase {
       }
   }
 
+  test("sequence packing: offsets are exact per-shard prefix sums, seqs respect the context budget") {
+    val packed = graft.operators.CorpusPrep.packSequences(spark, Sf, ctxLen = 2048L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.length == 500, "every doc lands in exactly one row")
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var expectedOffset = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nTok, offset, seqId) =>
+        assert(offset == expectedOffset, "offset must be the shard's running token sum")
+        assert(seqId == offset / 2048L)
+        expectedOffset += nTok
+      }
+    }
+  }
+
+  test("train/val split is content-keyed: duplicate texts share a bucket; ratio near 95/5") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val split = graft.operators.CorpusPrep.trainValSplit(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // identical texts must land in identical buckets (no cross-split leaks)
+    docs.groupBy(_._2).values.filter(_.size > 1).foreach { dups =>
+      assert(dups.map(d => split(d._1)).toSet.size == 1,
+        "duplicate texts must share a split")
+    }
+    split.values.foreach { case (bucket, s) =>
+      assert(bucket >= 0 && bucket < 100)
+      assert(s == (if (bucket < 95) "train" else "val"))
+    }
+    val trainFrac = split.values.count(_._2 == "train").toDouble / split.size
+    assert(trainFrac > 0.85 && trainFrac < 1.0, s"train fraction $trainFrac")
+  }
+
   test("token counts: ws tokens consistent with text") {
     val r = TextAnalysis.tokenCounts(spark, Sf).collect()
     assert(r.length == 500)
