@@ -106,6 +106,7 @@ object SparkEntry {
     "g1_explode" -> (Relational.g1Explode _),
     "e9_string_funcs" -> (Relational.stringFuncs _),
     "e10_date_funcs" -> (Relational.dateFuncs _),
+    "e11_array_hofs" -> (Relational.e11ArrayHofs _),
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
@@ -390,6 +391,15 @@ object SparkEntry {
                 CAST(day(o_orderdate) AS INT) AS dom,
                 CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS INT) AS days_since
          FROM orders ORDER BY o_orderkey""",
+    "e11_array_hofs" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+         SELECT p_partkey,
+                len(words) AS n_words,
+                list_max(list_transform(words, w -> length(w))) AS longest_word,
+                CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars,
+                array_to_string(list_sort(words), '|') AS sorted_words,
+                len(list_filter(words, w -> length(w) >= 5)) AS n_long_words
+         FROM w ORDER BY p_partkey""",
     "w1_row_number_topk" ->
       """SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS "rank",
                 o_orderkey, o_totalprice

@@ -715,6 +715,23 @@ object Relational {
       .agg(sum("c").as("cnt"), sum("s").cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** E11: the higher-order array-function family — transform / filter /
+    * aggregate / sort over a split column, reduced to scalars (HOFs are
+    * also the engine's vector-math substrate; this query pins their
+    * standalone semantics against the oracle).
+    */
+  def e11ArrayHofs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .withColumn("words", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        size(col("words")).as("n_words"),
+        array_max(transform(col("words"), w => length(w))).as("longest_word"),
+        aggregate(col("words"), lit(0), (acc, w) => acc + length(w)).as("total_chars"),
+        array_join(sort_array(col("words")), "|").as("sorted_words"),
+        size(filter(col("words"), w => length(w) >= 5)).as("n_long_words"))
+      .orderBy("p_partkey")
+
   /** Salted shuffle join — the join-side skew pattern: replicate each dim
     * row `salt` times (one per salt value), salt the fact side by a
     * row-local key, and equi-join on (key, salt) so a hot join key's rows
