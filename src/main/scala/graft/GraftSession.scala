@@ -53,6 +53,7 @@ object GraftSession {
     graft.functions.CosineSimilarityExpr.register(spark)
     graft.functions.DotProductExpr.register(spark)
     graft.functions.SimHash64Expr.register(spark)
+    graft.functions.MinHashSigExpr.register(spark)
     spark
   }
 }

@@ -54,18 +54,6 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("fp")
 
-  /** Deterministic (odd multiplier, offset) pairs for the affine minhash
-    * permutation family — fixed LCG, no RNG at plan time.
-    */
-  private def permutationMixers(n: Int): Seq[(Long, Long)] = {
-    var state = 0x5DEECE66DL
-    def next(): Long = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      state
-    }
-    Seq.fill(n)((next() | 1L, next()))
-  }
-
   /** Word tokens + 3-word shingles of a text column. Documents shorter than
     * the shingle width fall back to a single whole-text shingle.
     */
@@ -98,25 +86,20 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
 
-    // Signature via explode + hash aggregation: the map-side partial agg
-    // collapses shingles to one signature row per doc per partition before
-    // the shuffle, so signature computation scales with input splits.
-    // Each shingle is string-hashed ONCE; the numPerms permutations are
-    // affine remixes (odd multiplier + offset, wrapping 64-bit) of that one
-    // hash — a universal-hash family, so min over shingles is a valid
-    // minhash per permutation at 1/numPerms of the string-hashing cost.
-    val exploded = withShingles(IO.table(spark, sfDir, "documents"))
+    // Shuffle-free signatures: each shingle is string-hashed ONCE and the
+    // native minhash_sig expression folds all numPerms affine-permutation
+    // minima in a single per-row pass (see
+    // [[graft.functions.MinHashSigExpr]]) — no explode, no per-(doc,
+    // shingle) shuffle; only the small (doc_id, band-key) rows below ever
+    // cross the wire.
+    val sigDf = withShingles(IO.table(spark, sfDir, "documents"))
       .select(col("doc_id"),
-        explode(transform(col("shingles"), s => xxhash64(s))).as("h"))
-    val mixers = permutationMixers(numPerms)
-    val minExprs = mixers.zipWithIndex.map { case ((a, b), j) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m$j")
-    }
-    val sigDf = exploded.groupBy("doc_id")
-      .agg(minExprs.head, minExprs.tail: _*)
+        expr(s"minhash_sig(transform(shingles, s -> xxhash64(s)), $numPerms)")
+          .as("sig"))
 
     val bandHashes = array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*)
+      xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
+        .map(j => element_at(col("sig"), j + 1)): _*)
     }: _*)
     // localCheckpoint (eager): the banded frame feeds BOTH sides of the
     // self-join, and the candidate pairs feed three consumers — without

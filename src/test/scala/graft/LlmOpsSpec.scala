@@ -41,6 +41,26 @@ class LlmOpsSpec extends SparkTestBase {
       s"minhash(8 bands x 4) should catch j>=0.8 pairs w.h.p.; missed $missed")
   }
 
+  test("native minhash_sig matches an independent recomputation of the affine minima") {
+    val mixers = graft.functions.MinHashSigExpr.mixers(8)
+    val rows = spark.sql(
+      """SELECT h, minhash_sig(h, 8) AS sig FROM
+         (SELECT transform(array('a', 'bb', 'ccc'), t -> xxhash64(t)) AS h)""")
+      .collect()(0)
+    val hashes = rows.getSeq[Long](0)
+    val sig = rows.getSeq[Long](1)
+    mixers.zipWithIndex.foreach { case ((a, b), j) =>
+      val expected = hashes.map(h => h * a + b).min
+      assert(sig(j) == expected, s"perm $j")
+    }
+    // empty input: defensive all-MaxValue identity; null element: null
+    val edge = spark.sql(
+      """SELECT minhash_sig(CAST(array() AS ARRAY<BIGINT>), 4) AS e,
+                minhash_sig(array(1L, CAST(NULL AS BIGINT)), 4) AS n""").collect()(0)
+    assert(edge.getSeq[Long](0).forall(_ == Long.MaxValue))
+    assert(edge.isNullAt(1))
+  }
+
   test("native simhash64 matches the aggregation-based bit-majority form") {
     val tokHashes = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("doc_id"),
