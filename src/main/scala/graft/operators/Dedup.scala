@@ -68,6 +68,31 @@ object Dedup {
           .otherwise(array(col("text"))))
   }
 
+  /** Per-document minhash signatures — SHUFFLE-FREE (plan-audited): each
+    * shingle is string-hashed once and the native minhash_sig expression
+    * folds all numPerms affine-permutation minima in a single per-row pass
+    * (see [[graft.functions.MinHashSigExpr]]); no explode, no per-(doc,
+    * shingle) exchange. Only the small (doc_id, band-key) rows derived
+    * downstream ever cross the wire.
+    */
+  def minHashSignatures(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32): DataFrame =
+    withShingles(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        expr(s"minhash_sig(transform(shingles, s -> xxhash64(s)), $numPerms)")
+          .as("sig"))
+
+  /** Per-document simhash signatures — SHUFFLE-FREE (plan-audited); see
+    * [[graft.functions.SimHash64Expr]].
+    */
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
+          .as("simhash"))
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * Pipeline: shingle → `numPerms` min-hashes (seeded xxhash64) → group the
@@ -86,16 +111,7 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
 
-    // Shuffle-free signatures: each shingle is string-hashed ONCE and the
-    // native minhash_sig expression folds all numPerms affine-permutation
-    // minima in a single per-row pass (see
-    // [[graft.functions.MinHashSigExpr]]) — no explode, no per-(doc,
-    // shingle) shuffle; only the small (doc_id, band-key) rows below ever
-    // cross the wire.
-    val sigDf = withShingles(IO.table(spark, sfDir, "documents"))
-      .select(col("doc_id"),
-        expr(s"minhash_sig(transform(shingles, s -> xxhash64(s)), $numPerms)")
-          .as("sig"))
+    val sigDf = minHashSignatures(spark, sfDir, numPerms)
 
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
@@ -162,15 +178,7 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    // Bit-majority via the native simhash64 expression over the per-row
-    // token-hash array: the signature stage is SHUFFLE-FREE (one codegen'd
-    // pass per document), where the previous explode → groupBy(doc) →
-    // 64-conditional-sums shape shuffled a row per (doc, token) just to
-    // re-assemble per-doc counts.
-    val docs = IO.table(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        expr("simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
-          .as("simhash"))
+    val docs = simHashSignatures(spark, sfDir)
 
     // localCheckpoint (eager): both sides of the band self-join read this
     // frame; without materialization the 64-bit-majority aggregation runs

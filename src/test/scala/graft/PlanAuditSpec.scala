@@ -61,6 +61,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("WholeStageCodegen"), p)
   }
 
+  test("minhash/simhash signature stages plan with ZERO exchanges (shuffle-free)") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val root = df.queryExecution.executedPlan
+      val exec = root match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    }
+    assert(exchanges(Dedup.minHashSignatures(spark, Sf)).isEmpty,
+      "minhash signatures must not shuffle")
+    assert(exchanges(Dedup.simHashSignatures(spark, Sf)).isEmpty,
+      "simhash signatures must not shuffle")
+  }
+
   test("minhash LSH candidate join is an equi-join on band keys, never a cross join") {
     val p = plan(Dedup.minHashNearDupPairs(spark, Sf))
     assert(!p.contains("CartesianProduct"),
