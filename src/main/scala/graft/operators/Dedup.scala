@@ -96,27 +96,45 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs.
     *
     * Pipeline: shingle → `numPerms` min-hashes (seeded xxhash64) → group the
-    * signature into `bands` bands of `numPerms/bands` rows → explode to
-    * (band_index, band_hash) keys → self-join per band bucket → exact
-    * token-set Jaccard on the candidates only → threshold.
+    * signature into `bands` bands of `numPerms/bands` rows → explode to one
+    * 64-bit band key per band (band index hashed in) → self-join per band
+    * bucket → exact token-set Jaccard on the candidates only → threshold.
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
+  /** The (doc_id, band_key) banded frame of [[minHashNearDupPairs]],
+    * pre-checkpoint — package-private so PlanAuditSpec can assert the
+    * candidate join's exchange keys on the live lineage (the checkpoint in
+    * the public path hides the join plan from the returned frame).
+    *
+    * ONE long key per band: the band index is hashed into the key (first
+    * xxhash64 argument), so rows from different bands cannot equi-join
+    * short of a 64-bit collision — the same risk class the banding already
+    * accepts. A separate (pos, band) pair would shuffle 12 bytes of key
+    * where 8 suffice; at 100 TB the banded frame is the highest-volume
+    * intermediate and its key width is the exchange cost.
+    */
+  private[graft] def minHashBanded(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int,
+      bands: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
+        .map(j => element_at(col("sig"), j + 1)): _*)
+    }: _*)
+    minHashSignatures(spark, sfDir, numPerms)
+      .select(col("doc_id"), explode(bandHashes).as("band_key"))
+  }
+
   def minHashNearDupPairs(
       spark: SparkSession,
       sfDir: String,
       numPerms: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val rows = numPerms / bands
-
-    val sigDf = minHashSignatures(spark, sfDir, numPerms)
-
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
-        .map(j => element_at(col("sig"), j + 1)): _*)
-    }: _*)
     // localCheckpoint (eager): the banded frame feeds BOTH sides of the
     // self-join, and the candidate pairs feed three consumers — without
     // materialization Spark re-derives the whole signature pipeline once
@@ -127,15 +145,12 @@ object Dedup {
     // cached frames (the r3 bench regression). On a real cluster the blocks
     // are not fault-tolerant to executor loss — a production pipeline that
     // needs recovery would persist to reliable storage instead.
-    val docs = sigDf
-      .select(col("doc_id"), posexplode(bandHashes))
-      .select(col("doc_id"), col("pos"), col("col").as("band"))
-      .localCheckpoint()
+    val docs = minHashBanded(spark, sfDir, numPerms, bands).localCheckpoint()
 
     // Per-bucket self-join: only docs agreeing on a whole band collide.
     val cand = docs.as("a")
       .join(docs.as("b"),
-        col("a.pos") === col("b.pos") && col("a.band") === col("b.band")
+        col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -174,28 +189,34 @@ object Dedup {
     * that the banding is best-effort), then exact Hamming verification via
     * bit_count(xor).
     */
+  /** The (doc_id, simhash, band_key) banded frame of
+    * [[simHashNearDupPairs]], pre-checkpoint (test seam — see
+    * [[minHashBanded]]). Band position and 16-bit band value packed into
+    * ONE long join key (pos << 16 | band): a single 8-byte key crosses the
+    * exchange instead of an (int, long) pair — the banded frame is the
+    * widest-fanout intermediate, so key width is the dominant shuffle cost
+    * at scale.
+    */
+  private[graft] def simHashBanded(spark: SparkSession, sfDir: String): DataFrame =
+    simHashSignatures(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          expr(s"${b.toLong << 16} | (shiftright(simhash, ${b * 16}) & 65535)")
+        }: _*)).as("band_key"))
+
   def simHashNearDupPairs(
       spark: SparkSession,
       sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    val docs = simHashSignatures(spark, sfDir)
-
     // localCheckpoint (eager): both sides of the band self-join read this
     // frame; without materialization the 64-bit-majority aggregation runs
     // twice. Blocks are ContextCleaner-released once the result frame is
     // dereferenced (no session-lifetime cache leak — see minHashNearDupPairs).
-    val banded = docs
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map { b =>
-          expr(s"shiftright(simhash, ${b * 16}) & 65535")
-        }: _*)))
-      .select(col("doc_id"), col("simhash"), col("pos"),
-        col("col").as("band"))
-      .localCheckpoint()
+    val banded = simHashBanded(spark, sfDir).localCheckpoint()
 
     banded.as("a")
       .join(banded.as("b"),
-        col("a.pos") === col("b.pos") && col("a.band") === col("b.band")
+        col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))

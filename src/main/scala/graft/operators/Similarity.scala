@@ -129,10 +129,16 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** One bucket id per band, each from an independent hyperplane set. */
+  /** One PACKED bucket key per band (band << 32 | bucket), each band from an
+    * independent hyperplane set. Packing band index and sign-pattern bucket
+    * into a single long halves the join-key width crossing the exchange —
+    * the banded frame is bands× the corpus row count, so its key width is
+    * the candidate join's dominant shuffle cost at 100 TB.
+    */
   private def bandedBuckets(v: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
     array((0 until bands).map { b =>
-      lshBucket(v, hyperplanes(planesPerBand, dim, b + 1L))
+      lit(b.toLong << 32)
+        .bitwiseOR(lshBucket(v, hyperplanes(planesPerBand, dim, b + 1L)).cast("long"))
     }: _*)
 
   /** Planes-per-band scaled to the corpus: 2^planes ≈ rows/targetBucketRows
@@ -155,9 +161,22 @@ object Similarity {
     * ContextCleaner-released when the result is dereferenced (no
     * session-lifetime cache leak).
     */
+  /** Pre-checkpoint banded frame (test seam — PlanAuditSpec asserts the
+    * candidate join's exchange keys on this live lineage).
+    */
+  private[graft] def bandedEmbeddings(
+      spark: SparkSession,
+      sfDir: String,
+      bands: Int = 4,
+      planesPerBand: Int = 8,
+      dim: Int = 64): DataFrame =
+    corpus(spark, sfDir).select("vec_id", "v")
+      .select(col("vec_id"),
+        explode(bandedBuckets(col("v"), bands, planesPerBand, dim)).as("bucket_key"))
+
   private def bandedCorpus(c: DataFrame, bands: Int, planesPerBand: Int, dim: Int): DataFrame =
-    c.select(col("vec_id"), posexplode(bandedBuckets(col("v"), bands, planesPerBand, dim)))
-      .select(col("vec_id"), col("pos"), col("col").as("bucket"))
+    c.select(col("vec_id"),
+      explode(bandedBuckets(col("v"), bands, planesPerBand, dim)).as("bucket_key"))
       .localCheckpoint()
 
   /** Approximate top-k via multi-band random-hyperplane LSH: a corpus
@@ -175,13 +194,16 @@ object Similarity {
       planesPerBand: Int = -1,
       dim: Int = 64): DataFrame = {
     val c = corpus(spark, sfDir).select("vec_id", "v")
+    // corpus size from parquet footer metadata (memoized, no Spark job) —
+    // a count() here would put a full job inside every query invocation
     val ppb =
       if (planesPerBand > 0) planesPerBand
-      else adaptivePlanesPerBand(c.count())
+      else adaptivePlanesPerBand(
+        IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet"))
     val banded = bandedCorpus(c, bands, ppb, dim)
     val qBanded = banded.filter(col("vec_id") < numQueries)
       .withColumnRenamed("vec_id", "qid")
-    val candIds = banded.join(broadcast(qBanded), Seq("pos", "bucket"))
+    val candIds = banded.join(broadcast(qBanded), Seq("bucket_key"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
       .distinct()
@@ -250,13 +272,15 @@ object Similarity {
       dim: Int = 64,
       targetBucketRows: Int = 64): DataFrame = {
     val c = corpus(spark, sfDir).select("vec_id", "v")
+    // footer-metadata row count, not a count() job — see lshCosineTopK
     val ppb =
       if (planesPerBand > 0) planesPerBand
-      else adaptivePlanesPerBand(c.count(), targetBucketRows)
+      else adaptivePlanesPerBand(
+        IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet"), targetBucketRows)
     val banded = bandedCorpus(c, bands, ppb, dim)
     banded.as("a")
       .join(banded.as("b"),
-        col("a.pos") === col("b.pos") && col("a.bucket") === col("b.bucket")
+        col("a.bucket_key") === col("b.bucket_key")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()

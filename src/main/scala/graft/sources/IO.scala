@@ -133,4 +133,35 @@ object IO {
   /** Scratch dir for round-trip sinks (never inside /root/repo). */
   def scratchDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact row count of a parquet table from file-footer metadata — NO Spark
+    * job: the driver lists the directory once and reads each footer's record
+    * count (a few KB per file), memoized per path for the session lifetime.
+    *
+    * This exists so operators that size themselves to the corpus (the
+    * adaptive LSH plane count in [[graft.operators.Similarity]]) don't run a
+    * full count() job inside every query invocation. At 100 TB the same
+    * number should come from catalog statistics (ANALYZE TABLE / metastore
+    * rowCount) rather than a driver listing of millions of footers — which
+    * is why the operators also accept the count-derived parameter directly
+    * from the caller; this helper is the no-catalog fallback.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.computeIfAbsent(path, (p: String) => {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fs = dir.getFileSystem(conf)
+      val files = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    })
 }

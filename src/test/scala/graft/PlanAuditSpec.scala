@@ -79,6 +79,57 @@ class PlanAuditSpec extends SparkTestBase {
       "simhash signatures must not shuffle")
   }
 
+  test("banded candidate joins shuffle ONE packed long key (no multi-column band keys)") {
+    // the banded frame is bands x corpus rows — the widest-fanout
+    // intermediate in the near-dup pipelines — so its exchange key must be
+    // the single packed long, not a (pos, band) pair
+    import org.apache.spark.sql.functions.col
+    // the public paths checkpoint the banded frame (hiding the join plan),
+    // so the assertion runs on the pre-checkpoint seams with the same join
+    // shape the operators build; broadcast is disabled so the tiny test SF
+    // plans the same shuffle join the operator would at scale
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    def selfJoinExchangeWidths(
+        banded: org.apache.spark.sql.DataFrame,
+        idCol: String,
+        keyCol: String): Seq[Int] = {
+      val joined = banded.as("a").join(banded.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      val root = joined.queryExecution.executedPlan
+      val exec = root match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains(keyCol) =>
+          e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+              h.expressions.length
+          }
+      }
+    }
+    val minhash = selfJoinExchangeWidths(
+      Dedup.minHashBanded(spark, Sf, 32, 8), "doc_id", "band_key")
+    assert(minhash.nonEmpty && minhash.forall(_ == 1),
+      s"minhash band exchange must key on the single band_key: $minhash")
+    val simhash = selfJoinExchangeWidths(
+      Dedup.simHashBanded(spark, Sf), "doc_id", "band_key")
+    assert(simhash.nonEmpty && simhash.forall(_ == 1),
+      s"simhash band exchange must key on the single band_key: $simhash")
+    val lsh = selfJoinExchangeWidths(
+      Similarity.bandedEmbeddings(spark, Sf), "vec_id", "bucket_key")
+    assert(lsh.nonEmpty && lsh.forall(_ == 1),
+      s"embedding-LSH exchange must key on the single bucket_key: $lsh")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("minhash LSH candidate join is an equi-join on band keys, never a cross join") {
     val p = plan(Dedup.minHashNearDupPairs(spark, Sf))
     assert(!p.contains("CartesianProduct"),
