@@ -42,6 +42,7 @@ object SparkEntry {
     "s1_csv_roundtrip" -> (Relational.s1CsvRoundTrip _),
     "s2_csv_section_delim" -> (Relational.s2CsvSectionDelim _),
     "s3_parquet_scan" -> (Relational.s3ParquetScan _),
+    "s4_csv_schema_pinned" -> (Relational.s4CsvSchemaPinned _),
     "k2_parquet_gzip_roundtrip" -> (Relational.k2ParquetGzipRoundTrip _),
     "k3_show_limit" -> (Relational.k3ShowLimit _),
     "k4_json_roundtrip" -> (Relational.k4JsonRoundTrip _),
@@ -160,6 +161,16 @@ object SparkEntry {
     // of the same operator compositions)
     "ps1_twin_parquet" -> (PlayStore.ps1TwinParquet _),
     "ps2_twin_parquet" -> (PlayStore.ps2TwinParquet _),
+    "ps3_twin_parquet" -> ((s, d) =>
+      joinArrays(
+        PlayStore.ps3TwinParquet(s, d)
+          .withColumn("priorities", sort_array(col("priorities"))),
+        "|", "priorities", "max_prio_parts")),
+    "ps4_twin_parquet" -> ((s, d) =>
+      joinArrays(
+        PlayStore.ps4TwinParquet(s, d)
+          .withColumn("priorities", sort_array(col("priorities"))),
+        "|", "priorities", "max_prio_parts")),
     "ps5_twin_parquet" -> (PlayStore.ps5TwinParquet _),
     // LLM-pipeline: dedup
     "dedup_exact" -> (Dedup.exactByText _),
@@ -210,6 +221,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s3_parquet_scan" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "s4_csv_schema_pinned" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
     "k2_parquet_gzip_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "k3_show_limit" ->
@@ -661,6 +674,34 @@ object SparkEntry {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "ps2_twin_parquet" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 150000.0 ORDER BY o_orderkey",
+    "ps3_twin_parquet" ->
+      """SELECT o_custkey,
+                array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
+                MAX(o_totalprice) AS max_price,
+                MAX(CAST(o_orderdate AS DATE)) AS max_date,
+                MAX(o_orderstatus) AS max_status,
+                array_to_string(MAX(string_split(o_orderpriority, '-')), '|') AS max_prio_parts
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "ps4_twin_parquet" ->
+      """WITH perc AS (
+           SELECT o_custkey,
+                  array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
+                  MAX(o_totalprice) AS max_price,
+                  MAX(CAST(o_orderdate AS DATE)) AS max_date,
+                  MAX(o_orderstatus) AS max_status,
+                  array_to_string(MAX(string_split(o_orderpriority, '-')), '|') AS max_prio_parts
+           FROM orders GROUP BY o_custkey),
+         sent AS (
+           SELECT user_id,
+                  CASE WHEN MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 THEN 0.0
+                       ELSE COALESCE(
+                         CAST(SUM(CASE WHEN event_type <> 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                           / COUNT(CASE WHEN event_type <> 'view' THEN value END), 0.0)
+                  END AS avg_polarity
+           FROM events GROUP BY user_id)
+         SELECT o_custkey, priorities, max_price, max_date, max_status, max_prio_parts, avg_polarity
+         FROM perc LEFT JOIN sent ON sent.user_id = perc.o_custkey
+         ORDER BY o_custkey""",
     "ps5_twin_parquet" ->
       """WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice FROM part)
          SELECT word, COUNT(*) AS cnt,

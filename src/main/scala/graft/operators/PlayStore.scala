@@ -165,6 +165,41 @@ object PlayStore {
     IO.csvRoundTrip(spark, best, IO.scratchDir("graft_ps2t"), IO.SectionDelimiter)
   }
 
+  /** Part-3 twin: the standardize-and-collapse shape over the orders table —
+    * one row per key with collect_list plus max() across heterogeneous
+    * column types (DOUBLE, DATE from a cast, STRING, and element-wise
+    * lexicographic max over ARRAY<STRING>), with Part 3's trailing no-op
+    * dropDuplicates kept for shape fidelity.
+    */
+  def ps3TwinParquet(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        collect_list("o_orderpriority").as("priorities"),
+        max("o_totalprice").as("max_price"),
+        max(col("o_orderdate").cast("date")).as("max_date"),
+        max("o_orderstatus").as("max_status"),
+        max(split(col("o_orderpriority"), "-")).as("max_prio_parts"))
+      .dropDuplicates("o_custkey")
+      .orderBy("o_custkey")
+
+  /** Part-4 twin: left-join a small per-user aggregate onto the per-key
+    * standardized frame, drop the duplicate join key from the right side,
+    * and materialize through a gzip parquet round-trip — the Part-4
+    * composition (join + drop(parentRef) + write-then-reread barrier) over
+    * driver-visible tables. Only ~10% of keys match, so the join's
+    * null-introducing left semantics are genuinely exercised.
+    */
+  def ps4TwinParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val perKey = ps3TwinParquet(spark, sfDir)
+    val sentiment = ps1TwinParquet(spark, sfDir)
+    val joined = perKey
+      .join(sentiment, sentiment("user_id") === perKey("o_custkey"), "left")
+      .drop(sentiment("user_id"))
+    IO.parquetGzipRoundTrip(spark, joined, IO.scratchDir("graft_ps4t"))
+      .orderBy("o_custkey")
+  }
+
   /** Part-5 twin: explode a split column, per-key count + exact-decimal
     * average, gzip parquet round-trip.
     */

@@ -58,6 +58,24 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** S4: CSV scan with an EXPLICIT schema — the 100 TB CSV path. Unlike
+    * S1/S2, the read triggers no inference job (inference is an eager full
+    * pass over the data before the query even plans; at scale it is the #1
+    * CSV footgun). PlanAuditSpec asserts the no-job property with a listener.
+    */
+  def s4CsvSchemaPinned(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = IO.scratchDir("graft_s4")
+    IO.writeCsv(t(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal"), dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    IO.readCsvWithSchema(spark, dir, schema)
+      .orderBy("c_custkey")
+  }
+
   /** S3: parquet scan with column pruning (ReadSchema should list 3 cols). */
   def s3ParquetScan(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "part")

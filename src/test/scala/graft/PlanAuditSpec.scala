@@ -29,6 +29,52 @@ class PlanAuditSpec extends SparkTestBase {
       s"endsWith must reach the scan:\n$p")
   }
 
+  test("schema-pinned CSV read runs NO inference job; inferred read runs one (S1/S4)") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.IO.scratchDir("s4_audit")
+    graft.sources.IO.writeCsv(
+      spark.read.parquet(s"$Sf/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal"), dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events are async: a marker job after each read construction
+    // fences them — once the marker's own event is visible, every event the
+    // read fired has been delivered. The marker is a plain RDD count
+    // (exactly ONE job — a Dataset count would be split into multiple jobs
+    // by AQE stage materialization).
+    def settleAfterMarker(expectAtLeast: Int): Int = {
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() < expectAtLeast && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      jobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.sources.IO.readCsvWithSchema(spark, dir, schema)
+      val afterPinned = settleAfterMarker(1)
+      assert(afterPinned == 1,
+        s"schema-pinned CSV read must trigger zero jobs before any action (saw ${afterPinned - 1})")
+      graft.sources.IO.readCsv(spark, dir) // header+inferSchema
+      val afterInferred = settleAfterMarker(afterPinned + 2)
+      assert(afterInferred >= afterPinned + 2,
+        "inferred CSV read should eagerly run at least one inference job")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("orderBy+limit plans as TakeOrderedAndProject, not a global sort (O2)") {
     val p = plan(Relational.o2TopK(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"), p)
