@@ -198,7 +198,10 @@ object SparkEntry {
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: corpus preparation
-    "corpus_pack_sequences" -> ((s, d) => graft.operators.CorpusPrep.packSequences(s, d)),
+    // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
+    // the unpinned default derives the count from corpus size
+    "corpus_pack_sequences" -> ((s, d) =>
+      graft.operators.CorpusPrep.packSequences(s, d, numShards = 32)),
     "corpus_train_val_split" -> ((s, d) => graft.operators.CorpusPrep.trainValSplit(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),

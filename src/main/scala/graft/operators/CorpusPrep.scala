@@ -19,22 +19,47 @@ import graft.sources.IO
   */
 object CorpusPrep {
 
-  /** Greedy in-order sequence packing within `numShards` hash shards: docs
-    * are laid end-to-end in doc_id order per shard, and a document starts
-    * the sequence its cumulative offset falls into (documents may straddle
+  /** Shard count scaled to the corpus: ceil(rows / targetShardDocs), floored
+    * at `minShards`. A FIXED shard count is a parameter cliff at 100 TB —
+    * each shard's window partition grows linearly with the corpus until it
+    * no longer fits an executor; scaling the count with the row count keeps
+    * per-shard mass (docs, and with near-uniform doc length, tokens)
+    * bounded by a constant regardless of corpus size.
+    */
+  private[graft] def adaptiveNumShards(
+      rows: Long,
+      targetShardDocs: Long = 100000L,
+      minShards: Int = 32): Int = {
+    val needed = (rows + targetShardDocs - 1) / targetShardDocs
+    math.max(minShards.toLong, needed).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Greedy in-order sequence packing within hash shards: docs are laid
+    * end-to-end in doc_id order per shard, and a document starts the
+    * sequence its cumulative offset falls into (documents may straddle
     * a boundary; the training loader handles truncation). Output:
     * (doc_id, shard, n_tokens, offset_in_shard, seq_id).
+    *
+    * `numShards <= 0` (the default) derives the shard count from the
+    * corpus row count via [[adaptiveNumShards]] — parquet footer metadata,
+    * no Spark job. Callers with a pinned layout contract (the registered
+    * query's DuckDB oracle hard-codes `% 32`) pass it explicitly.
     */
   def packSequences(
       spark: SparkSession,
       sfDir: String,
       ctxLen: Long = 2048L,
-      numShards: Int = 32): DataFrame = {
+      numShards: Int = -1,
+      targetShardDocs: Long = 100000L): DataFrame = {
+    val shards =
+      if (numShards > 0) numShards
+      else adaptiveNumShards(
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet"), targetShardDocs)
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     IO.table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        (col("doc_id") % numShards).as("shard"),
+        (col("doc_id") % shards).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("offset_in_shard",
         sum("n_tokens").over(w) - col("n_tokens"))

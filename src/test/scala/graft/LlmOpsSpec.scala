@@ -195,6 +195,40 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("adaptive shard count keeps per-shard token mass bounded when the corpus doubles") {
+    // a fixed shard count doubles each shard's window partition when the
+    // corpus doubles; the adaptive count absorbs growth into MORE shards,
+    // holding per-shard mass ~constant (the 100 TB survival property)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val single = graft.sources.IO.scratchDir("pack_scale_1")
+    val doubled = graft.sources.IO.scratchDir("pack_scale_2")
+    docs.write.mode("overwrite").parquet(s"$single/documents.parquet")
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(shifted).write.mode("overwrite")
+      .parquet(s"$doubled/documents.parquet")
+
+    def maxShardTokens(dir: String): (Long, Long) = {
+      val r = graft.operators.CorpusPrep
+        .packSequences(spark, dir, targetShardDocs = 10L, numShards = -1)
+        .groupBy("shard").agg(sum("n_tokens").as("toks"))
+        .agg(max("toks").as("mx"), count(lit(1)).as("shards"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (mass1, shards1) = maxShardTokens(single)
+    val (mass2, shards2) = maxShardTokens(doubled)
+    assert(shards2 >= shards1 * 2 - 1,
+      s"shard count must scale with the corpus: $shards1 -> $shards2")
+    // per-shard mass stays bounded (allow 50% jitter from hash skew) rather
+    // than doubling with the corpus
+    assert(mass2 <= mass1 * 3 / 2,
+      s"max shard token mass must not grow with the corpus: $mass1 -> $mass2")
+    // the pure sizing function is exact
+    assert(graft.operators.CorpusPrep.adaptiveNumShards(500, 50, 4) == 10)
+    assert(graft.operators.CorpusPrep.adaptiveNumShards(1000, 50, 4) == 20)
+    assert(graft.operators.CorpusPrep.adaptiveNumShards(10, 50, 4) == 4)
+  }
+
   test("train/val split is content-keyed: duplicate texts share a bucket; ratio near 95/5") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
