@@ -39,6 +39,25 @@ object Relational {
   private def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c)
 
+  /** [[dsum]] as codegen'd LONG adds: sum the column in fixed-point units
+    * (round(x·10^scale) — exact integers when the inputs are scale-dp-rounded
+    * doubles) and divide back once. Produces the IDENTICAL double to
+    * `dsum(c, scale)` — the unit sum is exact and the single final division
+    * is the one correctly-rounded step, the same value the oracle's
+    * CAST(SUM(DECIMAL) AS DOUBLE) yields — but the hot loop is long
+    * arithmetic inside whole-stage codegen instead of a BigDecimal-backed
+    * accumulator (Spark's sum over DECIMAL(18,s) widens to DECIMAL(28,s),
+    * past the compact-long representation; measured 2× on the whole of q1,
+    * BASELINE.md). Requires |units sum| < 2^53: at 10^11 rows of ~10^3-unit
+    * values the sum is ~10^14 — headroom of ~100× over a true 100 TB
+    * lineitem. Columns that aren't fixed-dp (or overflow the bound) must
+    * keep [[dsum]].
+    */
+  private def fsum(c: Column, scale: Int = 2): Column = {
+    val unit = math.pow(10, scale)
+    sum(round(c * unit).cast("long")) / unit
+  }
+
   // ---------------------------------------------------------------- sources
 
   /** S1: CSV sink+scan round-trip with header + schema inference. */
@@ -343,7 +362,7 @@ object Relational {
       .join(broadcast(t(spark, sfDir, "part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_type")
-      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"), fsum(col("l_extendedprice")).as("revenue"))
       .orderBy("p_type")
 
   // ------------------------------------------------------------ expressions
@@ -809,10 +828,12 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         // quantities are integral: an exact long sum beats decimal both in
-        // speed (codegen'd long adds) and determinism
+        // speed (codegen'd long adds) and determinism; the money/rate sums
+        // use the fixed-point long form of the decimal sum (fsum) for the
+        // same exactness at codegen'd speed
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        fsum(col("l_extendedprice")).as("sum_base_price"),
+        (fsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
         max("l_quantity").as("max_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -825,7 +846,7 @@ object Relational {
       .join(t(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"), fsum(col("l_extendedprice")).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** Star join through region→nation→customer→orders→lineitem (TPC-H
@@ -841,6 +862,6 @@ object Relational {
       .join(broadcast(t(spark, sfDir, "region")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"), fsum(col("l_extendedprice")).as("revenue"))
       .orderBy("r_name", "n_name")
 }
