@@ -269,6 +269,64 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("TopK partial phase: shuffle reduction survives key-budget overflow (k=1, 200k keys)") {
+    // TopKPartialExec tracks at most MaxBufferedRows/k keys; rows of
+    // further keys stream through UN-pruned. This drives a single task
+    // holding 200k distinct keys (budget at k=1 is 131072) and measures
+    // real shuffle-write records: overflow must degrade shuffle volume
+    // gracefully (between keys and input rows), never correctness.
+    import org.apache.spark.sql.functions.{col, row_number, rank}
+    import org.apache.spark.sql.expressions.Window
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        records.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def settled(): Long = {
+      var prev = -1L
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (records.get() != prev && System.nanoTime() < deadline) {
+        prev = records.get(); Thread.sleep(300)
+      }
+      records.get()
+    }
+    // 800k rows, 400k keys, 2 rows per key, TWO range partitions (a single
+    // partition would satisfy ClusteredDistribution trivially and elide the
+    // exchange; repartition() would pollute the record count with its own
+    // shuffle). Each task sees 200k contiguous keys > the 131072 budget, so
+    // both overflow.
+    val df = spark.range(0L, 800000L, 1L, 2)
+      .select(col("id"),
+        (col("id") / 2).cast("long").as("key"), (col("id") % 97L).as("v"))
+    val w = Window.partitionBy("key").orderBy("v", "id")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      records.set(0)
+      val topk = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(topk.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      assert(topk.count() == 400000L, "one survivor per key through overflow")
+      val partialRecords = settled()
+      records.set(0)
+      // rank() is NOT rewritten: the stock window shuffles every input row
+      val stock = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+      assert(!stock.queryExecution.executedPlan.toString.contains("TopKPartial"))
+      assert(stock.count() == 400000L)
+      val stockRecords = settled()
+      info(s"shuffled records: partial-phase=$partialRecords stock=$stockRecords")
+      assert(stockRecords >= 800000L,
+        s"stock window must shuffle every row, saw $stockRecords")
+      // no-overflow pruning would shuffle exactly 1 row/key/task (400k);
+      // the excess proves rows streamed through un-pruned past the budget
+      assert(partialRecords > 400000L,
+        s"overflow must have streamed un-pruned rows (budget=131072 keys/task), saw $partialRecords")
+      assert(partialRecords < stockRecords * 3 / 4,
+        s"shuffle reduction must survive overflow: $partialRecords vs $stockRecords")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("row_number<=k window rewrites to the two-phase TopK operator") {
     val p = plan(Relational.w1RowNumberTopK(spark, Sf))
     assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
