@@ -23,6 +23,32 @@ import graft.sources.IO
   */
 object Dedup {
 
+  /** Row-count crossover for materializing a multi-consumed intermediate
+    * whose recompute is CHEAP per row (simhash's single fold over token
+    * hashes, the embedding-LSH fused dot products).
+    *
+    * Below it, an eager localCheckpoint costs MORE than recomputing: the
+    * checkpoint is its own job plus a block-store write and a read per
+    * consumer, all fixed overhead that dwarfs one extra codegen'd
+    * signature pass over a small input. Above it, recomputation is the
+    * dominant cost (each consumer would re-run the full pipeline over the
+    * corpus) and the checkpoint wins — the round-3 bench showed 4×
+    * signature recomputation without it. The threshold is a local-mode
+    * heuristic crossover, deliberately conservative: at 100 TB every input
+    * is far above it, so the scale path always materializes (see
+    * SCALING.md "Materialization & failure-recovery policy"). Operators
+    * with EXPENSIVE per-row recompute (minhash's shingle+permutation
+    * pipeline) skip the gate and always materialize — measured slower to
+    * recompute than to checkpoint even at 5k documents.
+    */
+  private[operators] val MaterializeThresholdRows = 200000L
+
+  /** Eager localCheckpoint when `rows` is at or above
+    * [[MaterializeThresholdRows]]; the live lineage otherwise.
+    */
+  private[operators] def materializeIfLarge(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= MaterializeThresholdRows) df.localCheckpoint() else df
+
   /** Exact dedup, window form: keep the lowest-doc_id row per identical
     * text. The window key is a 192-bit composite fingerprint
     * (xxhash64 + md5) of the text, NOT the text itself: the shuffle then
@@ -135,16 +161,21 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    // localCheckpoint (eager): the banded frame feeds BOTH sides of the
-    // self-join, and the candidate pairs feed three consumers — without
-    // materialization Spark re-derives the whole signature pipeline once
-    // per reference (observed 4x signature computation in the executed
-    // plan). Unlike persist(), the checkpointed blocks are released by the
-    // ContextCleaner as soon as the returned frame is dereferenced, so a
-    // long-lived session running many such queries does not accumulate
-    // cached frames (the r3 bench regression). On a real cluster the blocks
-    // are not fault-tolerant to executor loss — a production pipeline that
-    // needs recovery would persist to reliable storage instead.
+    // UNCONDITIONAL localCheckpoint (eager), unlike the size-adaptive gate
+    // simhash/embedding-LSH use: the materialization crossover depends on
+    // recompute cost per row, and minhash signatures are the expensive
+    // ones — shingling, a hash per shingle, and the numPerms-permutation
+    // fold dominate the block-store round-trip at ANY corpus size
+    // (measured: skipping the checkpoint at 5k docs made the whole query
+    // ~1.7x slower by re-deriving the signature pipeline ~4x — the banded
+    // frame feeds both join sides and the candidate set feeds three
+    // consumers). Unlike persist(), checkpointed blocks are released by
+    // the ContextCleaner as soon as the returned frame is dereferenced, so
+    // a long-lived session running many such queries does not accumulate
+    // cached frames (the r3 bench regression). On a real cluster the
+    // blocks are not fault-tolerant to executor loss — a production
+    // pipeline that needs recovery would persist to reliable storage
+    // instead (SCALING.md).
     val docs = minHashBanded(spark, sfDir, numPerms, bands).localCheckpoint()
 
     // Per-bucket self-join: only docs agreeing on a whole band collide.
@@ -208,11 +239,12 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    // localCheckpoint (eager): both sides of the band self-join read this
-    // frame; without materialization the 64-bit-majority aggregation runs
-    // twice. Blocks are ContextCleaner-released once the result frame is
-    // dereferenced (no session-lifetime cache leak — see minHashNearDupPairs).
-    val banded = simHashBanded(spark, sfDir).localCheckpoint()
+    // size-adaptive localCheckpoint: both sides of the band self-join read
+    // this frame; without materialization the signature stage runs twice —
+    // cheap below the threshold, the dominant cost above it (see
+    // minHashNearDupPairs / SCALING.md)
+    val banded = materializeIfLarge(simHashBanded(spark, sfDir),
+      IO.parquetRowCount(spark, s"$sfDir/documents.parquet"))
 
     banded.as("a")
       .join(banded.as("b"),

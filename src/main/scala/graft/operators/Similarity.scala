@@ -155,14 +155,10 @@ object Similarity {
     math.min(math.max(needed, 4), 24)
   }
 
-  /** Banded (pos, bucket) keys of the corpus — the LSH analogue of
-    * [[Dedup.minHashNearDupPairs]]'s band explode. localCheckpoint (eager):
-    * the frame feeds both sides of the candidate join; blocks are
-    * ContextCleaner-released when the result is dereferenced (no
-    * session-lifetime cache leak).
-    */
-  /** Pre-checkpoint banded frame (test seam — PlanAuditSpec asserts the
-    * candidate join's exchange keys on this live lineage).
+  /** Banded (vec_id, bucket_key) frame of the corpus — the LSH analogue of
+    * [[Dedup.minHashNearDupPairs]]'s band explode, pre-materialization
+    * (test seam — PlanAuditSpec asserts the candidate join's exchange keys
+    * on this live lineage).
     */
   private[graft] def bandedEmbeddings(
       spark: SparkSession,
@@ -174,10 +170,22 @@ object Similarity {
       .select(col("vec_id"),
         explode(bandedBuckets(col("v"), bands, planesPerBand, dim)).as("bucket_key"))
 
-  private def bandedCorpus(c: DataFrame, bands: Int, planesPerBand: Int, dim: Int): DataFrame =
-    c.select(col("vec_id"),
-      explode(bandedBuckets(col("v"), bands, planesPerBand, dim)).as("bucket_key"))
-      .localCheckpoint()
+  /** Size-adaptive materialization (see [[Dedup.materializeIfLarge]]): the
+    * banded frame feeds both sides of the candidate join, so at scale it is
+    * checkpointed to avoid a second full projection pass; below the
+    * threshold the checkpoint's job + block-store round-trip costs more
+    * than recomputing the (shuffle-free, codegen'd) bucketing inline.
+    */
+  private def bandedCorpus(
+      c: DataFrame,
+      bands: Int,
+      planesPerBand: Int,
+      dim: Int,
+      corpusRows: Long): DataFrame =
+    Dedup.materializeIfLarge(
+      c.select(col("vec_id"),
+        explode(bandedBuckets(col("v"), bands, planesPerBand, dim)).as("bucket_key")),
+      corpusRows)
 
   /** Approximate top-k via multi-band random-hyperplane LSH: a corpus
     * vector is scored for a query iff they share a (band, bucket) key —
@@ -196,11 +204,11 @@ object Similarity {
     val c = corpus(spark, sfDir).select("vec_id", "v")
     // corpus size from parquet footer metadata (memoized, no Spark job) —
     // a count() here would put a full job inside every query invocation
+    val rows = IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
     val ppb =
       if (planesPerBand > 0) planesPerBand
-      else adaptivePlanesPerBand(
-        IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet"))
-    val banded = bandedCorpus(c, bands, ppb, dim)
+      else adaptivePlanesPerBand(rows)
+    val banded = bandedCorpus(c, bands, ppb, dim, rows)
     val qBanded = banded.filter(col("vec_id") < numQueries)
       .withColumnRenamed("vec_id", "qid")
     val candIds = banded.join(broadcast(qBanded), Seq("bucket_key"))
@@ -273,11 +281,11 @@ object Similarity {
       targetBucketRows: Int = 64): DataFrame = {
     val c = corpus(spark, sfDir).select("vec_id", "v")
     // footer-metadata row count, not a count() job — see lshCosineTopK
+    val rows = IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
     val ppb =
       if (planesPerBand > 0) planesPerBand
-      else adaptivePlanesPerBand(
-        IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet"), targetBucketRows)
-    val banded = bandedCorpus(c, bands, ppb, dim)
+      else adaptivePlanesPerBand(rows, targetBucketRows)
+    val banded = bandedCorpus(c, bands, ppb, dim, rows)
     banded.as("a")
       .join(banded.as("b"),
         col("a.bucket_key") === col("b.bucket_key")
