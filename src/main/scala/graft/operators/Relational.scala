@@ -31,8 +31,10 @@ object Relational {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     IO.table(spark, sfDir, name)
 
-  /** Exact order-insensitive sum of a 2-decimal-valued double column. */
-  private def dsum(c: Column, scale: Int = 2): Column =
+  /** Exact order-insensitive sum of a 2-decimal-valued double column.
+    * (private[graft]: PropertySpec pins fsum ≡ dsum on random inputs.)
+    */
+  private[graft] def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact average: decimal sum over non-null count. */
@@ -53,7 +55,7 @@ object Relational {
     * lineitem. Columns that aren't fixed-dp (or overflow the bound) must
     * keep [[dsum]].
     */
-  private def fsum(c: Column, scale: Int = 2): Column = {
+  private[graft] def fsum(c: Column, scale: Int = 2): Column = {
     val unit = math.pow(10, scale)
     sum(round(c * unit).cast("long")) / unit
   }

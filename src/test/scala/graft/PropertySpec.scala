@@ -69,6 +69,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("fsum (fixed-point long sum) is bitwise-identical to dsum (decimal sum) on random fixed-dp data") {
+    // the q1/star-join money sums rely on this equivalence: exact unit sums
+    // + one final division must reproduce the decimal accumulator's double
+    // (and with it the DuckDB oracle hash) on any 2dp/4dp-rounded input
+    import graft.operators.Relational
+    for (scale <- Seq(2, 4)) {
+      val unit = math.pow(10, scale)
+      val centsGen = Gen.listOfN(500,
+        Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(-2000000000L, 2000000000L)))
+      samples(centsGen, n = 6).foreach { pairs =>
+        val df = pairs.map { case (k, cents) => (k, cents / unit) }.toDF("k", "v")
+        val both = df.groupBy("k")
+          .agg(Relational.dsum(col("v"), scale).as("d"),
+            Relational.fsum(col("v"), scale).as("f"))
+          .collect()
+        both.foreach { r =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(1))
+            == java.lang.Double.doubleToLongBits(r.getDouble(2)),
+            s"scale=$scale key=${r.get(0)}: dsum=${r.getDouble(1)} fsum=${r.getDouble(2)}")
+        }
+      }
+    }
+  }
+
   test("TopK rewrite agrees with an in-Scala reference on random data") {
     val gen = Gen.listOfN(200,
       Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 100000)))
