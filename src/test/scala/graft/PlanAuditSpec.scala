@@ -230,6 +230,56 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("parquetRowCount reads exact counts from footers (no Spark job)") {
+    import graft.sources.IO
+    for (tbl <- Seq("documents", "embeddings", "lineitem")) {
+      val path = s"$Sf/$tbl.parquet"
+      assert(IO.parquetRowCount(spark, path)
+        == spark.read.parquet(path).count(),
+        s"footer count must equal actual count for $tbl")
+    }
+    // multi-file directory layout (the cluster shape)
+    val dir = IO.scratchDir("rowcount_multi")
+    spark.read.parquet(s"$Sf/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    assert(IO.parquetRowCount(spark, dir)
+      == spark.read.parquet(dir).count(),
+      "footer count must sum across part files and skip _SUCCESS markers")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // at 100 TB a selective dimension-side filter should inject a runtime
+    // bloom filter into the probe-side scan so non-matching fact rows die
+    // before the exchange; tiny test tables sit below the default size
+    // thresholds, so they are lowered to prove the engine's plans pick the
+    // feature up (it is on by default in the session)
+    val conf = spark.conf
+    assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    val prevCreation = conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prevApp = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // the filter targets SHUFFLE joins (a broadcast-able creation side
+    // already prunes via the hash relation), so force the at-scale shape
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"selective join must inject a runtime bloom filter:\n$p")
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prevCreation)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
     // rn = 1 is rewritten to the two-phase top-k operator; the only
