@@ -181,10 +181,20 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
-    "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d)),
+    // planesPerBand pinned to 8 for the registered row: the oracle inlines
+    // the deterministic hyperplanes as SQL literals, so DuckDB reproduces
+    // the exact bucketing — the size-adaptive plane count stays the library
+    // default and is spec-covered (LlmOpsSpec linear-growth test)
+    "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d, planesPerBand = 8)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
-    "emb_near_dup_pairs" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    // pinned planes (see ann_topk_lsh); the float cast on the verified
+    // cosine absorbs the ≤1-ulp double drift between engines so the row
+    // hash-compares (the >= threshold is evaluated on the double in BOTH
+    // engines before the cast)
+    "emb_near_dup_pairs" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(s, d, planesPerBand = 8)
+        .withColumn("cos_sim", col("cos_sim").cast("float"))),
     // LLM-pipeline: text analysis
     "txt_token_counts" -> (TextAnalysis.tokenCounts _),
     "corpus_stats" -> (graft.functions.CorpusStatsAggregator.perSource _),
@@ -217,7 +227,53 @@ object SparkEntry {
     * driver records a rows-only check; their semantics are covered by
     * ScalaTest golden/unit specs instead.
     */
+  /** Shared CTE for the LSH oracles: per-vector packed (band << 32 | bucket)
+    * keys with the SAME deterministic hyperplanes the Spark expression uses,
+    * inlined as SQL literals (double literals round-trip exactly, and both
+    * engines fold the inner product over doubles, so the sign — and with it
+    * the bucketing — agrees).
+    */
+  private def lshBucketKeysSql(bands: Int = 4, planesPerBand: Int = 8, dim: Int = 64): String = {
+    val bandExprs = (0 until bands).map { b =>
+      val planes = graft.operators.Similarity.hyperplanes(planesPerBand, dim, b + 1L)
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $planeLit) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST(${b.toLong << 32} + ($bits) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    s"""WITH v0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        bb AS (
+          SELECT vec_id, unnest($bandExprs) AS bucket_key
+          FROM v0)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_topk_lsh" ->
+      s"""${lshBucketKeysSql()},
+         qb AS (SELECT vec_id AS qid, bucket_key FROM bb WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT qb.qid, bb.vec_id
+                  FROM bb JOIN qb USING (bucket_key) WHERE bb.vec_id <> qb.qid),
+         scored AS (
+           SELECT qid, cand.vec_id,
+                  CAST(list_cosine_similarity(qv.v, cv.v) AS FLOAT) AS sim
+           FROM cand JOIN v0 cv ON cand.vec_id = cv.vec_id
+                     JOIN v0 qv ON cand.qid = qv.vec_id)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "emb_near_dup_pairs" ->
+      s"""${lshBucketKeysSql()},
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM bb a JOIN bb b USING (bucket_key) WHERE a.vec_id < b.vec_id),
+         scored AS (
+           SELECT vec_a, vec_b, list_cosine_similarity(va.v, vb.v) AS cs
+           FROM cand JOIN v0 va ON vec_a = va.vec_id
+                     JOIN v0 vb ON vec_b = vb.vec_id)
+         SELECT vec_a, vec_b, CAST(cs AS FLOAT) AS cos_sim
+         FROM scored WHERE cs >= 0.35 ORDER BY vec_a, vec_b""",
     "s1_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s2_csv_section_delim" ->

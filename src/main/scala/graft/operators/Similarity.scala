@@ -105,9 +105,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG) — no RNG at plan
     * time, so the bucketing is stable across runs/executors; `seed`
-    * decorrelates the plane sets of different bands.
+    * decorrelates the plane sets of different bands. (private[graft]: the
+    * registered-query oracles inline these planes as SQL literals so DuckDB
+    * reproduces the exact bucketing.)
     */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed * 0x9E3779B97F4A7C15L + 0x5DEECE66DL
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
