@@ -177,6 +177,12 @@ object SparkEntry {
     "dedup_exact_hash" -> (Dedup.exactByHash _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashNearDupPairs(s, d)),
+    // oracled twins over 60-bit md5-prefix hashes (DuckDB cannot reproduce
+    // xxhash64; it CAN reproduce md5 plus the bit-majority / permutation /
+    // banding / verification pipelines, so these rows hash-verify the whole
+    // near-dup machinery end to end)
+    "dedup_simhash_md5" -> ((s, d) => Dedup.simHashNearDupPairsMd5(s, d)),
+    "dedup_minhash_md5" -> ((s, d) => Dedup.minHashNearDupPairsMd5(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -250,7 +256,61 @@ object SparkEntry {
           FROM v0)"""
   }
 
+  /** Oracle for the md5 minhash twin: the affine permutation family is
+    * replayed in HUGEINT arithmetic — u = ((h·mul + add) mod 2^64) mapped
+    * back to signed — reproducing Java's wraparound long mixing exactly;
+    * the mixer constants come from the same generator the native
+    * expression uses.
+    */
+  private def minHashMd5OracleSql(numPerms: Int = 32, bands: Int = 8): String = {
+    val mix = graft.functions.MinHashSigExpr.mixers(numPerms)
+    val muls = mix.map(_._1).mkString("[", ", ", "]")
+    val adds = mix.map(_._2).mkString("[", ", ", "]")
+    val rows = numPerms / bands
+    val bandExprs = (0 until bands).map { b =>
+      val elems = (b * rows until (b + 1) * rows).map(j => s"sig[${j + 1}]").mkString(", ")
+      s"""('0x' || substr(md5(concat_ws(',', $b, $elems)), 1, 15))::BIGINT"""
+    }.mkString("[", ", ", "]")
+    s"""WITH doc AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(len(toks) - 2),
+                             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                      ELSE [text] END AS shingles
+          FROM doc),
+        hs AS (
+          SELECT doc_id,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+          FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range($numPerms), j ->
+                   CAST(list_min(list_transform(hs, h ->
+                     ((((CAST(h AS HUGEINT) * ($muls)[j + 1] + ($adds)[j + 1])
+                        % 18446744073709551616) + 18446744073709551616 + 9223372036854775808)
+                        % 18446744073709551616) - 9223372036854775808)) AS BIGINT)) AS sig
+          FROM hs),
+        bb AS (
+          SELECT doc_id, unnest($bandExprs) AS band_key FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id),
+        ts AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
+        jac AS (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
+          FROM cand JOIN ts ta ON cand.doc_a = ta.doc_id
+                    JOIN ts tb ON cand.doc_b = tb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_md5" -> minHashMd5OracleSql(),
     "ann_topk_lsh" ->
       s"""${lshBucketKeysSql()},
          qb AS (SELECT vec_id AS qid, bucket_key FROM bb WHERE vec_id < 10),
@@ -710,6 +770,35 @@ object SparkEntry {
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    // full simhash pipeline on md5-prefix hashes: majority vote per bit
+    // (ties set, empty -> 0), 4 x 16-bit packed band keys, bucket self-join,
+    // bit_count(xor) Hamming verify — mirrors Dedup.simHashNearDupPairsMd5
+    "dedup_simhash_md5" ->
+      """WITH t AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+                    tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) = 0 THEN 0
+                       ELSE CAST(list_sum(list_transform(range(60), b ->
+                         CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
+                              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                  END AS simhash
+           FROM t),
+         bb AS (
+           SELECT doc_id, simhash,
+                  unnest([CAST(0 * 65536 + ((simhash >> 0) & 65535) AS BIGINT),
+                          CAST(1 * 65536 + ((simhash >> 16) & 65535) AS BIGINT),
+                          CAST(2 * 65536 + ((simhash >> 32) & 65535) AS BIGINT),
+                          CAST(3 * 65536 + ((simhash >> 48) & 65535) AS BIGINT)]) AS band_key
+           FROM s),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         ORDER BY doc_a, doc_b""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),

@@ -187,10 +187,21 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // Verify candidates with exact token-set Jaccard. Prune BEFORE
-    // tokenizing: semi-join documents against the (tiny, broadcastable)
-    // candidate id set first, so the second pass tokenizes only candidate
-    // docs instead of re-tokenizing the whole corpus.
+    verifyTokenJaccard(spark, sfDir, cand, minJaccard)
+  }
+
+  /** Exact token-set Jaccard verification of candidate (doc_a, doc_b)
+    * pairs. Prune BEFORE tokenizing: semi-join documents against the
+    * (tiny, broadcastable) candidate id set first, so the second pass
+    * tokenizes only candidate docs instead of re-tokenizing the whole
+    * corpus. Intersection and union sizes are integers, so the jaccard
+    * double is exact and engine-independent.
+    */
+  private def verifyTokenJaccard(
+      spark: SparkSession,
+      sfDir: String,
+      cand: DataFrame,
+      minJaccard: Double): DataFrame = {
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -211,6 +222,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** md5-hashed twin of [[minHashNearDupPairs]]: shingles are hashed with
+    * the 60-bit md5 prefix and bands keyed by md5 of the signature slice —
+    * both reproducible in DuckDB SQL (the affine permutation mixing is
+    * replayed there in HUGEINT mod-2^64 arithmetic), so the ENTIRE
+    * minhash pipeline — shingling, permutation minima, banding, candidate
+    * join, exact Jaccard verify — gets a hash-compared correctness row.
+    * xxhash64 stays the library default (one cheap hash vs a cryptographic
+    * digest per shingle).
+    */
+  def minHashNearDupPairsMd5(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    val sigs = withShingles(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        expr(s"""minhash_sig(transform(shingles,
+                 s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)),
+                 $numPerms)""").as("sig"))
+    val bandKeys = array((0 until bands).map { b =>
+      val elems = (b * rows until (b + 1) * rows)
+        .map(j => s"element_at(sig, ${j + 1})").mkString(", ")
+      expr(s"""cast(conv(substring(md5(cast(concat_ws(',', $b, $elems) as binary)),
+               1, 15), 16, 10) as bigint)""")
+    }: _*)
+    val docs = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+      .localCheckpoint()
+    val cand = docs.as("a")
+      .join(docs.as("b"),
+        col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    verifyTokenJaccard(spark, sfDir, cand, minJaccard)
+  }
+
   /** SimHash near-duplicate pairs.
     *
     * 64-bit SimHash over distinct word tokens (bit b set iff the majority of
@@ -220,32 +271,26 @@ object Dedup {
     * that the banding is best-effort), then exact Hamming verification via
     * bit_count(xor).
     */
-  /** The (doc_id, simhash, band_key) banded frame of
-    * [[simHashNearDupPairs]], pre-checkpoint (test seam — see
-    * [[minHashBanded]]). Band position and 16-bit band value packed into
-    * ONE long join key (pos << 16 | band): a single 8-byte key crosses the
-    * exchange instead of an (int, long) pair — the banded frame is the
-    * widest-fanout intermediate, so key width is the dominant shuffle cost
-    * at scale.
+  /** The (doc_id, simhash, band_key) banding of a signatures frame. Band
+    * position and 16-bit band value packed into ONE long join key
+    * (pos << 16 | band): a single 8-byte key crosses the exchange instead
+    * of an (int, long) pair — the banded frame is the widest-fanout
+    * intermediate, so key width is the dominant shuffle cost at scale.
+    */
+  private[graft] def simHashBandedFrom(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        expr(s"${b.toLong << 16} | (shiftright(simhash, ${b * 16}) & 65535)")
+      }: _*)).as("band_key"))
+
+  /** Banded xxhash64 signatures, pre-materialization (test seam — see
+    * [[minHashBanded]]).
     */
   private[graft] def simHashBanded(spark: SparkSession, sfDir: String): DataFrame =
-    simHashSignatures(spark, sfDir)
-      .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          expr(s"${b.toLong << 16} | (shiftright(simhash, ${b * 16}) & 65535)")
-        }: _*)).as("band_key"))
+    simHashBandedFrom(simHashSignatures(spark, sfDir))
 
-  def simHashNearDupPairs(
-      spark: SparkSession,
-      sfDir: String,
-      maxHamming: Int = 3): DataFrame = {
-    // size-adaptive localCheckpoint: both sides of the band self-join read
-    // this frame; without materialization the signature stage runs twice —
-    // cheap below the threshold, the dominant cost above it (see
-    // minHashNearDupPairs / SCALING.md)
-    val banded = materializeIfLarge(simHashBanded(spark, sfDir),
-      IO.parquetRowCount(spark, s"$sfDir/documents.parquet"))
-
+  /** Band self-join + exact Hamming verify over a banded signatures frame. */
+  private def simHashPairs(banded: DataFrame, maxHamming: Int): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key")
@@ -255,7 +300,44 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
-  }
+
+  def simHashNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 3): DataFrame =
+    // size-adaptive localCheckpoint: both sides of the band self-join read
+    // the banded frame; without materialization the signature stage runs
+    // twice — cheap below the threshold, the dominant cost above it (see
+    // minHashNearDupPairs / SCALING.md)
+    simHashPairs(
+      materializeIfLarge(simHashBanded(spark, sfDir),
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+      maxHamming)
+
+  /** md5-prefix signatures: the token hash is the first 60 bits of
+    * md5(token) instead of xxhash64 — slower (md5 is cryptographic) but
+    * reproducible by the DuckDB oracle, so the WHOLE simhash pipeline
+    * (majority vote, 16-bit banding, Hamming verify) gets a hash-compared
+    * correctness row. Bits 60-63 of every feature hash are zero, so those
+    * signature bits are zero in both engines (majority over all-zero).
+    * xxhash64 stays the library default.
+    */
+  def simHashSignaturesMd5(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("""simhash64(transform(array_distinct(split(text, ' ')),
+                t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)))""")
+          .as("simhash"))
+
+  /** [[simHashNearDupPairs]] over the md5-prefix signatures (oracled twin). */
+  def simHashNearDupPairsMd5(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairs(
+      materializeIfLarge(simHashBandedFrom(simHashSignaturesMd5(spark, sfDir)),
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+      maxHamming)
 
   /** N-gram Jaccard similarity join on a bounded id range — the exact
     * (non-approximate) baseline the MinHash path is checked against. The id
