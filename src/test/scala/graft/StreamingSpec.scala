@@ -108,6 +108,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes batchId-keyed parquet; closed windows land exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val outDir = graft.sources.IO.scratchDir("fb_sink")
+    val ckDir = graft.sources.IO.scratchDir("fb_ck")
+    val q = EventStream.idempotentParquetSink(
+      EventStream.windowedTypeCounts(mem.toDF(), "1 minute", "2 minutes"),
+      outDir, ckDir)
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:50"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark past the first window so it closes and flushes
+      mem.addData(Event(3, ts("2024-01-01 00:10:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir) // batch_id partition discovered
+      val closed = out.filter(col("event_type") === "click").collect()
+      assert(closed.length == 1, "closed window emitted in exactly ONE batch dir")
+      val r = closed(0)
+      assert(r.getAs[Long]("cnt") == 2L && r.getAs[Double]("sum_value") == 3.0)
+      // the append-mode contract behind idempotent replay: batch dirs are
+      // disjoint per window, so re-writing any batchId cannot duplicate rows
+      assert(out.groupBy("window_start", "event_type").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("cosine_sim returns null when a scored element is null (matches HOF)") {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS s,
