@@ -48,6 +48,7 @@ object SparkEntry {
     "k4_json_roundtrip" -> (Relational.k4JsonRoundTrip _),
     "k5_orc_roundtrip" -> (Relational.k5OrcRoundTrip _),
     "k6_partitioned_roundtrip" -> (Relational.k6PartitionedRoundTrip _),
+    "k7_zstd_roundtrip" -> (Relational.k7ZstdRoundTrip _),
     // projection (P1-P4)
     "p1_select_prune" -> (Relational.p1SelectPrune _),
     "p2_with_column" -> (Relational.p2WithColumn _),
@@ -352,6 +353,8 @@ object SparkEntry {
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
     "k6_partitioned_roundtrip" ->
       "SELECT event_id, user_id, value, event_type FROM events WHERE event_type = 'click' ORDER BY event_id",
+    "k7_zstd_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "p1_select_prune" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "p2_with_column" ->

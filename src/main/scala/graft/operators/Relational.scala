@@ -110,6 +110,15 @@ object Relational {
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .orderBy("s_suppkey")
 
+  /** K7: zstd parquet round-trip — the at-scale codec (see
+    * IO.parquetZstdRoundTrip); K2 keeps gzip for reference parity.
+    */
+  def k7ZstdRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    IO.parquetZstdRoundTrip(spark, t(spark, sfDir, "nation"),
+        IO.scratchDir("graft_k7"))
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+
   /** K3: the console sink's implicit limit-21 (show()) as a real plan:
     * CollectLimit over a sorted child.
     */

@@ -96,6 +96,19 @@ object IO {
     readParquet(spark, path)
   }
 
+  /** Write df as ZSTD parquet then read it back. Gzip is the reference's
+    * committed-artifact codec (K2 keeps it for parity); zstd is what a
+    * 100 TB deployment actually runs — comparable ratio at several times
+    * the (de)compression throughput, so scan-bound queries stay CPU-light.
+    */
+  def parquetZstdRoundTrip(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String): DataFrame = {
+    df.write.option("compression", "zstd").mode(SaveMode.Overwrite).parquet(path)
+    readParquet(spark, path)
+  }
+
   /** Write df as JSON lines then read it back with inference — extends the
     * source/sink matrix beyond the reference's CSV/parquet (SURVEY.md §2.1).
     * JSON inference loses integer-vs-long width and column order; callers
