@@ -207,6 +207,8 @@ object SparkEntry {
     "corpus_stats" -> (graft.functions.CorpusStatsAggregator.perSource _),
     "txt_quality" -> (TextAnalysis.qualityScores _),
     "txt_lang_id" -> (TextAnalysis.languageId _),
+    "txt_scrub" -> (TextAnalysis.scrub _),
+    "txt_repetition" -> (TextAnalysis.repetitionScores _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -720,6 +722,27 @@ object SparkEntry {
          ORDER BY doc_id""",
     "txt_fingerprints_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "txt_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[^\s]+', '<URL>', 'g'),
+                  '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+                CAST(scrubbed <> text AS INT) AS changed
+         FROM documents ORDER BY doc_id""",
+    "txt_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_ratio,
+                CAST(list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                  / len(toks) AS top_token_share
+         FROM t ORDER BY doc_id""",
     "ann_topk_bruteforce" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -31,6 +31,54 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** PII/noise scrubbing: redact emails, URLs, and long digit runs with
+    * typed placeholder tokens — the standard pre-training hygiene pass.
+    * Pure regexp_replace chain (codegen'd, no UDF); patterns use only
+    * character classes and quantifiers so the Java and RE2 regex dialects
+    * agree (no backreferences, no lookaround).
+    */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed"))
+      .select(col("doc_id"), col("scrubbed"),
+        (col("scrubbed") =!= col("text")).cast("int").as("changed"))
+      .orderBy("doc_id")
+
+  /** Repetition signals (the Gopher-style quality heuristics): the share of
+    * duplicate whitespace tokens and the concentration of the most frequent
+    * token — high-repetition documents are the classic low-quality crawl
+    * artifacts a pretraining pipeline drops. Integer counts divided in
+    * doubles, so the scores are exact cross-engine.
+    *
+    * top_token_share folds over distinct×all tokens — O(d·n) per document,
+    * fine for web-document lengths; a corpus of multi-megabyte documents
+    * should truncate to a prefix window first (repetition is a local
+    * signal), keeping the per-row cost bounded.
+    */
+  def repetitionScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double")
+          / size(toks)).as("dup_token_ratio"),
+        (aggregate(
+          transform(array_distinct(toks),
+            t => size(filter(toks, x => x === t))),
+          lit(0), (acc, c) => greatest(acc, c)).cast("double")
+          / size(toks)).as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
   private val StopwordsEn = Seq(
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with")
 
