@@ -222,6 +222,7 @@ object SparkEntry {
     "corpus_pack_sequences" -> ((s, d) =>
       graft.operators.CorpusPrep.packSequences(s, d, numShards = 32)),
     "corpus_train_val_split" -> ((s, d) => graft.operators.CorpusPrep.trainValSplit(s, d)),
+    "corpus_chunk" -> ((s, d) => graft.operators.CorpusPrep.chunkDocuments(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -672,6 +673,20 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 16) AS head16 FROM documents ORDER BY doc_id",
+    "corpus_chunk" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  greatest((length(text) - 50 + 149) // 150, 1) AS n_chunks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  unnest(range(n_chunks)) AS chunk_id,
+                  unnest(list_transform(range(n_chunks),
+                    i -> substr(text, CAST(i * 150 + 1 AS INT), 200))) AS chunk_text
+           FROM d)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+                CAST(length(chunk_text) AS BIGINT) AS chunk_chars
+         FROM c ORDER BY doc_id, chunk_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

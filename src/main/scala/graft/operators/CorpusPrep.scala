@@ -68,6 +68,35 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Overlapping document chunking for embedding/retrieval pipelines:
+    * fixed-size character windows whose starts advance by
+    * (chunkChars - overlap), so consecutive chunks share `overlap` chars of
+    * context. Output: (doc_id, chunk_id, chunk_text, chunk_chars); every
+    * document yields at least one chunk (short docs chunk to themselves).
+    *
+    * Pure per-row generate (sequence + transform + substring, all
+    * codegen'd): no shuffle, no UDF — the chunk fan-out multiplies rows
+    * but never re-partitions, so at 100 TB this is a map-only stage.
+    */
+  def chunkDocuments(
+      spark: SparkSession,
+      sfDir: String,
+      chunkChars: Int = 200,
+      overlap: Int = 50): DataFrame = {
+    require(overlap >= 0 && overlap < chunkChars, "need 0 <= overlap < chunkChars")
+    val step = chunkChars - overlap
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, greatest((length(text) - $overlap + ${step - 1}) div $step, 1) - 1),
+                i -> substring(text, i * $step + 1, $chunkChars))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic train/val split on the content hash: the first 8 hex
     * digits of md5(text) parsed as an integer, mod 100 — bucket < 95 is
     * train. Content-keyed (not doc_id-keyed), so duplicate texts land in

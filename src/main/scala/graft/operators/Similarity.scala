@@ -68,7 +68,7 @@ object Similarity {
       numQueries: Int,
       k: Int): DataFrame = {
     val q = c.filter(col("vec_id") < numQueries)
-      .select((c.columns.map(n => col(n).as(s"q_$n"))): _*)
+      .select(c.columns.toIndexedSeq.map(n => col(n).as(s"q_$n")): _*)
       .withColumnRenamed("q_vec_id", "qid")
       .withColumnRenamed("q_v", "qv")
     topKPerQuery(
@@ -126,7 +126,7 @@ object Similarity {
     */
   private def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit(_)): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit(_)): _*)
       when(call_function("dot_product", v, planeLit) > 0, lit(1 << i))
         .otherwise(lit(0))
     }.reduce(_ + _)

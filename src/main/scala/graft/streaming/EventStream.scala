@@ -99,7 +99,7 @@ object EventStream {
               state.update(cur)
               // must be strictly beyond the current watermark
               state.setTimeoutTimestamp(
-                math.max(cur.lastSeen + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(cur.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
               (closed.result() :+
                 SessionOut(userId, cur.count, cur.lastSeen - cur.start,
                   closed = false)).iterator

@@ -229,6 +229,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(graft.operators.CorpusPrep.adaptiveNumShards(10, 50, 4) == 4)
   }
 
+  test("chunking reconstructs every document when the overlap is stripped") {
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = graft.operators.CorpusPrep
+      .chunkDocuments(spark, Sf, chunkChars = 200, overlap = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == texts.keySet, "every doc yields at least one chunk")
+    chunks.foreach { case (docId, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      // consecutive chunks share exactly the 50-char overlap, so dropping
+      // it from every chunk after the first rebuilds the document
+      val rebuilt = ordered.head + ordered.tail.map { c =>
+        c.drop(math.min(50, c.length))
+      }.mkString
+      // the final chunk may overhang the text end only by its bounded width
+      assert(rebuilt == texts(docId),
+        s"doc $docId must reassemble from its chunks")
+      ordered.init.foreach(c => assert(c.length == 200, "interior chunks are full-width"))
+    }
+  }
+
   test("train/val split is content-keyed: duplicate texts share a bucket; ratio near 95/5") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
