@@ -194,6 +194,7 @@ object SparkEntry {
     // default and is spec-covered (LlmOpsSpec linear-growth test)
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d, planesPerBand = 8)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
@@ -797,6 +798,35 @@ object SparkEntry {
          scored AS (
            SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
            FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    // IVF: centroids are corpus rows (vec_id < 16), so the oracle derives
+    // the SAME codebook from the table; cell assignment ties break on
+    // (float sim DESC, cid ASC) in both engines
+    "ann_topk_ivf" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT v.vec_id, v.v, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY CAST(list_cosine_similarity(v.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v CROSS JOIN cent c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         scored AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+           FROM assign a JOIN probes p USING (cid)
+           WHERE a.vec_id <> p.qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",

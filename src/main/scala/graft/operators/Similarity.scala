@@ -228,6 +228,61 @@ object Similarity {
       k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the second classic ANN scale
+    * path next to [[lshCosineTopK]]: a small coarse-quantizer codebook of
+    * `nlist` centroids partitions the corpus by nearest centroid, and each
+    * query scans only its `nprobe` nearest cells, so the scored candidate
+    * volume is ≈ corpus × nprobe / nlist.
+    *
+    * The centroids here are a deterministic corpus sample (vec_id < nlist)
+    * standing in for an offline-trained k-means codebook — centroid
+    * training is a separate offline job at scale; this operator consumes
+    * whatever codebook exists. The codebook is collected to the driver
+    * ONCE and inlined as literal vectors: it is a bounded model artifact
+    * (nlist rows, like the LSH hyperplanes), NOT a data-scale collect —
+    * which makes cell assignment a per-row codegen'd argmax over nlist
+    * fused dot products: the corpus never shuffles for assignment, and the
+    * only exchange in the query is the final per-qid top-k (TopK-rewritten).
+    */
+  def ivfCosineTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val cent = c.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // bounded codebook: nlist rows -> literal vectors (see scaladoc)
+    val codebook: Seq[Array[Double]] = cent.orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1).toArray).toSeq
+    def simsTo(v: Column): Column = array(codebook.map { cv =>
+      call_function("cosine_sim", v,
+        array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
+    }: _*)
+    // first-max position = lowest cid among float ties (the oracle orders
+    // by sim DESC, cid ASC — identical tie-break)
+    val assigned = c
+      .withColumn("sims", simsTo(col("v")))
+      .withColumn("cid", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .select("vec_id", "v", "cid")
+    // query probes: numQueries x nlist rows — window cost is negligible and
+    // the probe list broadcasts
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wP = Window.partitionBy("qid").orderBy(desc("psim"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("cosine_sim(qv, cv)").cast("float"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    topKPerQuery(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
+      k)
+  }
+
   /** Maximum-inner-product top-k (un-normalized dot score) — the ranking
     * used when embedding magnitude carries signal (e.g. popularity-scaled
     * retrieval vectors). Same broadcast/no-corpus-shuffle shape as

@@ -149,6 +149,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(planted >= n, s"every duplicated vector pair must collide: $planted < $n")
   }
 
+  test("IVF top-k scores exactly, scans a bounded corpus fraction, keeps useful recall") {
+    val exact = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfCosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect()
+    // recall@5 stays useful at nprobe/nlist = 1/4 of the corpus scanned
+    val recall = (exact & ivf.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    assert(ivf.nonEmpty && ivf.length <= 50)
+    ivf.foreach(r => assert(r.getFloat(3) <= 1.0001f))
+  }
+
   test("int8-quantized ANN preserves most of full-precision recall@5") {
     val full = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
