@@ -19,7 +19,11 @@ import graft.sources.IO
   *     banding is what makes the problem tractable, and the band count is
   *     the recall/cost dial (8 bands × 4 rows ⇒ collision prob.
   *     1-(1-j^4)^8, ≈0.97 at j=0.8, ≈0.06 at j=0.3);
-  *   - all hashes are xxhash64 (codegen'd Catalyst expression, no UDFs).
+  *   - feature hashes are xxhash64 (codegen'd Catalyst expression, no
+  *     UDFs); each near-dup pipeline also ships an md5-prefix twin
+  *     (`...Md5`) whose hashing the DuckDB oracle can replay, so the
+  *     banding/verification machinery is hash-compared end to end while
+  *     xxhash64 stays the fast default.
   */
 object Dedup {
 

@@ -182,6 +182,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"LSH banding must produce an equi-join:\n$p")
   }
 
+  test("IVF assignment is map-side: the corpus crosses at most the final top-k exchange") {
+    val df = Similarity.ivfCosineTopK(spark, Sf)
+    val root = df.queryExecution.executedPlan
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // cell assignment is a per-row literal-codebook argmax: NO exchange may
+    // partition on the corpus key (vec_id) — every shuffle in the plan is
+    // query-side (qid: the probe window and the per-query top-k) or the
+    // final presentation sort
+    assert(exchanges.nonEmpty && !exchanges.exists(
+        _.outputPartitioning.toString.contains("vec_id")),
+      s"IVF must not shuffle the corpus for assignment: ${exchanges.map(_.outputPartitioning)}")
+    assert(!exec.toString.contains("CartesianProduct"),
+      "probe/candidate joins must broadcast, never cartesian")
+  }
+
   test("LSH ANN join is bucket-equi, brute-force stays broadcast (no shuffle of corpus)") {
     val lsh = plan(Similarity.lshCosineTopK(spark, Sf))
     assert(!lsh.contains("CartesianProduct"), lsh)
