@@ -111,6 +111,7 @@ object SparkEntry {
     "e11_array_hofs" -> (Relational.e11ArrayHofs _),
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
+    "w4_rank_topk" -> (Relational.w4RankTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
@@ -543,6 +544,12 @@ object SparkEntry {
       """SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS "rank",
                 o_orderkey, o_totalprice
          FROM orders QUALIFY "rank" <= 3 ORDER BY o_custkey, "rank"""",
+    "w4_rank_topk" ->
+      """SELECT l_returnflag, l_quantity, CAST(rnk AS INT) AS rnk, l_orderkey, l_linenumber
+         FROM (SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+                      rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk
+               FROM lineitem)
+         WHERE rnk <= 2 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""",
     "w2_running_sum" ->
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value

@@ -463,6 +463,21 @@ object Relational {
       .orderBy("o_custkey", "rank")
   }
 
+  /** W4: rank()-based per-key top-k with TIES KEPT — quantity is integral,
+    * so each returnflag's top-2 quantities tie across hundreds of rows.
+    * Rewritten to the tie-aware two-phase TopK operator (RankMode:
+    * boundary ties stream through the partial phase un-pruned; the final
+    * phase assigns gapped ranks) — plan-asserted in PlanAuditSpec.
+    */
+  def w4RankTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(desc("l_quantity"))
+    t(spark, sfDir, "lineitem")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 2)
+      .select("l_returnflag", "l_quantity", "rnk", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber")
+  }
+
   /** W2: running sum per user ordered by time — explicit ROWS frame with a
     * unique ordering key; the sum itself is exact via decimal.
     */

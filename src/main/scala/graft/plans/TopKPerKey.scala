@@ -36,11 +36,22 @@ import org.apache.spark.sql.types.IntegerType
   * network and spill. Same idea as TakeOrderedAndProject, generalized per
   * key. (Registered via SparkSessionExtensions in GraftSession.)
   */
+/** Ranking semantics of the rewritten window function: RowNumberMode emits
+  * positional ranks over a total order; RankMode emits SQL rank() — equal
+  * order-values share a rank, the next distinct value jumps to its
+  * position — so boundary ties are all retained (a group can emit more
+  * than k rows).
+  */
+sealed trait TopKMode
+case object RowNumberMode extends TopKMode
+case object RankMode extends TopKMode
+
 case class TopKPerKeyNode(
     k: Int,
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: Attribute,
+    mode: TopKMode,
     child: LogicalPlan)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -69,9 +80,19 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private object RankedWindow {
+    /** Matches a single-function ranking window and yields its mode. */
+    def unapply(e: Expression): Option[TopKMode] = e match {
+      case WindowExpression(_: RowNumber, _) => Some(RowNumberMode)
+      case WindowExpression(_: org.apache.spark.sql.catalyst.expressions.Rank, _) =>
+        Some(RankMode)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
-          w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          w @ Window(Seq(alias @ Alias(RankedWindow(mode), _)),
             partitionSpec, orderSpec, child, _))
         if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -81,7 +102,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             if a.semanticEquals(rankAttr) && k > 0 && k <= MaxK => (rl, k)
       } match {
         case Some((rankPred, k)) =>
-          val topk = TopKPerKeyNode(k, partitionSpec, orderSpec, rankAttr, child)
+          val topk = TopKPerKeyNode(k, partitionSpec, orderSpec, rankAttr, mode, child)
           val rest = conjuncts.filterNot(_ eq rankPred)
           if (rest.isEmpty) topk else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), topk)
         case None => f
@@ -91,9 +112,9 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, part, order, rank, child) =>
-      TopKFinalExec(k, part, order, rank,
-        TopKPartialExec(k, part, order, planLater(child))) :: Nil
+    case TopKPerKeyNode(k, part, order, rank, mode, child) =>
+      TopKFinalExec(k, part, order, rank, mode,
+        TopKPartialExec(k, part, order, mode, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -112,6 +133,7 @@ case class TopKPartialExec(
     k: Int,
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
+    mode: TopKMode,
     child: SparkPlan)
     extends UnaryExecNode {
 
@@ -129,16 +151,33 @@ case class TopKPartialExec(
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       // budget in ROWS, so large k shrinks the tracked-key count
       val maxTrackedKeys = math.max(1, TopKPartialExec.MaxBufferedRows / k)
+      val rankTies = mode == RankMode
       val passthrough = it.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
-            if (heap.size < k) heap.enqueue(row.copy())
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue()
-              heap.enqueue(row.copy())
+            if (heap.size < k) { heap.enqueue(row.copy()); Iterator.empty }
+            else {
+              val cmp = ord.compare(row, heap.head)
+              if (cmp < 0) {
+                val evicted = heap.dequeue()
+                heap.enqueue(row.copy())
+                // rank() keeps boundary ties: the evicted worst row may tie
+                // other retained rows and still rank <= k globally, so it
+                // is NOT provably prunable — stream it through un-dropped.
+                // (row_number over a total order can never need it.)
+                if (rankTies) Iterator.single(evicted) else Iterator.empty
+              } else if (cmp > 0) {
+                // k rows all ordering-strictly-smaller exist locally, so
+                // this row's global rank (and row number) exceeds k under
+                // EITHER mode: prunable.
+                Iterator.empty
+              } else {
+                // ties the current worst: for rank() it may share the k-th
+                // rank, so it must survive to the final phase
+                if (rankTies) Iterator.single(row) else Iterator.empty
+              }
             }
-            Iterator.empty
           case None if heaps.size < maxTrackedKeys =>
             val heap = mutable.PriorityQueue.empty[InternalRow](ord)
             heap.enqueue(row.copy())
@@ -172,6 +211,7 @@ case class TopKFinalExec(
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: Attribute,
+    mode: TopKMode,
     child: SparkPlan)
     extends UnaryExecNode {
 
@@ -192,17 +232,29 @@ case class TopKFinalExec(
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(partitionExprs, child.output)
       val toUnsafe = UnsafeProjection.create(output, output)
+      val ord = GenerateOrdering.generate(order, child.output)
+      val rankTies = mode == RankMode
       var currentKey: InternalRow = null
+      var pos = 0
       var rank = 0
+      var prevRow: InternalRow = null
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       it.flatMap { row =>
         val key = keyProj(row)
         if (currentKey == null || key != currentKey) {
           currentKey = key.copy()
-          rank = 0
+          pos = 0
+          prevRow = null
         }
-        rank += 1
+        pos += 1
+        // rank(): ties share the first tied row's position; row_number():
+        // rank IS the position (orderings in this engine's queries are
+        // total, so ties cannot arise there)
+        if (rankTies) {
+          if (prevRow == null || ord.compare(row, prevRow) != 0) rank = pos
+          prevRow = row.copy()
+        } else rank = pos
         if (rank <= k) {
           rankRow.update(0, rank)
           Iterator.single(toUnsafe(joined(row, rankRow)))

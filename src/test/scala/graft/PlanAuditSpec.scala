@@ -380,8 +380,11 @@ class PlanAuditSpec extends SparkTestBase {
       assert(topk.count() == 400000L, "one survivor per key through overflow")
       val partialRecords = settled()
       records.set(0)
-      // rank() is NOT rewritten: the stock window shuffles every input row
-      val stock = df.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+      // dense_rank() is NOT rewritten: the stock window shuffles every row
+      // (rows within a key have distinct v, so dense_rank=1 keeps the same
+      // one-survivor-per-key result as the rewritten query)
+      val stock = df.withColumn("rn",
+        org.apache.spark.sql.functions.dense_rank().over(w)).filter(col("rn") === 1)
       assert(!stock.queryExecution.executedPlan.toString.contains("TopKPartial"))
       assert(stock.count() == 400000L)
       val stockRecords = settled()

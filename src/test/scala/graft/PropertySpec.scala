@@ -115,6 +115,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rank()<=k rewrite keeps ALL boundary ties and gapped ranks (vs in-Scala reference)") {
+    // heavy ties on purpose: values drawn from a tiny domain
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 7), Gen.chooseNum(0, 100000)))
+    samples(gen, n = 8).foreach { triples =>
+      val rows = triples.distinct // (key, value, id): id disambiguates rows
+      val df = rows.toDF("key", "value", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("value"))
+      val out = df.withColumn("rnk", rank().over(w)).filter(col("rnk") <= 2)
+      assert(out.queryExecution.executedPlan.toString.contains("TopKPartial"),
+        "rank()<=k must plan as the two-phase TopK operator")
+      val got = out.select("key", "value", "rnk", "id")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+        val sorted = vs.sortBy(-_._2)
+        // SQL rank(): position of the first row with an equal value
+        val ranks = sorted.zipWithIndex.map { case ((_, v, _), i) =>
+          val firstIdx = sorted.indexWhere(_._2 == v)
+          (v, firstIdx + 1)
+        }
+        sorted.zip(ranks).collect {
+          case ((_, v, id), (_, rnk)) if rnk <= 2 => (k, v, rnk, id)
+        }
+      }.toSet
+      assert(got == expected,
+        s"ties must all survive with gapped ranks; missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("TopK partial phase stays correct past the tracked-key budget (passthrough path)") {
     // more distinct keys than TopKPartialExec.MaxTrackedKeys (16384) in a
     // single partition: overflow keys stream through un-pruned and the
