@@ -112,6 +112,7 @@ object SparkEntry {
     // windows (engine-level)
     "w1_row_number_topk" -> (Relational.w1RowNumberTopK _),
     "w4_rank_topk" -> (Relational.w4RankTopK _),
+    "w5_dense_rank_topk" -> (Relational.w5DenseRankTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
@@ -550,6 +551,12 @@ object SparkEntry {
                       rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk
                FROM lineitem)
          WHERE rnk <= 2 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""",
+    "w5_dense_rank_topk" ->
+      """SELECT l_linestatus, l_quantity, CAST(drnk AS INT) AS drnk, l_orderkey, l_linenumber
+         FROM (SELECT l_linestatus, l_quantity, l_orderkey, l_linenumber,
+                      dense_rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity DESC) AS drnk
+               FROM lineitem)
+         WHERE drnk <= 2 ORDER BY l_linestatus, drnk, l_orderkey, l_linenumber""",
     "w2_running_sum" ->
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value

@@ -478,6 +478,20 @@ object Relational {
       .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber")
   }
 
+  /** W5: dense_rank()-based top-k — every row of the k smallest distinct
+    * order values survives (unbounded rows per key), so the partial phase
+    * tracks distinct VALUES, not rows, and streams qualifying rows through
+    * (DenseRankMode in plans/TopKPerKey.scala).
+    */
+  def w5DenseRankTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_linestatus").orderBy(desc("l_quantity"))
+    t(spark, sfDir, "lineitem")
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("drnk") <= 2)
+      .select("l_linestatus", "l_quantity", "drnk", "l_orderkey", "l_linenumber")
+      .orderBy("l_linestatus", "drnk", "l_orderkey", "l_linenumber")
+  }
+
   /** W2: running sum per user ordered by time — explicit ROWS frame with a
     * unique ordering key; the sum itself is exact via decimal.
     */

@@ -40,11 +40,16 @@ import org.apache.spark.sql.types.IntegerType
   * positional ranks over a total order; RankMode emits SQL rank() — equal
   * order-values share a rank, the next distinct value jumps to its
   * position — so boundary ties are all retained (a group can emit more
-  * than k rows).
+  * than k rows); DenseRankMode emits SQL dense_rank() — consecutive ranks
+  * per distinct value, so the output keeps EVERY row of the k smallest
+  * distinct values (its partial phase tracks k distinct order values per
+  * key and streams qualifying rows through immediately: bounded memory
+  * even though the qualifying row count per key is unbounded).
   */
 sealed trait TopKMode
 case object RowNumberMode extends TopKMode
 case object RankMode extends TopKMode
+case object DenseRankMode extends TopKMode
 
 case class TopKPerKeyNode(
     k: Int,
@@ -86,6 +91,8 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case WindowExpression(_: RowNumber, _) => Some(RowNumberMode)
       case WindowExpression(_: org.apache.spark.sql.catalyst.expressions.Rank, _) =>
         Some(RankMode)
+      case WindowExpression(_: org.apache.spark.sql.catalyst.expressions.DenseRank, _) =>
+        Some(DenseRankMode)
       case _ => None
     }
   }
@@ -143,6 +150,11 @@ case class TopKPartialExec(
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] =
+    if (mode == DenseRankMode) doExecuteDenseRank()
+    else doExecuteHeap()
+
+  /** row_number / rank(): bounded per-key max-heaps of k rows. */
+  private def doExecuteHeap(): RDD[InternalRow] =
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(partitionExprs, child.output)
       val ord = GenerateOrdering.generate(order, child.output)
@@ -189,6 +201,50 @@ case class TopKPartialExec(
       }
       passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
+
+  /** dense_rank(): the qualifying ROW count per key is unbounded (every tie
+    * of the k smallest distinct values survives), so nothing is buffered —
+    * the phase tracks only the k smallest DISTINCT order values per key
+    * (bounded: k representative rows) and streams each qualifying row
+    * through immediately; rows strictly beyond the local k-th distinct
+    * value are provably dense_rank > k and drop.
+    */
+  private def doExecuteDenseRank(): RDD[InternalRow] =
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(partitionExprs, child.output)
+      val ord = GenerateOrdering.generate(order, child.output)
+      implicit val rowOrd: Ordering[InternalRow] = new Ordering[InternalRow] {
+        def compare(a: InternalRow, b: InternalRow): Int = ord.compare(a, b)
+      }
+      val valueSets = mutable.HashMap.empty[InternalRow, mutable.TreeSet[InternalRow]]
+      val maxTrackedKeys = math.max(1, TopKPartialExec.MaxBufferedRows / k)
+      it.filter { row =>
+        val key = keyProj(row)
+        valueSets.get(key) match {
+          case Some(set) =>
+            if (set.size < k) {
+              if (!set.contains(row)) set.add(row.copy())
+              true
+            } else {
+              val cmp = ord.compare(row, set.last)
+              if (cmp > 0) false // k distinct strictly-smaller values exist
+              else {
+                if (cmp < 0 && !set.contains(row)) {
+                  set.add(row.copy())
+                  set.remove(set.last) // the old k-th value is now (k+1)-th
+                }
+                true
+              }
+            }
+          case None if valueSets.size < maxTrackedKeys =>
+            val set = mutable.TreeSet.empty[InternalRow]
+            set.add(row.copy())
+            valueSets.put(key.copy(), set)
+            true
+          case None => true // over budget: stop pruning, stream through
+        }
+      }
+    }, preservesPartitioning = true)
 }
 
 object TopKPartialExec {
@@ -233,7 +289,6 @@ case class TopKFinalExec(
       val keyProj = UnsafeProjection.create(partitionExprs, child.output)
       val toUnsafe = UnsafeProjection.create(output, output)
       val ord = GenerateOrdering.generate(order, child.output)
-      val rankTies = mode == RankMode
       var currentKey: InternalRow = null
       var pos = 0
       var rank = 0
@@ -245,16 +300,23 @@ case class TopKFinalExec(
         if (currentKey == null || key != currentKey) {
           currentKey = key.copy()
           pos = 0
+          rank = 0
           prevRow = null
         }
         pos += 1
-        // rank(): ties share the first tied row's position; row_number():
-        // rank IS the position (orderings in this engine's queries are
-        // total, so ties cannot arise there)
-        if (rankTies) {
-          if (prevRow == null || ord.compare(row, prevRow) != 0) rank = pos
-          prevRow = row.copy()
-        } else rank = pos
+        // row_number(): rank IS the position (orderings in this engine's
+        // queries are total, so ties cannot arise there); rank(): ties
+        // share the first tied row's position; dense_rank(): consecutive
+        // per distinct value
+        mode match {
+          case RowNumberMode => rank = pos
+          case RankMode =>
+            if (prevRow == null || ord.compare(row, prevRow) != 0) rank = pos
+            prevRow = row.copy()
+          case DenseRankMode =>
+            if (prevRow == null || ord.compare(row, prevRow) != 0) rank += 1
+            prevRow = row.copy()
+        }
         if (rank <= k) {
           rankRow.update(0, rank)
           Iterator.single(toUnsafe(joined(row, rankRow)))

@@ -380,13 +380,15 @@ class PlanAuditSpec extends SparkTestBase {
       assert(topk.count() == 400000L, "one survivor per key through overflow")
       val partialRecords = settled()
       records.set(0)
-      // dense_rank() is NOT rewritten: the stock window shuffles every row
-      // (rows within a key have distinct v, so dense_rank=1 keeps the same
-      // one-survivor-per-key result as the rewritten query)
-      val stock = df.withColumn("rn",
-        org.apache.spark.sql.functions.dense_rank().over(w)).filter(col("rn") === 1)
+      // control: the same window WITHOUT the rank filter — the rewrite only
+      // fires on Filter(rank<=k), so this is the stock plan shuffling every
+      // input row to the window sort
+      val stock = df.withColumn("rn", row_number().over(w))
       assert(!stock.queryExecution.executedPlan.toString.contains("TopKPartial"))
-      assert(stock.count() == 400000L)
+      // aggregate over rn so the window (and its exchange) cannot be pruned
+      // the way a bare count() lets it be
+      assert(stock.agg(org.apache.spark.sql.functions.max("rn"))
+        .collect()(0).getInt(0) == 2)
       val stockRecords = settled()
       info(s"shuffled records: partial-phase=$partialRecords stock=$stockRecords")
       assert(stockRecords >= 800000L,

@@ -145,6 +145,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("dense_rank()<=k rewrite keeps every row of the k smallest distinct values") {
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 7), Gen.chooseNum(0, 100000)))
+    samples(gen, n = 8).foreach { triples =>
+      val rows = triples.distinct
+      val df = rows.toDF("key", "value", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("value"))
+      val out = df.withColumn("drnk", dense_rank().over(w)).filter(col("drnk") <= 2)
+      assert(out.queryExecution.executedPlan.toString.contains("TopKPartial"),
+        "dense_rank()<=k must plan as the two-phase TopK operator")
+      val got = out.select("key", "value", "drnk", "id")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+        val distinctVals = vs.map(_._2).distinct.sorted(Ordering[Int].reverse)
+        val rankOf = distinctVals.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+        vs.collect { case (_, v, id) if rankOf(v) <= 2 => (k, v, rankOf(v), id) }
+      }.toSet
+      assert(got == expected,
+        s"every tie of the top-2 values must survive; missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("TopK partial phase stays correct past the tracked-key budget (passthrough path)") {
     // more distinct keys than TopKPartialExec.MaxTrackedKeys (16384) in a
     // single partition: overflow keys stream through un-pruned and the
