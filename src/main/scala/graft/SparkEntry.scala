@@ -96,6 +96,9 @@ object SparkEntry {
     "json_extract" -> (Relational.jsonExtract _),
     // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
     "sketch_profile" -> (Relational.sketchProfile _),
+    // the exact, oracle-able stats twin + deterministic hash sampling
+    "stats_profile" -> (Relational.statsProfile _),
+    "sample_hash" -> ((s, d) => Relational.sampleHash(s, d)),
     // expressions (E1-E8)
     "e1_regexp_extract" -> (Relational.e1RegexpExtract _),
     "e2_round" -> (Relational.e2Round _),
@@ -492,6 +495,21 @@ object SparkEntry {
        FROM orders JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
        GROUP BY n_name ORDER BY n_name""",
+    "stats_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls,
+                MIN(o_totalprice) AS price_min,
+                MAX(o_totalprice) AS price_max,
+                COUNT(DISTINCT o_custkey) AS custkey_ndv,
+                COUNT(DISTINCT o_orderstatus) AS status_ndv,
+                MIN(CAST(o_orderdate AS DATE)) AS date_min,
+                MAX(CAST(o_orderdate AS DATE)) AS date_max
+         FROM orders""",
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+         ORDER BY o_orderkey""",
     "e1_regexp_extract" ->
       "SELECT p_partkey, regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num FROM part ORDER BY p_partkey",
     "e2_round" ->

@@ -463,6 +463,41 @@ object Relational {
       .orderBy("o_custkey", "rank")
   }
 
+  /** Deterministic hash-Bernoulli sample: keep a row iff an md5-prefix
+    * hash of its key falls in the lowest `pct` buckets of 100. Unlike
+    * `df.sample()` (seeded RNG, engine- and partitioning-dependent), the
+    * membership is a pure function of the data, so the sample is
+    * reproducible across runs, engines, partition layouts, and re-crawls —
+    * the only sampling shape that belongs in a 100 TB pipeline with an
+    * auditable lineage. (md5-based so the DuckDB oracle replays it; see
+    * CorpusPrep.trainValSplit for the same idiom.)
+    */
+  def sampleHash(spark: SparkSession, sfDir: String, pct: Int = 5): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(
+        (conv(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100) < pct)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Exact per-column statistics profile (the ANALYZE-style stats the
+    * metadata-driven sizing in SCALING.md consumes): row count, null
+    * count, min/max, exact distinct count for a few representative
+    * columns. The approximate twin is `sketchProfile` (HLL/quantiles) —
+    * this is the exact, oracle-able form a catalog would persist.
+    */
+  def statsProfile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+        min("o_totalprice").as("price_min"),
+        max("o_totalprice").as("price_max"),
+        countDistinct("o_custkey").as("custkey_ndv"),
+        countDistinct("o_orderstatus").as("status_ndv"),
+        min(col("o_orderdate").cast("date")).as("date_min"),
+        max(col("o_orderdate").cast("date")).as("date_max"))
+
   /** W4: rank()-based per-key top-k with TIES KEPT — quantity is integral,
     * so each returnflag's top-2 quantities tie across hundreds of rows.
     * Rewritten to the tie-aware two-phase TopK operator (RankMode:
