@@ -181,18 +181,21 @@ object Dedup {
     // pipeline that needs recovery would persist to reliable storage
     // instead (SCALING.md).
     val docs = minHashBanded(spark, sfDir, numPerms, bands).localCheckpoint()
+    verifyTokenJaccard(spark, sfDir, bandedCandidates(docs), minJaccard)
+  }
 
-    // Per-bucket self-join: only docs agreeing on a whole band collide.
-    val cand = docs.as("a")
+  /** Per-bucket self-join of a (doc_id, band_key) banded frame: only docs
+    * agreeing on a whole band collide. Checkpointed — the candidate set
+    * feeds three consumers in the verify stage.
+    */
+  private def bandedCandidates(docs: DataFrame): DataFrame =
+    docs.as("a")
       .join(docs.as("b"),
         col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .localCheckpoint()
-
-    verifyTokenJaccard(spark, sfDir, cand, minJaccard)
-  }
 
   /** Exact token-set Jaccard verification of candidate (doc_a, doc_b)
     * pairs. Prune BEFORE tokenizing: semi-join documents against the
@@ -256,14 +259,7 @@ object Dedup {
     }: _*)
     val docs = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
       .localCheckpoint()
-    val cand = docs.as("a")
-      .join(docs.as("b"),
-        col("a.band_key") === col("b.band_key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint()
-    verifyTokenJaccard(spark, sfDir, cand, minJaccard)
+    verifyTokenJaccard(spark, sfDir, bandedCandidates(docs), minJaccard)
   }
 
   /** SimHash near-duplicate pairs.

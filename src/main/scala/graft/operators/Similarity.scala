@@ -254,18 +254,26 @@ object Similarity {
     val c = corpus(spark, sfDir).select("vec_id", "v")
     val cent = c.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // bounded codebook: nlist rows -> literal vectors (see scaladoc)
-    val codebook: Seq[Array[Double]] = cent.orderBy("cid").collect()
-      .map(r => r.getSeq[Double](1).toArray).toSeq
-    def simsTo(v: Column): Column = array(codebook.map { cv =>
+    // bounded codebook: nlist rows -> literal (cid, vector) pairs, sorted
+    // by cid (see scaladoc). The REAL cid rides along as a literal lookup
+    // array: the argmax yields a position into the codebook, and the
+    // position maps back to the centroid's actual id — positional ids
+    // would silently diverge from the probe side whenever the id space has
+    // gaps (the probe/oracle sides key cells by real vec_id).
+    val codebook: Seq[(Long, Array[Double])] = cent.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
+    def simsTo(v: Column): Column = array(codebook.map { case (_, cv) =>
       call_function("cosine_sim", v,
         array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
     }: _*)
-    // first-max position = lowest cid among float ties (the oracle orders
-    // by sim DESC, cid ASC — identical tie-break)
+    // first-max position = lowest cid among float ties (codebook is
+    // cid-sorted; the oracle orders by sim DESC, cid ASC — identical
+    // tie-break)
     val assigned = c
       .withColumn("sims", simsTo(col("v")))
-      .withColumn("cid", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .withColumn("cid",
+        element_at(cidLookup, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select("vec_id", "v", "cid")
     // query probes: numQueries x nlist rows — window cost is negligible and
     // the probe list broadcasts

@@ -307,15 +307,23 @@ case class TopKFinalExec(
         // row_number(): rank IS the position (orderings in this engine's
         // queries are total, so ties cannot arise there); rank(): ties
         // share the first tied row's position; dense_rank(): consecutive
-        // per distinct value
+        // per distinct value. Ranks are non-decreasing within a key, so
+        // once rank > k the rest of the group emits nothing and state
+        // updates stop; prevRow is only re-copied when the order value
+        // actually changed (ties keep the existing representative).
         mode match {
           case RowNumberMode => rank = pos
-          case RankMode =>
-            if (prevRow == null || ord.compare(row, prevRow) != 0) rank = pos
-            prevRow = row.copy()
-          case DenseRankMode =>
-            if (prevRow == null || ord.compare(row, prevRow) != 0) rank += 1
-            prevRow = row.copy()
+          case RankMode if rank <= k =>
+            if (prevRow == null || ord.compare(row, prevRow) != 0) {
+              rank = pos
+              prevRow = row.copy()
+            }
+          case DenseRankMode if rank <= k =>
+            if (prevRow == null || ord.compare(row, prevRow) != 0) {
+              rank += 1
+              prevRow = row.copy()
+            }
+          case _ => // rank already past k for this key: nothing can qualify
         }
         if (rank <= k) {
           rankRow.update(0, rank)

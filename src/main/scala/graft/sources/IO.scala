@@ -167,14 +167,19 @@ object IO {
       val conf = spark.sessionState.newHadoopConf()
       val dir = new org.apache.hadoop.fs.Path(p)
       val fs = dir.getFileSystem(conf)
-      val files = fs.listStatus(dir).filter { st =>
+      // recursive: hive-partitioned layouts nest data files under
+      // partition directories — a flat listing would silently count 0
+      val it = fs.listFiles(dir, true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += reader.getRecordCount finally reader.close()
+        }
       }
-      files.map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try reader.getRecordCount finally reader.close()
-      }.sum
+      total
     })
 }

@@ -161,6 +161,41 @@ class LlmOpsSpec extends SparkTestBase {
     ivf.foreach(r => assert(r.getFloat(3) <= 1.0001f))
   }
 
+  test("IVF stays correct when the centroid id space has gaps (cells keyed by REAL ids)") {
+    // drop a centroid-range id so codebook positions and centroid ids
+    // diverge — positional cell keys would silently mis-join
+    val dir = graft.sources.IO.scratchDir("ivf_gap")
+    spark.read.parquet(s"$Sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 12)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ivfCosineTopK(spark, dir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // in-Scala reference (same fold order as cosine_sim, float-rounded)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Float = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      (d / (math.sqrt(na) * math.sqrt(nb))).toFloat
+    }
+    val cents = vecs.filter(_._1 < 16).toSeq.sortBy(_._1)
+    def nearestCids(v: Array[Double], n: Int): Seq[Long] =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1)
+    val expected = vecs.keys.filter(_ < 10).flatMap { qid =>
+      val qv = vecs(qid)
+      val probeCids = nearestCids(qv, 4).toSet
+      vecs.keys.filter(v => v != qid && probeCids.contains(nearestCids(vecs(v), 1).head))
+        .map(v => (v, cos(qv, vecs(v))))
+        .toSeq.sortBy { case (v, s) => (-s, v) }.take(5)
+        .zipWithIndex.map { case ((v, _), i) => (qid, i + 1, v) }
+    }.toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("int8-quantized ANN preserves most of full-precision recall@5") {
     val full = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -42,15 +42,22 @@ class PlanAuditSpec extends SparkTestBase {
         jobs.incrementAndGet()
     }
     // listener events are async: a marker job after each read construction
-    // fences them — once the marker's own event is visible, every event the
-    // read fired has been delivered. The marker is a plain RDD count
-    // (exactly ONE job — a Dataset count would be split into multiple jobs
-    // by AQE stage materialization).
+    // fences them. The marker is a plain RDD count (exactly ONE job — a
+    // Dataset count would be split into multiple jobs by AQE stage
+    // materialization). Waiting for `expectAtLeast` alone would race a
+    // regression's own job against the marker (the first delivered event
+    // satisfies the bound either way), so after reaching it the count must
+    // also hold STABLE across a settle window before it is trusted.
     def settleAfterMarker(expectAtLeast: Int): Int = {
       spark.sparkContext.parallelize(Seq(1)).count()
       val deadline = System.nanoTime() + 10_000_000_000L
       while (jobs.get() < expectAtLeast && System.nanoTime() < deadline)
         Thread.sleep(20)
+      var prev = -1
+      while (jobs.get() != prev && System.nanoTime() < deadline) {
+        prev = jobs.get()
+        Thread.sleep(300)
+      }
       jobs.get()
     }
     spark.sparkContext.addSparkListener(listener)
@@ -267,6 +274,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(IO.parquetRowCount(spark, dir)
       == spark.read.parquet(dir).count(),
       "footer count must sum across part files and skip _SUCCESS markers")
+    // hive-partitioned layout: data files nest under partition dirs, so the
+    // listing must recurse (a flat listing would silently return 0)
+    val pdir = IO.scratchDir("rowcount_part")
+    spark.read.parquet(s"$Sf/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(pdir)
+    assert(IO.parquetRowCount(spark, pdir)
+      == spark.read.parquet(pdir).count(),
+      "footer count must recurse into partition directories")
   }
 
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
