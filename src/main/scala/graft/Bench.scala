@@ -40,10 +40,11 @@ object Bench {
       "o1_sort_desc_string", "w1_row_number_topk", "skew_salted_agg",
       "sess_batch", "ps_part2_best_apps", "ps_part3_standardize",
       "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-      "ann_topk_bruteforce", "ann_topk_native", "ann_topk_lsh",
+      "ann_topk_bruteforce", "ann_topk_native", "ann_topk_lsh", "ann_topk_ivf",
       "emb_near_dup_pairs", "txt_token_counts", "txt_fingerprints",
       "txt_tfidf_top_terms", "mm_features",
-      "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split")
+      "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
+      "w4_rank_topk", "corpus_chunk", "txt_scrub")
     val cases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
