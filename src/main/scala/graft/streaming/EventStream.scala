@@ -165,6 +165,15 @@ object EventStream {
     * normal distributed parquet write, and `checkpointDir` (offsets +
     * operator state) must live on reliable shared storage.
     */
+  /** The per-micro-batch write of [[idempotentParquetSink]] — overwrite
+    * into a batchId-keyed directory, so re-executing a batch (failure
+    * replay) lands on its own directory instead of appending duplicates.
+    * Exposed so the replay property is testable without forcing a real
+    * checkpoint-recovery cycle.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   def idempotentParquetSink(
       aggregated: DataFrame,
       outDir: String,
@@ -173,7 +182,7 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        writeBatch(batch, batchId, outDir)
       }
       .start()
 

@@ -133,6 +133,20 @@ class StreamingSpec extends SparkTestBase {
       // disjoint per window, so re-writing any batchId cannot duplicate rows
       assert(out.groupBy("window_start", "event_type").count()
         .filter(col("count") > 1).count() == 0)
+      // simulate failure replay: re-execute a batch write with the same
+      // batchId and payload — the overwrite must leave the output identical
+      val before = out.collect().map(_.toString).sorted.toSeq
+      val replayDir = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .maxBy(f => spark.read.parquet(f.getPath).count())
+      val bid = replayDir.getName.stripPrefix("batch_id=").toLong
+      // materialize the payload before overwriting the dir it comes from
+      val src = spark.read.parquet(replayDir.getPath)
+      val payload = spark.createDataFrame(
+        spark.sparkContext.parallelize(src.collect().toSeq), src.schema)
+      EventStream.writeBatch(payload, bid, outDir)
+      val after = spark.read.parquet(outDir).collect().map(_.toString).sorted.toSeq
+      assert(after == before, "replaying a batchId must not change the output")
     } finally q.stop()
   }
 
