@@ -603,18 +603,20 @@ object SparkEntry {
                 event_type, COUNT(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // µs on both sides: DuckDB truncates the ns timestamps to µs, so the
+    // Spark side computes on ts div 1000 too (see sessionizeBatch scaladoc)
     "sess_batch" ->
       """WITH w AS (
-           SELECT user_id, event_id, epoch_ns(ts) AS tns,
-                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tns
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
            FROM events),
          s AS (
-           SELECT user_id, event_id, tns,
-                  CAST(SUM(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           SELECT user_id, event_id, tus,
+                  CAST(SUM(CASE WHEN prev_tus IS NULL OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM w)
          SELECT user_id, session_seq, COUNT(*) AS events,
-                (MAX(tns) - MIN(tns)) // 1000000 AS duration_ms
+                (MAX(tus) - MIN(tus)) // 1000 AS duration_ms
          FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "sess_window_builtin" ->
       """WITH w AS (

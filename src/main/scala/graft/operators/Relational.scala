@@ -531,8 +531,11 @@ object Relational {
     * unique ordering key; the sum itself is exact via decimal.
     */
   def w2RunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    // order at µs resolution (ts div 1000): the oracle's DuckDB timestamps
+    // are µs, so an exact-ns ordering could tie-break same-µs events
+    // differently (ns order vs event_id order) and flip running sums
     val w = Window.partitionBy("user_id")
-      .orderBy("ts", "event_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, sfDir, "events")
       .withColumn("running_value",
@@ -777,7 +780,9 @@ object Relational {
     * ASOF JOIN gives the same semantics for the oracle.
     */
   def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // µs-resolution ordering for cross-engine ties — see w2RunningSum
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, sfDir, "events")
       // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
