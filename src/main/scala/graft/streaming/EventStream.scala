@@ -165,15 +165,6 @@ object EventStream {
     * normal distributed parquet write, and `checkpointDir` (offsets +
     * operator state) must live on reliable shared storage.
     */
-  /** The per-micro-batch write of [[idempotentParquetSink]] — overwrite
-    * into a batchId-keyed directory, so re-executing a batch (failure
-    * replay) lands on its own directory instead of appending duplicates.
-    * Exposed so the replay property is testable without forcing a real
-    * checkpoint-recovery cycle.
-    */
-  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
-    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-
   def idempotentParquetSink(
       aggregated: DataFrame,
       outDir: String,
@@ -185,6 +176,13 @@ object EventStream {
         writeBatch(batch, batchId, outDir)
       }
       .start()
+
+  /** The per-micro-batch write of [[idempotentParquetSink]] — overwrite
+    * into a batchId-keyed directory. Exposed so the replay property is
+    * testable without forcing a real checkpoint-recovery cycle.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   /** Batch twin of [[dedupStream]] with a deterministic survivor (lowest
     * event_id per key) and the duplicate multiplicity — DuckDB-oracle-able;
