@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, PlayStore, Relational, Similarity}
+import graft.operators.{CorpusPrep, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -226,9 +226,22 @@ object SparkEntry {
     // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
     // the unpinned default derives the count from corpus size
     "corpus_pack_sequences" -> ((s, d) =>
-      graft.operators.CorpusPrep.packSequences(s, d, numShards = 32)),
-    "corpus_train_val_split" -> ((s, d) => graft.operators.CorpusPrep.trainValSplit(s, d)),
-    "corpus_chunk" -> ((s, d) => graft.operators.CorpusPrep.chunkDocuments(s, d)),
+      CorpusPrep.packSequences(s, d, numShards = 32)),
+    "corpus_train_val_split" -> ((s, d) => CorpusPrep.trainValSplit(s, d)),
+    "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
+    // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
+    // ~30-word vocabulary makes the published 13-gram convention (the
+    // library default) vacuously overlap-free here — width 4 yields a
+    // meaningful non-empty contamination set to hash-compare
+    "corpus_decontam_report" -> ((s, d) =>
+      Decontaminate.contaminationReport(s, d, gramWidth = 4)),
+    "corpus_decontaminated" -> ((s, d) =>
+      Decontaminate.decontaminate(s, d, gramWidth = 4)),
+    "corpus_stratified_sample" -> ((s, d) =>
+      CorpusPrep.stratifiedSample(s, d, StratifiedRates, StratifiedDefaultRate)),
+    "corpus_mixture_sample" -> ((s, d) =>
+      CorpusPrep.mixtureSample(s, d, MixtureWeights)),
+    "corpus_shuffle_order" -> ((s, d) => CorpusPrep.shuffleOrder(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -319,8 +332,96 @@ object SparkEntry {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** Sampling configs shared between the registered queries and their
+    * oracles — one definition, so the Spark CASE thresholds and the SQL
+    * CASE literals cannot drift.
+    */
+  private val StratifiedRates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
+  private val StratifiedDefaultRate = 0.1
+  private val MixtureWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Shared CTEs for the decontamination oracles: per-doc distinct width-4
+    * grams (RAW strings — the Spark side joins on xxhash64 of the same
+    * grams; a collision could only add a doc to the report, and the
+    * hash-compare against this string-exact oracle proves none occurred)
+    * and the distinct eval-set grams.
+    */
+  private def decontamGramsSql: String =
+    """WITH d AS (
+         SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks,
+                ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+         FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id, bucket,
+                array_to_string(list_slice(toks, i.i, i.i + 3), ' ') AS gram
+         FROM d, unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i(i)),
+       ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 95)"""
+
+  /** CASE over [[StratifiedRates]] emitting the same floor(rate * 2^32)
+    * BIGINT thresholds the Spark plan compares against.
+    */
+  private def stratifiedCaseSql: String = {
+    val arms = StratifiedRates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN ${CorpusPrep.threshold32(r)}"
+    }.mkString(" ")
+    s"CASE lang $arms ELSE ${CorpusPrep.threshold32(StratifiedDefaultRate)} END"
+  }
+
+  /** CASE over [[MixtureWeights]] as DOUBLE-cast literals (a bare 0.3 is
+    * DECIMAL in DuckDB — decimal arithmetic would diverge from Spark's
+    * double rate computation).
+    */
+  private def mixtureWeightCaseSql: String = {
+    val arms = MixtureWeights.toSeq.sortBy(_._1).map { case (k, w) =>
+      s"WHEN '$k' THEN CAST($w AS DOUBLE)"
+    }.mkString(" ")
+    s"CASE source $arms END"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> minHashMd5OracleSql(),
+    "corpus_decontam_report" ->
+      s"""$decontamGramsSql
+         SELECT g.doc_id, COUNT(*) AS n_shared_grams
+         FROM g JOIN ev USING (gram) WHERE g.bucket < 95
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "corpus_decontaminated" ->
+      s"""$decontamGramsSql,
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.bucket < 95)
+         SELECT doc_id, lang, source, n_chars FROM d
+         WHERE bucket < 95 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "corpus_stratified_sample" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang, source, n_chars,
+                  ('0x' || substr(md5(text), 9, 8))::BIGINT AS k
+           FROM documents)
+         SELECT doc_id, lang, source, n_chars FROM d
+         WHERE k < $stratifiedCaseSql ORDER BY doc_id""",
+    "corpus_mixture_sample" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, lang, n_chars,
+                  ('0x' || substr(md5(text), 9, 8))::BIGINT AS k,
+                  $mixtureWeightCaseSql AS w
+           FROM documents),
+         counts AS (
+           SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM d WHERE w IS NOT NULL GROUP BY source, w),
+         rates AS (
+           SELECT source,
+                  CAST(floor((w * (SELECT MIN(n / w) FROM counts)) / n * 4294967296.0) AS BIGINT) AS thresh
+           FROM counts)
+         SELECT doc_id, source, lang, n_chars FROM d JOIN rates USING (source)
+         WHERE k < thresh ORDER BY doc_id""",
+    "corpus_shuffle_order" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key, shuffle_key % 64 AS bucket,
+                CAST(row_number() OVER (PARTITION BY shuffle_key % 64
+                  ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+         FROM d ORDER BY bucket, pos""",
     "ann_topk_lsh" ->
       s"""${lshBucketKeysSql()},
          qb AS (SELECT vec_id AS qid, bucket_key FROM bb WHERE vec_id < 10),

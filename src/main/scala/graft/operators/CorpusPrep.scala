@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,4 +113,117 @@ object CorpusPrep {
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("val")))
       .orderBy("doc_id")
+
+  /** A 32-bit uniform sampling key from the content hash — hex digits 9-16
+    * of md5(text), DISJOINT from the digits the train/val split reads
+    * (1-8), so sampling decisions are independent of split membership
+    * (sampling from "train" with a correlated key would bias the sample
+    * toward one end of the split buckets).
+    */
+  private def sampleKey32: Column =
+    conv(substring(md5(col("text").cast("binary")), 9, 8), 16, 10).cast("long")
+
+  /** Integer acceptance threshold for rate `r` over the 32-bit key space.
+    * The comparison `key < floor(r * 2^32)` is pure integer arithmetic —
+    * no floating-point acceptance test to drift between engines.
+    */
+  private[graft] def threshold32(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.floor(rate * 4294967296.0).toLong
+  }
+
+  /** Deterministic stratified sampling: each stratum (value of `keyCol`)
+    * keeps its configured fraction of documents, selected by content-hash
+    * threshold — no RNG, so the sample is reproducible across runs,
+    * executors, and engines, and is a pure per-row filter (no shuffle, no
+    * sampleBy two-pass). Strata absent from `rates` keep `defaultRate`.
+    */
+  def stratifiedSample(
+      spark: SparkSession,
+      sfDir: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      keyCol: String = "lang"): DataFrame = {
+    val thresholdCol = rates.foldLeft(lit(threshold32(defaultRate))) {
+      case (acc, (k, r)) => when(col(keyCol) === k, lit(threshold32(r))).otherwise(acc)
+    }
+    IO.table(spark, sfDir, "documents")
+      .filter(sampleKey32 < thresholdCol)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic mixture sampling: downsample each source so the sampled
+    * corpus approaches the target source proportions `weights` (e.g. "30%
+    * code, 50% web, 20% books") while keeping as many documents as the
+    * scarcest source allows. With n_s docs in source s and target weight
+    * w_s, the largest feasible mixture size is C = min_s(n_s / w_s) and
+    * each source keeps rate_s = (w_s * C) / n_s (= 1 for the binding
+    * source).
+    *
+    * Scale shape: per-source counts are ONE small aggregate (|sources|
+    * rows); the binding constant C is a windowed min over that frame (no
+    * driver collect) broadcast back onto the corpus, and selection is the
+    * same content-hash threshold as [[stratifiedSample]] — the corpus side
+    * is a single map-only filter pass. Selection thresholds are computed
+    * as floor(rate * 2^32) BIGINTs so the acceptance test is integer-exact
+    * across engines.
+    */
+  def mixtureSample(
+      spark: SparkSession,
+      sfDir: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
+    val docs = IO.table(spark, sfDir, "documents")
+    val weightCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, w)) => when(col("source") === k, lit(w)).otherwise(acc)
+    }
+    val counts = docs
+      .withColumn("w", weightCol)
+      .filter(col("w").isNotNull)
+      .groupBy("source", "w")
+      .agg(count(lit(1)).cast("double").as("n"))
+    // C = min_s(n_s / w_s) over the tiny counts frame; an empty OVER ()
+    // window on |sources| rows, not a data-scale global sort
+    val rates = counts
+      .withColumn("c", min(col("n") / col("w")).over(Window.partitionBy()))
+      // operation order pinned ((w * C) / n) — the oracle multiplies and
+      // divides in the same order, so the IEEE result is bit-identical
+      .withColumn("thresh",
+        floor((col("w") * col("c")) / col("n") * 4294967296.0).cast("long"))
+      .select("source", "thresh")
+    docs
+      .join(broadcast(rates), "source")
+      .filter(sampleKey32 < col("thresh"))
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle for training-data ordering: every
+    * document gets a pseudo-random 60-bit key derived from (seed, doc_id),
+    * a shuffle shard (`bucket`), and its position within the shard. The
+    * global training order is (bucket, pos) — readable shard-by-shard
+    * without ANY global sort: the window partitions by bucket, so each
+    * sort is a bounded partition, and a writer laying out
+    * `partitionBy(bucket) sortWithinPartitions(pos)` files reproduces the
+    * order at 100 TB. Changing `seed` reshuffles; same seed always
+    * replays the same order (epoch-stable).
+    */
+  def shuffleOrder(
+      spark: SparkSession,
+      sfDir: String,
+      seed: Long = 42L,
+      numBuckets: Int = 64): DataFrame = {
+    val key = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("bucket", pmod(col("shuffle_key"), lit(numBuckets.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("bucket", "pos")
+  }
 }

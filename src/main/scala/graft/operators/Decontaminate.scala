@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Benchmark decontamination for a training-data pipeline: remove (or
+  * report) training documents that share a word n-gram with an evaluation /
+  * benchmark set, so eval answers cannot leak into the training corpus.
+  * This is the standard n-gram-overlap procedure from the public LLM
+  * training literature (a document is "contaminated" if ANY of its n-grams
+  * appears in the eval set).
+  *
+  * The eval set here is carved from the `documents` table by the same
+  * deterministic content-hash bucketing [[CorpusPrep.trainValSplit]] uses
+  * (bucket >= 100 - evalPct), standing in for an external benchmark table;
+  * the operators take any (doc_id, text) frame, so a real eval parquet
+  * drops in unchanged.
+  *
+  * Scale shape (the reason this composition is the 100 TB path):
+  *   - eval sets are tiny relative to the corpus (benchmarks are MBs;
+  *     the corpus is the 100 TB side), so the distinct eval-gram set
+  *     BROADCASTS — the corpus side never shuffles for the overlap check;
+  *   - the corpus side is a map-only explode of per-doc distinct gram
+  *     hashes followed by the broadcast semi-join; the only aggregation is
+  *     over the (small) matched subset;
+  *   - grams cross the plan as 8-byte xxhash64 hashes, never as strings: a
+  *     width-13 gram is ~80 bytes of text, so hashing shrinks the
+  *     highest-volume intermediate ~10x. A hash collision can only FLAG an
+  *     extra doc (never un-flag one) — for decontamination a false
+  *     positive drops one safe doc, the conservative direction; the
+  *     registered oracle replays the logic on raw gram strings and agrees,
+  *     which bounds observed collisions at test scale to zero.
+  */
+object Decontaminate {
+
+  /** documents + `toks` + the content-hash split bucket (0-99). */
+  private def withToks(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bucket",
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100))
+
+  /** Distinct xxhash64 hashes of the width-`w` word grams of `toks`.
+    * Documents shorter than `w` tokens contribute their whole token list as
+    * one gram (mirrors [[Dedup]]'s short-doc fallback).
+    */
+  private def gramHashes(w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(col("toks")) - (w - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+
+  /** (doc_id, n_shared_grams) for every TRAIN document (bucket < 100 -
+    * evalPct) sharing at least one width-`gramWidth` gram with an eval
+    * document. `gramWidth` defaults to 13 — the published
+    * decontamination convention; the registered query pins 4 because the
+    * synthetic corpus' tiny vocabulary makes 13-grams unique (zero overlap
+    * tells the driver nothing).
+    */
+  def contaminationReport(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 13,
+      evalPct: Int = 5): DataFrame = {
+    val docs = withToks(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("bucket"), gramHashes(gramWidth).as("grams"))
+    val evalGrams = docs.filter(col("bucket") >= 100 - evalPct)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    docs.filter(col("bucket") < 100 - evalPct)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      // grams are per-doc distinct upstream, so plain count IS the distinct
+      // shared-gram count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** The decontaminated training corpus: train documents with NO gram
+    * overlap against the eval set. Anti-join against the (small)
+    * contaminated id set — broadcastable, the corpus side stays map-only.
+    */
+  def decontaminate(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 13,
+      evalPct: Int = 5): DataFrame = {
+    val contaminatedIds =
+      contaminationReport(spark, sfDir, gramWidth, evalPct).select("doc_id")
+    withToks(IO.table(spark, sfDir, "documents"))
+      .filter(col("bucket") < 100 - evalPct)
+      .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+}

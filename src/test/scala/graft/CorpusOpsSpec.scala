@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPrep, Decontaminate}
+
+/** Behavior specs for decontamination, sampling, and shuffle-order
+  * operators over the sf0.001 testdata.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private val W = 4 // gram width matching the registered queries
+
+  /** Ground-truth contamination computed naively on the driver. */
+  private def naiveContamination(): (Map[Long, Int], Set[Long], Set[Long]) = {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < W) Set(toks.mkString(" "))
+      else toks.sliding(W).map(_.mkString(" ")).toSet
+    }
+    val (evalDocs, trainDocs) = docs.partition { case (_, t) => bucket(t) >= 95 }
+    val evalGrams = evalDocs.iterator.flatMap(d => grams(d._2)).toSet
+    val report = trainDocs.iterator.map { case (id, t) =>
+      id -> grams(t).count(evalGrams.contains)
+    }.filter(_._2 > 0).toMap
+    (report, trainDocs.map(_._1).toSet, evalDocs.map(_._1).toSet)
+  }
+
+  test("contamination report matches a naive n-gram overlap recomputation") {
+    val (expected, _, evalIds) = naiveContamination()
+    val got = Decontaminate.contaminationReport(spark, Sf, gramWidth = W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, "xxhash64 gram overlap must agree with string overlap")
+    assert(expected.nonEmpty, "testdata must produce a non-empty report at width 4")
+    assert(got.keySet.intersect(evalIds).isEmpty, "eval docs never appear in the report")
+  }
+
+  test("decontaminate = train docs minus the report, disjoint and exhaustive") {
+    val (report, trainIds, _) = naiveContamination()
+    val clean = Decontaminate.decontaminate(spark, Sf, gramWidth = W)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.intersect(report.keySet).isEmpty)
+    assert(clean ++ report.keySet == trainIds,
+      "every train doc is either clean or reported — nothing vanishes")
+  }
+
+  test("stratified sample keeps only configured strata at plausible rates and is deterministic") {
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
+    val sample = CorpusPrep.stratifiedSample(spark, Sf, rates, defaultRate = 0.0)
+    val byLang = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(rates.keySet), "defaultRate 0 drops other strata")
+    assert(byLang("de") == totals("de"), "rate 1.0 keeps the whole stratum")
+    // hash-threshold acceptance is binomial; just bound it away from 0/all
+    val en = byLang.getOrElse("en", 0L)
+    assert(en > 0 && en < totals("en"), s"en rate 0.5 kept $en of ${totals("en")}")
+    val again = CorpusPrep.stratifiedSample(spark, Sf, rates, defaultRate = 0.0)
+      .collect().toSeq
+    assert(again == sample.collect().toSeq, "content-hash sampling is deterministic")
+  }
+
+  test("mixture sample: binding source keeps all docs, others downsample toward target weights") {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = CorpusPrep.mixtureSample(spark, Sf, weights)
+    val kept = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(weights.keySet), "unweighted sources are excluded")
+    // the binding source s* = argmin(n_s / w_s) has rate exactly 1
+    val binding = weights.keys.minBy(s => totals(s) / weights(s))
+    assert(kept(binding) == totals(binding), s"binding source $binding keeps everything")
+    kept.foreach { case (s, n) => assert(n <= totals(s)) }
+  }
+
+  test("shuffle order is a seed-keyed permutation with contiguous per-bucket positions") {
+    val n = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val order = CorpusPrep.shuffleOrder(spark, Sf, seed = 42L, numBuckets = 8)
+    val rows = order.collect()
+    assert(rows.length == n && rows.map(_.getLong(0)).toSet.size == n,
+      "every doc appears exactly once")
+    rows.groupBy(_.getLong(2)).foreach { case (_, bucketRows) =>
+      val positions = bucketRows.map(_.getLong(3)).sorted.toSeq
+      assert(positions == (1L to bucketRows.length).toSeq,
+        "positions are contiguous 1..n within each bucket")
+    }
+    val sameSeed = CorpusPrep.shuffleOrder(spark, Sf, seed = 42L, numBuckets = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sameSeed == rows.map(_.getLong(0)).toSeq, "same seed replays the same order")
+    val otherSeed = CorpusPrep.shuffleOrder(spark, Sf, seed = 7L, numBuckets = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(otherSeed != rows.map(_.getLong(0)).toSeq, "different seed reshuffles")
+  }
+}
