@@ -200,6 +200,11 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d, planesPerBand = 8)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
+    // k-means coarse-quantizer training (2 fixed Lloyd's iterations,
+    // fixed-point centroid sums — the oracle replays both iterations in
+    // SQL) and the IVF search over the trained codebook
+    "kmeans_assign" -> ((s, d) => Similarity.kmeansAssignments(s, d)),
+    "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
@@ -378,8 +383,71 @@ object SparkEntry {
     s"CASE source $arms END"
   }
 
+  /** CTE chain replaying [[graft.operators.Similarity.kmeansCodebook]]'s
+    * Lloyd's iterations in SQL: literal-free — init centroids are the
+    * vec_id < k corpus rows, per-dimension sums are the same
+    * round(x * 1e6) fixed-point longs the Spark trainer accumulates
+    * (order-independent, so the two engines' centroids are bit-identical
+    * doubles), assignment ties break toward the lowest cid on FLOAT-cast
+    * cosine in both engines. Ends with `cent$iters` = (cid, cv).
+    */
+  private def kmeansCentroidsSql(k: Int = 16, iters: Int = 2): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""assign$i AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         sums$i AS (
+           SELECT cid, t.pos, SUM(CAST(round(v[t.pos + 1] * 1000000.0) AS BIGINT)) AS s,
+                  COUNT(*) AS n
+           FROM assign$i, unnest(range(len(v))) AS t(pos)
+           GROUP BY cid, t.pos),
+         cent$i AS (
+           SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
+           FROM sums$i GROUP BY cid)"""
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent0 AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < $k),
+        $iterCtes"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> minHashMd5OracleSql(),
+    "kmeans_assign" ->
+      s"""${kmeansCentroidsSql()}
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1
+         ORDER BY vec_id""",
+    "ann_topk_ivf_trained" ->
+      s"""${kmeansCentroidsSql()},
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+         scored AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+           FROM assign a JOIN probes p USING (cid)
+           WHERE a.vec_id <> p.qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
     "corpus_decontam_report" ->
       s"""$decontamGramsSql
          SELECT g.doc_id, COUNT(*) AS n_shared_grams

@@ -262,19 +262,45 @@ object Similarity {
     // gaps (the probe/oracle sides key cells by real vec_id).
     val codebook: Seq[(Long, Array[Double])] = cent.orderBy("cid").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    ivfTopKWithCodebook(spark, c, codebook, numQueries, k, nprobe)
+  }
+
+  /** Nearest-centroid cell assignment against a LITERAL codebook: a
+    * per-row codegen'd argmax over `codebook.size` fused dot products — no
+    * shuffle, no join; first-max position = lowest cid among float ties
+    * (the codebook must be cid-sorted; the oracle orders by sim DESC, cid
+    * ASC — identical tie-break).
+    */
+  private def assignToCodebook(
+      c: DataFrame,
+      codebook: Seq[(Long, Array[Double])]): DataFrame = {
     val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
     def simsTo(v: Column): Column = array(codebook.map { case (_, cv) =>
       call_function("cosine_sim", v,
         array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
     }: _*)
-    // first-max position = lowest cid among float ties (codebook is
-    // cid-sorted; the oracle orders by sim DESC, cid ASC — identical
-    // tie-break)
-    val assigned = c
-      .withColumn("sims", simsTo(col("v")))
+    c.withColumn("sims", simsTo(col("v")))
       .withColumn("cid",
         element_at(cidLookup, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select("vec_id", "v", "cid")
+  }
+
+  /** IVF search against an explicit codebook (see [[ivfCosineTopK]] for the
+    * shape rationale). The codebook is a bounded model artifact (nlist
+    * rows) — inlined as literals for assignment, materialized as a
+    * broadcast frame for the probe ranking.
+    */
+  private def ivfTopKWithCodebook(
+      spark: SparkSession,
+      c: DataFrame,
+      codebook: Seq[(Long, Array[Double])],
+      numQueries: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val assigned = assignToCodebook(c, codebook)
+    val cent = codebook.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
     // query probes: numQueries x nlist rows — window cost is negligible and
     // the probe list broadcasts
     val q = c.filter(col("vec_id") < numQueries)
@@ -290,6 +316,99 @@ object Similarity {
         .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
       k)
   }
+
+  /** Fixed-point scale for k-means centroid accumulation: sums of
+    * round(x * 1e6) longs are exact and ORDER-INDEPENDENT, so the trained
+    * centroids are identical across partitionings, runs, and engines —
+    * a naive double sum would drift with Spark's partition order and
+    * could never hash-match a sequential-sum oracle (same technique as
+    * the q1 fixed-point aggregation; micro-precision ≈ 1e-6 is far below
+    * any clustering-relevant signal).
+    */
+  private val KmeansFixedScale = 1000000.0
+
+  /** Lloyd's k-means over the embedding corpus — trains the coarse-quantizer
+    * codebook the IVF path consumes, as a Spark job (the "offline training"
+    * [[ivfCosineTopK]]'s scaladoc defers to).
+    *
+    * Each iteration is two distributed steps:
+    *   1. ASSIGN — per-row codegen'd nearest-centroid argmax against the
+    *      current centroids inlined as literals (map-only, no shuffle);
+    *   2. UPDATE — per-dimension fixed-point sums via posexplode +
+    *      groupBy(cid, pos). The explode multiplies rows by `dim`, but
+    *      hash aggregation map-side-combines to ≤ k×dim rows per task, so
+    *      the exchange carries k×dim×partitions rows regardless of corpus
+    *      size.
+    *
+    * Only the k×dim centroid table (a bounded model artifact, like the LSH
+    * hyperplanes) is ever collected. Similarity is COSINE, matching the
+    * IVF probe metric; ties and empty cells resolve deterministically
+    * (lowest cid wins; an emptied cell drops out of the codebook — both
+    * sides of the oracle lose it identically). Iteration count is fixed
+    * (no convergence test): deterministic cost, deterministic result.
+    */
+  def kmeansCodebook(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2): Seq[(Long, Array[Double])] = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    var codebook: Seq[(Long, Array[Double])] = c.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    for (_ <- 1 to iters) {
+      val sums = assignToCodebook(c, codebook)
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg(sum(round(col("col") * KmeansFixedScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      codebook = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          val dim = rows.length
+          val arr = new Array[Double](dim)
+          rows.foreach { r =>
+            // same op order as the SQL oracle: CAST(s AS DOUBLE) / (n * 1e6)
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * KmeansFixedScale)
+          }
+          (cid, arr)
+      }
+    }
+    codebook
+  }
+
+  /** Final k-means cell assignments (vec_id, cid) after [[kmeansCodebook]]
+    * training — the registered, oracle-hashed surface of the trainer (the
+    * codebook itself is its by-product).
+    */
+  def kmeansAssignments(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2): DataFrame =
+    assignToCodebook(
+      corpus(spark, sfDir).select("vec_id", "v"),
+      kmeansCodebook(spark, sfDir, k, iters))
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+
+  /** [[ivfCosineTopK]] with a TRAINED codebook: the k-means centroids
+    * replace the deterministic corpus sample, tightening cells and with
+    * them the recall/candidate-volume trade-off.
+    */
+  def ivfCosineTopKTrained(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame =
+    ivfTopKWithCodebook(
+      spark,
+      corpus(spark, sfDir).select("vec_id", "v"),
+      kmeansCodebook(spark, sfDir, nlist, iters),
+      numQueries, k, nprobe)
 
   /** Maximum-inner-product top-k (un-normalized dot score) — the ranking
     * used when embedding magnitude carries signal (e.g. popularity-scaled

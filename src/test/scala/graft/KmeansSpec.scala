@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Behavior specs for the k-means coarse-quantizer trainer and the
+  * trained-codebook IVF path, over the sf0.001 embeddings.
+  */
+class KmeansSpec extends SparkTestBase {
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  test("k-means training is deterministic across runs") {
+    val a = Similarity.kmeansCodebook(spark, Sf)
+    val b = Similarity.kmeansCodebook(spark, Sf)
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      assert(va.sameElements(vb), "fixed-point sums must make centroids bit-identical")
+    }
+    assert(a.nonEmpty && a.size <= 16)
+  }
+
+  test("assignments are the argmax-cosine cell of the trained codebook") {
+    val codebook = Similarity.kmeansCodebook(spark, Sf)
+    val assign = Similarity.kmeansAssignments(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }
+    assert(assign.size == vecs.length)
+    vecs.foreach { case (id, v) =>
+      // float-rounded sims, lowest cid wins ties — same contract as the plan
+      val best = codebook
+        .map { case (cid, cv) => (cid, cosine(v, cv).toFloat) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      assert(assign(id) == best, s"vec $id assigned ${assign(id)}, argmax is $best")
+    }
+  }
+
+  test("training moves centroids off their init and keeps every cell non-empty here") {
+    val init = Similarity.kmeansCodebook(spark, Sf, iters = 0)
+    val trained = Similarity.kmeansCodebook(spark, Sf, iters = 2)
+    assert(init.size == 16)
+    assert(trained.size == 16, "no cell empties out on this corpus")
+    assert(trained.exists { case (cid, cv) =>
+      !init.find(_._1 == cid).get._2.sameElements(cv)
+    }, "two Lloyd's iterations must update at least one centroid")
+  }
+
+  test("trained-codebook IVF keeps useful recall@5 vs exact brute force") {
+    val exact = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfCosineTopKTrained(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained IVF recall@5 = $recall")
+  }
+}
