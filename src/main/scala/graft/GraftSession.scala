@@ -28,7 +28,7 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
-      .withExtensions(graft.plans.TopKPerKey.install)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
