@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
 
 import graft.functions.TextAnalysis
-import graft.operators.{CorpusPrep, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity}
+import graft.operators.{Cluster, CorpusPrep, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -190,6 +190,13 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simHashNearDupPairsMd5(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minHashNearDupPairsMd5(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // near-dup CLUSTERING over the md5 pair pipeline: star-contraction
+    // connected components (the oracle replays the closure as a recursive
+    // CTE — tractable at oracle scale), then the per-document keep/drop
+    // decision (lowest-id and best-quality representative policies)
+    "dedup_cluster_components" -> (Cluster.nearDupComponentsMd5 _),
+    "dedup_cluster_decision" -> (Cluster.dedupDecisionMd5 _),
+    "dedup_cluster_keep_best" -> (Cluster.dedupKeepBestMd5 _),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
@@ -415,8 +422,76 @@ object SparkEntry {
         $iterCtes"""
   }
 
+  /** Shared oracle prefix for the near-dup clustering rows: replays the
+    * md5-simhash pair pipeline (same CTEs as the `dedup_simhash_md5`
+    * oracle), then closes the pair graph transitively with a recursive CTE
+    * and labels every document with its component minimum (`base`:
+    * doc_id, component_id). The recursive closure is the ORACLE shape —
+    * tractable at verify scale; the distributed shape is the
+    * large-star/small-star contraction in `operators/Cluster.scala`.
+    */
+  private def simHashClusterBaseSql: String =
+    """WITH RECURSIVE t AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+                    tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) = 0 THEN 0
+                       ELSE CAST(list_sum(list_transform(range(60), b ->
+                         CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
+                              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                  END AS simhash
+           FROM t),
+         bb AS (
+           SELECT doc_id, simhash,
+                  unnest([CAST(0 * 65536 + ((simhash >> 0) & 65535) AS BIGINT),
+                          CAST(1 * 65536 + ((simhash >> 16) & 65535) AS BIGINT),
+                          CAST(2 * 65536 + ((simhash >> 32) & 65535) AS BIGINT),
+                          CAST(3 * 65536 + ((simhash >> 48) & 65535) AS BIGINT)]) AS band_key
+           FROM s),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM cand WHERE hamming <= 3
+           UNION ALL
+           SELECT doc_b AS u, doc_a AS v FROM cand WHERE hamming <= 3),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
+         base AS (
+           SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS component_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> minHashMd5OracleSql(),
+    "dedup_cluster_components" ->
+      s"""$simHashClusterBaseSql
+         SELECT doc_id, component_id FROM base ORDER BY doc_id""",
+    "dedup_cluster_decision" ->
+      s"""$simHashClusterBaseSql
+         SELECT doc_id, component_id,
+                COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
+                doc_id = component_id AS keep
+         FROM base ORDER BY doc_id""",
+    "dedup_cluster_keep_best" ->
+      s"""$simHashClusterBaseSql,
+         q AS (
+           SELECT doc_id,
+                  LEAST(1.0,
+                    (CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                     / len(string_split_regex(text, '\\s+'))) * 2.0
+                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           FROM documents)
+         SELECT b.doc_id, b.component_id, q.quality_score,
+                (ROW_NUMBER() OVER (PARTITION BY b.component_id
+                   ORDER BY q.quality_score DESC, b.doc_id) = 1) AS keep
+         FROM base b JOIN q USING (doc_id) ORDER BY b.doc_id""",
     "kmeans_assign" ->
       s"""${kmeansCentroidsSql()}
          SELECT vec_id, cid FROM (

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.sources.IO
+
+/** Near-duplicate CLUSTERING: the step after pair generation that near-dup
+  * dedup actually needs. `Dedup.minHashNearDupPairs`/`simHashNearDupPairs`
+  * emit similar (doc_a, doc_b) PAIRS, but similarity is not transitive —
+  * A~B and B~C without A~C — so dropping "the second doc of every pair"
+  * over-deletes (B dropped for A, C dropped for B even though C survives
+  * A's cluster). The standard policy (used by the big public corpus
+  * pipelines) is: connected components over the near-dup graph, then keep
+  * ONE representative per component.
+  *
+  * Components are computed with the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014 — a public MapReduce/Spark-folklore algorithm):
+  * each round is two shuffle stages over the EDGE list only, and the edge
+  * list monotonically contracts toward a star forest in O(log² n) rounds
+  * (2-4 in practice on near-dup graphs, whose components are clique-ish).
+  * This is the 100 TB shape:
+  *
+  *   - label-propagation converges in O(diameter) rounds — a chain of
+  *     pairwise-similar docs (common: shingled boilerplate) makes that
+  *     linear; star contraction is logarithmic regardless of shape;
+  *   - per round only (long, long) edges shuffle — never text, never
+  *     signatures; volume never exceeds the input pair count;
+  *   - no driver-side graph: the driver sees two longs per round (the
+  *     convergence signature), nothing else.
+  *
+  * Each round ends in an eager `localCheckpoint` — mandatory for iterative
+  * self-referential plans (the lineage doubles per round and would blow up
+  * the planner long before data size matters; see SCALING.md
+  * "Materialization & failure-recovery policy" for the recovery caveat and
+  * the reliable-checkpoint production alternative).
+  */
+object Cluster {
+
+  /** Hard stop for the star-contraction loop. Convergence is
+    * O(log² n) rounds with tiny constants (the round-trip spec pins a
+    * 1024-node path graph under 12); 30 rounds covers n far beyond any
+    * real corpus, so hitting the cap means a bug, and we fail loudly
+    * rather than return a half-contracted forest.
+    */
+  private val MaxRounds = 30
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns one (node, component) row per distinct node that appears in
+    * `edges`; `component` is the smallest node id in the component —
+    * deterministic, so downstream "keep the representative" policies are
+    * reproducible run-to-run.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    componentsWithRounds(edges, srcCol, dstCol)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it took
+    * to converge (test seam for the round-bound spec).
+    */
+  private[graft] def componentsWithRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): (DataFrame, Int) = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $MaxRounds rounds")
+    // Converged state is a star forest: every edge is (child, root). The
+    // groupBy(min) is belt-and-braces normalization (and dedups roots that
+    // parent several children).
+    val comp = e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node")
+      .agg(min("component").as("component"))
+    (comp, rounds)
+  }
+
+  /** Cheap fixed-point detector: (edge count, sum of 64-bit edge hashes).
+    * One tiny aggregate job per round, two longs to the driver. Equal
+    * signatures on different edge sets need a colliding xxhash64 SUM —
+    * negligible, and the star-contraction operators are monotone, so a
+    * false match cannot wedge the loop into returning garbage forever
+    * (it would only stop one round early on a set about to converge).
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). Window-form min instead of a
+    * groupBy+self-join: one shuffle on `u` instead of three.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val withM = sym.withColumn("m",
+      least(min("v").over(Window.partitionBy("u")), col("u")))
+    withM
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its SMALLER-or-equal neighbors (and
+    * itself) to the minimum of that set. Edges arrive child>parent from
+    * [[largeStar]]; re-orienting with greatest/least keeps the phase
+    * self-contained.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val withM = or.withColumn("m", min("v").over(Window.partitionBy("u")))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u").as("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (doc_id, component_id) for EVERY document: docs in no near-dup pair
+    * are their own singleton component. `component_id` is the smallest
+    * doc_id in the cluster.
+    */
+  private def documentComponents(
+      spark: SparkSession,
+      sfDir: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    IO.table(spark, sfDir, "documents")
+      .select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+  }
+
+  /** Near-dup clusters over the xxhash64 simhash pipeline (the fast
+    * library default; the md5 twin below is the oracle-checked shape).
+    */
+  def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairs(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Near-dup clusters over the md5-prefix simhash pairs — every stage
+    * (hashing, banding, Hamming verify, star contraction) replayed by the
+    * DuckDB oracle, whose clustering side is a recursive-CTE transitive
+    * closure (tractable at oracle scale; the star contraction is the
+    * distributed shape).
+    */
+  def nearDupComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** The dedup DECISION: per document, its cluster, the cluster size, and
+    * whether it is the kept representative (lowest doc_id — deterministic).
+    * `filter(keep)` is the deduplicated corpus; `filter(!keep)` is the
+    * exact drop list, preserved here because production pipelines audit
+    * drops rather than discarding them blind.
+    */
+  def dedupDecisionMd5(spark: SparkSession, sfDir: String): DataFrame =
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component_id")))
+      .withColumn("keep", col("doc_id") === col("component_id"))
+      .orderBy("doc_id")
+
+  /** Representative selection by QUALITY instead of lowest id: per cluster
+    * keep the argmax quality_score (ties break on doc_id). This is the
+    * policy a real training-data pipeline wants — near-dup clusters hold
+    * one clean copy and N boilerplate-mangled ones, and "lowest id" keeps
+    * an arbitrary one. Scores are IEEE-deterministic doubles (the
+    * txt_quality oracle row hash-matches bitwise), so the argmax is
+    * cross-engine reproducible.
+    */
+  def dedupKeepBestMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScores(spark, sfDir)
+      .select("doc_id", "quality_score")
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+      .join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component_id")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("keep", col("rn") === 1)
+      .drop("rn")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cluster, Dedup}
+
+/** Behavior specs for near-dup clustering (star-contraction connected
+  * components) over synthetic graphs and the sf0.001 documents table.
+  */
+class ClusterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponents(edges.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find ground truth for small graphs. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize every root to the component MIN (union by min already does)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components: two components plus min-label roots") {
+    val edges = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+    val got = components(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: path graph converges logarithmically") {
+    // a 1024-node path is the adversarial case for label propagation
+    // (diameter 1023); star contraction must close it in O(log^2 n) rounds
+    val edges = (0L until 1023L).map(i => (i, i + 1))
+    val (comp, rounds) = Cluster.componentsWithRounds(
+      edges.toDF("s", "t"), "s", "t")
+    assert(rounds <= 12, s"path graph took $rounds rounds")
+    val rows = comp.collect()
+    assert(rows.length == 1024)
+    assert(rows.forall(_.getLong(1) == 0L), "single component rooted at 0")
+  }
+
+  test("connected components: random graph matches driver union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    assert(components(edges) == unionFind(edges))
+  }
+
+  test("near-dup components agree with the pair list (both endpoints co-labeled)") {
+    val pairs = Dedup.simHashNearDupPairsMd5(spark, Sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "testdata plants near-duplicates")
+    val comp = Cluster.nearDupComponentsMd5(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // exactly the transitive closure, nothing coarser: component labeling
+    // must equal union-find over the same pair list, and unpaired docs are
+    // their own singleton
+    val truth = unionFind(pairs)
+    truth.foreach { case (id, root) => assert(comp(id) == root) }
+    val docCount = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(comp.size == docCount, "every document gets a component row")
+    comp.foreach { case (id, root) =>
+      if (!truth.contains(id)) assert(root == id, s"singleton $id mislabeled")
+    }
+  }
+
+  test("dedup decision: one keep per cluster, sizes partition the corpus") {
+    val rows = Cluster.dedupDecisionMd5(spark, Sf).collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, members) =>
+      assert(members.count(_.getBoolean(3)) == 1, s"component $c keep count")
+      val kept = members.find(_.getBoolean(3)).get
+      assert(kept.getLong(0) == members.map(_.getLong(0)).min,
+        s"component $c must keep the lowest doc_id")
+      members.foreach(m => assert(m.getLong(2) == members.length.toLong))
+    }
+    assert(rows.length == byComp.values.map(_.length).sum)
+  }
+
+  test("keep-best decision: representative has the cluster-max quality score") {
+    val rows = Cluster.dedupKeepBestMd5(spark, Sf).collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, members) =>
+      assert(members.count(_.getBoolean(3)) == 1, s"component $c keep count")
+      val kept = members.find(_.getBoolean(3)).get
+      val best = members.map(_.getDouble(2)).max
+      assert(kept.getDouble(2) == best, s"component $c kept a non-best doc")
+      // ties break on the lowest doc_id among the best-scoring docs
+      val bestIds = members.filter(_.getDouble(2) == best).map(_.getLong(0))
+      assert(kept.getLong(0) == bestIds.min)
+    }
+  }
+}
