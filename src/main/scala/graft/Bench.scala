@@ -44,7 +44,8 @@ object Bench {
       "emb_near_dup_pairs", "txt_token_counts", "txt_fingerprints",
       "txt_tfidf_top_terms", "mm_features",
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
-      "w4_rank_topk", "corpus_chunk", "txt_scrub")
+      "w4_rank_topk", "corpus_chunk", "txt_scrub",
+      "dedup_cluster_decision")
     val cases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

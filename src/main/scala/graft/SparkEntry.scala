@@ -190,6 +190,10 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simHashNearDupPairsMd5(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minHashNearDupPairsMd5(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // incremental dedup: the incoming batch (doc_id % 10 == 0) against the
+    // standing corpus — exact fingerprint anti-join, then simhash verdicts
+    "dedup_incremental_exact" -> (Dedup.incrementalExact _),
+    "dedup_incremental_simhash" -> ((s, d) => Dedup.incrementalNearDupMd5(s, d)),
     // near-dup CLUSTERING over the md5 pair pipeline: star-contraction
     // connected components (the oracle replays the closure as a recursive
     // CTE — tractable at oracle scale), then the per-document keep/drop
@@ -254,6 +258,10 @@ object SparkEntry {
     "corpus_mixture_sample" -> ((s, d) =>
       CorpusPrep.mixtureSample(s, d, MixtureWeights)),
     "corpus_shuffle_order" -> ((s, d) => CorpusPrep.shuffleOrder(s, d)),
+    // C4-style cross-doc line dedup (corpus re-lined at 8 tokens/line) and
+    // per-source document capping
+    "corpus_line_dedup" -> (CorpusPrep.lineDedupRelined _),
+    "corpus_cap_per_source" -> ((s, d) => CorpusPrep.capPerSource(s, d, cap = 10)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -1148,6 +1156,106 @@ object SparkEntry {
            FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          ORDER BY doc_a, doc_b""",
+    // incremental exact dedup: batch rows whose content fingerprint exists
+    // in the corpus are rejected (NOT EXISTS — null-safe, unlike NOT IN),
+    // survivors deduped within the batch by lowest doc_id
+    "dedup_incremental_exact" ->
+      """WITH corpus AS (
+           SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+         batch AS (
+           SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+           FROM documents WHERE doc_id % 10 = 0),
+         fresh AS (
+           SELECT * FROM batch b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+         SELECT doc_id, lang, source, n_chars FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM fresh)
+         WHERE rn = 1 ORDER BY doc_id""",
+    // incremental near-dup verdicts: md5-prefix simhash banding, batch
+    // bands joined against corpus bands, Hamming <= 3, nearest corpus doc
+    // per batch doc (min hamming, ties to lowest corpus id)
+    "dedup_incremental_simhash" ->
+      """WITH t AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+                    tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) = 0 THEN 0
+                       ELSE CAST(list_sum(list_transform(range(60), b ->
+                         CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
+                              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                  END AS simhash
+           FROM t),
+         bb AS (
+           SELECT doc_id, simhash,
+                  unnest([CAST(0 * 65536 + ((simhash >> 0) & 65535) AS BIGINT),
+                          CAST(1 * 65536 + ((simhash >> 16) & 65535) AS BIGINT),
+                          CAST(2 * 65536 + ((simhash >> 32) & 65535) AS BIGINT),
+                          CAST(3 * 65536 + ((simhash >> 48) & 65535) AS BIGINT)]) AS band_key
+           FROM s),
+         m AS (
+           SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM bb a JOIN bb b USING (band_key)
+           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         best AS (
+           SELECT batch_id, corpus_id, hamming FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rn
+             FROM m WHERE hamming <= 3)
+           WHERE rn = 1)
+         SELECT d.doc_id, best.corpus_id IS NULL AS is_new,
+                best.corpus_id AS dup_of, best.hamming
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         LEFT JOIN best ON d.doc_id = best.batch_id
+         ORDER BY d.doc_id""",
+    // cross-doc line dedup over the 8-tokens-per-line rendering: lines in
+    // more than 2 distinct docs are boilerplate and removed everywhere,
+    // survivors reassembled in order (unnest WITH ORDINALITY + list(ORDER
+    // BY ord) replays the Spark-side filter HOF)
+    "corpus_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         lined AS (
+           SELECT doc_id, list_transform(range(0, (len(toks) - 1) // 8 + 1),
+                    i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS lines
+           FROM t),
+         common AS (
+           SELECT line FROM (
+             SELECT line, COUNT(*) AS n_docs FROM (
+               SELECT DISTINCT doc_id, unnest(lines) AS line FROM lined)
+             GROUP BY line)
+           WHERE n_docs > 2),
+         ex AS (
+           -- parallel unnests in one SELECT zip positionally in DuckDB
+           -- (WITH ORDINALITY is unimplemented there)
+           SELECT doc_id, unnest(lines) AS line,
+                  unnest(range(1, len(lines) + 1)) AS ord
+           FROM lined),
+         keptl AS (
+           SELECT e.doc_id, e.line, e.ord
+           FROM ex e LEFT JOIN common c ON e.line = c.line
+           WHERE c.line IS NULL),
+         agg AS (
+           SELECT doc_id, list(line ORDER BY ord) AS kept
+           FROM keptl GROUP BY doc_id)
+         SELECT l.doc_id,
+                COALESCE(array_to_string(a.kept, chr(10)), '') AS text,
+                CAST(COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_kept,
+                CAST(len(l.lines) - COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_dropped
+         FROM lined l LEFT JOIN agg a USING (doc_id)
+         ORDER BY l.doc_id""",
+    // per-source cap: 10 docs per source by content-hash order (md5 hex
+    // digits 17-24, disjoint from the split/sample key digits)
+    "corpus_cap_per_source" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+           SELECT doc_id, source, lang, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(text), 17, 8))::BIGINT, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),

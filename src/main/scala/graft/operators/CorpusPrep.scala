@@ -200,6 +200,109 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Cross-document line dedup (the C4 recipe): a LINE that occurs in more
+    * than `maxDocs` distinct documents is boilerplate (nav bars, cookie
+    * banners, licence headers) and is removed from EVERY document; the
+    * surviving lines are reassembled in their original order. Output:
+    * (doc_id, text, n_lines_kept, n_lines_dropped).
+    *
+    * Scale shape: lines are never the unit of shuffle for the corpus —
+    * the only exchange is the line-FINGERPRINT aggregation
+    * (xxhash64-sized keys, map-side combined; at 100 TB this is the
+    * classic word-count shape), and the resulting common-line set is tiny
+    * by construction (it's the lines repeated across >maxDocs docs, a
+    * fixed vocabulary of boilerplate) so it broadcasts back as a hash set
+    * probe. Documents themselves are filtered map-side: explode the
+    * document's own lines per row with a codegen'd `filter` HOF against
+    * the broadcast set — the text column never shuffles. The common-line
+    * frame is collected into a broadcast join ONLY after an aggregation
+    * that bounds it; there is no collect to the driver.
+    *
+    * Duplicate lines WITHIN one document count once (distinct doc per
+    * line), matching C4: a doc repeating its own footer 50 times does not
+    * make the footer corpus-boilerplate.
+    */
+  def lineDedup(
+      spark: SparkSession,
+      sfDir: String,
+      maxDocs: Int = 2): DataFrame =
+    lineDedupFrames(IO.table(spark, sfDir, "documents"), maxDocs)
+
+  /** [[lineDedup]] over any (doc_id, text) frame — the registered query
+    * feeds it [[relined]] documents because the synthetic corpus carries
+    * no newlines of its own.
+    */
+  def lineDedupFrames(docs: DataFrame, maxDocs: Int): DataFrame = {
+    val common = docs
+      .select(explode(array_distinct(split(col("text"), "\\n"))).as("line"))
+      .groupBy(xxhash64(col("line")).as("line_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("line_fp")
+    docs
+      .join(broadcast(common.agg(collect_set("line_fp").as("common_set"))))
+      .withColumn("kept", expr(
+        """filter(split(text, '\\n'),
+             l -> NOT array_contains(common_set, xxhash64(l)))"""))
+      .select(col("doc_id"),
+        concat_ws("\n", col("kept")).as("text"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        (size(split(col("text"), "\\n")) - size(col("kept")))
+          .cast("long").as("n_lines_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** The documents table with a newline inserted every `lineTokens` word
+    * tokens — a deterministic multi-line rendering of the newline-free
+    * synthetic corpus so the line-level operators have real lines to work
+    * on. Pure map-side projection.
+    */
+  private[graft] def relined(
+      spark: SparkSession,
+      sfDir: String,
+      lineTokens: Int = 8): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        s"""concat_ws('\\n', transform(
+              sequence(0, (size(split(text, ' ')) - 1) div $lineTokens),
+              i -> concat_ws(' ', slice(split(text, ' '), i * $lineTokens + 1, $lineTokens))))""")
+        .as("text"))
+
+  /** The registered line-dedup query: re-line the corpus at 8 tokens per
+    * line, then drop lines occurring in more than 2 distinct documents.
+    */
+  def lineDedupRelined(spark: SparkSession, sfDir: String): DataFrame =
+    lineDedupFrames(relined(spark, sfDir), maxDocs = 2)
+
+  /** Per-source document cap (domain capping): keep at most `cap` docs per
+    * source, chosen by content-hash order (ties to doc_id) — the standard
+    * guard against one domain flooding the mixture. Hash order, not
+    * doc_id order: crawl ids correlate with crawl time, and "first N by
+    * id" would bias every capped source toward its oldest pages; the hash
+    * is a uniform draw that is still fully deterministic and
+    * oracle-replayable.
+    *
+    * Scale shape: row_number over (source) is the TopK-per-key pattern —
+    * the rn <= cap filter rewrites to the two-phase TopK operator
+    * (partial per-partition prune before the exchange), so the shuffle
+    * carries at most cap×partitions rows per source, not the whole
+    * corpus. Plan-asserted in PlanAuditSpec.
+    */
+  def capPerSource(
+      spark: SparkSession,
+      sfDir: String,
+      cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+    IO.table(spark, sfDir, "documents")
+      .withColumn("pick_key",
+        conv(substring(md5(col("text").cast("binary")), 17, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global shuffle for training-data ordering: every
     * document gets a pseudo-random 60-bit key derived from (seed, doc_id),
     * a shuffle shard (`bucket`), and its position within the shard. The

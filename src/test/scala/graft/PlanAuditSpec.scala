@@ -419,6 +419,70 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("incremental near-dup broadcasts the batch: corpus side never shuffles pre-join") {
+    val df = Dedup.incrementalNearDupMd5(spark, Sf)
+    val root = df.queryExecution.executedPlan
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bhj = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"banded batch must broadcast-join the corpus index:\n$exec")
+    // candidate generation must stream the corpus: under the broadcast
+    // join's streamed (non-build) side there is no shuffle — the only
+    // exchanges in the plan sit ABOVE it, on the post-Hamming-filter
+    // candidate rows (tiny by construction)
+    val streamed = bhj.map(j => j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+    })
+    streamed.foreach { side =>
+      val shuffles = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"corpus (streamed) side must not shuffle for candidate generation:\n$side")
+    }
+  }
+
+  test("incremental exact anti-join over a bucketed fingerprint index: corpus side exchange-free") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_corpus_fp")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val d = new java.io.File(wh, "b_corpus_fp")
+    if (d.exists()) {
+      d.listFiles().foreach(f => { if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() })
+      d.delete()
+    }
+    // the production shape: the corpus fingerprint index is maintained
+    // bucketed on fp across batches, so per-batch dedup never reshuffles it
+    spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .write.bucketBy(4, "fp").sortBy("fp").saveAsTable("b_corpus_fp")
+    val batch = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val anti = batch.hint("merge")
+      .join(spark.table("b_corpus_fp"), Seq("fp"), "left_anti")
+    val p = plan(anti)
+    assert(p.contains("SortMergeJoin"), s"bucketed anti join should sort-merge:\n$p")
+    // exactly one exchange: the batch reshuffling into the corpus
+    // bucketing; the bucketed index itself must not move
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"only the batch side may exchange (saw $exchanges):\n$p")
+  }
+
+  test("per-source cap rewrites to the two-phase TopK operator") {
+    val p = plan(graft.operators.CorpusPrep.capPerSource(spark, Sf, cap = 10))
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+      s"rn<=cap over (source) must plan as two-phase top-k:\n$p")
+  }
+
   test("row_number<=k window rewrites to the two-phase TopK operator") {
     val p = plan(Relational.w1RowNumberTopK(spark, Sf))
     assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
