@@ -64,22 +64,47 @@ object Cluster {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): (DataFrame, Int) = {
-    var e = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
+    // Pre-shrink with one small-star pass before alternating: near-dup
+    // graphs are clique-ish (measured at sf0.1: 178k edges over 2.7k
+    // nodes), and small-star collapses that multiplicity to O(nodes) rows
+    // immediately — every loop round then runs on the contracted set
+    // instead of the raw pair list. smallStar orients and dedups
+    // internally, so the raw selection needs no distinct of its own.
+    var e = smallStar(
+      edges
+        .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .where(col("u") =!= col("v")))
       .localCheckpoint()
     var sig = signature(e)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      e = next
-      rounds += 1
-    }
+    // Scale each round's shuffle width to the CONTRACTED edge count (known
+    // for free from the previous round's convergence signature), not the
+    // session default: localCheckpoint materializes through the RDD path,
+    // which AQE's partition coalescing does not re-plan, so without this a
+    // 5k-edge round would still launch session-width tasks per stage —
+    // pure scheduling overhead in a loop that runs 3-6 times. ~1M edges
+    // (16 bytes + row overhead) per task keeps partitions comfortably
+    // in-memory at any scale; the session width is the ceiling.
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def roundParts(edgeCount: Long): String =
+      math.min(edgeCount / 1000000L + 1L, sessionParts.toLong).toString
+    try {
+      while (!converged && rounds < MaxRounds) {
+        val t0 = System.nanoTime()
+        spark.conf.set("spark.sql.shuffle.partitions", roundParts(sig._1))
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val t1 = System.nanoTime()
+        val nextSig = signature(next)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f sig=${(System.nanoTime() - t1) / 1e9}%.2f edges=${nextSig._1}")
+        converged = nextSig == sig
+        sig = nextSig
+        e = next
+        rounds += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     require(converged, s"star contraction did not converge in $MaxRounds rounds")
     // Converged state is a star forest: every edge is (child, root). The
     // groupBy(min) is belt-and-braces normalization (and dedups roots that
@@ -111,10 +136,12 @@ object Cluster {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val withM = sym.withColumn("m",
       least(min("v").over(Window.partitionBy("u")), col("u")))
+    // no mid-round distinct: duplicate edges only inflate the (small)
+    // intermediate and smallStar dedups at round end — dropping it saves
+    // one shuffle per round
     withM
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node connects its SMALLER-or-equal neighbors (and
@@ -154,7 +181,7 @@ object Cluster {
     * library default; the md5 twin below is the oracle-checked shape).
     */
   def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame =
-    documentComponents(spark, sfDir, Dedup.simHashNearDupPairs(spark, sfDir))
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsUnsorted(spark, sfDir))
       .orderBy("doc_id")
 
   /** Near-dup clusters over the md5-prefix simhash pairs — every stage
@@ -164,7 +191,7 @@ object Cluster {
     * distributed shape).
     */
   def nearDupComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
-    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
       .orderBy("doc_id")
 
   /** The dedup DECISION: per document, its cluster, the cluster size, and
@@ -174,7 +201,7 @@ object Cluster {
     * drops rather than discarding them blind.
     */
   def dedupDecisionMd5(spark: SparkSession, sfDir: String): DataFrame =
-    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("component_id")))
       .withColumn("keep", col("doc_id") === col("component_id"))
@@ -191,7 +218,7 @@ object Cluster {
   def dedupKeepBestMd5(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = TextAnalysis.qualityScores(spark, sfDir)
       .select("doc_id", "quality_score")
-    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5(spark, sfDir))
+    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
       .join(quality, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy("component_id")

@@ -289,9 +289,16 @@ object Dedup {
   private[graft] def simHashBanded(spark: SparkSession, sfDir: String): DataFrame =
     simHashBandedFrom(simHashSignatures(spark, sfDir))
 
-  /** Band self-join + exact Hamming verify over a banded signatures frame. */
-  private def simHashPairs(banded: DataFrame, maxHamming: Int): DataFrame =
-    banded.as("a")
+  /** Band self-join + exact Hamming verify over a banded signatures frame.
+    * `sorted = false` skips the presentation sort — consumers that
+    * immediately re-shuffle the pairs (the clustering loop) would pay a
+    * range exchange for an ordering the next stage destroys.
+    */
+  private[graft] def simHashPairs(
+      banded: DataFrame,
+      maxHamming: Int,
+      sorted: Boolean = true): DataFrame = {
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -299,7 +306,30 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+    if (sorted) pairs.orderBy("doc_a", "doc_b") else pairs
+  }
+
+  /** [[simHashNearDupPairs]] without the presentation sort (cluster input). */
+  private[graft] def simHashNearDupPairsUnsorted(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairs(
+      materializeIfLarge(simHashBanded(spark, sfDir),
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+      maxHamming, sorted = false)
+
+  /** [[simHashNearDupPairsMd5]] without the presentation sort (cluster
+    * input).
+    */
+  private[graft] def simHashNearDupPairsMd5Unsorted(
+      spark: SparkSession,
+      sfDir: String,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairs(
+      materializeIfLarge(simHashBandedFrom(simHashSignaturesMd5(spark, sfDir)),
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+      maxHamming, sorted = false)
 
   def simHashNearDupPairs(
       spark: SparkSession,
