@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
 
-import graft.functions.TextAnalysis
-import graft.operators.{Cluster, CorpusPrep, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity}
+import graft.functions.{TextAnalysis, VectorCentroidAggregator}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -262,6 +262,26 @@ object SparkEntry {
     // per-source document capping
     "corpus_line_dedup" -> (CorpusPrep.lineDedupRelined _),
     "corpus_cap_per_source" -> ((s, d) => CorpusPrep.capPerSource(s, d, cap = 10)),
+    // fuzzy (edit-distance) near-dup pairs: exact-recall length blocking ×
+    // prefix/suffix affix keys, Levenshtein verify
+    "dedup_fuzzy_lev" -> ((s, d) => Dedup.fuzzyLevPairs(s, d)),
+    // tokenizer training: corpus vocabulary, round-0 BPE pair statistics,
+    // the iterative merge trainer (argmax-per-round: spec-pinned, not
+    // SQL-expressible), and segmentation under a pinned 4-merge table
+    // (oracle replays the greedy fusion as a sentinel replace chain)
+    "txt_vocab" -> ((s, d) => Tokenize.vocabulary(s, d)),
+    "txt_bpe_pairs" -> ((s, d) => Tokenize.bpePairCounts(s, d)),
+    "txt_bpe_merges" -> ((s, d) => Tokenize.bpeTrainMerges(s, d)),
+    "txt_bpe_segment" -> ((s, d) =>
+      Tokenize.bpeSegmentCounts(s, d, PinnedBpeMerges)),
+    // embedding centroids (average pooling) via the typed vector
+    // aggregator; registered exploded to (label, pos, val) rows
+    "emb_centroids" -> (VectorCentroidAggregator.perLabelExploded _),
+    // end-to-end curation: dedup -> quality floor -> per-source cap, with
+    // the per-document decision trail and the per-source funnel report
+    "corpus_curation_decisions" -> ((s, d) => Curate.decisions(s, d)),
+    "corpus_curated" -> ((s, d) => Curate.curatedCorpus(s, d)),
+    "corpus_curation_report" -> ((s, d) => Curate.report(s, d)),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -359,6 +379,59 @@ object SparkEntry {
   private val StratifiedRates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
   private val StratifiedDefaultRate = 0.1
   private val MixtureWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Pinned merge table for the registered segmentation row: the corpus'
+    * four most frequent character pairs, in rank order. Pinned (like the
+    * LSH planes) so the oracle can replay the greedy fusion as a
+    * sentinel-character replace chain; the data-derived merge sequence is
+    * what [[Tokenize.bpeTrainMerges]] computes and its spec pins.
+    */
+  private val PinnedBpeMerges: Seq[(String, String)] =
+    Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")
+
+  /** [[PinnedBpeMerges]] as a DuckDB sentinel replace chain over `w`: each
+    * merged pair collapses to one control character (chr(1)..), so the
+    * remaining string length IS the greedy-BPE token count. Leftmost
+    * non-overlapping `replace` is exactly the fold
+    * [[Tokenize.bpeSegmentCounts]] runs — the oracle cross-checks that
+    * equivalence, not just the arithmetic.
+    */
+  private def bpeReplaceChainSql: String =
+    PinnedBpeMerges.zipWithIndex.foldLeft("w") {
+      case (acc, ((l, r), i)) => s"replace($acc, '$l$r', chr(${i + 1}))"
+    }
+
+  /** Shared CTE chain for the curation oracles: quality score, canonical
+    * flag (first doc_id per identical text), quality flag, and the
+    * capped `keep` decision — the same pinned stage order as
+    * [[Curate.decisions]] (minQuality 0.6, cap 12).
+    */
+  private def curationFlagsSql: String =
+    """WITH t AS (
+         SELECT doc_id, source, lang, n_chars, text,
+                string_split_regex(text, '\s+') AS toks,
+                ('0x' || substr(md5(text), 17, 8))::BIGINT AS pick_key
+         FROM documents),
+       q AS (
+         SELECT doc_id, source, lang, n_chars, text, pick_key,
+                LEAST(1.0,
+                  (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                    / len(toks)) * 2.0
+                  + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+         FROM t),
+       f AS (
+         SELECT *,
+                CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+                     THEN 1 ELSE 0 END AS is_canonical,
+                CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS passes_quality
+         FROM q),
+       h AS (
+         SELECT *,
+                CASE WHEN is_canonical * passes_quality = 1
+                      AND row_number() OVER (PARTITION BY source
+                            ORDER BY is_canonical * passes_quality DESC, pick_key, doc_id) <= 12
+                     THEN 1 ELSE 0 END AS keep
+         FROM f)"""
 
   /** Shared CTEs for the decontamination oracles: per-doc distinct width-4
     * grams (RAW strings — the Spark side joins on xxhash64 of the same
@@ -985,6 +1058,82 @@ object SparkEntry {
          SELECT media_id, kind, CAST(frame_idx AS INT) AS frame_idx,
                 CAST(GREATEST(LEAST(GREATEST(nb // 4, 1), nb - frame_idx * (nb // 4)), 0) AS BIGINT) AS frame_len
          FROM f ORDER BY media_id, frame_idx""",
+    "dedup_fuzzy_lev" ->
+      // the oracle blocks on the raw 16-char affix STRINGS where the Spark
+      // side blocks on their xxhash64 — a hash collision can only add a
+      // candidate the identical Levenshtein verify rejects in both engines
+      """WITH k AS (
+           SELECT doc_id, side, h, b FROM (
+             SELECT doc_id, unnest([
+               {'side': 0, 'h': substr(text, 1, 16), 'b': n_chars // 64},
+               {'side': 0, 'h': substr(text, 1, 16), 'b': n_chars // 64 + 1},
+               {'side': 1, 'h': substr(text, length(text) - 15, 16), 'b': n_chars // 64},
+               {'side': 1, 'h': substr(text, length(text) - 15, 16), 'b': n_chars // 64 + 1}
+             ], recursive := true)
+             FROM documents)),
+         c AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM k x JOIN k y
+             ON x.side = y.side AND x.h = y.h AND x.b = y.b AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+                a.n_chars AS n_chars_a, b.n_chars AS n_chars_b
+         FROM c JOIN documents a ON doc_a = a.doc_id
+                JOIN documents b ON doc_b = b.doc_id
+         WHERE abs(a.n_chars - b.n_chars) <= 8 AND levenshtein(a.text, b.text) <= 8
+         ORDER BY doc_a, doc_b""",
+    "txt_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         SELECT word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+         FROM toks GROUP BY word ORDER BY cnt DESC, word LIMIT 1000""",
+    "txt_bpe_pairs" ->
+      """WITH w AS (
+           SELECT word, COUNT(*) AS wcnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY word),
+         p AS (
+           SELECT wcnt, unnest(list_transform(range(1, length(word)),
+                    i -> {'lhs': substr(word, CAST(i AS INT), 1),
+                          'rhs': substr(word, CAST(i + 1 AS INT), 1)}),
+                  recursive := true)
+           FROM w WHERE length(word) >= 2)
+         SELECT lhs, rhs, CAST(SUM(wcnt) AS BIGINT) AS cnt
+         FROM p GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 200""",
+    "txt_bpe_segment" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                   w -> length($bpeReplaceChainSql))) AS BIGINT) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""",
+    "emb_centroids" ->
+      // fixed-point (floor(x * 1e6) BIGINT) sums make the distributed mean
+      // order-independent and exactly replayable; the divide order
+      // (sum -> double, / 1e6, / n) mirrors the Aggregator's finish()
+      """WITH e AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings)
+         SELECT label, CAST(pos AS INT) AS pos,
+                CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 / COUNT(*) AS centroid_val,
+                COUNT(*) AS n
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
+    "corpus_curation_decisions" ->
+      s"""$curationFlagsSql
+          SELECT doc_id, source, lang, n_chars, quality_score,
+                 is_canonical, passes_quality, keep
+          FROM h ORDER BY doc_id""",
+    "corpus_curated" ->
+      s"""$curationFlagsSql
+          SELECT doc_id, source, lang, n_chars, quality_score
+          FROM h WHERE keep = 1 ORDER BY doc_id""",
+    "corpus_curation_report" ->
+      s"""$curationFlagsSql
+          SELECT source, COUNT(*) AS n_input,
+                 CAST(SUM(is_canonical) AS BIGINT) AS n_canonical,
+                 CAST(SUM(is_canonical * passes_quality) AS BIGINT) AS n_quality,
+                 CAST(SUM(keep) AS BIGINT) AS n_kept
+          FROM h GROUP BY source ORDER BY source""",
     "txt_quality" ->
       """WITH t AS (
            SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks

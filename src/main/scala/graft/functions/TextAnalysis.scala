@@ -82,6 +82,23 @@ object TextAnalysis {
   private val StopwordsEn = Seq(
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with")
 
+  /** The blended [0,1] quality score as a bare Column over a frame carrying
+    * `toks` (whitespace tokens) and `n_chars` — factored out so composed
+    * pipelines ([[graft.operators.Curate]]) compute it on their own scan
+    * instead of paying a join against [[qualityScores]].
+    */
+  def qualityScoreCol: Column = {
+    val toks = col("toks")
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => t.isInCollection(StopwordsEn))).cast("double")
+    least(
+      lit(1.0),
+      (stopHits / nTok) * 2.0
+        + when(col("n_chars") >= 100 && col("n_chars") <= 10000, 0.5)
+          .otherwise(0.0))
+  }
+
   /** Quality scoring: mean token length, stopword ratio, alphabetic ratio,
     * and a blended [0,1] quality score (long-token-heavy, stopword-poor
     * text scores low — the usual cheap pretraining-corpus heuristics).
@@ -100,11 +117,7 @@ object TextAnalysis {
         (col("n_chars").cast("double") / nTok).as("mean_token_len"),
         (stopHits / nTok).as("stopword_ratio"),
         (alphaChars / col("n_chars").cast("double")).as("alpha_ratio"),
-        least(
-          lit(1.0),
-          (stopHits / nTok) * 2.0
-            + when(col("n_chars") >= 100 && col("n_chars") <= 10000, 0.5)
-              .otherwise(0.0)).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.sources.IO
+
+/** End-to-end corpus curation: the composed pipeline a training-data run
+  * actually executes, wiring the individual operators this library ships
+  * into one auditable pass — exact dedup, then a quality floor, then a
+  * per-source cap, with the per-document decision trail preserved (real
+  * pipelines audit drops; they don't discard rows blind).
+  *
+  * Stage order is pinned and semantic: dedup FIRST (a duplicate must not
+  * consume a source's cap budget), quality second, capping last (the cap
+  * ranks only documents that survived the earlier stages).
+  *
+  * Scale shape: everything is computed on ONE scan of the corpus — the
+  * quality score is inlined as a codegen'd column (no join against a
+  * second scan), and the three decisions are two window passes (the
+  * 192-bit-fingerprint dedup window, text pruned from its exchange, and
+  * the per-source cap window, which ranks candidates first via a flag in
+  * the sort key so survivors of the earlier stages occupy ranks 1..cap —
+  * one window instead of a filter + join-back). No stage shuffles document
+  * text except the scan itself; the cap window is the TopK-per-key shape.
+  */
+object Curate {
+
+  /** Content-hash pick key for cap ordering — md5 hex digits 17-24, the
+    * same draw [[CorpusPrep.capPerSource]] uses (uniform, deterministic,
+    * independent of the split/sample key digits).
+    */
+  private def pickKey = conv(
+    substring(md5(col("text").cast("binary")), 17, 8), 16, 10).cast("long")
+
+  /** Per-document curation decision trail: quality score plus int flags
+    * `is_canonical` (first doc_id of an identical-text group),
+    * `passes_quality` (score >= minQuality), and `keep` (canonical AND
+    * quality AND within the per-source cap). Flags are ints, not booleans,
+    * so the cap window can rank on them and cross-engine compares never
+    * touch boolean collation.
+    */
+  def decisions(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.6,
+      cap: Int = 12): DataFrame = {
+    val dedupW = Window.partitionBy("fp_xx", "fp_md5").orderBy("doc_id")
+    // candidates (cand=1) sort before non-candidates, so rank<=cap inside
+    // the cand=1 prefix IS the per-source cap over surviving docs only
+    val capW = Window.partitionBy("source")
+      .orderBy(desc("cand"), col("pick_key"), col("doc_id"))
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .withColumn("fp_xx", xxhash64(col("text")))
+      .withColumn("fp_md5", md5(col("text").cast("binary")))
+      .withColumn("pick_key", pickKey)
+      .withColumn("is_canonical",
+        (row_number().over(dedupW) === 1).cast("int"))
+      .withColumn("passes_quality",
+        (col("quality_score") >= minQuality).cast("int"))
+      .withColumn("cand", col("is_canonical") * col("passes_quality"))
+      .withColumn("keep",
+        when(col("cand") === 1 && row_number().over(capW) <= cap, 1)
+          .otherwise(0))
+      .select("doc_id", "source", "lang", "n_chars", "quality_score",
+        "is_canonical", "passes_quality", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** The curated corpus: kept documents only. */
+  def curatedCorpus(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.6,
+      cap: Int = 12): DataFrame =
+    decisions(spark, sfDir, minQuality, cap)
+      .filter(col("keep") === 1)
+      .select("doc_id", "source", "lang", "n_chars", "quality_score")
+      .orderBy("doc_id")
+
+  /** Per-source curation funnel: input docs → canonical (post-dedup) →
+    * quality survivors (among canonical) → kept after the cap. The
+    * retention report a corpus build publishes.
+    */
+  def report(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.6,
+      cap: Int = 12): DataFrame =
+    decisions(spark, sfDir, minQuality, cap)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum("is_canonical").as("n_canonical"),
+        sum(col("is_canonical") * col("passes_quality")).as("n_quality"),
+        sum("keep").as("n_kept"))
+      .orderBy("source")
+}

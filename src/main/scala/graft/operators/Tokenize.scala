@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Tokenizer-training primitives for a training-data pipeline: corpus
+  * vocabulary extraction and byte-pair-encoding (BPE) merge training —
+  * the counting passes a tokenizer build runs over the full corpus before
+  * any model training starts.
+  *
+  * Scale shape (the reason each operator survives 100 TB):
+  *   - [[vocabulary]] is the canonical word-count: map-side partial
+  *     aggregation collapses each input split to its distinct words before
+  *     the exchange, so the shuffle carries O(|vocab| × partitions) rows,
+  *     not O(corpus tokens). The top-N is a TakeOrdered (per-partition
+  *     heap + driver merge of N-row heads), never a global sort.
+  *   - [[bpePairCounts]] and [[bpeTrainMerges]] run on the VOCABULARY
+  *     (word, count) table, not the corpus: by Zipf's law the distinct-word
+  *     table is orders of magnitude smaller than the token stream, and
+  *     every BPE statistic is a weighted sum over it. One corpus-scale
+  *     aggregation builds the vocab; all merge rounds after that touch
+  *     only vocab-scale data — this is how the public fast BPE trainers
+  *     (subword-nmt, HuggingFace tokenizers) are structured, re-expressed
+  *     as Spark aggregations.
+  *   - [[bpeTrainMerges]]' per-round driver traffic is ONE row (the argmax
+  *     pair) — the same "tiny convergence signal to the driver" posture as
+  *     [[Cluster]]'s star contraction; the vocab symbol arrays live in a
+  *     per-round `localCheckpoint` to keep the iterative plan's lineage
+  *     flat (see SCALING.md, "Materialization & failure-recovery policy").
+  */
+object Tokenize {
+
+  /** Corpus vocabulary: per word, the total occurrence count and the
+    * document frequency, top `topN` under a deterministic total order
+    * (count desc, word asc).
+    *
+    * Two aggregations: (word, doc_id) → in-doc count first (this is the
+    * per-document distinct step that makes `doc_freq` a plain count), then
+    * word → (Σ in-doc count, row count). Both are map-side combined; the
+    * second shuffles the already-collapsed (word, doc) frame.
+    */
+  def vocabulary(spark: SparkSession, sfDir: String, topN: Int = 1000): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("in_doc"))
+      .groupBy("word")
+      .agg(sum("in_doc").as("cnt"), count(lit(1)).as("doc_freq"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(topN)
+
+  /** The (word, count) frame BPE training runs on: corpus word counts with
+    * words split into initial character symbols.
+    */
+  private def weightedSymbolVocab(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wcnt"))
+      // split on the empty pattern yields the character array plus one
+      // trailing "" (Spark splits with limit -1, keeping trailing empties)
+      .select(col("wcnt"), array_remove(split(col("word"), ""), "").as("syms"))
+
+  /** Adjacent-symbol pair counts over `syms` weighted by `wcnt` — the
+    * statistic one BPE merge round ranks. Top `topN` under (count desc,
+    * pair asc).
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS lhs,
+                         element_at(syms, i + 1) AS rhs))""")).as("p"))
+      // lhs/rhs, not left/right: LEFT and RIGHT are reserved words in ANSI
+      // engines the oracle runs on
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("wcnt").as("cnt"))
+
+  /** Round-0 BPE statistics: adjacent CHARACTER pair counts over the
+    * corpus vocabulary, weighted by word frequency — the ranking the first
+    * merge decision reads, registered as the oracle-checkable face of the
+    * BPE trainer (later rounds depend on the argmax and are covered by
+    * [[bpeTrainMerges]]' spec).
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String, topN: Int = 200): DataFrame =
+    pairCounts(weightedSymbolVocab(spark, sfDir))
+      .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+      .limit(topN)
+
+  /** BPE merge training: `numMerges` rounds of (count adjacent pairs →
+    * pick the most frequent → fuse it throughout the vocabulary), the
+    * classic algorithm from Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units" (ACL 2016), run as Spark
+    * aggregations over the weighted vocab. Returns the merge table
+    * (rank, left, right, merged, cnt) — the artifact a tokenizer ships.
+    *
+    * Ties rank (cnt desc, left asc, right asc), so the merge sequence is
+    * deterministic and replayable. Merges apply greedily left-to-right
+    * within each word (non-overlapping: "aaaa" under (a,a) → "aa","aa"),
+    * expressed as a codegen'd `aggregate` fold over the symbol array —
+    * no UDF. Symbols are compared as strings, so a merged token is
+    * indistinguishable from a pre-existing identical spelling — the same
+    * simplification every string-keyed public BPE implementation makes.
+    */
+  def bpeTrainMerges(
+      spark: SparkSession,
+      sfDir: String,
+      numMerges: Int = 8): DataFrame = {
+    var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+        .limit(1)
+        .collect() // exactly one row per round — the argmax decision
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round + 1, l, r, l + r, c))
+        // Greedy non-overlapping left-to-right fusion of (l, r): fold the
+        // symbol array, replacing a trailing `l` with `l+r` when `r`
+        // arrives. Column-API literals (not SQL-string splicing), so
+        // symbols from data can never break out of the expression.
+        val fused = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+        vocab = vocab.select(col("wcnt"), fused.as("syms")).localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("rank")
+  }
+
+  /** Apply a trained merge table to text: segment each document's words
+    * into the tokenizer's subword units and report the resulting token
+    * count next to the whitespace count — the compression-ratio check a
+    * tokenizer build ends with. The merge list arrives as an ordered local
+    * Seq (tokenizer vocabularies are KBs — driver-local by design, like
+    * any model artifact shipped to executors via closure/broadcast).
+    */
+  def bpeSegmentCounts(
+      spark: SparkSession,
+      sfDir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def fuse(syms: org.apache.spark.sql.Column, l: String, r: String) =
+      aggregate(
+        syms,
+        array().cast("array<string>"),
+        (a, s) => when(
+          size(a) > 0 && element_at(a, -1) === lit(l) && s === lit(r),
+          concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+          .otherwise(concat(a, array(s))))
+    // merges apply WITHIN each word (BPE never fuses across a word
+    // boundary), so the fold runs inside the per-word transform
+    val segmented = transform(col("words"), w =>
+      merges.foldLeft(array_remove(split(w, ""), "")) {
+        case (acc, (l, r)) => fuse(acc, l, r)
+      })
+    IO.table(spark, sfDir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_ws_tokens"),
+        size(flatten(segmented)).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+}
