@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.VectorCentroidAggregator
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Physical-plan audits — the 100 TB posture claims, asserted on explain
@@ -492,5 +493,63 @@ class PlanAuditSpec extends SparkTestBase {
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       s"TopKPartial must be under the shuffle:\n$p")
+  }
+
+  /** Shuffle exchanges of a frame's (adaptive-unwrapped) executed plan. */
+  private def shuffles(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+  }
+
+  test("vocabulary: top-N is a TakeOrdered, never a global sort") {
+    val p = plan(graft.operators.Tokenize.vocabulary(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocab must plan as TakeOrdered:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no range shuffle anywhere in the vocab plan:\n$p")
+  }
+
+  test("vector centroids shuffle one fixed-width buffer per group, never embeddings") {
+    val hashEx = shuffles(VectorCentroidAggregator.perLabelExploded(spark, Sf))
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashEx.size == 1,
+      s"exactly one aggregation exchange expected, saw ${hashEx.size}")
+    assert(!hashEx.head.output.exists(_.name.contains("embedding")),
+      s"the embedding column must be collapsed into the partial buffer " +
+        s"before the exchange: ${hashEx.head.output.map(_.name)}")
+  }
+
+  test("fuzzy Levenshtein dedup: equi-join blocking, text never in an exchange") {
+    val df = Dedup.fuzzyLevPairs(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"blocked candidate join must never fall back to all-pairs:\n$p")
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "text"
+          || a.name == "text_a" || a.name == "text_b"),
+        s"document text must not shuffle (candidates are id pairs; text " +
+          s"joins back broadcast-side): ${e.output.map(_.name)}")
+    }
+  }
+
+  test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
+    val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
+      .filter(_.outputPartitioning.toString.contains("fp_xx"))
+    assert(hashEx.nonEmpty, "expected the fingerprint-keyed dedup exchange")
+    hashEx.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("toks"),
+        s"text/toks must be pruned before the dedup exchange (quality is " +
+          s"computed below it): $names")
+      assert(names.contains("quality_score"),
+        s"quality_score should already be materialized below the exchange: $names")
+    }
   }
 }
