@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Multimodal, PlayStore, Relational, Similarity, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, Relational, Similarity, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -282,6 +282,9 @@ object SparkEntry {
     "corpus_curation_decisions" -> ((s, d) => Curate.decisions(s, d)),
     "corpus_curated" -> ((s, d) => Curate.curatedCorpus(s, d)),
     "corpus_curation_report" -> ((s, d) => Curate.report(s, d)),
+    // Z-order layout: Morton codes over (partkey, suppkey) — the
+    // projection the re-layout sorts on; pruning benefit is spec-measured
+    "zorder_values" -> (Layout.zOrderValues _),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -1134,6 +1137,16 @@ object SparkEntry {
                  CAST(SUM(is_canonical * passes_quality) AS BIGINT) AS n_quality,
                  CAST(SUM(keep) AS BIGINT) AS n_kept
           FROM h GROUP BY source ORDER BY source""",
+    "zorder_values" ->
+      // the exact 32-term Morton interleave the Spark fold builds, emitted
+      // as SQL by the same generator — integer bit math, bit-identical
+      s"""WITH b AS (
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+            FROM lineitem)
+          SELECT l_orderkey, l_linenumber, zx, zy,
+                 (${Layout.zValue16Sql("zx", "zy")}) AS z
+          FROM b ORDER BY l_orderkey, l_linenumber""",
     "txt_quality" ->
       """WITH t AS (
            SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks
