@@ -49,6 +49,7 @@ object SparkEntry {
     "k5_orc_roundtrip" -> (Relational.k5OrcRoundTrip _),
     "k6_partitioned_roundtrip" -> (Relational.k6PartitionedRoundTrip _),
     "k7_zstd_roundtrip" -> (Relational.k7ZstdRoundTrip _),
+    "k8_compacted_roundtrip" -> (Relational.k8CompactedRoundTrip _),
     // projection (P1-P4)
     "p1_select_prune" -> (Relational.p1SelectPrune _),
     "p2_with_column" -> (Relational.p2WithColumn _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "dedup_events_batch" -> ((s, d) => graft.streaming.EventStream.dedupEventsBatch(s, d)),
     "sess_window_builtin" -> (Relational.sessionWindowAgg _),
+    "events_funnel" -> ((s, d) => graft.streaming.EventStream.funnelSummary(s, d)),
     // headline analytics
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q_join_agg" -> (Relational.qJoinAgg _),
@@ -1147,6 +1149,31 @@ object SparkEntry {
           SELECT l_orderkey, l_linenumber, zx, zy,
                  (${Layout.zValue16Sql("zx", "zy")}) AS z
           FROM b ORDER BY l_orderkey, l_linenumber""",
+    "k8_compacted_roundtrip" ->
+      // compaction must be content-neutral: the oracle is the source table
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "events_funnel" ->
+      // µs event times on both sides (ns-vs-µs truncation must not flip
+      // the strict inequalities anchoring each stage)
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         a AS (
+           SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+                       OVER (PARTITION BY user_id) AS t_view FROM e),
+         b AS (
+           SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t_view THEN tus END)
+                       OVER (PARTITION BY user_id) AS t_click FROM a),
+         c AS (
+           SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t_click THEN tus END)
+                       OVER (PARTITION BY user_id) AS t_purchase FROM b),
+         u AS (
+           SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+                  MAX(t_purchase) AS t_purchase
+           FROM c GROUP BY user_id)
+         SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_users,
+                CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_users,
+                CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_users
+         FROM u""",
     "txt_quality" ->
       """WITH t AS (
            SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks

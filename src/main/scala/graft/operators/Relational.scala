@@ -119,6 +119,20 @@ object Relational {
       .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")
 
+  /** K8 (engine-level): small-files compaction round-trip — fragment the
+    * part table into 16 files, compact to target size (one file at this
+    * scale), re-read. Content is the oracle contract; the shuffle-free
+    * coalesce plan and the file count are spec-asserted.
+    */
+  def k8CompactedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = IO.scratchDir("graft_k8_src")
+    t(spark, sfDir, "part").repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    IO.compactParquet(spark, src, IO.scratchDir("graft_k8_dst"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   /** K3: the console sink's implicit limit-21 (show()) as a real plan:
     * CollectLimit over a sorted child.
     */

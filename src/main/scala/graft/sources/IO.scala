@@ -147,6 +147,47 @@ object IO {
   def scratchDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files and return the re-read frame.
+    *
+    * The small-files problem is the classic operational failure mode of a
+    * long-running ingest at scale — a 100 TB table accreted in
+    * per-micro-batch writes ends up as millions of KB-sized files, and
+    * every scan pays per-file open/footer/seek costs that dwarf the read
+    * itself (plus NameNode/listing pressure). Compaction restores
+    * scan-sized files.
+    *
+    * Sizing comes from the driver's file LISTING (byte sizes — no Spark
+    * job, no footer reads), and the rewrite uses `coalesce`, a NARROW
+    * dependency: input files are concatenated into output partitions
+    * without a shuffle (plan-asserted in the spec). Coalesce inherits the
+    * input's file order, so an already-sorted (e.g. Z-ordered) layout
+    * keeps its clustering; if input files are heavily skewed in size,
+    * callers trade the shuffle for balance with `repartition` instead.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = dir.getFileSystem(conf)
+    val it = fs.listFiles(dir, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) totalBytes += st.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    readParquet(spark, dstDir)
+  }
+
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

@@ -229,4 +229,39 @@ object EventStream {
         expr("(max(tus) - min(tus)) div 1000").as("duration_ms"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Ordered conversion funnel over the events table: per user, the first
+    * `view`, the first `click` strictly AFTER that view, and the first
+    * `purchase` strictly after that click; the summary row counts users
+    * reaching each stage (monotone by construction). The product-analytics
+    * staple that is NOT a plain groupBy — each stage's anchor depends on
+    * the previous stage's timestamp.
+    *
+    * Plan shape: three chained window aggregates over the SAME user_id
+    * partitioning (one exchange, no sort needed for unordered MIN frames)
+    * + the final single-row summary. Event-time arithmetic runs at µs like
+    * [[sessionizeBatch]] (ns-vs-µs truncation must not flip a strict
+    * inequality against the oracle).
+    */
+  def funnelSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tus") > col("t_view"),
+          col("tus"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("tus") > col("t_click"),
+          col("tus"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+      .agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view_users"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_click_users"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchase_users"))
+  }
 }
