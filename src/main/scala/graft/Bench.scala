@@ -47,10 +47,19 @@ object Bench {
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",
       "txt_vocab", "dedup_fuzzy_lev", "emb_centroids", "corpus_curated")
-    val cases: Seq[(String, () => DataFrame)] =
+    val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
           spark, IO.readParquet(spark, df4Dir), IO.scratchDir("bench_ps5"))))
+    // Dev loop escape hatch: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
+    // queries. The driver never sets it, so the per-round number always
+    // covers the full list.
+    val cases = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val keep = only.split(",").map(_.trim).toSet
+        allCases.filter(c => keep(c._1))
+      case None => allCases
+    }
 
     // best-of-2: a single local-mode run still carries JIT/IO noise that a
     // second pass removes; min is the steady-state number the 2x gate means

