@@ -46,7 +46,8 @@ object Bench {
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",
-      "txt_vocab", "dedup_fuzzy_lev", "emb_centroids", "corpus_curated")
+      "txt_vocab", "dedup_fuzzy_lev", "emb_centroids", "corpus_curated",
+      "snapshot_diff", "upsert_latest", "dedup_semantic", "emb_project")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

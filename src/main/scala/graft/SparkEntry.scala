@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, lit, sort_array, when}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, Relational, Similarity, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, Relational, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -287,6 +287,17 @@ object SparkEntry {
     // Z-order layout: Morton codes over (partkey, suppkey) — the
     // projection the re-layout sorts on; pruning benefit is spec-measured
     "zorder_values" -> (Layout.zOrderValues _),
+    // snapshot maintenance: CDC diff + latest-wins upsert (SCD-1 merge)
+    "snapshot_diff" -> (Snapshot.ordersSnapshotDiff _),
+    "upsert_latest" -> (Snapshot.eventsUpsertLatest _),
+    // semantic dedup (SemDeDup shape: k-means cells, then within-cell
+    // cosine) and JL random projection over the embedding corpus
+    "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
+    // registered exploded (vec_id, pos, val): float values compare
+    // numerically; an array-of-float column would need string formatting
+    // that the two engines render differently
+    "emb_project" -> ((s, d) => Similarity.randomProjection(s, d)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -507,6 +518,16 @@ object SparkEntry {
         cent0 AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < $k),
         $iterCtes"""
   }
+
+  /** The pinned JL projection as a DuckDB list expression: float-cast
+    * inner products against the same ±1/√k literal rows the Spark query
+    * multiplies by (single source: [[Similarity.projectionMatrix]], so the
+    * two engines cannot drift).
+    */
+  private def embProjectionListSql(outDims: Int = 16, dim: Int = 64): String =
+    Similarity.projectionMatrix(outDims, dim)
+      .map(row => s"CAST(list_inner_product(v, ${row.mkString("[", ", ", "]")}) AS FLOAT)")
+      .mkString("[", ",\n             ", "]")
 
   /** Shared oracle prefix for the near-dup clustering rows: replays the
     * md5-simhash pair pipeline (same CTEs as the `dedup_simhash_md5`
@@ -1149,6 +1170,74 @@ object SparkEntry {
           SELECT l_orderkey, l_linenumber, zx, zy,
                  (${Layout.zValue16Sql("zx", "zy")}) AS z
           FROM b ORDER BY l_orderkey, l_linenumber""",
+    "snapshot_diff" ->
+      // +1.0 on a double is exact IEEE in both engines; IS DISTINCT FROM
+      // mirrors Spark's null-safe <=> negation
+      """WITH prev AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 3),
+         nxt AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 7),
+         d AS (
+           SELECT COALESCE(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+                       WHEN n.o_orderkey IS NULL THEN 'delete'
+                       WHEN p.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR p.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN 'update' END AS op,
+                  p.o_orderstatus AS prev_o_orderstatus,
+                  n.o_orderstatus AS next_o_orderstatus,
+                  p.o_totalprice AS prev_o_totalprice,
+                  n.o_totalprice AS next_o_totalprice
+           FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+         SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""",
+    "upsert_latest" ->
+      // µs times on both sides (sessionize convention); src ranks the
+      // update batch above base on a same-µs tie, event_id pins the rest
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value
+           FROM events),
+         u AS (
+           SELECT *, CASE WHEN tus >= 1706054400000000 THEN 0 ELSE 1 END AS src
+           FROM ev),
+         r AS (
+           SELECT user_id, event_id, tus, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY tus DESC, src ASC, event_id DESC) AS rn
+           FROM u)
+         SELECT user_id, event_id, tus, event_type, value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "dedup_semantic" ->
+      // same trained centroids as kmeans_assign; the within-cell threshold
+      // runs on the DOUBLE cosine in both engines (emb_near_dup convention)
+      s"""${kmeansCentroidsSql()},
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+           ON a.cid = b.cid AND b.vec_id < a.vec_id
+             AND list_cosine_similarity(a.v, b.v) >= 0.35)
+         SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+         FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id""",
+    "emb_project" ->
+      // the same ±1/√k rows the Spark fold multiplies by, emitted as SQL
+      // literals from the same generator
+      s"""WITH v0 AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          p AS (
+            SELECT vec_id, ${embProjectionListSql()} AS proj FROM v0)
+          SELECT vec_id, CAST(t.pos AS INT) AS pos, proj[t.pos + 1] AS val
+          FROM p, unnest(range(len(proj))) AS t(pos)
+          ORDER BY vec_id, pos""",
     "k8_compacted_roundtrip" ->
       // compaction must be content-neutral: the oracle is the source table
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",

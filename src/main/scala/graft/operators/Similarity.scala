@@ -478,6 +478,94 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (the published web-corpus
+    * pipeline shape — cluster the embedding space, then dedup only WITHIN
+    * a cluster; Abbas et al. 2023, arXiv:2303.09540): a vector is dropped
+    * when its k-means cell contains a ≥ `tau`-cosine neighbor with a
+    * smaller vec_id — the greedy keep-one-per-duplicate-group policy, made
+    * run-to-run deterministic by the id order. One decision row per vector:
+    * (vec_id, cid, keep); `filter(keep)` is the semantically deduplicated
+    * corpus.
+    *
+    * The 100 TB shape: candidate volume is Σ cell² — never corpus² — and
+    * the cell population stays bounded by scaling `k` with the corpus
+    * (exactly the IVF argument in [[ivfCosineTopK]]); cell assignment is a
+    * map-side codegen'd argmax (no shuffle), so the only data motion is
+    * the cid-keyed pair join plus the drop-list backjoin, both on
+    * (id, cid, vector) rows with text/payload never involved.
+    */
+  def semDedupDecisions(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    // materialize the assignment when large: three consumers below, and
+    // above the threshold re-running the argmax scan costs more than the
+    // checkpoint (same policy as the banded dedup paths)
+    val assigned = Dedup.materializeIfLarge(
+      assignToCodebook(c, kmeansCodebook(spark, sfDir, k, iters)),
+      IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet"))
+    // threshold on the DOUBLE cosine in both engines (the emb_near_dup
+    // convention); the semi-join keeps only a's columns
+    val dropIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id")
+          && expr("cosine_sim(a.v, b.v)") >= tau,
+        "left_semi")
+      .select(col("vec_id"), lit(true).as("dup"))
+    assigned.select("vec_id", "cid")
+      .join(dropIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions with
+    * a PINNED ±1 sign matrix (Achlioptas 2003's database-friendly
+    * projections: E[⟨Px,Py⟩] ∝ ⟨x,y⟩ with the same concentration bounds as
+    * Gaussian matrices, but the matmul is adds/subtracts). The matrix is
+    * derived from a bit-mixed hash of (i, j) — deterministic, no stored
+    * model artifact, identical on every executor by construction, and the
+    * oracle regenerates it from the same function.
+    *
+    * Map-side only: `outDims` fused dot products per row, no shuffle, no
+    * UDF — at 100 TB this runs at scan speed and cuts every downstream
+    * ANN/LSH/clustering pass by dim/outDims. Elements are float-cast: the
+    * projection feeds similarity ops that tolerate quantization by design,
+    * and the cast absorbs the ≤1-ulp double-fold drift between engines.
+    */
+  def randomProjection(
+      spark: SparkSession,
+      sfDir: String,
+      outDims: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val m = projectionMatrix(outDims, dim)
+    corpus(spark, sfDir)
+      .select(col("vec_id"),
+        array(m.map { row =>
+          call_function("dot_product", col("v"),
+            array(row.map(lit(_)): _*)).cast("float")
+        }: _*).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  /** The pinned projection rows (outDims × dim, entries ±1/√outDims).
+    * Shared with the oracle SQL generator so both engines multiply by the
+    * same matrix. The sign comes from the HIGH bits of a 64-bit
+    * multiply-xor mix — low-bit formulas like (i+j)&1 degenerate into a
+    * checkerboard whose rows are linearly dependent.
+    */
+  private[graft] def projectionMatrix(outDims: Int, dim: Int): Seq[IndexedSeq[Double]] = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    def sign(i: Int, j: Int): Double = {
+      val h0 = i.toLong * 0x9E3779B97F4A7C15L + (j + 1).toLong * 0xC2B2AE3D27D4EB4FL
+      val h = (h0 ^ (h0 >>> 33)) * 0xFF51AFD7ED558CCDL
+      if (((h >>> 37) & 1L) == 0L) scale else -scale
+    }
+    (0 until outDims).map(j => (0 until dim).map(i => sign(i, j)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH candidates (any-band
     * collision) verified with exact cosine. The near-dup analogue of
     * [[Dedup.minHashNearDupPairs]] for dense vectors.

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Snapshot maintenance operators: the change-data-capture diff between
+  * two keyed snapshots, and the latest-wins upsert (SCD type 1 merge) that
+  * applies a batch of updates to a base state. These are the two halves of
+  * keeping a 100 TB mutable table on an immutable store: diff detects what
+  * changed between loads; upsert folds changes into the current state.
+  *
+  * Scale shape for both: ONE co-partitioned shuffle per side on the key —
+  * a full-outer sort-merge join for the diff, a key-partitioned reduction
+  * for the upsert (which the TopKPerKey rewrite turns into partial
+  * per-partition pruning before the exchange, so a mostly-unchanged
+  * key space shuffles close to one row per key, not one row per version).
+  * Neither path broadcasts, collects, or re-sorts globally; with both
+  * sides bucketed by the key on disk, the diff's exchanges disappear
+  * entirely (SCALING.md "Shuffles").
+  */
+object Snapshot {
+
+  /** CDC diff of two snapshots of the same keyed table. Emits one row per
+    * key whose state changed: op = 'insert' (key only in `next`),
+    * 'delete' (key only in `prev`), 'update' (key in both, any compared
+    * column differs — null-safe). Unchanged keys emit nothing, so output
+    * volume is the churn, not the table.
+    */
+  def snapshotDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val changed: Column = compareCols
+      .map(c => !(col(s"p.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    prev.as("p")
+      .join(next.as("n"), col(s"p.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"p.$key").isNull, lit("insert"))
+          .when(col(s"n.$key").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(
+        Seq(coalesce(col(s"p.$key"), col(s"n.$key")).as(key), col("op")) ++
+          compareCols.flatMap(c =>
+            Seq(col(s"p.$c").as(s"prev_$c"), col(s"n.$c").as(s"next_$c"))): _*)
+  }
+
+  /** Latest-wins upsert: fold `updates` into `base`, keeping per key the
+    * row with the highest `version` (ties: updates beat base — the MERGE
+    * contract — then the tiebreak column for run-to-run determinism).
+    */
+  def upsertLatest(
+      base: DataFrame,
+      updates: DataFrame,
+      key: String,
+      version: String,
+      tiebreak: String): DataFrame = {
+    val tagged = base.withColumn("_src", lit(1))
+      .unionByName(updates.withColumn("_src", lit(0)))
+    val w = Window.partitionBy(key)
+      .orderBy(col(version).desc, col("_src").asc, col(tiebreak).desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  // ---- registered shapes over the driver testdata ----
+
+  /** Deterministic "previous load" of orders: the key stripe
+    * o_orderkey % 10 == 3 does not exist yet.
+    */
+  private[graft] def ordersPrev(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 10 =!= 3)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** Deterministic "current load": stripe %10==7 was deleted, stripe
+    * %10==3 arrived, and every key in stripe %5==0 had its price adjusted
+    * (+1.0 — exact in doubles, so cross-engine comparison is bitwise).
+    */
+  private[graft] def ordersNext(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  /** Registered CDC diff over the derived orders snapshots. */
+  def ordersSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame =
+    snapshotDiff(ordersPrev(spark, sfDir), ordersNext(spark, sfDir),
+      "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Registered upsert: per-user latest state, where events in the final
+    * week of the window arrive as the update batch against the base state
+    * built from everything earlier. `ts` arrives as nanos-since-epoch long
+    * (GraftSession.nanosAsLong); ordering runs at µs (`tus`) so every
+    * comparison matches the oracle's µs TIMESTAMPs (the sessionize
+    * convention), with the unique event_id as the sub-µs tiebreak.
+    */
+  def eventsUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = IO.table(spark, sfDir, "events")
+      .withColumn("tus", expr("ts div 1000"))
+      .select("user_id", "event_id", "tus", "event_type", "value")
+    val splitUs = 1706054400000000L // 2024-01-24 00:00:00 UTC
+    upsertLatest(
+      ev.filter(col("tus") < splitUs),
+      ev.filter(col("tus") >= splitUs),
+      "user_id", "tus", "event_id")
+      .orderBy("user_id")
+  }
+}

@@ -539,6 +539,34 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("CDC diff: one co-partitioned full-outer join, never nested-loop") {
+    val p = plan(graft.operators.Snapshot.ordersSnapshotDiff(spark, Sf))
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"keyed diff must stay an equi-join:\n$p")
+  }
+
+  test("latest-wins upsert gets the TopKPerKey partial-pruning rewrite") {
+    // rn=1-per-key over the unioned snapshots: the rewrite prunes each
+    // map partition to one candidate row per key BEFORE the exchange, so
+    // a mostly-unchanged key space shuffles ~|keys| rows, not |versions|
+    val p = plan(graft.operators.Snapshot.eventsUpsertLatest(spark, Sf))
+    assert(p.contains("TopKPartial"),
+      s"upsert should plan through the two-phase top-k operator:\n$p")
+  }
+
+  test("semantic dedup: map-side cell assignment, cid-equi pair join only") {
+    val p = plan(Similarity.semDedupDecisions(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"within-cell pair generation must stay an equi-join on cid:\n$p")
+  }
+
+  test("random projection adds NO hash exchange (map-side matmul)") {
+    val p = plan(Similarity.randomProjection(spark, Sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection is per-row; only the presentation sort may exchange:\n$p")
+  }
+
   test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
     val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
       .filter(_.outputPartitioning.toString.contains("fp_xx"))
