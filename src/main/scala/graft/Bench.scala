@@ -47,7 +47,8 @@ object Bench {
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",
       "txt_vocab", "dedup_fuzzy_lev", "emb_centroids", "corpus_curated",
-      "snapshot_diff", "upsert_latest", "dedup_semantic", "emb_project")
+      "snapshot_diff", "upsert_latest", "dedup_semantic", "emb_project",
+      "ann_topk_pq", "pq_codes", "corpus_quality_quantile")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

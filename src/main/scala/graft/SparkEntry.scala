@@ -218,6 +218,10 @@ object SparkEntry {
     // SQL) and the IVF search over the trained codebook
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssignments(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
+    // product quantization: per-subvector codebooks trained distributed,
+    // codes as INT columns (the stored index artifact), ADC-scored top-k
+    "pq_codes" -> ((s, d) => Similarity.pqEncode(s, d)),
+    "ann_topk_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
@@ -284,6 +288,7 @@ object SparkEntry {
     "corpus_curation_decisions" -> ((s, d) => Curate.decisions(s, d)),
     "corpus_curated" -> ((s, d) => Curate.curatedCorpus(s, d)),
     "corpus_curation_report" -> ((s, d) => Curate.report(s, d)),
+    "corpus_quality_quantile" -> ((s, d) => Curate.qualityQuantileFilter(s, d)),
     // Z-order layout: Morton codes over (partkey, suppkey) — the
     // projection the re-layout sorts on; pruning benefit is spec-measured
     "zorder_values" -> (Layout.zOrderValues _),
@@ -519,6 +524,60 @@ object SparkEntry {
         $iterCtes"""
   }
 
+  /** Oracle prefix replaying the PQ trainer per subvector slice: the same
+    * fixed-point Lloyd iteration as [[kmeansCentroidsSql]] but over
+    * `list_slice` subvectors under the inner-product assignment metric,
+    * ending per sub `s` in `bookS` (code, cv) with dense 0-based codes in
+    * cid order, and `pickS` (vec_id, code) — the encode. Tie-break
+    * everywhere: float-cast sim DESC then code ASC = Spark's first-max
+    * position.
+    */
+  /** PQ geometry shared by the Spark defaults and the oracle generators. */
+  private val PqNumSub = 8
+
+  private def pqBooksSql(
+      numSub: Int = PqNumSub,
+      k: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64): String = {
+    require(iters == 1, "oracle generator emits the fixed 1-iteration form")
+    val subDim = dim / numSub
+    val subCtes = (0 until numSub).map { s =>
+      val off = s * subDim
+      s"""sv$s AS (
+           SELECT vec_id, list_slice(v, ${off + 1}, ${off + subDim}) AS sv
+           FROM v0),
+         cent${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM sv$s WHERE vec_id < $k),
+         assign${s}_1 AS (
+           SELECT vec_id, sv, cid FROM (
+             SELECT e.vec_id, e.sv, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_inner_product(e.sv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM sv$s e CROSS JOIN cent${s}_0 c) WHERE rn = 1),
+         sums${s}_1 AS (
+           SELECT cid, t.pos, SUM(CAST(round(sv[t.pos + 1] * 1000000.0) AS BIGINT)) AS s,
+                  COUNT(*) AS n
+           FROM assign${s}_1, unnest(range(len(sv))) AS t(pos)
+           GROUP BY cid, t.pos),
+         cent${s}_1 AS (
+           SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cv
+           FROM sums${s}_1 GROUP BY cid),
+         book$s AS (
+           SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code, cv
+           FROM cent${s}_1),
+         pick$s AS (
+           SELECT vec_id, code FROM (
+             SELECT e.vec_id, b.code,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_inner_product(e.sv, b.cv) AS FLOAT) DESC, b.code) AS rn
+             FROM sv$s e CROSS JOIN book$s b) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $subCtes"""
+  }
+
   /** The pinned JL projection as a DuckDB list expression: float-cast
     * inner products against the same ±1/√k literal rows the Spark query
     * multiplies by (single source: [[Similarity.projectionMatrix]], so the
@@ -627,6 +686,32 @@ object SparkEntry {
                   CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
            FROM assign a JOIN probes p USING (cid)
            WHERE a.vec_id <> p.qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "pq_codes" ->
+      s"""${pqBooksSql()}
+         SELECT p0.vec_id, ${(0 until PqNumSub).map(s => s"p$s.code AS code_$s").mkString(", ")}
+         FROM pick0 p0
+           ${(1 until PqNumSub).map(s => s"JOIN pick$s p$s USING (vec_id)").mkString("\n           ")}
+         ORDER BY vec_id""",
+    "ann_topk_pq" ->
+      // ADC: exact query vectors against code-reconstructed corpus; the
+      // concatenated sub-centroids fold in the same element order as the
+      // Spark dot over the concat'd reconstruction
+      s"""${pqBooksSql()},
+         recon AS (
+           SELECT p0.vec_id, ${(0 until PqNumSub).map(s => s"b$s.cv").mkString(" || ")} AS rv
+           FROM pick0 p0
+             JOIN book0 b0 ON p0.code = b0.code
+             ${(1 until PqNumSub).map(s =>
+               s"JOIN pick$s p$s ON p0.vec_id = p$s.vec_id JOIN book$s b$s ON p$s.code = b$s.code")
+               .mkString("\n             ")}),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, r.vec_id,
+                  CAST(list_inner_product(q.qv, r.rv) AS FLOAT) AS sim
+           FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
@@ -1160,6 +1245,26 @@ object SparkEntry {
                  CAST(SUM(is_canonical * passes_quality) AS BIGINT) AS n_quality,
                  CAST(SUM(keep) AS BIGINT) AS n_kept
           FROM h GROUP BY source ORDER BY source""",
+    "corpus_quality_quantile" ->
+      // percent_rank is pure integer rank arithmetic over the same
+      // (quality_score, doc_id) total order — no interpolated percentile
+      """WITH t AS (
+           SELECT doc_id, source, n_chars,
+                  string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+                  LEAST(1.0,
+                    (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks)) * 2.0
+                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           FROM t),
+         r AS (
+           SELECT doc_id, source, quality_score,
+                  percent_rank() OVER (PARTITION BY source
+                    ORDER BY quality_score, doc_id) AS pct_rank
+           FROM q)
+         SELECT doc_id, source, quality_score, pct_rank
+         FROM r WHERE pct_rank >= 0.25 ORDER BY doc_id""",
     "zorder_values" ->
       // the exact 32-term Morton interleave the Spark fold builds, emitted
       // as SQL by the same generator — integer bit math, bit-identical

@@ -82,6 +82,33 @@ object Curate {
       .select("doc_id", "source", "lang", "n_chars", "quality_score")
       .orderBy("doc_id")
 
+  /** Distribution-RELATIVE quality pruning: drop the bottom
+    * `dropFraction` of each source's quality distribution. Production
+    * pipelines prune per-source percentiles rather than one absolute
+    * floor — sources calibrate differently, and a fixed threshold
+    * empties the strict source while passing everything from the lax one.
+    *
+    * The rank is `percent_rank` over (quality_score, doc_id) — pure
+    * integer rank arithmetic over a deterministic total order, so the
+    * cut is reproducible cross-engine and run-to-run (no interpolated
+    * percentile, whose float arithmetic differs between engines). One
+    * window pass per source; quality is computed inline below the
+    * exchange (same posture as [[decisions]]).
+    */
+  def qualityQuantileFilter(
+      spark: SparkSession,
+      sfDir: String,
+      dropFraction: Double = 0.25): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") >= dropFraction)
+      .select("doc_id", "source", "quality_score", "pct_rank")
+      .orderBy("doc_id")
+  }
+
   /** Per-source curation funnel: input docs → canonical (post-dedup) →
     * quality survivors (among canonical) → kept after the cap. The
     * retention report a corpus build publishes.

@@ -273,16 +273,28 @@ object Similarity {
     */
   private def assignToCodebook(
       c: DataFrame,
-      codebook: Seq[(Long, Array[Double])]): DataFrame = {
+      codebook: Seq[(Long, Array[Double])],
+      useDot: Boolean = false): DataFrame = {
     val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
-    def simsTo(v: Column): Column = array(codebook.map { case (_, cv) =>
-      call_function("cosine_sim", v,
-        array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
-    }: _*)
-    c.withColumn("sims", simsTo(col("v")))
+    c.withColumn("sims", simsAgainst(col("v"), codebook.map(_._2), useDot))
       .withColumn("cid",
         element_at(cidLookup, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select("vec_id", "v", "cid")
+  }
+
+  /** Float-cast similarity of `v` against each literal centroid, in
+    * codebook order — the shared argmax input for cell assignment and PQ
+    * encoding (first-max = lowest position resolves float ties, matching
+    * the oracle's `ORDER BY sim DESC, cid` rn=1).
+    */
+  private def simsAgainst(
+      v: Column,
+      centroids: Seq[Array[Double]],
+      useDot: Boolean): Column = {
+    val fn = if (useDot) "dot_product" else "cosine_sim"
+    array(centroids.map { cv =>
+      call_function(fn, v, array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
+    }: _*)
   }
 
   /** IVF search against an explicit codebook (see [[ivfCosineTopK]] for the
@@ -351,13 +363,24 @@ object Similarity {
       spark: SparkSession,
       sfDir: String,
       k: Int = 16,
-      iters: Int = 2): Seq[(Long, Array[Double])] = {
-    val c = corpus(spark, sfDir).select("vec_id", "v")
+      iters: Int = 2): Seq[(Long, Array[Double])] =
+    trainCodebook(corpus(spark, sfDir).select("vec_id", "v"), k, iters,
+      useDot = false)
+
+  /** [[kmeansCodebook]]'s Lloyd loop over an arbitrary (vec_id, v) frame —
+    * the PQ trainer runs it per subvector slice with the inner-product
+    * assignment metric (`useDot`).
+    */
+  private def trainCodebook(
+      c: DataFrame,
+      k: Int,
+      iters: Int,
+      useDot: Boolean): Seq[(Long, Array[Double])] = {
     var codebook: Seq[(Long, Array[Double])] = c.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     for (_ <- 1 to iters) {
-      val sums = assignToCodebook(c, codebook)
+      val sums = assignToCodebook(c, codebook, useDot)
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos")
         .agg(sum(round(col("col") * KmeansFixedScale).cast("long")).as("s"),
@@ -451,6 +474,156 @@ object Similarity {
       quantize(spark, sfDir)
         .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v")),
       expr("cosine_sim(qv, v)"), numQueries, k)
+
+  /** Product-quantization codebooks: the vector space is split into
+    * `numSub` contiguous subvector slices and an independent codebook of
+    * `codesPerSub` centroids is trained per slice with the same
+    * fixed-point Lloyd loop as [[kmeansCodebook]], under the
+    * INNER-PRODUCT assignment metric (the PQ scorer approximates
+    * dot(q, x) by Σ_s dot(q_s, centroid(code_s)), so encoding maximizes
+    * the quantity the scorer reads back). Returns per-sub centroids in
+    * cid-sorted order — the code of a vector is its centroid's POSITION
+    * in that order, making codes dense 0..k-1 even when Lloyd empties a
+    * cell.
+    *
+    * The whole artifact is numSub × codesPerSub × (dim/numSub) doubles =
+    * dim × codesPerSub — same size as one coarse codebook, bounded, and
+    * driver-held like the LSH planes.
+    */
+  def pqCodebooks(
+      spark: SparkSession,
+      sfDir: String,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64): Seq[IndexedSeq[Array[Double]]] = {
+    val subDim = dim / numSub
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    // All numSub trainings share their jobs: ONE init collect (the first
+    // codesPerSub full vectors, sliced driver-side) and ONE
+    // assign+aggregate job per Lloyd iteration covering every subvector —
+    // not numSub independent trainer loops (8× the scheduling for
+    // identical numbers; the per-sub math below is expression-for-
+    // expression the [[trainCodebook]] iteration, so the oracle replay is
+    // unchanged).
+    val init: Seq[(Long, Array[Double])] = c.filter(col("vec_id") < codesPerSub)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    var books: IndexedSeq[Seq[(Long, Array[Double])]] =
+      (0 until numSub).map(s =>
+        init.map { case (cid, v) => (cid, v.slice(s * subDim, (s + 1) * subDim)) })
+    for (_ <- 1 to iters) {
+      val perSub = array((0 until numSub).map { s =>
+        val sv = slice(col("v"), s * subDim + 1, subDim)
+        val sims = pqSims(sv, books(s).map(_._2))
+        val cidLookup = array(books(s).map(b => lit(b._1)): _*)
+        struct(lit(s).as("sub"),
+          element_at(cidLookup,
+            array_position(sims, array_max(sims)).cast("int")).as("cid"),
+          sv.as("sv"))
+      }: _*)
+      val sums = c.select(explode(perSub).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum(round(col("col") * KmeansFixedScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      books = (0 until numSub).map { s =>
+        sums.filter(_.getInt(0) == s).groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            val arr = new Array[Double](subDim)
+            rows.foreach { r =>
+              // same op order as the SQL oracle: CAST(s AS DOUBLE) / (n * 1e6)
+              arr(r.getInt(2)) =
+                r.getLong(3).toDouble / (r.getLong(4).toDouble * KmeansFixedScale)
+            }
+            (cid, arr)
+          }
+      }
+    }
+    books.map(_.sortBy(_._1).map(_._2).toIndexedSeq)
+  }
+
+  /** Float-cast inner products of one subvector slice against the whole
+    * sub-codebook as ONE generated loop: `transform` over the nested
+    * codebook literal, not codesPerSub unrolled dot calls — the unrolled
+    * form multiplies generated-code size by codes×subDim and its janino
+    * compile time dwarfs the actual math at query-submission time. Scores,
+    * fold order, and first-max ties are expression-identical either way,
+    * so the oracle replay is unaffected.
+    */
+  private def pqSims(sv: Column, book: Seq[Array[Double]]): Column =
+    transform(typedLit(book.map(_.toSeq)),
+      cv => call_function("dot_product", sv, cv).cast("float"))
+
+  /** 0-based PQ code of one subvector slice: first-max position in the
+    * float-cast inner products against the sub-codebook.
+    */
+  private def pqCode(vSub: Column, book: Seq[Array[Double]]): Column = {
+    val sims = pqSims(vSub, book)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** PQ-encode the corpus: one INT code per subvector — the stored ANN
+    * artifact. At 100 TB this is THE memory path: numSub bytes-ish per
+    * vector versus dim×4 for float32 (64× smaller at the 4×16 default),
+    * which is what lets a billion-vector index live in cluster RAM.
+    * Encoding is map-side only (codegen'd argmax per slice, no shuffle —
+    * same posture as the IVF cell assignment).
+    */
+  def pqEncode(
+      spark: SparkSession,
+      sfDir: String,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(spark, sfDir, numSub, codesPerSub, iters, dim)
+    val subDim = dim / numSub
+    corpus(spark, sfDir).select(
+      Seq(col("vec_id")) ++ (0 until numSub).map { s =>
+        pqCode(slice(col("v"), s * subDim + 1, subDim), books(s))
+          .as(s"code_$s")
+      }: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance PQ top-k (the IVF-PQ scoring half): EXACT query
+    * vectors against the RECONSTRUCTED corpus — each corpus vector is
+    * replaced by the concatenation of its coded sub-centroids, so the
+    * score is Σ_s dot(q_s, centroid(code_s)), computed here as one fused
+    * dot over the concatenated reconstruction. Approximation error comes
+    * only from the codebook, never the query (the "A" in ADC). The
+    * reconstruction is a per-row literal lookup — the corpus reads as
+    * codes, the books ride along as literals, nothing shuffles but the
+    * final top-k window.
+    */
+  def pqTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(spark, sfDir, numSub, codesPerSub, iters, dim)
+    val subDim = dim / numSub
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val recon = concat((0 until numSub).map { s =>
+      element_at(typedLit(books(s).map(_.toSeq)),
+        pqCode(slice(col("v"), s * subDim + 1, subDim), books(s)) + 1)
+    }: _*)
+    val encoded = c.withColumn("recon", recon)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    topKPerQuery(
+      encoded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          call_function("dot_product", col("qv"), col("recon")).cast("float")),
+      k)
+  }
 
   /** Distinct LSH candidate pairs of the corpus under the multi-band
     * OR-construction — exposed so the scale spec can assert candidate

@@ -567,6 +567,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"projection is per-row; only the presentation sort may exchange:\n$p")
   }
 
+  test("PQ encode is map-side: codegen'd per-slice argmax, no hash exchange") {
+    val p = plan(Similarity.pqEncode(spark, Sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encoding must not shuffle the corpus:\n$p")
+  }
+
   test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
     val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
       .filter(_.outputPartitioning.toString.contains("fp_xx"))
