@@ -222,6 +222,7 @@ object SparkEntry {
     // codes as INT columns (the stored index artifact), ADC-scored top-k
     "pq_codes" -> ((s, d) => Similarity.pqEncode(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
@@ -535,7 +536,7 @@ object SparkEntry {
   /** PQ geometry shared by the Spark defaults and the oracle generators. */
   private val PqNumSub = 8
 
-  private def pqBooksSql(
+  private def pqBooksCtesSql(
       numSub: Int = PqNumSub,
       k: Int = 16,
       iters: Int = 1,
@@ -572,11 +573,19 @@ object SparkEntry {
                       ORDER BY CAST(list_inner_product(e.sv, b.cv) AS FLOAT) DESC, b.code) AS rn
              FROM sv$s e CROSS JOIN book$s b) WHERE rn = 1)"""
     }.mkString(",\n")
+    subCtes
+  }
+
+  /** [[pqBooksCtesSql]] wrapped with the standard `v0` corpus prefix. */
+  private def pqBooksSql(
+      numSub: Int = PqNumSub,
+      k: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64): String =
     s"""WITH v0 AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-        $subCtes"""
-  }
+        ${pqBooksCtesSql(numSub, k, iters, dim)}"""
 
   /** The pinned JL projection as a DuckDB list expression: float-cast
     * inner products against the same ±1/√k literal rows the Spark query
@@ -712,6 +721,42 @@ object SparkEntry {
            SELECT q.qid, r.vec_id,
                   CAST(list_inner_product(q.qv, r.rv) AS FLOAT) AS sim
            FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "ann_topk_ivfpq" ->
+      // coarse cells from the cosine k-means replay, candidate scoring
+      // over the PQ reconstruction — IVF bounds the scan, PQ the memory
+      s"""${kmeansCentroidsSql()},
+         ${pqBooksCtesSql()},
+         cassign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         recon AS (
+           SELECT p0.vec_id, ${(0 until PqNumSub).map(s => s"b$s.cv").mkString(" || ")} AS rv
+           FROM pick0 p0
+             JOIN book0 b0 ON p0.code = b0.code
+             ${(1 until PqNumSub).map(s =>
+               s"JOIN pick$s p$s ON p0.vec_id = p$s.vec_id JOIN book$s b$s ON p$s.code = b$s.code")
+               .mkString("\n             ")}),
+         ar AS (
+           SELECT a.vec_id, a.cid, r.rv
+           FROM cassign a JOIN recon r ON a.vec_id = r.vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+         scored AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_inner_product(p.qv, a.rv) AS FLOAT) AS sim
+           FROM ar a JOIN probes p USING (cid)
+           WHERE a.vec_id <> p.qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",

@@ -625,6 +625,53 @@ object Similarity {
       k)
   }
 
+  /** The full IVF-PQ index: coarse k-means cells bound the scan (only
+    * `nprobe`/`nlist` of the corpus is scored per query — the IVF half)
+    * and PQ codes bound the memory (the scored candidates read as
+    * reconstructed byte codes, never raw vectors — the PQ half). This is
+    * the composition every public billion-vector ANN system ships; both
+    * codebooks are the bounded driver artifacts trained above.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      coarseIters: Int = 2,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      pqIters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val coarse = kmeansCodebook(spark, sfDir, nlist, coarseIters)
+    val books = pqCodebooks(spark, sfDir, numSub, codesPerSub, pqIters, dim)
+    val subDim = dim / numSub
+    val recon = concat((0 until numSub).map { s =>
+      element_at(typedLit(books(s).map(_.toSeq)),
+        pqCode(slice(col("v"), s * subDim + 1, subDim), books(s)) + 1)
+    }: _*)
+    // cell id and reconstruction are BOTH map-side columns of one pass
+    val assigned = assignToCodebook(c, coarse).withColumn("recon", recon)
+    val cent = coarse.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wP = Window.partitionBy("qid").orderBy(desc("psim"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("cosine_sim(qv, cv)").cast("float"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    topKPerQuery(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          call_function("dot_product", col("qv"), col("recon")).cast("float")),
+      k)
+  }
+
   /** Distinct LSH candidate pairs of the corpus under the multi-band
     * OR-construction — exposed so the scale spec can assert candidate
     * volume grows ~linearly (not quadratically) with corpus size.

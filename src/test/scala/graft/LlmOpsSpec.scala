@@ -227,6 +227,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.15, s"PQ ADC recall@5 = $recall")
   }
 
+  test("IVF-PQ keeps most of full-scan PQ's picks while probing 1/4 of cells") {
+    val full = Similarity.pqTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val retained = (full & ivfpq).size.toDouble / full.size
+    // deterministic on the fixed corpus (measured 0.70); the floor is the
+    // regression tripwire, not a statistical bound
+    assert(retained >= 0.6, s"IVF-PQ retained = $retained of full-scan PQ")
+  }
+
   test("typed corpus-stats aggregator agrees with built-in aggregates") {
     val typed = graft.functions.CorpusStatsAggregator.perSource(spark, Sf)
       .collect().map(r => r.getString(0) ->
