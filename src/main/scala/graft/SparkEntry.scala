@@ -295,6 +295,7 @@ object SparkEntry {
     "zorder_values" -> (Layout.zOrderValues _),
     // snapshot maintenance: CDC diff + latest-wins upsert (SCD-1 merge)
     "snapshot_diff" -> (Snapshot.ordersSnapshotDiff _),
+    "snapshot_apply" -> (Snapshot.ordersSnapshotApply _),
     "upsert_latest" -> (Snapshot.eventsUpsertLatest _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
@@ -1344,6 +1345,14 @@ object SparkEntry {
                   n.o_totalprice AS next_o_totalprice
            FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
          SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""",
+    "snapshot_apply" ->
+      // the oracle is the TARGET snapshot itself: a hash match proves
+      // apply ∘ diff = identity on this data
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 10 <> 7
+         ORDER BY o_orderkey""",
     "upsert_latest" ->
       // µs times on both sides (sessionize convention); src ranks the
       // update batch above base on a same-µs tie, event_id pins the rest

@@ -69,6 +69,29 @@ object Snapshot {
       .drop("_rn", "_src")
   }
 
+  /** Apply a [[snapshotDiff]] to the snapshot it was computed FROM,
+    * reconstructing the target: deletes/updates remove the prev row,
+    * inserts/updates contribute the next-side row. apply ∘ diff is the
+    * identity (property-tested, and the registered query's oracle IS the
+    * target snapshot) — the replication contract that lets a 100 TB
+    * replica sync by shipping churn instead of the table. One anti-join
+    * against the (churn-sized) key list plus a union: the replica table
+    * shuffles once on the key, the diff broadcasts when churn is small.
+    */
+  def applyDiff(
+      prev: DataFrame,
+      diff: DataFrame,
+      key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val removed = prev.join(
+      diff.filter(col("op").isin("delete", "update")).select(key),
+      Seq(key), "left_anti")
+    val added = diff.filter(col("op").isin("insert", "update"))
+      .select(Seq(col(key)) ++
+        compareCols.map(c => col(s"next_$c").as(c)): _*)
+    removed.unionByName(added)
+  }
+
   // ---- registered shapes over the driver testdata ----
 
   /** Deterministic "previous load" of orders: the key stripe
@@ -93,6 +116,18 @@ object Snapshot {
   /** Registered CDC diff over the derived orders snapshots. */
   def ordersSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame =
     snapshotDiff(ordersPrev(spark, sfDir), ordersNext(spark, sfDir),
+      "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Registered apply: reconstruct the next orders snapshot from prev +
+    * diff. The oracle is the next snapshot itself, so a hash match PROVES
+    * apply ∘ diff = identity on this data.
+    */
+  def ordersSnapshotApply(spark: SparkSession, sfDir: String): DataFrame =
+    applyDiff(
+      ordersPrev(spark, sfDir),
+      snapshotDiff(ordersPrev(spark, sfDir), ordersNext(spark, sfDir),
+        "o_orderkey", Seq("o_orderstatus", "o_totalprice")),
       "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
       .orderBy("o_orderkey")
 

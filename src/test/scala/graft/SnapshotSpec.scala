@@ -36,6 +36,27 @@ class SnapshotSpec extends SparkTestBase {
     assert(Snapshot.upsertLatest(base, updates, "k", "ver", "tb").count() == 3)
   }
 
+  test("applyDiff(prev, diff(prev, next)) reconstructs next exactly") {
+    // in-memory case incl. null transitions
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (5L, null.asInstanceOf[String], 50.0)).toDF("k", "s", "p")
+    val next = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0),
+      (5L, "e", 50.0)).toDF("k", "s", "p")
+    val rebuilt = Snapshot.applyDiff(prev,
+      Snapshot.snapshotDiff(prev, next, "k", Seq("s", "p")), "k", Seq("s", "p"))
+    assert(rebuilt.unionByName(next).distinct().count() == next.count()
+      && rebuilt.count() == next.count(),
+      "apply ∘ diff must be the identity (multiset equality)")
+    // and on the derived orders snapshots at test scale
+    val op = Snapshot.ordersPrev(spark, Sf)
+    val on = Snapshot.ordersNext(spark, Sf)
+    val rebuiltOrders = Snapshot.applyDiff(op,
+      Snapshot.snapshotDiff(op, on, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice")),
+      "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+    assert(rebuiltOrders.exceptAll(on).isEmpty && on.exceptAll(rebuiltOrders).isEmpty)
+  }
+
   test("orders CDC diff emits churn only, never unchanged keys") {
     val d = Snapshot.ordersSnapshotDiff(spark, Sf).cache()
     val ops = d.groupBy("op").count().as[(String, Long)].collect().toMap
