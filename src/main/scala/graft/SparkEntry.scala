@@ -244,6 +244,7 @@ object SparkEntry {
     "txt_fingerprints_md5" -> ((s, d) =>
       TextAnalysis.fingerprints(s, d).select("doc_id", "fp_md5")),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: corpus preparation
     // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
@@ -1158,6 +1159,19 @@ object SparkEntry {
            FROM documents WHERE len(string_split(text, ' ')) >= 2)
          SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
          ORDER BY cnt DESC, bigram LIMIT 100""",
+    "txt_unigram_logprob" ->
+      // fixed-point per-token log-probs (round(ln(p)*1e6) BIGINT) so the
+      // per-doc sum is order-independent and engine-exact
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         tot AS (SELECT SUM(cnt) AS total FROM counts),
+         lp AS (
+           SELECT t.doc_id,
+                  CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000.0) AS BIGINT) AS lpf
+           FROM toks t JOIN counts c USING (term) CROSS JOIN tot)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "txt_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, term),

@@ -211,6 +211,40 @@ object TextAnalysis {
       .orderBy("doc_id", "term")
   }
 
+  /** Unigram language-model score per document: mean log-probability of
+    * its tokens under the corpus' own unigram distribution — the cheap
+    * end of perplexity filtering (documents whose token mix is improbable
+    * under the corpus LM are the classic junk: boilerplate, wrong
+    * language, encoding noise). Two shuffles at any scale: tokens join
+    * the (Zipf-small) vocabulary on term, then re-aggregate per doc; the
+    * vocab side is groupBy-built so both inputs arrive map-side combined,
+    * and AQE broadcasts the vocab when it fits.
+    *
+    * Determinism: each token's log-prob is fixed-pointed to
+    * round(ln(p)·1e6) as a BIGINT before summing — integer sums are
+    * order-independent, so the score is bit-identical across partition
+    * orders AND engines (the kmeans accumulator argument; a raw double
+    * sum of logs would pick up partition-order rounding).
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * lit(1000000.0), 0).cast("long").as("lpf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lpf").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double")
+          / (col("n_tokens").cast("double") * lit(1000000.0)))
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: a cryptographic content id (md5), a cheap
     * 64-bit content id (xxhash64), and a winnowing-style robust fingerprint
     * (min hash over 5-word rolling windows — stable under small edits
