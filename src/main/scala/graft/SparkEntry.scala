@@ -118,6 +118,7 @@ object SparkEntry {
     "w4_rank_topk" -> (Relational.w4RankTopK _),
     "w5_dense_rank_topk" -> (Relational.w5DenseRankTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
+    "w6_range_frame" -> (Relational.w6RangeFrame _),
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
@@ -1062,6 +1063,17 @@ object SparkEntry {
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, event_id""",
+    "w6_range_frame" ->
+      // integer µs ordering key so the RANGE interval is exact; decimal
+      // frame sum is order-free under same-µs ties
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+         SELECT user_id, event_id, tus,
+                COUNT(*) OVER w AS n_1h,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "w3_analytic_windows" ->
       """SELECT o_custkey, o_orderkey,
                 lag(o_totalprice, 1) OVER w AS prev_price,

@@ -558,6 +558,28 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** W6: time-RANGE frame — trailing one-hour event count and value sum
+    * per user, anchored on the event's own time. RANGE frames are the
+    * semantic gap ROWS frames can't express (the window extends over a
+    * VALUE interval of the ordering key, independent of row multiplicity)
+    * and the staple of time-series analytics. The frame sum goes through
+    * a decimal accumulator (exact, order-free — same-µs ties then cannot
+    * flip low bits cross-engine); event times run at µs like every other
+    * event query.
+    */
+  def w6RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-hourUs, Window.currentRow)
+    t(spark, sfDir, "events")
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("user_id", "event_id", "tus", "n_1h", "sum_1h")
+      .orderBy("user_id", "event_id")
+  }
+
   /** String-function surface: case mapping, trim, concat, substring,
     * length, replace, lpad — the everyday scalar layer.
     */
