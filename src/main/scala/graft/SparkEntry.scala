@@ -82,6 +82,7 @@ object SparkEntry {
     "j4_anti_join" -> (Relational.antiJoin _),
     "j5_asof_lookup" -> (Relational.asofLastPurchase _),
     "j6_range_join" -> (Relational.rangeJoinBucketed _),
+    "j6b_range_join_left" -> (Relational.rangeJoinBucketedLeft _),
     // set operations
     "set_union_all" -> (Relational.setUnionAll _),
     "set_intersect" -> (Relational.setIntersect _),
@@ -927,6 +928,15 @@ object SparkEntry {
            AND e.tus >= p.pus AND e.tus < p.pus + 3600000000
            AND e.event_id <> p.purchase_id
          ORDER BY event_id, purchase_id""",
+    "j6b_range_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, e.event_id, e.tus - p.pus AS lag_us
+         FROM p LEFT JOIN e ON e.user_id = p.user_id
+           AND e.tus >= p.pus AND e.tus < p.pus + 3600000000
+           AND e.event_id <> p.purchase_id
+         ORDER BY purchase_id, event_id""",
     "dedup_events_batch" ->
       """SELECT user_id, event_type, epoch_ns(ts) // 60000000000 AS minute_bucket,
                 MIN(event_id) AS keep_id, COUNT(*) AS copies

@@ -766,7 +766,12 @@ object Relational {
     * (an event lives in exactly one bucket). RangeJoinSpec pins equality
     * with the naive form.
     */
-  def rangeJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+  def rangeJoinBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    rangeJoinBucketedUnsorted(spark, sfDir).orderBy("event_id", "purchase_id")
+
+  private def rangeJoinBucketedUnsorted(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
     // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
     // oracle's DuckDB reads parquet TIMESTAMP_NS at micro precision
@@ -786,7 +791,30 @@ object Relational {
           && ev("event_id") =!= win("purchase_id"))
       .select(col("event_id"), col("purchase_id"),
         (col("tus") - col("w_start")).as("lag_us"))
-      .orderBy("event_id", "purchase_id")
+  }
+
+  /** J6b: the LEFT variant of [[rangeJoinBucketed]] — every purchase
+    * window appears, null-padded when no event fell inside it. An OUTER
+    * interval join cannot ride the bucket-grid equi-join directly (a
+    * window exploded to two buckets would emit two null rows), so the
+    * scale shape is inner-bucketed ∪ anti: the bucketed inner join does
+    * the heavy work, and the null pad is an anti-join of the (small)
+    * window table against the matched window ids — churn-sized, usually
+    * broadcast.
+    */
+  def rangeJoinBucketedLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val inner = rangeJoinBucketedUnsorted(spark, sfDir)
+    val windows = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"))
+    val unmatched = windows
+      .join(inner.select("purchase_id"), Seq("purchase_id"), "left_anti")
+      .select(col("purchase_id"),
+        lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("bigint").as("lag_us"))
+    inner.select("purchase_id", "event_id", "lag_us")
+      .unionByName(unmatched)
+      .orderBy("purchase_id", "event_id")
   }
 
   /** The naive form of [[rangeJoinBucketed]] — equi on user + residual

@@ -151,6 +151,36 @@ object EventStream {
       .select("event_id", "purchase_id", "user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the hard half of streaming
+    * joins: matched (purchase, event) pairs emit as they join, and a
+    * purchase whose window closes with NO matching event emits ONE
+    * null-padded row — but only once the event-side watermark proves no
+    * future match can arrive (Spark holds the outer row in state until
+    * then; without the two-sided time bound + both watermarks the state
+    * could never be declared complete and the null row never fires).
+    * Streaming twin of the batch `j6b_range_join_left`.
+    */
+  def attributionJoinLeftOuterStream(
+      purchases: DataFrame,
+      events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val e = events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    p.join(e,
+      col("p_user") === col("user_id")
+        && col("ts") >= col("p_ts")
+        && col("ts") < col("p_ts") + expr("interval 1 hour")
+        && col("event_id") =!= col("purchase_id"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("event_id").as("attributed_event"))
+  }
+
   /** Idempotent micro-batch file sink (foreachBatch): every micro-batch
     * lands in its own batchId-keyed directory with overwrite semantics, so
     * a batch REPLAYED after failure recovery (same batchId, re-read from

@@ -195,6 +195,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-pads purchases whose window closes empty") {
+    implicit val sqlCtx = spark.sqlContext
+    val puMem = MemoryStream[Event]
+    val evMem = MemoryStream[Event]
+    val out = EventStream.attributionJoinLeftOuterStream(puMem.toDF(), evMem.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("attribution_left")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      puMem.addData(
+        Event(100, ts("2024-01-01 10:00:00"), 1, "purchase", 9.99), // will match
+        Event(200, ts("2024-01-01 10:00:00"), 2, "purchase", 5.00)) // never matches
+      evMem.addData(Event(1, ts("2024-01-01 10:20:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      // push both watermarks far past window close so the unmatched
+      // purchase's state is declared complete and its null row emits
+      puMem.addData(Event(900, ts("2024-01-02 00:00:00"), 9, "purchase", 1.0))
+      evMem.addData(Event(901, ts("2024-01-02 00:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution_left")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((100L, 1L)), s"matched pair must emit: $rows")
+      assert(rows.contains((200L, -1L)),
+        s"empty-window purchase must emit one null-padded row: $rows")
+    } finally q.stop()
+  }
+
   test("native dot_product expression matches the HOF fold bitwise; null element nulls it") {
     val df = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
