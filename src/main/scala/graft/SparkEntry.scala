@@ -263,6 +263,10 @@ object SparkEntry {
       Decontaminate.contaminationReport(s, d, gramWidth = 4)),
     "corpus_decontaminated" -> ((s, d) =>
       Decontaminate.decontaminate(s, d, gramWidth = 4)),
+    // bloom prefilter is a pure pre-prune: result must equal the exact
+    // report, so the row reuses its oracle verbatim
+    "corpus_decontam_bloom" -> ((s, d) =>
+      Decontaminate.contaminationReportBloom(s, d, gramWidth = 4)),
     "corpus_stratified_sample" -> ((s, d) =>
       CorpusPrep.stratifiedSample(s, d, StratifiedRates, StratifiedDefaultRate)),
     "corpus_mixture_sample" -> ((s, d) =>
@@ -765,6 +769,11 @@ object SparkEntry {
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
     "corpus_decontam_report" ->
+      s"""$decontamGramsSql
+         SELECT g.doc_id, COUNT(*) AS n_shared_grams
+         FROM g JOIN ev USING (gram) WHERE g.bucket < 95
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "corpus_decontam_bloom" ->
       s"""$decontamGramsSql
          SELECT g.doc_id, COUNT(*) AS n_shared_grams
          FROM g JOIN ev USING (gram) WHERE g.bucket < 95

@@ -79,6 +79,57 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** [[contaminationReport]] behind a BLOOM-FILTER prefilter — the shape
+    * for when even the distinct eval-gram set outgrows an exact broadcast
+    * (full benchmark suites reach billions of grams; a bloom of them is a
+    * fixed few hundred MB at any cardinality). The sketch is built
+    * distributed (one aggregate over the eval grams), ships to executors
+    * once, and corpus grams that miss it die MAP-SIDE before the exact
+    * verify join — only bloom-positive grams (true matches + the fpp
+    * tail) reach the join at all.
+    *
+    * Correctness is unchanged, not approximate: the bloom has NO false
+    * negatives, so every truly shared gram still reaches the exact check, and
+    * false positives are killed by the verify join — the result is
+    * row-identical to [[contaminationReport]] (spec-pinned, and the
+    * registered row reuses the exact report's oracle).
+    */
+  def contaminationReportBloom(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 13,
+      evalPct: Int = 5,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val docs = withToks(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("bucket"), gramHashes(gramWidth).as("grams"))
+    val evalGrams = docs.filter(col("bucket") >= 100 - evalPct)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    // expected-items bound from footer metadata, not a count job; an
+    // overestimate only costs linear bits
+    val expected = math.max(1000L,
+      IO.parquetRowCount(spark, s"$sfDir/documents.parquet")
+        * 64L * evalPct / 100)
+    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftSqlBridge.expression(col("gram"))))
+    docs.filter(col("bucket") < 100 - evalPct)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .filter(mightContain)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** The decontaminated training corpus: train documents with NO gram
     * overlap against the eval set. Anti-join against the (small)
     * contaminated id set — broadcastable, the corpus side stays map-only.

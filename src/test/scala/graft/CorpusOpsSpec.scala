@@ -43,6 +43,16 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.keySet.intersect(evalIds).isEmpty, "eval docs never appear in the report")
   }
 
+  test("bloom-prefiltered contamination report is row-identical to the exact one") {
+    // the bloom is a pure pre-prune (no false negatives; false positives
+    // die in the verify join) — any row difference means the sketch
+    // dropped a true match
+    val exact = Decontaminate.contaminationReport(spark, Sf, gramWidth = 4)
+    val bloomed = Decontaminate.contaminationReportBloom(spark, Sf, gramWidth = 4)
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty,
+      "bloom path must reproduce the exact report exactly")
+  }
+
   test("decontaminate = train docs minus the report, disjoint and exhaustive") {
     val (report, trainIds, _) = naiveContamination()
     val clean = Decontaminate.decontaminate(spark, Sf, gramWidth = W)
