@@ -105,9 +105,13 @@ object Decontaminate {
     import org.apache.spark.sql.types.BinaryType
     val docs = withToks(IO.table(spark, sfDir, "documents"))
       .select(col("doc_id"), col("bucket"), gramHashes(gramWidth).as("grams"))
+    // two consumers (bloom build + verify join) and small by definition
+    // (the eval slice): materialize once instead of re-exploding the
+    // eval grams per consumer
     val evalGrams = docs.filter(col("bucket") >= 100 - evalPct)
       .select(explode(col("grams")).as("gram"))
       .distinct()
+      .localCheckpoint()
     // expected-items bound from footer metadata, not a count job; an
     // overestimate only costs linear bits
     val expected = math.max(1000L,
