@@ -49,7 +49,8 @@ object Bench {
       "txt_vocab", "dedup_fuzzy_lev", "emb_centroids", "corpus_curated",
       "snapshot_diff", "upsert_latest", "dedup_semantic", "emb_project",
       "ann_topk_pq", "pq_codes", "ann_topk_ivfpq", "corpus_quality_quantile",
-      "w6_range_frame", "txt_unigram_logprob", "corpus_decontam_bloom")
+      "w6_range_frame", "txt_unigram_logprob", "corpus_decontam_bloom",
+      "dedup_substring_spans")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

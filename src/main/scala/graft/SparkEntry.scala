@@ -279,6 +279,7 @@ object SparkEntry {
     // fuzzy (edit-distance) near-dup pairs: exact-recall length blocking ×
     // prefix/suffix affix keys, Levenshtein verify
     "dedup_fuzzy_lev" -> ((s, d) => Dedup.fuzzyLevPairs(s, d)),
+    "dedup_substring_spans" -> ((s, d) => Dedup.substringSpanPairsMd5(s, d)),
     // tokenizer training: corpus vocabulary, round-0 BPE pair statistics,
     // the iterative merge trainer (argmax-per-round: spec-pinned, not
     // SQL-expressible), and segmentation under a pinned 4-merge table
@@ -1283,6 +1284,20 @@ object SparkEntry {
                 JOIN documents b ON doc_b = b.doc_id
          WHERE abs(a.n_chars - b.n_chars) <= 8 AND levenshtein(a.text, b.text) <= 8
          ORDER BY doc_a, doc_b""",
+    "dedup_substring_spans" ->
+      // 60-bit md5-prefix window hashes, per-doc distinct, df-capped at 50
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         d8 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+         ex AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+                    i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT))) AS wh
+           FROM d8),
+         keep AS (SELECT wh FROM (SELECT wh, COUNT(*) AS df FROM ex GROUP BY wh) WHERE df <= 50),
+         k AS (SELECT ex.doc_id, ex.wh FROM ex JOIN keep USING (wh))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_windows
+         FROM k a JOIN k b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
     "txt_vocab" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -579,4 +579,73 @@ object Dedup {
       .select("doc_a", "doc_b", "lev", "n_chars_a", "n_chars_b")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** EXACT-SUBSTRING span dedup (the published "deduplicating training
+    * data" criterion, Lee et al. 2022: two documents are duplicates when
+    * they share ANY sufficiently-long verbatim token span — catching the
+    * partial-copy/boilerplate overlap that whole-document MinHash
+    * resemblance underweights). Every width-`w` token window is hashed,
+    * per-doc distinct windows explode to (doc_id, window_hash) rows, and
+    * a self-equi-join on the hash counts distinct shared windows per
+    * ordered pair.
+    *
+    * The 100 TB hazard is the HOT window: a boilerplate span appearing in
+    * m documents contributes m² join rows. `maxDf` drops windows seen in
+    * more than that many documents BEFORE the pair join (the published
+    * pipelines apply the same document-frequency cap, reading such spans
+    * as template noise rather than dedup signal) — after it, per-window
+    * join fan-out is capped at maxDf², and total candidate volume at
+    * windows × maxDf. Docs shorter than `w` tokens carry no window; the
+    * whole-document exact/MinHash paths own that regime.
+    */
+  private def substringSpanPairsBy(
+      docs: DataFrame,
+      windowHash: Column => Column,
+      w: Int,
+      maxDf: Int): DataFrame = {
+    val exploded = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => windowHash(concat_ws(" ", slice(col("toks"), i, lit(w)))))))
+          .as("wh"))
+    val keep = exploded.groupBy("wh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("wh")
+    val kept = exploded.join(keep, "wh")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[substringSpanPairsBy]] with xxhash64 window hashes — the library
+    * default (fast path).
+    */
+  def substringSpanPairs(
+      spark: SparkSession,
+      sfDir: String,
+      w: Int = 8,
+      maxDf: Int = 50): DataFrame =
+    substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
+      xxhash64(_), w, maxDf)
+
+  /** [[substringSpanPairsBy]] with 60-bit md5-prefix window hashes — the
+    * DuckDB-replayable twin (same convention as the other md5 twins);
+    * spec-pinned to emit the identical pair set as the xxhash64 path.
+    */
+  def substringSpanPairsMd5(
+      spark: SparkSession,
+      sfDir: String,
+      w: Int = 8,
+      maxDf: Int = 50): DataFrame =
+    substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
+      win => conv(substring(md5(win.cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      w, maxDf)
 }

@@ -238,6 +238,14 @@ class LlmOpsSpec extends SparkTestBase {
     assert(retained >= 0.6, s"IVF-PQ retained = $retained of full-scan PQ")
   }
 
+  test("substring spans: xxhash64 and md5 paths emit the identical pair set") {
+    val fast = Dedup.substringSpanPairs(spark, Sf)
+    val twin = Dedup.substringSpanPairsMd5(spark, Sf)
+    assert(fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty,
+      "window-hash choice must not change the exact-match pair set")
+    assert(fast.count() > 0, "near-dup corpus must share verbatim spans")
+  }
+
   test("typed corpus-stats aggregator agrees with built-in aggregates") {
     val typed = graft.functions.CorpusStatsAggregator.perSource(spark, Sf)
       .collect().map(r => r.getString(0) ->
