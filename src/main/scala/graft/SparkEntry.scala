@@ -280,6 +280,7 @@ object SparkEntry {
     // prefix/suffix affix keys, Levenshtein verify
     "dedup_fuzzy_lev" -> ((s, d) => Dedup.fuzzyLevPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpanPairsMd5(s, d)),
+    "dedup_substring_components" -> (Cluster.substringComponentsMd5 _),
     // tokenizer training: corpus vocabulary, round-0 BPE pair statistics,
     // the iterative merge trainer (argmax-per-round: spec-pinned, not
     // SQL-expressible), and segmentation under a pinned 4-merge table
@@ -1298,6 +1299,33 @@ object SparkEntry {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_windows
          FROM k a JOIN k b ON a.wh = b.wh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "dedup_substring_components" ->
+      // span-pair generation as in dedup_substring_spans; closure via
+      // recursive CTE (oracle shape) vs star contraction (engine shape)
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         d8 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+         ex AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+                    i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT))) AS wh
+           FROM d8),
+         keep AS (SELECT wh FROM (SELECT wh, COUNT(*) AS df FROM ex GROUP BY wh) WHERE df <= 50),
+         k AS (SELECT ex.doc_id, ex.wh FROM ex JOIN keep USING (wh)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM k a JOIN k b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM cand
+           UNION ALL
+           SELECT doc_b AS u, doc_a AS v FROM cand),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
+         SELECT d0.doc_id, COALESCE(c.root, d0.doc_id) AS component_id
+         FROM documents d0 LEFT JOIN comp c ON d0.doc_id = c.node
+         ORDER BY doc_id""",
     "txt_vocab" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)

@@ -205,6 +205,17 @@ object Cluster {
     documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
       .orderBy("doc_id")
 
+  /** Near-dup clusters over the EXACT-SUBSTRING span graph (md5 twin):
+    * documents sharing any verbatim width-8 token window land in one
+    * component — the clustering step of the published exact-substring
+    * dedup pipeline, oracled end to end (recursive-CTE closure on the
+    * oracle side, star contraction here).
+    */
+  def substringComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
+    documentComponents(spark, sfDir,
+      Dedup.substringSpanPairsMd5Unsorted(spark, sfDir))
+      .orderBy("doc_id")
+
   /** The dedup DECISION: per document, its cluster, the cluster size, and
     * whether it is the kept representative (lowest doc_id — deterministic).
     * `filter(keep)` is the deduplicated corpus; `filter(!keep)` is the

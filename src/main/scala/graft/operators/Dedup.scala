@@ -602,7 +602,8 @@ object Dedup {
       docs: DataFrame,
       windowHash: Column => Column,
       w: Int,
-      maxDf: Int): DataFrame = {
+      maxDf: Int,
+      sorted: Boolean = true): DataFrame = {
     val exploded = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= w)
@@ -616,13 +617,26 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select("wh")
     val kept = exploded.join(keep, "wh")
-    kept.as("a")
+    val pairs = kept.as("a")
       .join(kept.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
-      .orderBy("doc_a", "doc_b")
+    if (sorted) pairs.orderBy("doc_a", "doc_b") else pairs
   }
+
+  /** [[substringSpanPairsMd5]] without the presentation sort (cluster
+    * input — the contraction loop re-shuffles immediately).
+    */
+  private[graft] def substringSpanPairsMd5Unsorted(
+      spark: SparkSession,
+      sfDir: String,
+      w: Int = 8,
+      maxDf: Int = 50): DataFrame =
+    substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
+      win => conv(substring(md5(win.cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      w, maxDf, sorted = false)
 
   /** [[substringSpanPairsBy]] with xxhash64 window hashes — the library
     * default (fast path).

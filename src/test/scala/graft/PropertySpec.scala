@@ -27,6 +27,30 @@ class PropertySpec extends SparkTestBase {
       "$4.99", "$0", "Everyone", "February 11, 2018", "10,000+", "4.1", "-3"),
     Gen.listOfN(8, Gen.asciiPrintableChar).map(_.mkString))
 
+  test("apply ∘ diff is the identity on random keyed snapshots") {
+    import graft.operators.Snapshot
+    // random (key, payload) tables with overlapping key ranges, null
+    // payloads, and disjoint stripes — diff then apply must always
+    // reconstruct the target as a multiset
+    val rowGen: Gen[(Long, Option[String], Double)] = for {
+      k <- Gen.chooseNum(0L, 30L)
+      s <- Gen.option(Gen.oneOf("a", "b", "c", ""))
+      p <- Gen.oneOf(0.0, 1.5, -2.25, 99.0)
+    } yield (k, s, p)
+    val tableGen = Gen.listOfN(25, rowGen)
+      // one row per key: keyed snapshots are unique-keyed by contract
+      .map(_.groupBy(_._1).map(_._2.head).toSeq)
+    samples(Gen.zip(tableGen, tableGen), n = 4).foreach { case (pa, pb) =>
+      val prev = pa.map { case (k, s, p) => (k, s.orNull, p) }.toDF("k", "s", "p")
+      val next = pb.map { case (k, s, p) => (k, s.orNull, p) }.toDF("k", "s", "p")
+      val rebuilt = Snapshot.applyDiff(prev,
+        Snapshot.snapshotDiff(prev, next, "k", Seq("s", "p")),
+        "k", Seq("s", "p"))
+      assert(rebuilt.exceptAll(next).isEmpty && next.exceptAll(rebuilt).isEmpty,
+        s"apply∘diff drifted from the target snapshot")
+    }
+  }
+
   test("standardizers never throw on arbitrary dirty strings (non-ANSI contract)") {
     samples(Gen.listOfN(40, dirtyString)).foreach { values =>
       val df = values.toDF("Size")
