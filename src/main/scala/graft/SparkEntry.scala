@@ -279,6 +279,9 @@ object SparkEntry {
     // fuzzy (edit-distance) near-dup pairs: exact-recall length blocking ×
     // prefix/suffix affix keys, Levenshtein verify
     "dedup_fuzzy_lev" -> ((s, d) => Dedup.fuzzyLevPairs(s, d)),
+    // fast path (xxhash64 windows): no SQL-expressible oracle, but the
+    // spec pins its pair set identical to the oracled md5 twin below
+    "dedup_substring_pairs" -> ((s, d) => Dedup.substringSpanPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpanPairsMd5(s, d)),
     "dedup_substring_components" -> (Cluster.substringComponentsMd5 _),
     // tokenizer training: corpus vocabulary, round-0 BPE pair statistics,

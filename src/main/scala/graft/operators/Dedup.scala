@@ -598,20 +598,41 @@ object Dedup {
     * windows × maxDf. Docs shorter than `w` tokens carry no window; the
     * whole-document exact/MinHash paths own that regime.
     */
+  /** Footer-metadata estimate of the exploded window count (docs × a
+    * nominal tokens-per-doc) — sizes the materialization gate without a
+    * count job.
+    */
+  private def estWindowRows(spark: SparkSession, sfDir: String): Long =
+    IO.parquetRowCount(spark, s"$sfDir/documents.parquet") * 64L
+
   private def substringSpanPairsBy(
       docs: DataFrame,
       windowHash: Column => Column,
       w: Int,
       maxDf: Int,
-      sorted: Boolean = true): DataFrame = {
-    val exploded = docs
+      estWindowRows: Long,
+      sorted: Boolean = true): DataFrame =
+    spanPairsFromWindows(docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), size(col("toks")) - (w - 1)),
           i => windowHash(concat_ws(" ", slice(col("toks"), i, lit(w)))))))
-          .as("wh"))
+          .as("wh")), maxDf, estWindowRows, sorted)
+
+  /** Shared tail of the span-pair pipeline over an exploded
+    * (doc_id, wh) frame: df-cap, self-equi-join, per-pair count.
+    */
+  private def spanPairsFromWindows(
+      exploded0: DataFrame,
+      maxDf: Int,
+      estWindowRows: Long,
+      sorted: Boolean): DataFrame = {
+    // consumed twice (df-cap aggregation + join-back): above the
+    // materialization crossover, re-running the explode+hash pipeline
+    // costs more than the checkpoint
+    val exploded = materializeIfLarge(exploded0, estWindowRows)
     val keep = exploded.groupBy("wh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -636,7 +657,7 @@ object Dedup {
     substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
       win => conv(substring(md5(win.cast("binary")), 1, 15), 16, 10)
         .cast("long"),
-      w, maxDf, sorted = false)
+      w, maxDf, estWindowRows(spark, sfDir), sorted = false)
 
   /** [[substringSpanPairsBy]] with xxhash64 window hashes — the library
     * default (fast path).
@@ -645,9 +666,23 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       w: Int = 8,
-      maxDf: Int = 50): DataFrame =
-    substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
-      xxhash64(_), w, maxDf)
+      maxDf: Int = 50): DataFrame = {
+    // each token is hashed ONCE and a window hashes its w token-hashes —
+    // no per-window string rebuild (the fingerprints rolling-hash trick;
+    // the naive concat_ws form rebuilt ~w-token strings per position and
+    // dominated the scan). Still exact on the token sequence.
+    val windows = IO.table(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= w)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => xxhash64((0 until w).map(o => element_at(col("th"), i + lit(o))): _*))))
+          .as("wh"))
+    spanPairsFromWindows(windows, maxDf, estWindowRows(spark, sfDir),
+      sorted = true)
+  }
 
   /** [[substringSpanPairsBy]] with 60-bit md5-prefix window hashes — the
     * DuckDB-replayable twin (same convention as the other md5 twins);
@@ -661,5 +696,5 @@ object Dedup {
     substringSpanPairsBy(IO.table(spark, sfDir, "documents"),
       win => conv(substring(md5(win.cast("binary")), 1, 15), 16, 10)
         .cast("long"),
-      w, maxDf)
+      w, maxDf, estWindowRows(spark, sfDir))
 }
