@@ -573,6 +573,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"encoding must not shuffle the corpus:\n$p")
   }
 
+  test("substring spans: hash equi-join only, text never in an exchange") {
+    val df = Dedup.substringSpanPairs(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"window-hash join must stay an equi-join:\n$p")
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "toks"),
+        s"only (doc_id, window-hash) rows may shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
   test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
     val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
       .filter(_.outputPartitioning.toString.contains("fp_xx"))
