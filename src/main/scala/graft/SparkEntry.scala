@@ -111,6 +111,7 @@ object SparkEntry {
     "e8_boolean" -> (Relational.e8Boolean _),
     // generators (G1)
     "g1_explode" -> (Relational.g1Explode _),
+    "g2_explode_outer" -> (Relational.g2ExplodeOuter _),
     "e9_string_funcs" -> (Relational.stringFuncs _),
     "e10_date_funcs" -> (Relational.dateFuncs _),
     "e11_array_hofs" -> (Relational.e11ArrayHofs _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "w5_dense_rank_topk" -> (Relational.w5DenseRankTopK _),
     "w2_running_sum" -> (Relational.w2RunningSum _),
     "w6_range_frame" -> (Relational.w6RangeFrame _),
+    "w7_first_last_ignore_nulls" -> (Relational.w7FirstLastIgnoreNulls _),
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
@@ -1037,6 +1039,17 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "e8_boolean" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity >= 10 AND NOT (l_returnflag = 'A') ORDER BY l_orderkey, l_linenumber",
+    "g2_explode_outer" ->
+      // outer unnest emulation: matched rows via unnest, empty-list rows
+      // re-attached with a NULL element
+      """WITH p AS (
+           SELECT p_partkey,
+                  CASE WHEN p_partkey % 10 = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE string_split(p_name, ' ') END AS l
+           FROM part),
+         m AS (SELECT p_partkey, unnest(l) AS tok FROM p WHERE len(l) > 0),
+         e AS (SELECT p_partkey, CAST(NULL AS VARCHAR) AS tok FROM p WHERE len(l) = 0)
+         SELECT * FROM m UNION ALL SELECT * FROM e ORDER BY p_partkey, tok""",
     "g1_explode" ->
       "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part ORDER BY p_partkey, word",
     "e9_string_funcs" ->
@@ -1087,6 +1100,16 @@ object SparkEntry {
       """SELECT user_id, event_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, event_id""",
+    "w7_first_last_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+                FIRST_VALUE(CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END IGNORE NULLS)
+                  OVER w AS first_nn,
+                LAST_VALUE(CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END IGNORE NULLS)
+                  OVER w AS last_nn
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
     "w6_range_frame" ->
       // integer µs ordering key so the RANGE interval is exact; decimal
       // frame sum is order-free under same-µs ties

@@ -580,6 +580,38 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** G2: null-preserving generator — `explode_outer` keeps a row (with a
+    * null element) for empty arrays where `explode` silently drops it.
+    * The empty stripe is synthesized deterministically so both behaviors
+    * are exercised; losing rows on empty collections is the classic
+    * silent-data-loss generator bug.
+    */
+  def g2ExplodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 10 === 0,
+          array().cast("array<string>"))
+          .otherwise(split(col("p_name"), " ")).as("l"))
+      .select(col("p_partkey"), explode_outer(col("l")).as("tok"))
+      .orderBy("p_partkey", "tok")
+
+  /** W7: first/last with IGNORE NULLS over a running frame — the gap-fill
+    * shape (carry the last known reading forward past nulls). Nulls are
+    * injected on a deterministic key stripe; the window picks existing
+    * values (no arithmetic), so cross-engine equality is exact.
+    */
+  def w7FirstLastIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "orders")
+      .withColumn("p",
+        when(col("o_orderkey") % 3 =!= 0, col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("p", ignoreNulls = true).over(w).as("first_nn"),
+        last("p", ignoreNulls = true).over(w).as("last_nn"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** String-function surface: case mapping, trim, concat, substring,
     * length, replace, lpad — the everyday scalar layer.
     */
