@@ -98,6 +98,7 @@ object SparkEntry {
     "json_extract" -> (Relational.jsonExtract _),
     // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
     "sketch_profile" -> (Relational.sketchProfile _),
+    "sketch_merge" -> (Relational.sketchMergeProfile _),
     // the exact, oracle-able stats twin + deterministic hash sampling
     "stats_profile" -> (Relational.statsProfile _),
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d)),

@@ -665,6 +665,25 @@ object Relational {
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type")
 
+  /** MERGEABLE sketches — the re-aggregation pattern that makes
+    * incremental 100 TB rollups possible: per-partition/per-day HLL
+    * sketches are stored once, and any coarser rollup UNIONS the sketches
+    * instead of rescanning raw data. HLL registers merge by max, so the
+    * union of sketches over disjoint halves is BIT-IDENTICAL to the
+    * sketch of the whole — the spec asserts exact estimate equality, not
+    * an accuracy band. Emits per-event-type distinct-user estimates from
+    * two half-corpus sketches merged with `hll_union_agg`.
+    */
+  def sketchMergeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val halves = ev.withColumn("half", col("event_id") % 2)
+      .groupBy("event_type", "half")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    halves.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------- set ops / multi-dim / joins 2
 
   /** Set ops: UNION ALL of two filtered scans. */

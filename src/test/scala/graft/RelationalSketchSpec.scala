@@ -26,4 +26,18 @@ class RelationalSketchSpec extends SparkTestBase {
         s"$k: percentiles out of range: p50=$p50 p99=$p99 in [$lo,$hi]")
     }
   }
+
+  test("HLL sketches are EXACTLY mergeable: union of halves == whole") {
+    // registers merge by max, so this is bit-equality of the re-aggregated
+    // rollup with the direct computation — the property that lets stored
+    // per-partition sketches answer any coarser rollup without rescanning
+    val merged = Relational.sketchMergeProfile(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = spark.read.parquet(s"$Sf/events.parquet")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"merged half-sketches must equal the whole-corpus sketch: $merged vs $direct")
+  }
 }
