@@ -228,6 +228,7 @@ object SparkEntry {
     "pq_codes" -> ((s, d) => Similarity.pqEncode(s, d)),
     "ann_topk_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     "ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_topk_ivfpq_res" -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
@@ -556,14 +557,15 @@ object SparkEntry {
       numSub: Int = PqNumSub,
       k: Int = 16,
       iters: Int = 1,
-      dim: Int = 64): String = {
+      dim: Int = 64,
+      src: String = "v0"): String = {
     require(iters == 1, "oracle generator emits the fixed 1-iteration form")
     val subDim = dim / numSub
     val subCtes = (0 until numSub).map { s =>
       val off = s * subDim
       s"""sv$s AS (
            SELECT vec_id, list_slice(v, ${off + 1}, ${off + subDim}) AS sv
-           FROM v0),
+           FROM $src),
          cent${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM sv$s WHERE vec_id < $k),
          assign${s}_1 AS (
            SELECT vec_id, sv, cid FROM (
@@ -773,6 +775,52 @@ object SparkEntry {
                   CAST(list_inner_product(p.qv, a.rv) AS FLOAT) AS sim
            FROM ar a JOIN probes p USING (cid)
            WHERE a.vec_id <> p.qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "ann_topk_ivfpq_res" ->
+      // residual PQ: books trained on x - centroid(cell); scoring adds
+      // the centroid back element-wise before the same fold
+      s"""${kmeansCentroidsSql()},
+         cassign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         res AS (
+           SELECT a.vec_id,
+                  list_transform(range(len(a.v)), j -> a.v[j + 1] - c.cv[j + 1]) AS v
+           FROM cassign a JOIN cent2 c USING (cid)),
+         ${pqBooksCtesSql(src = "res")},
+         rrecon AS (
+           SELECT p0.vec_id, b0.cv || b1.cv || b2.cv || b3.cv || b4.cv || b5.cv || b6.cv || b7.cv AS rv
+           FROM pick0 p0
+             JOIN book0 b0 ON p0.code = b0.code
+             JOIN pick1 p1 ON p0.vec_id = p1.vec_id JOIN book1 b1 ON p1.code = b1.code
+             JOIN pick2 p2 ON p0.vec_id = p2.vec_id JOIN book2 b2 ON p2.code = b2.code
+             JOIN pick3 p3 ON p0.vec_id = p3.vec_id JOIN book3 b3 ON p3.code = b3.code
+             JOIN pick4 p4 ON p0.vec_id = p4.vec_id JOIN book4 b4 ON p4.code = b4.code
+             JOIN pick5 p5 ON p0.vec_id = p5.vec_id JOIN book5 b5 ON p5.code = b5.code
+             JOIN pick6 p6 ON p0.vec_id = p6.vec_id JOIN book6 b6 ON p6.code = b6.code
+             JOIN pick7 p7 ON p0.vec_id = p7.vec_id JOIN book7 b7 ON p7.code = b7.code),
+         frecon AS (
+           SELECT a.vec_id, a.cid,
+                  list_transform(range(len(c.cv)), j -> c.cv[j + 1] + r.rv[j + 1]) AS rv
+           FROM cassign a JOIN cent2 c USING (cid)
+             JOIN rrecon r ON a.vec_id = r.vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+         scored AS (
+           SELECT p.qid, f.vec_id,
+                  CAST(list_inner_product(p.qv, f.rv) AS FLOAT) AS sim
+           FROM frecon f JOIN probes p USING (cid)
+           WHERE f.vec_id <> p.qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",

@@ -496,9 +496,20 @@ object Similarity {
       numSub: Int = 8,
       codesPerSub: Int = 16,
       iters: Int = 1,
-      dim: Int = 64): Seq[IndexedSeq[Array[Double]]] = {
+      dim: Int = 64): Seq[IndexedSeq[Array[Double]]] =
+    pqCodebooksOn(corpus(spark, sfDir).select("vec_id", "v"),
+      numSub, codesPerSub, iters, dim)
+
+  /** [[pqCodebooks]] over an arbitrary (vec_id, v) frame — the residual
+    * IVF-PQ path trains on coarse-cell residuals instead of raw vectors.
+    */
+  private[graft] def pqCodebooksOn(
+      c: DataFrame,
+      numSub: Int,
+      codesPerSub: Int,
+      iters: Int,
+      dim: Int): Seq[IndexedSeq[Array[Double]]] = {
     val subDim = dim / numSub
-    val c = corpus(spark, sfDir).select("vec_id", "v")
     // All numSub trainings share their jobs: ONE init collect (the first
     // codesPerSub full vectors, sliced driver-side) and ONE
     // assign+aggregate job per Lloyd iteration covering every subvector —
@@ -589,6 +600,55 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Concatenated sub-centroid reconstruction of `vCol` under `books`
+    * (shared by the PQ scorers and the reconstruction-error test seam).
+    */
+  private def pqReconExpr(
+      books: Seq[IndexedSeq[Array[Double]]],
+      vCol: Column,
+      numSub: Int,
+      subDim: Int): Column =
+    concat((0 until numSub).map { s =>
+      element_at(typedLit(books(s).map(_.toSeq)),
+        pqCode(slice(vCol, s * subDim + 1, subDim), books(s)) + 1)
+    }: _*)
+
+  /** Mean squared reconstruction error of the PQ codebooks over the
+    * corpus — raw or residual flavor (test seam for the residual-beats-raw
+    * claim).
+    */
+  private[graft] def pqReconstructionMse(
+      spark: SparkSession,
+      sfDir: String,
+      residual: Boolean,
+      nlist: Int = 16,
+      coarseIters: Int = 2,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      pqIters: Int = 1,
+      dim: Int = 64): Double = {
+    val subDim = dim / numSub
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val withRecon =
+      if (!residual) {
+        val books = pqCodebooksOn(c, numSub, codesPerSub, pqIters, dim)
+        c.withColumn("recon", pqReconExpr(books, col("v"), numSub, subDim))
+      } else {
+        val coarse = kmeansCodebook(spark, sfDir, nlist, coarseIters)
+        val books = pqCodebooksOn(residualFrame(c, coarse),
+          numSub, codesPerSub, pqIters, dim)
+        assignToCodebook(c, coarse)
+          .withColumn("res", residualCol(coarse))
+          .withColumn("recon",
+            zip_with(centroidCol(coarse),
+              pqReconExpr(books, col("res"), numSub, subDim), (a, b) => a + b))
+      }
+    withRecon
+      .select(aggregate(zip_with(col("v"), col("recon"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("se"))
+      .agg(avg("se")).head().getDouble(0)
+  }
+
   /** Asymmetric-distance PQ top-k (the IVF-PQ scoring half): EXACT query
     * vectors against the RECONSTRUCTED corpus — each corpus vector is
     * replaced by the concatenation of its coded sub-centroids, so the
@@ -611,11 +671,8 @@ object Similarity {
     val books = pqCodebooks(spark, sfDir, numSub, codesPerSub, iters, dim)
     val subDim = dim / numSub
     val c = corpus(spark, sfDir).select("vec_id", "v")
-    val recon = concat((0 until numSub).map { s =>
-      element_at(typedLit(books(s).map(_.toSeq)),
-        pqCode(slice(col("v"), s * subDim + 1, subDim), books(s)) + 1)
-    }: _*)
-    val encoded = c.withColumn("recon", recon)
+    val encoded = c.withColumn("recon",
+      pqReconExpr(books, col("v"), numSub, subDim))
     val q = c.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     topKPerQuery(
@@ -671,6 +728,80 @@ object Similarity {
           call_function("dot_product", col("qv"), col("recon")).cast("float")),
       k)
   }
+
+  /** RESIDUAL IVF-PQ — the canonical composition (what the public
+    * billion-vector libraries actually ship): PQ codebooks are trained on
+    * the RESIDUALS x − centroid(cell) rather than raw vectors. Residuals
+    * concentrate near the origin with much smaller spread than the raw
+    * space, so the same code budget quantizes them with lower
+    * reconstruction error; scoring adds the cell centroid back
+    * (x̂ = centroid + residual-recon) before the dot product. The spec
+    * pins the error claim: residual reconstruction MSE must beat raw-PQ
+    * MSE on the corpus.
+    */
+  def ivfPqResidualTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      coarseIters: Int = 2,
+      numSub: Int = 8,
+      codesPerSub: Int = 16,
+      pqIters: Int = 1,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val coarse = kmeansCodebook(spark, sfDir, nlist, coarseIters)
+    val books = pqCodebooksOn(residualFrame(c, coarse),
+      numSub, codesPerSub, pqIters, dim)
+    val subDim = dim / numSub
+    val assigned = assignToCodebook(c, coarse)
+      .withColumn("res", residualCol(coarse))
+    // x̂ = cell centroid + residual reconstruction (element-wise)
+    val fullRecon = zip_with(centroidCol(coarse),
+      pqReconExpr(books, col("res"), numSub, subDim), (a, b) => a + b)
+    val encoded = assigned.withColumn("recon", fullRecon)
+    val cent = coarse.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val wP = Window.partitionBy("qid").orderBy(desc("psim"), asc("cid"))
+    val probes = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", expr("cosine_sim(qv, cv)").cast("float"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    topKPerQuery(
+      encoded.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          call_function("dot_product", col("qv"), col("recon")).cast("float")),
+      k)
+  }
+
+  /** The coarse centroid of each row's assigned cell, as a literal lookup
+    * on the `cid` column (cid-sorted nested literal + position lookup —
+    * cids stay stable even when Lloyd empties a cell).
+    */
+  private def centroidCol(coarse: Seq[(Long, Array[Double])]): Column = {
+    val sorted = coarse.sortBy(_._1)
+    element_at(typedLit(sorted.map(_._2.toSeq)),
+      array_position(typedLit(sorted.map(_._1)), col("cid")).cast("int"))
+  }
+
+  /** v − centroid(cid), element-wise (requires `v` and `cid` columns). */
+  private def residualCol(coarse: Seq[(Long, Array[Double])]): Column =
+    zip_with(col("v"), centroidCol(coarse), (x, cc) => x - cc)
+
+  /** (vec_id, v) frame of coarse-cell residuals — the residual-PQ
+    * training input.
+    */
+  private def residualFrame(
+      c: DataFrame,
+      coarse: Seq[(Long, Array[Double])]): DataFrame =
+    assignToCodebook(c, coarse)
+      .select(col("vec_id"), residualCol(coarse).as("v"))
 
   /** Distinct LSH candidate pairs of the corpus under the multi-band
     * OR-construction — exposed so the scale spec can assert candidate

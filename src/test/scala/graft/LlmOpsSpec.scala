@@ -246,6 +246,16 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fast.count() > 0, "near-dup corpus must share verbatim spans")
   }
 
+  test("residual PQ reconstructs with lower error than raw PQ") {
+    // the reason the public libraries quantize residuals: they spread far
+    // less than the raw space, so the same code budget loses less. Both
+    // numbers are deterministic on the fixed corpus.
+    val rawMse = Similarity.pqReconstructionMse(spark, Sf, residual = false)
+    val resMse = Similarity.pqReconstructionMse(spark, Sf, residual = true)
+    assert(resMse < rawMse,
+      s"residual-PQ MSE $resMse must beat raw-PQ MSE $rawMse")
+  }
+
   test("typed corpus-stats aggregator agrees with built-in aggregates") {
     val typed = graft.functions.CorpusStatsAggregator.perSource(spark, Sf)
       .collect().map(r => r.getString(0) ->
