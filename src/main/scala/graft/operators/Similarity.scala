@@ -273,29 +273,28 @@ object Similarity {
     */
   private def assignToCodebook(
       c: DataFrame,
-      codebook: Seq[(Long, Array[Double])],
-      useDot: Boolean = false): DataFrame = {
+      codebook: Seq[(Long, Array[Double])]): DataFrame = {
     val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
-    c.withColumn("sims", simsAgainst(col("v"), codebook.map(_._2), useDot))
+    c.withColumn("sims", simsAgainst(col("v"), codebook.map(_._2)))
       .withColumn("cid",
         element_at(cidLookup, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select("vec_id", "v", "cid")
   }
 
-  /** Float-cast similarity of `v` against each literal centroid, in
-    * codebook order — the shared argmax input for cell assignment and PQ
-    * encoding (first-max = lowest position resolves float ties, matching
-    * the oracle's `ORDER BY sim DESC, cid` rn=1).
+  /** Float-cast COSINE similarity of `v` against each literal centroid,
+    * in codebook order — the argmax input for coarse cell assignment
+    * (first-max = lowest position resolves float ties, matching the
+    * oracle's `ORDER BY sim DESC, cid` rn=1). The PQ encoder's
+    * inner-product analogue is [[pqSims]] (one transform loop, not
+    * unrolled calls — see the codegen-size lesson in SCALING.md).
     */
   private def simsAgainst(
       v: Column,
-      centroids: Seq[Array[Double]],
-      useDot: Boolean): Column = {
-    val fn = if (useDot) "dot_product" else "cosine_sim"
+      centroids: Seq[Array[Double]]): Column =
     array(centroids.map { cv =>
-      call_function(fn, v, array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
+      call_function("cosine_sim", v,
+        array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
     }: _*)
-  }
 
   /** IVF search against an explicit codebook (see [[ivfCosineTopK]] for the
     * shape rationale). The codebook is a bounded model artifact (nlist
@@ -364,23 +363,21 @@ object Similarity {
       sfDir: String,
       k: Int = 16,
       iters: Int = 2): Seq[(Long, Array[Double])] =
-    trainCodebook(corpus(spark, sfDir).select("vec_id", "v"), k, iters,
-      useDot = false)
+    trainCodebook(corpus(spark, sfDir).select("vec_id", "v"), k, iters)
 
-  /** [[kmeansCodebook]]'s Lloyd loop over an arbitrary (vec_id, v) frame —
-    * the PQ trainer runs it per subvector slice with the inner-product
-    * assignment metric (`useDot`).
+  /** [[kmeansCodebook]]'s Lloyd loop over an arbitrary (vec_id, v) frame
+    * (cosine assignment; the PQ trainer has its own fused inner-product
+    * loop in [[pqCodebooksOn]]).
     */
   private def trainCodebook(
       c: DataFrame,
       k: Int,
-      iters: Int,
-      useDot: Boolean): Seq[(Long, Array[Double])] = {
+      iters: Int): Seq[(Long, Array[Double])] = {
     var codebook: Seq[(Long, Array[Double])] = c.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     for (_ <- 1 to iters) {
-      val sums = assignToCodebook(c, codebook, useDot)
+      val sums = assignToCodebook(c, codebook)
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos")
         .agg(sum(round(col("col") * KmeansFixedScale).cast("long")).as("s"),
