@@ -43,6 +43,7 @@ object SparkEntry {
     "s2_csv_section_delim" -> (Relational.s2CsvSectionDelim _),
     "s3_parquet_scan" -> (Relational.s3ParquetScan _),
     "s4_csv_schema_pinned" -> (Relational.s4CsvSchemaPinned _),
+    "s5_json_corrupt_permissive" -> (Relational.s5JsonCorruptPermissive _),
     "k2_parquet_gzip_roundtrip" -> (Relational.k2ParquetGzipRoundTrip _),
     "k3_show_limit" -> (Relational.k3ShowLimit _),
     "k4_json_roundtrip" -> (Relational.k4JsonRoundTrip _),
@@ -902,6 +903,11 @@ object SparkEntry {
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
     "s4_csv_schema_pinned" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "s5_json_corrupt_permissive" ->
+      // the dump holds every customer row plus one good and two broken
+      // extra lines
+      """SELECT (SELECT COUNT(*) FROM customer) + 1 AS n_good,
+                CAST(2 AS BIGINT) AS n_corrupt""",
     "k2_parquet_gzip_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "k3_show_limit" ->

@@ -580,6 +580,38 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** S5: error-TOLERANT ingestion — PERMISSIVE JSON with a
+    * `_corrupt_record` column. Good rows parse; broken lines survive as
+    * raw text in the corrupt column instead of failing the load — the
+    * operational contract for feeds you don't control (FAILFAST /
+    * DROPMALFORMED are the strict alternatives). A file with one good and
+    * two broken lines is appended to a JSON dump of `customer`; the query
+    * reports the good/corrupt split. The scan is localCheckpointed before
+    * aggregating because Spark disallows queries that read ONLY the
+    * internal corrupt column straight off the file scan.
+    */
+  def s5JsonCorruptPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = IO.scratchDir("graft_s5_json")
+    t(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").json(dir)
+    val pw = new java.io.PrintWriter(new java.io.File(dir, "zz_extra.json"))
+    try {
+      pw.println("""{"c_custkey": 999999, "c_name": "ok-extra", "c_acctbal": 1.0}""")
+      pw.println("""{"c_custkey": broken""")
+      pw.println("not json at all")
+    } finally pw.close()
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .localCheckpoint()
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"))
+  }
+
   /** G2: null-preserving generator — `explode_outer` keeps a row (with a
     * null element) for empty arrays where `explode` silently drops it.
     * The empty stripe is synthesized deterministically so both behaviors
