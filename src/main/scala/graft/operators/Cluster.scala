@@ -48,6 +48,16 @@ object Cluster {
     */
   private val MaxRounds = 30
 
+  /** (rounds, final contracted edge count) of the most recent
+    * [[componentsWithRounds]] call on this driver. Bench telemetry seam:
+    * the benchmark reads it right after timing each clustering query so
+    * BENCH json can carry `cc_rounds`/`cc_edges` and round-count
+    * regressions are visible without GRAFT_CC_DEBUG. Driver-local,
+    * last-writer-wins — fine for the sequential bench harness, not a
+    * public API.
+    */
+  @volatile private[graft] var lastRunStats: Option[(Int, Long)] = None
+
   /** Connected components of the undirected graph given as an edge list.
     * Returns one (node, component) row per distinct node that appears in
     * `edges`; `component` is the smallest node id in the component —
@@ -75,7 +85,7 @@ object Cluster {
         .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .where(col("u") =!= col("v")))
       .localCheckpoint()
-    val edgeCount = e.count()
+    var edgeCount = e.count()
     var rounds = 0
     // Structural convergence test instead of a signature-equality loop: a
     // min-rooted star forest is EXACTLY a fixed point of
@@ -107,12 +117,13 @@ object Cluster {
         spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
         val next = smallStar(largeStar(e)).localCheckpoint()
         val t1 = System.nanoTime()
-        // contraction is monotone, so the PREVIOUS round's count stays a
-        // valid upper bound for sizing the next round's shuffle — no
-        // per-round count job; only the debug path pays for exact counts
+        // refresh the count from the just-checkpointed (already
+        // materialized, O(nodes)) frame so the NEXT round's shuffle width
+        // tracks the contraction instead of staying at the initial width
+        edgeCount = next.count()
         converged = isStarForest(next)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f test=${(System.nanoTime() - t1) / 1e9}%.2f edges=${next.count()} converged=$converged")
+          println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f test=${(System.nanoTime() - t1) / 1e9}%.2f edges=$edgeCount converged=$converged")
         e = next
         rounds += 1
       }
@@ -125,18 +136,34 @@ object Cluster {
       .union(e.select(col("v").as("node"), col("v").as("component")))
       .groupBy("node")
       .agg(min("component").as("component"))
+    lastRunStats = Some((rounds, edgeCount))
     (comp, rounds)
   }
 
   /** Star-forest test on a child→parent oriented edge list (smallStar's
-    * output invariant: every edge is (x, m) with m < x): the graph is a
-    * star forest iff no parent is itself some edge's child. One semi-join
-    * job on a localCheckpointed frame whose size is O(nodes) by the time
-    * this runs; `isEmpty` stops at the first surviving row.
+    * output invariant: every edge is (x, m) with m < x, and the edge set
+    * is distinct). The graph is a star forest iff BOTH
+    *   (a) no child has two distinct parents, and
+    *   (b) no parent is itself some edge's child.
+    * Checking (b) alone is NOT sufficient: smallStar can emit one child
+    * under two different parents when the child is the larger endpoint of
+    * two groups with different minima — raw edges (1,5),(2,6),(5,6)
+    * contract to {(5,1),(5,2),(6,2)}, which has no parent-as-child yet is
+    * not a forest, and accepting it splits one true component into two
+    * (the regression spec pins exactly this graph). Both conditions fold
+    * into ONE aggregation job on the O(nodes) checkpointed frame: tag each
+    * node with its child rows (non-null parent) and parent rows (null),
+    * then a node violates iff it has >1 parent or is both child and
+    * parent. `count(parent)` equals the distinct-parent count because
+    * smallStar's output is edge-distinct.
     */
   private def isStarForest(e: DataFrame): Boolean = {
-    val children = e.select(col("u").as("n"))
-    e.select(col("v").as("n")).join(children, Seq("n"), "left_semi").isEmpty
+    val roles = e.select(col("u").as("n"), col("v").as("parent"))
+      .unionByName(e.select(col("v").as("n"), lit(null).cast("long").as("parent")))
+    roles.groupBy("n")
+      .agg(count(col("parent")).as("np"), count(lit(1)).as("total"))
+      .where(col("np") > 1 || (col("np") >= 1 && col("total") > col("np")))
+      .isEmpty
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum

@@ -48,6 +48,31 @@ class ClusterSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(1) == 0L), "single component rooted at 0")
   }
 
+  test("connected components: multi-parent smallStar output is not accepted as converged") {
+    // Regression: edges (1,5),(2,6),(5,6) smallStar-contract to
+    // {(5,1),(5,2),(6,2)} — node 5 has TWO parents, but no parent is a
+    // child, so a star-forest test that only checks parent-as-child
+    // declares convergence one round early and splits the single true
+    // component {1,2,5,6} into {1,5} and {2,6}.
+    val edges = Seq[(Long, Long)]((1L, 5L), (2L, 6L), (5L, 6L))
+    val got = components(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L),
+      s"component split: $got")
+  }
+
+  test("connected components: adversarial small random graphs match union-find") {
+    // Many sparse graphs across seeds — sparse graphs (edges ≈ nodes/2)
+    // are where premature-convergence shapes like the regression above
+    // live; the single-seed 300-node spec below missed it.
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = Seq.fill(14)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(components(edges) == unionFind(edges), s"seed $seed mismatch")
+    }
+  }
+
   test("connected components: random graph matches driver union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
