@@ -1274,14 +1274,15 @@ object SparkEntry {
          SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
          ORDER BY cnt DESC, bigram LIMIT 100""",
     "txt_unigram_logprob" ->
-      // fixed-point per-token log-probs (round(ln(p)*1e6) BIGINT) so the
-      // per-doc sum is order-independent and engine-exact
+      // fixed-point per-token log-probs (round(float(ln(p))*1e6) BIGINT)
+      // so the per-doc sum is order-independent and engine-exact; the
+      // FLOAT cast before the round absorbs 1-ulp JVM-vs-libm ln drift
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
          tot AS (SELECT SUM(cnt) AS total FROM counts),
          lp AS (
            SELECT t.doc_id,
-                  CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000.0) AS BIGINT) AS lpf
+                  CAST(round(CAST(CAST(ln(CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS lpf
            FROM toks t JOIN counts c USING (term) CROSS JOIN tot)
          SELECT doc_id, COUNT(*) AS n_tokens,
                 CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob

@@ -221,10 +221,15 @@ object TextAnalysis {
     * and AQE broadcasts the vocab when it fits.
     *
     * Determinism: each token's log-prob is fixed-pointed to
-    * round(ln(p)·1e6) as a BIGINT before summing — integer sums are
-    * order-independent, so the score is bit-identical across partition
-    * orders AND engines (the kmeans accumulator argument; a raw double
-    * sum of logs would pick up partition-order rounding).
+    * round(float(ln(p))·1e6) as a BIGINT before summing — integer sums
+    * are order-independent, so the score is bit-identical across
+    * partition orders AND engines (the kmeans accumulator argument; a
+    * raw double sum of logs would pick up partition-order rounding).
+    * The float cast before the round mirrors the tf-idf convention: JVM
+    * Math.log and DuckDB's libm ln can differ by 1 ulp in the double,
+    * and a value landing inside that of a .5 boundary would flip the
+    * BIGINT; float's 24-bit mantissa washes the ulp out, and float·1e6
+    * is exact in double (24+20 bits < 53), so the round is stable.
     */
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = IO.table(spark, sfDir, "documents")
@@ -235,7 +240,7 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         round(log(col("cnt").cast("double") / col("total").cast("double"))
-          * lit(1000000.0), 0).cast("long").as("lpf"))
+          .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lpf").as("s"))
       .select(col("doc_id"), col("n_tokens"),
