@@ -17,7 +17,11 @@ class KmeansSpec extends SparkTestBase {
   }
 
   test("k-means training is deterministic across runs") {
+    Similarity.clearCodebookCache()
     val a = Similarity.kmeansCodebook(spark, Sf)
+    // bypass the train-once cache: the determinism claim is about
+    // RETRAINING producing the identical artifact, not cache identity
+    Similarity.clearCodebookCache()
     val b = Similarity.kmeansCodebook(spark, Sf)
     assert(a.map(_._1) == b.map(_._1))
     a.zip(b).foreach { case ((_, va), (_, vb)) =>
@@ -52,6 +56,32 @@ class KmeansSpec extends SparkTestBase {
     assert(trained.exists { case (cid, cv) =>
       !init.find(_._1 == cid).get._2.sameElements(cv)
     }, "two Lloyd's iterations must update at least one centroid")
+  }
+
+  test("codebooks are train-once: a second lookup runs ZERO Spark jobs") {
+    import java.util.concurrent.atomic.AtomicInteger
+    Similarity.clearCodebookCache()
+    Similarity.kmeansCodebook(spark, Sf)
+    Similarity.pqCodebooks(spark, Sf)
+    Similarity.residualPqCodebooks(spark, Sf)
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val k2 = Similarity.kmeansCodebook(spark, Sf)
+      val p2 = Similarity.pqCodebooks(spark, Sf)
+      val r2 = Similarity.residualPqCodebooks(spark, Sf)
+      // listener events post asynchronously; the bus-drain API is
+      // private[spark], so give the (tiny) event queue a beat to flush
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"cached codebook lookups launched ${jobs.get()} Spark jobs")
+      assert(k2.nonEmpty && p2.nonEmpty && r2.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("trained-codebook IVF keeps useful recall@5 vs exact brute force") {
