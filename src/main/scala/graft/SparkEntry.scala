@@ -327,6 +327,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) =>
       joinArrays(Multimodal.featureQuery(s, d), "|", "features")),
     "mm_frames" -> (Multimodal.frameQuery _),
+    "mm_dims" -> (Multimodal.dimsQuery _),
   )
 
   /** DuckDB oracles (driver runs these on the same parquet tables). Queries
@@ -1333,6 +1334,19 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
                 CAST(length(chunk_text) AS BIGINT) AS chunk_chars
          FROM c ORDER BY doc_id, chunk_id""",
+    "mm_dims" ->
+      // the Spark side round-trips through REAL PNG/JPEG/WAV bytes
+      // (encode → magic-byte detect → header walk); the oracle computes
+      // the expected parse output analytically from the same
+      // (doc_id, n_chars) the encoder derived dims from — a hash match
+      // certifies the byte-level parser end to end
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN n_chars % 640 + 1 END AS INTEGER) AS width,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN n_chars % 480 + 1 END AS INTEGER) AS height,
+                CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (n_chars % 8) * 1000 END AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS INTEGER) AS channels
+         FROM documents ORDER BY doc_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

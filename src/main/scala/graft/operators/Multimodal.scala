@@ -74,6 +74,206 @@ object Multimodal {
       .select(col("media_id"), col("meta.kind").as("kind"), col("frame_idx"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
 
+  case class MediaDims(
+      media_id: Long,
+      fmt: String,
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      channels: Option[Int])
+
+  /** Media corpus with REAL container encodings (not the histogram stub's
+    * raw text bytes): each payload is a structurally valid PNG, JPEG, or
+    * WAV wrapping the document text as its data section —
+    *
+    *   - doc_id % 3 == 0 → PNG: 8-byte signature, IHDR chunk (big-endian
+    *     width/height, real CRC32s), an IDAT-shaped data chunk, IEND;
+    *   - doc_id % 3 == 1 → JPEG: SOI, APP0/JFIF, DQT, SOF0 (the segment
+    *     that carries precision/height/width), SOS + data, EOI — the SOF
+    *     sits at a non-fixed conceptual position so readers must walk
+    *     marker segments, as with real camera output;
+    *   - doc_id % 3 == 2 → WAV: RIFF/WAVE with a canonical fmt chunk
+    *     (little-endian sample rate/channels) and a data chunk.
+    *
+    * Dimensions/rates are deterministic functions of (doc_id, n_chars),
+    * so the DuckDB oracle can compute the EXPECTED parse output
+    * analytically while the Spark side round-trips through genuine bytes
+    * — the hash compare then proves the parser reads the real structure.
+    */
+  def mediaWithHeaders(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val data = text.getBytes("UTF-8")
+        val w = (nChars % 640).toInt + 1
+        val h = (nChars % 480).toInt + 1
+        val payload = (id % 3) match {
+          case 0 => encodePng(w, h, data)
+          case 1 => encodeJpeg(w, h, data)
+          case _ => encodeWav(8000 + (nChars % 8).toInt * 1000, (id % 2).toInt + 1, data)
+        }
+        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "image" else "audio"
+        MediaRecord(id, payload, MediaMeta(kind, payload.length.toLong, w, h))
+      }
+  }
+
+  // ---- container encoders (pure JVM, deterministic) ----
+
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def be16(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 8).toByte, v.toByte)
+
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte)
+
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val typeBytes = chunkType.getBytes("US-ASCII")
+    crc.update(typeBytes); crc.update(data)
+    be32(data.length) ++ typeBytes ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private[graft] def encodePng(w: Int, h: Int, data: Array[Byte]): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // IHDR: width, height, bit depth 8, color type 2 (truecolor), no
+    // compression/filter/interlace flags beyond the mandatory zeros
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", data) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private[graft] def encodeJpeg(w: Int, h: Int, data: Array[Byte]): Array[Byte] = {
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    // APP0/JFIF: length 16, identifier, version 1.1, no thumbnail
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    // DQT: a 64-entry table of ones — present so SOF is NOT at a fixed
+    // offset and a parser must genuinely walk segments
+    val dqt = Array[Byte](0xff.toByte, 0xdb.toByte) ++ be16(67) ++
+      Array[Byte](0) ++ Array.fill[Byte](64)(1)
+    // SOF0 (baseline): precision 8, height, width, 1 component
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](1, 1, 0x11, 0)
+    // SOS header then entropy-coded stand-in data, then EOI
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(8) ++
+      Array[Byte](1, 1, 0, 0, 0x3f, 0)
+    soi ++ app0 ++ dqt ++ sof0 ++ sos ++ data ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  private[graft] def encodeWav(sampleRate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val bitsPerSample = 16
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  // ---- header parser (pure JVM, deterministic, magic-byte driven) ----
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Detect the container from magic bytes and extract its header
+    * metadata by walking the REAL byte structure: PNG IHDR (with CRC
+    * verification), JPEG marker-segment walk to SOF0-SOF15, WAV RIFF
+    * chunk walk to `fmt `. Returns fmt "unknown" (all-null fields) for
+    * anything unrecognized or truncated — never throws on junk bytes,
+    * the contract a 100 TB crawl corpus demands.
+    */
+  private[graft] def parseMediaDims(b: Array[Byte]): (String, Option[Int], Option[Int], Option[Int], Option[Int]) = {
+    def unknown = ("unknown", None, None, None, None)
+    if (b.length >= 24 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      // PNG: first chunk must be IHDR; verify its CRC before trusting dims
+      val len = readBe32(b, 8)
+      if (len != 13 || b.length < 8 + 4 + 4 + 13 + 4) return unknown
+      val typeOk = b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+      if (!typeOk) return unknown
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13)
+      if (crc.getValue.toInt != readBe32(b, 8 + 4 + 4 + 13)) return unknown
+      ("png", Some(readBe32(b, 16)), Some(readBe32(b, 20)), None, None)
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk FF-marker segments until a start-of-frame (C0-CF minus
+      // the non-frame C4/C8/CC); height/width live at +3/+5 past length
+      var i = 2
+      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        val segLen = readBe16(b, i + 2)
+        if (isSof) {
+          if (i + 2 + 2 + 5 > b.length) return unknown
+          return ("jpeg", Some(readBe16(b, i + 7)), Some(readBe16(b, i + 5)), None, None)
+        }
+        if (segLen < 2) return unknown
+        i += 2 + segLen
+      }
+      unknown
+    } else if (b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      // WAV: walk RIFF chunks to `fmt ` (not a fixed offset — real files
+      // can carry LIST/INFO chunks first)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+        val size = readLe32(b, i + 4)
+        if (isFmt) {
+          if (i + 8 + 8 > b.length) return unknown
+          return ("wav", None, None,
+            Some(readLe32(b, i + 12)), Some(readLe16(b, i + 10)))
+        }
+        if (size < 0) return unknown
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      unknown
+    } else unknown
+  }
+
+  /** Header-metadata extraction as a registered query: synthesize real
+    * containers, parse them back from bytes. The fmt column comes from
+    * MAGIC BYTES, dims from the parsed header — nothing is passed through
+    * from the synthesis side, so the oracle hash-compare certifies the
+    * whole decode path.
+    */
+  def dimsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (fmt, w, h, sr, ch) = parseMediaDims(r.payload)
+          MediaDims(r.media_id, fmt, w, h, sr, ch)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Metadata-only scan — the payload column must be pruned at the source.
     * Oracle-able: byte length of the UTF-8 payload.
     */

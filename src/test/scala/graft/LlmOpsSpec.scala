@@ -410,4 +410,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fr.count() == 500 * 4)
     assert(fr.filter(col("frame_len") <= 0).count() == 0)
   }
+
+  test("multimodal: header parser round-trips real PNG/JPEG/WAV encodings") {
+    val data = "payload bytes".getBytes("UTF-8")
+    assert(Multimodal.parseMediaDims(Multimodal.encodePng(640, 479, data))
+      == (("png", Some(640), Some(479), None, None)))
+    assert(Multimodal.parseMediaDims(Multimodal.encodeJpeg(123, 456, data))
+      == (("jpeg", Some(123), Some(456), None, None)))
+    assert(Multimodal.parseMediaDims(Multimodal.encodeWav(11000, 2, data))
+      == (("wav", None, None, Some(11000), Some(2))))
+    // junk tolerance: truncated, corrupted-CRC, and plain-text payloads
+    // must come back "unknown", never throw
+    assert(Multimodal.parseMediaDims(Array[Byte]())._1 == "unknown")
+    assert(Multimodal.parseMediaDims("not a media file".getBytes("UTF-8"))._1 == "unknown")
+    val png = Multimodal.encodePng(10, 10, data)
+    assert(Multimodal.parseMediaDims(png.take(20))._1 == "unknown")
+    val corrupted = png.clone(); corrupted(16) = (corrupted(16) ^ 0x7f).toByte
+    assert(Multimodal.parseMediaDims(corrupted)._1 == "unknown",
+      "IHDR CRC must catch a flipped width byte")
+    assert(Multimodal.parseMediaDims(Multimodal.encodeJpeg(1, 1, data).take(3))._1 == "unknown")
+  }
+
+  test("multimodal: dims query parses every synthesized payload (no unknowns)") {
+    val d = Multimodal.dimsQuery(spark, Sf).collect()
+    assert(d.length == 500)
+    d.foreach { row =>
+      val id = row.getLong(0)
+      val expected = (id % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "wav"
+      }
+      assert(row.getString(1) == expected, s"media $id parsed as ${row.getString(1)}")
+    }
+  }
 }
