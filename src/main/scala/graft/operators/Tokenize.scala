@@ -122,18 +122,8 @@ object Tokenize {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round + 1, l, r, l + r, c))
-        // Greedy non-overlapping left-to-right fusion of (l, r): fold the
-        // symbol array, replacing a trailing `l` with `l+r` when `r`
-        // arrives. Column-API literals (not SQL-string splicing), so
-        // symbols from data can never break out of the expression.
-        val fused = aggregate(
-          col("syms"),
-          array().cast("array<string>"),
-          (acc, s) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(s))))
-        vocab = vocab.select(col("wcnt"), fused.as("syms")).localCheckpoint()
+        vocab = vocab.select(col("wcnt"), fuseFold(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
         round += 1
       }
     }
@@ -141,6 +131,125 @@ object Tokenize {
     merges.result()
       .toDF("rank", "lhs", "rhs", "merged", "cnt")
       .orderBy("rank")
+  }
+
+  /** Greedy non-overlapping left-to-right fusion of (l, r) over a symbol
+    * array: fold the array, replacing a trailing `l` with `l+r` when `r`
+    * arrives ("aaaa" under (a,a) → "aa","aa"). Column-API literals (not
+    * SQL-string splicing), so symbols from data can never break out of
+    * the expression. Shared by the sequential trainer, the batched
+    * trainer, and the segmenter.
+    */
+  private def fuseFold(syms: org.apache.spark.sql.Column, l: String, r: String) =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** [[bpeTrainMerges]] with BATCHED rounds — the production-vocab scale
+    * shape. The sequential trainer is one Spark job per merge: correct,
+    * but a 32k-merge production vocabulary serializes 32k driver rounds.
+    * This variant takes several merges from one count pass and is
+    * EXACTLY merge-for-merge equal to the sequential trainer (the
+    * fixture spec pins it): accept the ranked candidates as a PREFIX,
+    * stopping the batch at the first pair that shares a symbol with any
+    * earlier accepted pair's {lhs, rhs, merged}. Why a conflict-free
+    * ranked prefix is exact:
+    *
+    *   - each accepted pair is symbol-disjoint from every merge before
+    *     it in the batch, so its count is INVARIANT under them (no
+    *     occurrence created, destroyed, or straddled) — the sequential
+    *     trainer sees the identical (pair, count) at its turn;
+    *   - merging (l,r)→m can create pairs only of the form (x,m)/(m,y),
+    *     and count(x,m) ≤ count(x,l) pre-merge (every created occurrence
+    *     was an "x l r" occurrence). If a created pair outranked a later
+    *     accepted pair p_j, its parent (x,l) outranked p_j too (the ≤
+    *     bound plus the shared tie-break: rhs l is a strict prefix of m,
+    *     so at equal count (x,l) sorts before (x,m)) — but the parent
+    *     shares l with an accepted merge, so the scan would have STOPPED
+    *     there, before ever accepting p_j. Contradiction; no created
+    *     pair can leapfrog inside an accepted prefix.
+    *
+    * Stop-at-first-conflict is what buys exactness — skip-and-continue
+    * batching (accepting later disjoint pairs past a conflict) diverges,
+    * because the skipped pair may still outrank everything after it.
+    * Batch width adapts to the corpus: early character-level rounds on
+    * Zipf text conflict quickly (letters like 'e'/'r' recur across top
+    * pairs) and yield short batches; later long-token rounds thin out
+    * and fill `maxBatch`. Driver rounds shrink toward
+    * `numMerges / maxBatch`; each round still collects only a bounded
+    * candidate window, a model artifact like the codebooks. See
+    * SCALING.md "BPE trainer at production vocab".
+    */
+  def bpeTrainMergesBatched(
+      spark: SparkSession,
+      sfDir: String,
+      numMerges: Int = 8,
+      maxBatch: Int = 4): DataFrame =
+    bpeTrainMergesBatchedWithRounds(spark, sfDir, numMerges, maxBatch)._1
+
+  /** [[bpeTrainMergesBatched]] plus the count-pass (round) total — test
+    * seam for the "fewer driver rounds" claim.
+    */
+  private[graft] def bpeTrainMergesBatchedWithRounds(
+      spark: SparkSession,
+      sfDir: String,
+      numMerges: Int,
+      maxBatch: Int): (DataFrame, Int) = {
+    var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var done = 0
+    var rounds = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      // candidate window: the prefix rule needs at most maxBatch rows
+      // plus one to observe the conflict that ends the batch; a short
+      // window only shortens a batch (extra round), never correctness
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+        .limit(maxBatch + 1)
+        .collect()
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var taken = 0
+        var stopped = false
+        top.iterator.foreach { row =>
+          if (!stopped && taken < maxBatch && done + taken < numMerges) {
+            val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            if (!used(l) && !used(r) && !used(l + r)) {
+              accepted += ((l, r, c))
+              used ++= Seq(l, r, l + r)
+              taken += 1
+            } else stopped = true // prefix rule: first conflict ends the batch
+          }
+        }
+        val batch = accepted.result()
+        if (batch.isEmpty) exhausted = true
+        else {
+          batch.foreach { case (l, r, c) =>
+            done += 1
+            merges += ((done, l, r, l + r, c))
+          }
+          // one vocab pass applies the whole batch, fused in rank order
+          // (disjointness makes the order irrelevant; rank order keeps it
+          // textually identical to the sequential fold chain)
+          val fusedAll = batch.foldLeft(col("syms")) {
+            case (acc, (l, r, _)) => fuseFold(acc, l, r)
+          }
+          vocab = vocab.select(col("wcnt"), fusedAll.as("syms")).localCheckpoint()
+        }
+      }
+    }
+    import spark.implicits._
+    (merges.result()
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("rank"), rounds)
   }
 
   /** Apply a trained merge table to text: segment each document's words
@@ -154,19 +263,11 @@ object Tokenize {
       spark: SparkSession,
       sfDir: String,
       merges: Seq[(String, String)]): DataFrame = {
-    def fuse(syms: org.apache.spark.sql.Column, l: String, r: String) =
-      aggregate(
-        syms,
-        array().cast("array<string>"),
-        (a, s) => when(
-          size(a) > 0 && element_at(a, -1) === lit(l) && s === lit(r),
-          concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
-          .otherwise(concat(a, array(s))))
     // merges apply WITHIN each word (BPE never fuses across a word
     // boundary), so the fold runs inside the per-word transform
     val segmented = transform(col("words"), w =>
       merges.foldLeft(array_remove(split(w, ""), "")) {
-        case (acc, (l, r)) => fuse(acc, l, r)
+        case (acc, (l, r)) => fuseFold(acc, l, r)
       })
     IO.table(spark, sfDir, "documents")
       .withColumn("words", split(col("text"), " "))

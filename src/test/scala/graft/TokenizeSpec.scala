@@ -89,6 +89,18 @@ class TokenizeSpec extends SparkTestBase {
     assert(got.toSeq == want, s"merge tables differ:\n got: ${got.toSeq}\nwant: $want")
   }
 
+  test("batched BPE trainer equals the sequential trainer merge-for-merge, in fewer rounds") {
+    val sequential = Tokenize.bpeTrainMerges(spark, Sf, numMerges = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val (batchedDf, rounds) =
+      Tokenize.bpeTrainMergesBatchedWithRounds(spark, Sf, numMerges = 8, maxBatch = 4)
+    val batched = batchedDf.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(batched.toSeq == sequential.toSeq,
+      s"merge tables differ:\n batched: ${batched.toSeq}\n sequential: ${sequential.toSeq}")
+    assert(rounds < 8, s"batching must need fewer count passes than merges, took $rounds")
+  }
+
   test("bpeSegmentCounts equals driver-side greedy segmentation per doc") {
     val merges = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")
     val got = Tokenize.bpeSegmentCounts(spark, Sf, merges).collect()
