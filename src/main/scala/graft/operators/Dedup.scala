@@ -45,7 +45,7 @@ object Dedup {
     * pipeline) skip the gate and always materialize — measured slower to
     * recompute than to checkpoint even at 5k documents.
     */
-  private[operators] val MaterializeThresholdRows = 200000L
+  private[graft] val MaterializeThresholdRows = 200000L
 
   /** Eager localCheckpoint when `rows` is at or above
     * [[MaterializeThresholdRows]]; the live lineage otherwise.
@@ -598,12 +598,29 @@ object Dedup {
     * windows × maxDf. Docs shorter than `w` tokens carry no window; the
     * whole-document exact/MinHash paths own that regime.
     */
-  /** Footer-metadata estimate of the exploded window count (docs × a
-    * nominal tokens-per-doc) — sizes the materialization gate without a
-    * count job.
+  /** ~bytes per whitespace token in natural-language text (≈5-char word
+    * + separator) — converts footer text-byte volume to a token estimate.
     */
-  private def estWindowRows(spark: SparkSession, sfDir: String): Long =
-    IO.parquetRowCount(spark, s"$sfDir/documents.parquet") * 64L
+  private val NominalBytesPerToken = 6L
+
+  /** Footer-metadata estimate of the exploded window count — sizes the
+    * materialization gate without a count job. Derived from the DATA, not
+    * a per-doc constant: total uncompressed bytes of the `text` column
+    * (per-column row-group footer metadata, [[IO.parquetColumnUncompressedBytes]])
+    * over [[NominalBytesPerToken]] ≈ total corpus tokens ≈ window count.
+    * The previous rows×64 heuristic undersized the gate on long-document
+    * corpora — a 10k-token-doc corpus looked 150× smaller than it was,
+    * skipping the checkpoint and recomputing the explode+hash pipeline
+    * twice. Floored at the row count: a window-bearing doc contributes
+    * at least one row, and the floor keeps degenerate tiny-text tables
+    * from reading as empty.
+    */
+  private[graft] def estWindowRows(spark: SparkSession, sfDir: String): Long = {
+    val path = s"$sfDir/documents.parquet"
+    math.max(
+      IO.parquetColumnUncompressedBytes(spark, path, "text") / NominalBytesPerToken,
+      IO.parquetRowCount(spark, path))
+  }
 
   private def substringSpanPairsBy(
       docs: DataFrame,

@@ -223,4 +223,47 @@ object IO {
       }
       total
     })
+
+  private val columnBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total UNCOMPRESSED byte size of one column across a parquet table,
+    * from file-footer row-group metadata — NO Spark job, memoized per
+    * (path, column) like [[parquetRowCount]]. This is the data-derived
+    * volume signal for operators whose cost tracks a column's content
+    * size rather than the row count (the substring-dedup window estimate:
+    * token volume ≈ text bytes, which a rows×constant heuristic gets
+    * badly wrong on long-document corpora). Uncompressed chunk size
+    * includes encoding overhead (length prefixes, rep/def levels), so it
+    * slightly overestimates raw content bytes — the right direction for
+    * a materialization gate. Same catalog-statistics caveat as the row
+    * count: at 100 TB this number comes from ANALYZE TABLE column stats,
+    * and callers accept the derived parameter directly.
+    */
+  def parquetColumnUncompressedBytes(
+      spark: SparkSession,
+      path: String,
+      column: String): Long =
+    columnBytesCache.computeIfAbsent(s"$path#$column", (_: String) => {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val it = fs.listFiles(dir, true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getRowGroups.asScala.foreach { rg =>
+            rg.getColumns.asScala.foreach { c =>
+              if (c.getPath.toDotString == column) total += c.getTotalUncompressedSize
+            }
+          } finally reader.close()
+        }
+      }
+      total
+    })
 }

@@ -411,6 +411,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fr.filter(col("frame_len") <= 0).count() == 0)
   }
 
+  test("substring-dedup window estimate derives from text VOLUME, not row count") {
+    import spark.implicits._
+    val threshold = Dedup.MaterializeThresholdRows
+    // two fixtures, SAME row count, 1000 docs each: short docs (~10
+    // tokens) vs long docs (~2400 tokens). The old rows×64 heuristic
+    // reads both as 64k (< the 200k materialization threshold) and
+    // skips the checkpoint on the long corpus, recomputing the
+    // explode+hash pipeline twice; the footer text-byte estimate must
+    // separate them.
+    val shortDir = graft.sources.IO.scratchDir("est_short")
+    val longDir = graft.sources.IO.scratchDir("est_long")
+    // unique text per doc — identical strings would dictionary-encode
+    // and hide their volume from the footer (real corpora are unique
+    // and fall back to plain encoding, which is the case the gate sizes)
+    val shortTok = Seq.fill(9)("tok").mkString(" ")
+    val longTok = Seq.fill(2399)("tok").mkString(" ")
+    (0L until 1000L).map(i => (i, s"doc$i $shortTok")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$shortDir/documents.parquet")
+    (0L until 1000L).map(i => (i, s"doc$i $longTok")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$longDir/documents.parquet")
+    val estShort = Dedup.estWindowRows(spark, shortDir)
+    val estLong = Dedup.estWindowRows(spark, longDir)
+    assert(estShort < threshold,
+      s"short-doc corpus must stay under the gate: $estShort")
+    assert(estLong >= threshold,
+      s"long-doc corpus must cross the gate (true windows ~2.4M): $estLong")
+    // calibration sanity: within 3x of the true token count on both ends
+    assert(estLong >= 2400L * 1000 / 3 && estLong <= 2400L * 1000 * 3,
+      s"long estimate off calibration: $estLong vs ~2.4M")
+    assert(estShort >= 10L * 1000 / 3 && estShort <= 10L * 1000 * 3 * 2,
+      s"short estimate off calibration: $estShort vs ~10k")
+  }
+
   test("multimodal: header parser round-trips real PNG/JPEG/WAV encodings") {
     val data = "payload bytes".getBytes("UTF-8")
     assert(Multimodal.parseMediaDims(Multimodal.encodePng(640, 479, data))
