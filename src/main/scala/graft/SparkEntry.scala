@@ -269,9 +269,12 @@ object SparkEntry {
     "corpus_decontaminated" -> ((s, d) =>
       Decontaminate.decontaminate(s, d, gramWidth = 4)),
     // bloom prefilter is a pure pre-prune: result must equal the exact
-    // report, so the row reuses its oracle verbatim
+    // report, so the row reuses its oracle verbatim. The registered row
+    // is the STORED-sketch consumer (build-and-persist on first use,
+    // artifact reload after) — the production contract; the
+    // build-every-time variant stays spec-pinned row-identical to it
     "corpus_decontam_bloom" -> ((s, d) =>
-      Decontaminate.contaminationReportBloom(s, d, gramWidth = 4)),
+      Decontaminate.contaminationReportBloomStored(s, d, gramWidth = 4)),
     "corpus_stratified_sample" -> ((s, d) =>
       CorpusPrep.stratifiedSample(s, d, StratifiedRates, StratifiedDefaultRate)),
     "corpus_mixture_sample" -> ((s, d) =>

@@ -100,29 +100,55 @@ object Decontaminate {
       gramWidth: Int = 13,
       evalPct: Int = 5,
       fpp: Double = 0.03): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    val docs = withToks(IO.table(spark, sfDir, "documents"))
+    val docs = gramDocs(spark, sfDir, gramWidth)
+    val evalGrams = evalGramsFrame(docs, evalPct)
+    reportWithBloomBytes(docs, evalGrams,
+      buildBloomBytes(spark, sfDir, evalGrams, evalPct, fpp), evalPct)
+  }
+
+  /** (doc_id, bucket, grams) — the shared head of the bloom pipelines. */
+  private def gramDocs(spark: SparkSession, sfDir: String, gramWidth: Int): DataFrame =
+    withToks(IO.table(spark, sfDir, "documents"))
       .select(col("doc_id"), col("bucket"), gramHashes(gramWidth).as("grams"))
-    // two consumers (bloom build + verify join) and small by definition
-    // (the eval slice): materialize once instead of re-exploding the
-    // eval grams per consumer
-    val evalGrams = docs.filter(col("bucket") >= 100 - evalPct)
+
+  /** Distinct eval-side gram hashes, materialized once: two consumers
+    * (bloom build and/or verify join) and small by definition (the eval
+    * slice).
+    */
+  private def evalGramsFrame(docs: DataFrame, evalPct: Int): DataFrame =
+    docs.filter(col("bucket") >= 100 - evalPct)
       .select(explode(col("grams")).as("gram"))
       .distinct()
       .localCheckpoint()
-    // expected-items bound from footer metadata, not a count job; an
-    // overestimate only costs linear bits
+
+  /** Serialized bloom sketch of the eval grams — ONE distributed
+    * aggregate; expected-items bound from footer metadata, not a count
+    * job (an overestimate only costs linear bits).
+    */
+  private def buildBloomBytes(
+      spark: SparkSession,
+      sfDir: String,
+      evalGrams: DataFrame,
+      evalPct: Int,
+      fpp: Double): Array[Byte] = {
     val expected = math.max(1000L,
       IO.parquetRowCount(spark, s"$sfDir/documents.parquet")
         * 64L * evalPct / 100)
     val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The bloom-prefiltered report over an explicit serialized sketch. */
+  private def reportWithBloomBytes(
+      docs: DataFrame,
+      evalGrams: DataFrame,
+      bytes: Array[Byte],
+      evalPct: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType), GraftSqlBridge.expression(col("gram"))))
     docs.filter(col("bucket") < 100 - evalPct)
@@ -132,6 +158,110 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  /** Driver cache of persisted sketches (the codebook-cache idiom): the
+    * deserialized bytes of each artifact load at most once per driver.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Test seam: forget loaded sketches (spec isolation). */
+  private[graft] def clearBloomCache(): Unit = bloomCache.clear()
+
+  /** Stable artifact path for a persisted eval-gram sketch, keyed by
+    * every parameter that shapes its contents PLUS a footer-derived
+    * content fingerprint of the source table (row count + text byte
+    * volume — no Spark job): an artifact outlives the JVM, and a
+    * regenerated table at the same path must miss the stale sketch.
+    * Lives under the JVM temp dir here; in production the sketch is
+    * written BESIDE the eval table on the same filesystem (it is derived
+    * data of that table and shares its lifecycle — rebuild on eval-set
+    * change).
+    */
+  private[graft] def bloomArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int,
+      evalPct: Int,
+      fpp: Double): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+    val key = s"$sfDir|$gramWidth|$evalPct|$fpp|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_bloom_$digest.bin"
+  }
+
+  /** Build the eval-gram sketch and persist it at [[bloomArtifactPath]]
+    * (atomic temp-file + rename, so a concurrent reader never sees a
+    * torn artifact). Returns the path. This is the "train once" half of
+    * the stored-sketch pattern ([[contaminationReportBloomStored]] is the
+    * consumer); at 100 TB the build is a scheduled job that reruns only
+    * when the eval set changes.
+    */
+  def persistEvalGramBloom(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 13,
+      evalPct: Int = 5,
+      fpp: Double = 0.03): String = {
+    val docs = gramDocs(spark, sfDir, gramWidth)
+    val evalGrams = evalGramsFrame(docs, evalPct)
+    val bytes = buildBloomBytes(spark, sfDir, evalGrams, evalPct, fpp)
+    val pathStr = bloomArtifactPath(spark, sfDir, gramWidth, evalPct, fpp)
+    // the exact distinct-gram table persists BESIDE the sketch: the
+    // verify join needs it, it is eval-sized (tiny), and it shares the
+    // sketch's lifecycle — consumers then run ZERO eval-side explodes
+    evalGrams.write.mode("overwrite").parquet(s"$pathStr.grams.parquet")
+    val path = java.nio.file.Paths.get(pathStr)
+    val tmp = java.nio.file.Files.createTempFile(path.getParent, "graft_bloom_", ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    bloomCache.put(pathStr, bytes)
+    path.toString
+  }
+
+  /** [[contaminationReportBloom]] consuming the PERSISTED artifacts:
+    * loads the serialized bloom and the exact eval-gram table from
+    * [[bloomArtifactPath]] (building and persisting both on first use —
+    * self-priming), so repeat invocations run NO eval-side work at all:
+    * no gram explode, no distinct, no distributed sketch build — just
+    * the map-side corpus prefilter and the broadcast verify join against
+    * the stored gram table. Result stays row-identical to the exact
+    * report: the stored sketch has the same no-false-negative guarantee,
+    * and the verify join still kills false positives (spec-pinned; the
+    * registered row reuses the exact report's oracle).
+    */
+  def contaminationReportBloomStored(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 13,
+      evalPct: Int = 5,
+      fpp: Double = 0.03): DataFrame = {
+    // the artifact path embeds the params AND the table fingerprint, so
+    // it doubles as the memory-cache key
+    val pathStr = bloomArtifactPath(spark, sfDir, gramWidth, evalPct, fpp)
+    val bytes = {
+      val hit = bloomCache.get(pathStr)
+      if (hit != null) hit
+      else {
+        val p = java.nio.file.Paths.get(pathStr)
+        val loaded =
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.readAllBytes(p)
+          else {
+            persistEvalGramBloom(spark, sfDir, gramWidth, evalPct, fpp)
+            bloomCache.get(pathStr)
+          }
+        bloomCache.putIfAbsent(pathStr, loaded)
+        loaded
+      }
+    }
+    reportWithBloomBytes(gramDocs(spark, sfDir, gramWidth),
+      spark.read.parquet(s"$pathStr.grams.parquet"), bytes, evalPct)
   }
 
   /** The decontaminated training corpus: train documents with NO gram

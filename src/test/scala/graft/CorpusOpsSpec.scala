@@ -53,6 +53,28 @@ class CorpusOpsSpec extends SparkTestBase {
       "bloom path must reproduce the exact report exactly")
   }
 
+  test("stored-sketch contamination report: persists once, reloads, stays row-identical") {
+    val exact = Decontaminate.contaminationReport(spark, Sf, gramWidth = 4)
+    // cold: no memory cache, no artifact on disk → builds and persists
+    Decontaminate.clearBloomCache()
+    val artifact = java.nio.file.Paths.get(
+      Decontaminate.bloomArtifactPath(spark, Sf, 4, 5, 0.03))
+    java.nio.file.Files.deleteIfExists(artifact)
+    val cold = Decontaminate.contaminationReportBloomStored(spark, Sf, gramWidth = 4)
+    assert(cold.exceptAll(exact).isEmpty && exact.exceptAll(cold).isEmpty,
+      "self-priming first run must equal the exact report")
+    assert(java.nio.file.Files.exists(artifact), "sketch artifact must persist")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$artifact.grams.parquet")),
+      "eval-gram table must persist beside the sketch")
+    // warm from DISK only (fresh memory cache): must reload, not rebuild —
+    // and still match
+    Decontaminate.clearBloomCache()
+    val warm = Decontaminate.contaminationReportBloomStored(spark, Sf, gramWidth = 4)
+    assert(warm.exceptAll(exact).isEmpty && exact.exceptAll(warm).isEmpty,
+      "artifact-loaded run must equal the exact report")
+  }
+
   test("decontaminate = train docs minus the report, disjoint and exhaustive") {
     val (report, trainIds, _) = naiveContamination()
     val clean = Decontaminate.decontaminate(spark, Sf, gramWidth = W)
