@@ -65,6 +65,11 @@ object Bench {
       case None => allCases
     }
 
+    // star-contraction convergence telemetry: queries that run connected
+    // components report (rounds, final contracted edges) so round-count
+    // regressions are visible in the bench payload without GRAFT_CC_DEBUG
+    val ccStats = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+
     // best-of-2: a single local-mode run still carries JIT/IO noise that a
     // second pass removes; min is the steady-state number the 2x gate means
     val results: Seq[(String, Either[String, Double])] = cases.map {
@@ -86,12 +91,14 @@ object Bench {
             case e: Throwable => Left(e.getClass.getSimpleName)
           }
         }
+        operators.Cluster.lastRunStats = None
         val r = (once(), once()) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Right(a), _) => Right(a)
           case (_, Right(b)) => Right(b)
           case (l, _) => l
         }
+        operators.Cluster.lastRunStats.foreach(ccStats(name) = _)
         name -> r
     }
 
@@ -101,7 +108,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(s)) => s }.sum
     val errors = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val cc = ccStats
+      .map { case (k, (r, e)) => s""""$k":{"cc_rounds":$r,"cc_edges":$e}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
