@@ -307,6 +307,10 @@ object SparkEntry {
     // end-to-end curation: dedup -> quality floor -> per-source cap, with
     // the per-document decision trail and the per-source funnel report
     "corpus_curation_decisions" -> ((s, d) => Curate.decisions(s, d)),
+    // flagship composition: curate -> decontaminate -> shuffle -> pack in
+    // one lineage (gramWidth 4 for the same non-vacuous-overlap reason as
+    // the decontam rows)
+    "corpus_curate_pack" -> ((s, d) => Curate.curateThenPack(s, d, gramWidth = 4)),
     "corpus_curated" -> ((s, d) => Curate.curatedCorpus(s, d)),
     "corpus_curation_report" -> ((s, d) => Curate.report(s, d)),
     "corpus_quality_quantile" -> ((s, d) => Curate.qualityQuantileFilter(s, d)),
@@ -1471,6 +1475,42 @@ object SparkEntry {
       s"""$curationFlagsSql
           SELECT doc_id, source, lang, n_chars, quality_score
           FROM h WHERE keep = 1 ORDER BY doc_id""",
+    "corpus_curate_pack" ->
+      // the full composition replayed: curation flags (shared CTEs), the
+      // string-exact gram contamination set, the content-hash split, the
+      // seed-keyed shuffle, and the running-offset pack — every stage is
+      // the same SQL its standalone oracle uses, chained
+      s"""$curationFlagsSql,
+         db AS (
+           SELECT *, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS split_bucket,
+                  string_split(text, ' ') AS gtoks
+           FROM h),
+         g AS (
+           SELECT DISTINCT doc_id, split_bucket,
+                  array_to_string(list_slice(gtoks, i.i, i.i + 3), ' ') AS gram
+           FROM db, unnest(range(1, greatest(len(gtoks) - 3, 1) + 1)) AS i(i)),
+         ev AS (SELECT DISTINCT gram FROM g WHERE split_bucket >= 95),
+         cont AS (
+           SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+           WHERE g.split_bucket < 95),
+         surv AS (
+           SELECT doc_id, source, quality_score,
+                  CAST(len(gtoks) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+           FROM db
+           WHERE keep = 1 AND split_bucket < 95
+             AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         sh AS (
+           SELECT *, shuffle_key % 64 AS shard,
+                  CAST(row_number() OVER (PARTITION BY shuffle_key % 64
+                    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+           FROM surv)
+         SELECT doc_id, source, quality_score, shard, pos, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS offset_in_shard,
+                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS BIGINT) AS seq_id
+         FROM sh ORDER BY shard, pos""",
     "corpus_curation_report" ->
       s"""$curationFlagsSql
           SELECT source, COUNT(*) AS n_input,

@@ -109,6 +109,94 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** The FLAGSHIP end-to-end composition — what a training-data run
+    * actually executes, as ONE lineage: curation (dedup → quality →
+    * per-source cap) → decontamination → epoch shuffle → sequence
+    * packing. Output: one row per surviving document with its shuffle
+    * shard, position, and packed-sequence assignment — the manifest a
+    * training loader reads.
+    *
+    * Composition discipline (the reason this is one pipeline, not four
+    * queries glued together):
+    *   - the corpus is scanned ONCE for all curation signals (quality,
+    *     fingerprints, cap key, split bucket, token count are inline
+    *     columns of the same scan — no join against a second scan);
+    *   - the contamination id set arrives as a BROADCAST side input from
+    *     [[Decontaminate.contaminationReportBloomStored]] (the persisted
+    *     sketch path), anti-joined map-side: eval-side work is zero after
+    *     the artifact exists, and the corpus side of that report is the
+    *     only other scan of the table;
+    *   - shuffle position and pack offset are two window passes over the
+    *     SAME (shard) partitioning — one exchange, the second window
+    *     sorts within already-shuffled partitions;
+    *   - stage order is load-bearing: dedup/quality/cap before
+    *     decontamination keeps the cap budget honest, and packing runs
+    *     over the SHUFFLED order because training sequences must mix
+    *     sources (packing doc_id-ordered would concatenate each source's
+    *     docs back to back — exactly the correlation the shuffle exists
+    *     to break).
+    */
+  def curateThenPack(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.6,
+      cap: Int = 12,
+      gramWidth: Int = 13,
+      evalPct: Int = 5,
+      seed: Long = 42L,
+      numBuckets: Int = 64,
+      ctxLen: Long = 2048L): DataFrame = {
+    val dedupW = Window.partitionBy("fp_xx", "fp_md5").orderBy("doc_id")
+    val capW = Window.partitionBy("source")
+      .orderBy(desc("cand"), col("pick_key"), col("doc_id"))
+    val flags = IO.table(spark, sfDir, "documents")
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .withColumn("fp_xx", xxhash64(col("text")))
+      .withColumn("fp_md5", md5(col("text").cast("binary")))
+      .withColumn("pick_key", pickKey)
+      // the same content-hash split bucket the decontamination stage keys
+      // on (md5 hex digits 1-8 mod 100): eval docs never enter the corpus
+      .withColumn("split_bucket",
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("is_canonical",
+        (row_number().over(dedupW) === 1).cast("int"))
+      .withColumn("passes_quality",
+        (col("quality_score") >= minQuality).cast("int"))
+      .withColumn("cand", col("is_canonical") * col("passes_quality"))
+      .withColumn("keep",
+        when(col("cand") === 1 && row_number().over(capW) <= cap, 1)
+          .otherwise(0))
+    val contaminatedIds = Decontaminate
+      .contaminationReportBloomStored(spark, sfDir, gramWidth, evalPct)
+      .select("doc_id")
+    val survivors = flags
+      .filter(col("keep") === 1 && col("split_bucket") < 100 - evalPct)
+      .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "quality_score", "n_tokens")
+    // epoch shuffle ([[CorpusPrep.shuffleOrder]]'s key), then packing in
+    // SHUFFLED order — shard is the shuffle bucket, offsets accumulate
+    // along the training read order
+    val shuffleKey = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val wPos = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    val wOff = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("shuffle_key", shuffleKey)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numBuckets.toLong)))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("offset_in_shard", sum("n_tokens").over(wOff) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"offset_in_shard div $ctxLen"))
+      .select("doc_id", "source", "quality_score", "shard", "pos",
+        "n_tokens", "offset_in_shard", "seq_id")
+      .orderBy("shard", "pos")
+  }
+
   /** Per-source curation funnel: input docs → canonical (post-dedup) →
     * quality survivors (among canonical) → kept after the cap. The
     * retention report a corpus build publishes.

@@ -597,4 +597,27 @@ class PlanAuditSpec extends SparkTestBase {
         s"quality_score should already be materialized below the exchange: $names")
     }
   }
+
+  test("curate-then-pack composition stays ONE pipeline") {
+    val df = graft.operators.Curate.curateThenPack(spark, Sf, gramWidth = 4)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    // exactly two scans of the documents table: the curation-signal scan
+    // and the contamination report's corpus side — the shuffle and pack
+    // stages must NOT re-read it (the composition is one lineage)
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(docScans == 2, s"expected 2 documents scans, got $docScans:\n$p")
+    // decontamination is a broadcast anti-join (map-side; the corpus
+    // never shuffles for it)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"contaminated-id removal must be a broadcast anti-join:\n$p")
+    // shuffle position and pack offset share ONE shard exchange: the
+    // second window sorts within the partitions the first one shuffled
+    val shardExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(shard"))
+    assert(shardExchanges == 1,
+      s"pos and offset windows must share one shard exchange, got $shardExchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
