@@ -335,6 +335,7 @@ object SparkEntry {
       joinArrays(Multimodal.featureQuery(s, d), "|", "features")),
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
+    "mm_features_hist" -> (Multimodal.featureHistQuery _),
   )
 
   /** DuckDB oracles (driver runs these on the same parquet tables). Queries
@@ -1354,6 +1355,24 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (n_chars % 8) * 1000 END AS INTEGER) AS sample_rate,
                 CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
+    "mm_features_hist" ->
+      // walk the UTF-8 payload bytes by slicing hex() pairs of the BLOB —
+      // byte i is ('0x' || substr(hex, 2i+1, 2))::INT; bin = byte >> 5
+      """WITH b AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                  hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, kind, n,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+           FROM b, unnest(range(n)) AS i(i))
+         SELECT media_id, kind, CAST(bin AS INT) AS bin,
+                COUNT(*) AS cnt, CAST(n AS BIGINT) AS n_bytes
+         FROM by GROUP BY media_id, kind, bin, n
+         ORDER BY media_id, bin""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

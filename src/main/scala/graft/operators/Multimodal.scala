@@ -296,4 +296,36 @@ object Multimodal {
   def frameQuery(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(mediaFromDocuments(spark, sfDir))
       .orderBy("media_id", "frame_idx")
+
+  case class HistBin(media_id: Long, kind: String, bin: Int, cnt: Long, n_bytes: Long)
+
+  /** The byte-histogram feature extraction with an ORACLE-EXACT face:
+    * per media record, the non-empty bins of the 8-bin byte-value
+    * histogram as INTEGER counts plus the payload length — the same
+    * decode pass as [[decodeToFeatures]] minus the float normalization
+    * (count/len as float is what kept mm_features oracle-less: the two
+    * engines format/round floats differently in an array, while integer
+    * counts hash exactly; the normalized form is cnt/n_bytes, recoverable
+    * by the consumer). The DuckDB replay walks the UTF-8 payload bytes
+    * via hex-pair slicing, so a hash match certifies the byte loop.
+    */
+  def featureHistQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < r.payload.length) {
+            hist((r.payload(i) & 0xFF) >> 5) += 1L
+            i += 1
+          }
+          (0 until 8).iterator
+            .filter(hist(_) > 0)
+            .map(b => HistBin(r.media_id, r.meta.kind, b, hist(b), r.payload.length.toLong))
+        }
+      }
+      .toDF()
+      .orderBy("media_id", "bin")
+  }
 }
