@@ -223,6 +223,9 @@ object SparkEntry {
     // fixed-point centroid sums — the oracle replays both iterations in
     // SQL) and the IVF search over the trained codebook
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssignments(s, d)),
+    // the materialized train-once artifact itself, hash-checked value
+    // for value against the oracle's full Lloyd replay
+    "kmeans_codebook" -> ((s, d) => Similarity.kmeansCodebookTable(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
     // product quantization: per-subvector codebooks trained distributed,
     // codes as INT columns (the stored index artifact), ADC-scored top-k
@@ -695,6 +698,14 @@ object SparkEntry {
                 (ROW_NUMBER() OVER (PARTITION BY b.component_id
                    ORDER BY q.quality_score DESC, b.doc_id) = 1) AS keep
          FROM base b JOIN q USING (doc_id) ORDER BY b.doc_id""",
+    "kmeans_codebook" ->
+      // the trained centroid VALUES (cent2 is the oracle's own Lloyd
+      // replay with the same fixed-point accumulation) — exploded to
+      // (cid, pos, val) rows so doubles compare numerically
+      s"""${kmeansCentroidsSql()}
+         SELECT cid, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS pos,
+                unnest(cv) AS centroid_val
+         FROM cent2 ORDER BY cid, pos""",
     "kmeans_assign" ->
       s"""${kmeansCentroidsSql()}
          SELECT vec_id, cid FROM (

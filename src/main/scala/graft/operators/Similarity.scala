@@ -449,6 +449,56 @@ object Similarity {
       .select("vec_id", "cid")
       .orderBy("vec_id")
 
+  /** The trained coarse codebook as a TABLE (cid, pos, centroid_val) —
+    * the materialized form of the train-once contract: write this frame
+    * as parquet beside the corpus and every later query loads it via
+    * [[codebookFromTable]] instead of retraining (SCALING.md "Train-once
+    * model artifacts"). Registered and oracle-hashed: the DuckDB side
+    * replays the full Lloyd training, so a hash match certifies the
+    * trained VALUES, not just the assignments they induce.
+    */
+  def kmeansCodebookTable(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    kmeansCodebook(spark, sfDir, k, iters)
+      .map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "centroid_val")))
+      .orderBy("cid", "pos")
+  }
+
+  /** Parse a materialized (cid, pos, centroid_val) codebook table back
+    * into the bounded driver artifact the search paths consume — the
+    * load half of the materialization contract (k×dim rows; the collect
+    * is a model artifact, not data).
+    */
+  def codebookFromTable(table: DataFrame): Seq[(Long, Array[Double])] =
+    table.select("cid", "pos", "centroid_val").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }
+
+  /** IVF search against a MATERIALIZED codebook table — what a
+    * production query runs: no training, the codebook arrives as data.
+    */
+  def ivfCosineTopKFromTable(
+      spark: SparkSession,
+      sfDir: String,
+      codebookTable: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame =
+    ivfTopKWithCodebook(spark,
+      corpus(spark, sfDir).select("vec_id", "v"),
+      codebookFromTable(codebookTable),
+      numQueries, k, nprobe)
+
   /** [[ivfCosineTopK]] with a TRAINED codebook: the k-means centroids
     * replace the deterministic corpus sample, tightening cells and with
     * them the recall/candidate-volume trade-off.

@@ -84,6 +84,24 @@ class KmeansSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("materialized codebook round-trips through parquet into identical IVF results") {
+    val dir = graft.sources.IO.scratchDir("codebook_table")
+    Similarity.kmeansCodebookTable(spark, Sf)
+      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    val loaded = Similarity.codebookFromTable(
+      spark.read.parquet(s"$dir/codebook.parquet"))
+    val direct = Similarity.kmeansCodebook(spark, Sf)
+    assert(loaded.map(_._1) == direct.map(_._1))
+    loaded.zip(direct).foreach { case ((_, lv), (_, dv)) =>
+      assert(lv.sameElements(dv), "parquet round-trip must be bit-exact (doubles)")
+    }
+    val fromTable = Similarity.ivfCosineTopKFromTable(spark, Sf,
+      spark.read.parquet(s"$dir/codebook.parquet")).collect()
+    val trained = Similarity.ivfCosineTopKTrained(spark, Sf).collect()
+    assert(fromTable.map(_.toString).toSeq == trained.map(_.toString).toSeq,
+      "search against the materialized table must equal the trained path")
+  }
+
   test("trained-codebook IVF keeps useful recall@5 vs exact brute force") {
     val exact = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
