@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_window_agg" -> (Relational.windowAgg _),
     "sess_batch" -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "dedup_events_batch" -> ((s, d) => graft.streaming.EventStream.dedupEventsBatch(s, d)),
+    "events_enriched" -> ((s, d) => graft.streaming.EventStream.enrichBatch(s, d)),
     "sess_window_builtin" -> (Relational.sessionWindowAgg _),
     "events_funnel" -> ((s, d) => graft.streaming.EventStream.funnelSummary(s, d)),
     // headline analytics
@@ -261,6 +262,8 @@ object SparkEntry {
     // the unpinned default derives the count from corpus size
     "corpus_pack_sequences" -> ((s, d) =>
       CorpusPrep.packSequences(s, d, numShards = 32)),
+    "corpus_pack_nosplit" -> ((s, d) =>
+      CorpusPrep.packSequencesNoSplit(s, d, numShards = 32)),
     "corpus_train_val_split" -> ((s, d) => CorpusPrep.trainValSplit(s, d)),
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
@@ -1053,6 +1056,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "events_enriched" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+                c.c_mktsegment, c.c_acctbal
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "pivot_agg" ->
       """SELECT user_id,
                 COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
@@ -1320,6 +1328,35 @@ object SparkEntry {
          SELECT doc_id, term, score FROM scored
          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
          ORDER BY doc_id, term""",
+    "corpus_pack_nosplit" ->
+      // the per-shard next-fit-decreasing fold replayed as a recursive
+      // CTE: each recursion step consumes the next document (rn order =
+      // n_tokens desc, doc_id) carrying (seq_id, used) forward — the
+      // sequential state the Spark side folds inside mapPartitions
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+           FROM d),
+         pack(shard, rn, doc_id, n_tokens, seq_id, off, used) AS (
+           SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+                  CAST(0 AS BIGINT), n_tokens
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+                  CASE WHEN p.used + r.n_tokens <= 2048 OR p.used = 0
+                       THEN p.seq_id ELSE p.seq_id + 1 END,
+                  CASE WHEN p.used + r.n_tokens <= 2048 OR p.used = 0
+                       THEN p.used ELSE CAST(0 AS BIGINT) END,
+                  CASE WHEN p.used + r.n_tokens <= 2048 OR p.used = 0
+                       THEN p.used + r.n_tokens ELSE r.n_tokens END
+           FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+         SELECT doc_id, shard, n_tokens, seq_id, off AS offset_in_seq
+         FROM pack ORDER BY doc_id""",
     "corpus_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id, doc_id % 32 AS shard,

@@ -68,6 +68,72 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  case class PackedDoc(
+      doc_id: Long, shard: Long, n_tokens: Long, seq_id: Long, offset_in_seq: Long)
+
+  /** NO-SPLIT sequence packing — next-fit-decreasing within each shard:
+    * documents are sorted by token count (desc, doc_id tie-break) and laid
+    * greedily into sequences, opening a new sequence when the current one
+    * cannot hold the next document. Unlike [[packSequences]] (whose
+    * straddle layout lets a document span a boundary and relies on the
+    * loader to truncate), every document here lives WHOLE inside one
+    * sequence — the layout for training recipes that forbid cutting a
+    * document mid-thought — at the cost of padding waste, which
+    * decreasing-order placement minimizes (the classic bin-packing
+    * heuristic: two consecutive sequences always sum past the budget, so
+    * waste is bounded at <50% and in practice single-digit). A document
+    * larger than the budget occupies its own sequence (the loader owns
+    * that truncation decision).
+    *
+    * Scale shape: one shuffle on the shard key, then packing is a
+    * per-shard in-memory fold inside `mapPartitions` — the one operator
+    * class where per-partition imperative logic is the honest answer,
+    * because running-remainder-with-reset is inherently sequential state
+    * that no window frame expresses. Shard mass is bounded by
+    * [[adaptiveNumShards]] exactly as in [[packSequences]], so the
+    * per-task buffer is a constant independent of corpus size. The
+    * DuckDB oracle replays the fold as a recursive CTE (tractable at
+    * oracle scale; the fold is the distributed shape).
+    */
+  def packSequencesNoSplit(
+      spark: SparkSession,
+      sfDir: String,
+      ctxLen: Long = 2048L,
+      numShards: Int = -1,
+      targetShardDocs: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val shards =
+      if (numShards > 0) numShards
+      else adaptiveNumShards(
+        IO.parquetRowCount(spark, s"$sfDir/documents.parquet"), targetShardDocs)
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(shards, col("shard"))
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on the shard
+        // key), so buffering it is the bounded per-shard mass
+        it.toSeq.groupBy(_._2).iterator.flatMap { case (shard, rows) =>
+          val sorted = rows.sortBy { case (id, _, n) => (-n, id) }
+          var seq = 0L
+          var used = 0L
+          sorted.map { case (id, _, n) =>
+            if (used + n <= ctxLen || used == 0L) {
+              val off = used; used += n
+              PackedDoc(id, shard, n, seq, off)
+            } else {
+              seq += 1; used = n
+              PackedDoc(id, shard, n, seq, 0L)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Overlapping document chunking for embedding/retrieval pipelines:
     * fixed-size character windows whose starts advance by
     * (chunkChars - overlap), so consecutive chunks share `overlap` chars of

@@ -214,6 +214,35 @@ object EventStream {
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** Stream-static ENRICHMENT join: attach dimension attributes to each
+    * event from a static table — the canonical "enrich the click with
+    * the customer record" production shape. Stateless by construction
+    * (no watermark, no state store): every micro-batch hash-joins
+    * against the pinned dimension snapshot, and with the dimension
+    * broadcast the stream side never shuffles — at 100-TB-of-events the
+    * per-batch cost is a map-side lookup. LEFT join: an event with no
+    * dimension row passes through null-padded rather than vanishing
+    * (loss here would silently bias every downstream metric).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_acctbal"))),
+      Seq("user_id"), "left")
+
+  /** Batch twin of [[enrichStream]] over the stored tables — the
+    * registered, DuckDB-oracle-able face (ts omitted: the join is what
+    * the row certifies, and event_id pins identity; timestamp
+    * resolution differences between engines stay out of the hash).
+    */
+  def enrichBatch(spark: SparkSession, sfDir: String): DataFrame =
+    enrichStream(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      spark.read.parquet(s"$sfDir/customer.parquet"))
+      .select("event_id", "user_id", "event_type", "value",
+        "c_mktsegment", "c_acctbal")
+      .orderBy("event_id")
+
   /** Batch twin of [[dedupStream]] with a deterministic survivor (lowest
     * event_id per key) and the duplicate multiplicity — DuckDB-oracle-able;
     * StreamingSpec pins that the stream emits exactly these keys.

@@ -84,6 +84,32 @@ class CorpusOpsSpec extends SparkTestBase {
       "every train doc is either clean or reported — nothing vanishes")
   }
 
+  test("no-split packing: whole docs within budget, equals the driver-side fold") {
+    val ctx = 2048L
+    val got = CorpusPrep.packSequencesNoSplit(spark, Sf, numShards = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val ref = docs.groupBy(_._1 % 32).toSeq.flatMap { case (shard, ds) =>
+      val sorted = ds.toSeq.sortBy { case (id, n) => (-n, id) }
+      var seq = 0L; var used = 0L
+      sorted.map { case (id, n) =>
+        if (used + n <= ctx || used == 0L) { val off = used; used += n; (id, shard, n, seq, off) }
+        else { seq += 1; used = n; (id, shard, n, seq, 0L) }
+      }
+    }.toSet
+    assert(got.toSet == ref, "distributed fold must equal the driver reference")
+    got.foreach { case (id, _, n, _, off) =>
+      assert(off + n <= ctx || off == 0L, s"doc $id straddles a sequence boundary")
+    }
+    got.groupBy(r => (r._2, r._4)).foreach { case ((sh, sq), members) =>
+      val total = members.map(_._3).sum
+      assert(total <= ctx || members.size == 1,
+        s"sequence ($sh,$sq) over budget with ${members.size} docs")
+    }
+  }
+
   test("stratified sample keeps only configured strata at plausible rates and is deterministic") {
     val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
     val sample = CorpusPrep.stratifiedSample(spark, Sf, rates, defaultRate = 0.0)

@@ -41,6 +41,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "cust 1", 10, 100.0, "BUILDING"),
+      (2L, "cust 2", 11, 200.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = EventStream.enrichStream(mem.toDF(), dim)
+    val q = out.writeStream
+      .format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:20"), 9, "view", 2.0))
+      q.processAllAvailable()
+      // second micro-batch joins against the same pinned snapshot
+      mem.addData(Event(3, ts("2024-01-01 00:00:30"), 2, "purchase", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)))).toSet
+      assert(rows == Set(
+        (1L, 1L, Some("BUILDING")),
+        (2L, 9L, None), // no dimension row: null-padded, never dropped
+        (3L, 2L, Some("MACHINERY"))))
+    } finally q.stop()
+  }
+
   test("sessionize keeps per-user state across micro-batches and closes on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
