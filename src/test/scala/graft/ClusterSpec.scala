@@ -73,6 +73,25 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: structured adversaries match union-find") {
+    // shapes chosen to stress the convergence test, not the contraction:
+    // (a) two cliques joined by a single bridge — near-dup graphs are
+    //     clique-ish and the bridge forces a late re-rooting;
+    // (b) a star of stars — hubs whose minima disagree until the last
+    //     round, the multi-parent shape of the regression above;
+    // (c) a long path with a chord — high diameter plus a shortcut.
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val bridge = Seq((4L, 10L))
+    val starOfStars = Seq((20L, 25L), (20L, 26L), (21L, 27L), (21L, 28L),
+      (22L, 29L), (20L, 21L), (21L, 22L))
+    val pathChord = (40L until 49L).map(i => (i, i + 1)) :+ (40L, 49L)
+    for (edges <- Seq(cliqueA ++ cliqueB ++ bridge, starOfStars, pathChord,
+      cliqueA ++ cliqueB ++ bridge ++ starOfStars ++ pathChord)) {
+      assert(components(edges) == unionFind(edges), s"mismatch on $edges")
+    }
+  }
+
   test("connected components: random graph matches driver union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))

@@ -598,6 +598,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("no-split packing: one shard exchange, no global sort before the fold") {
+    val df = graft.operators.CorpusPrep.packSequencesNoSplit(spark, Sf, numShards = 32)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    val shardExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(shard"))
+    assert(shardExchanges == 1,
+      s"the fold needs exactly the one shard shuffle, got $shardExchanges:\n$p")
+    // the per-shard sort happens inside the fold's buffer, not as a
+    // cluster-wide Sort below the exchange; only the presentation
+    // orderBy may range-partition above it
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curate-then-pack composition stays ONE pipeline") {
     val df = graft.operators.Curate.curateThenPack(spark, Sf, gramWidth = 4)
     df.write.format("noop").mode("overwrite").save()
