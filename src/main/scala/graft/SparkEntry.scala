@@ -100,6 +100,7 @@ object SparkEntry {
     // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
     "sketch_profile" -> (Relational.sketchProfile _),
     "sketch_merge" -> (Relational.sketchMergeProfile _),
+    "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
     // the exact, oracle-able stats twin + deterministic hash sampling
     "stats_profile" -> (Relational.statsProfile _),
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d)),
@@ -1056,6 +1057,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "sketch_cms_counts" ->
+      // exact counts: the pinned-seed CMS over a 5-key domain in
+      // 2000-counter rows is collision-free, so estimate == truth and the
+      // hash match certifies the sketch build/merge/query path
+      """SELECT event_type, COUNT(*) AS est_count FROM events
+         WHERE event_type IS NOT NULL GROUP BY event_type
+         ORDER BY event_type""",
     "events_enriched" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
                 c.c_mktsegment, c.c_acctbal

@@ -716,6 +716,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** The event-type domain the pivot/sketch rows pin (the synthetic
+    * events table's closed vocabulary).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** COUNT-MIN frequency sketch — the mergeable FREQUENCY member of the
+    * sketch family next to [[sketchMergeProfile]]'s HLL cardinality: two
+    * half-corpus CMS sketches built distributed (`count_min_sketch` agg,
+    * codegen'd), merged driver-side (sketches are bounded model
+    * artifacts — eps 0.001 ⇒ 2000 counters/row regardless of corpus
+    * size), then point-queried for the pinned event-type domain. At
+    * 100 TB the per-day/per-partition sketches persist once and any
+    * rollup merges them instead of rescanning raw events.
+    *
+    * Registered WITH the exact-count oracle: CMS only ever
+    * OVER-estimates, and only on full-depth hash collisions — with a
+    * 5-key domain in 2000-counter rows the collision probability is
+    * ~1e-14 per key and the seed is pinned, so the estimate is exactly
+    * the true count, deterministically, and the hash match certifies
+    * build+merge+query end to end (a stronger contract than the HLL
+    * rows, whose estimates are genuinely approximate).
+    */
+  def sketchCmsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val halves = t(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull)
+      .withColumn("half", col("event_id") % 2)
+      .groupBy("half")
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .collect()
+    val merged = halves
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    EventTypes.map(tp => (tp, merged.estimateCount(tp)))
+      .toDF("event_type", "est_count")
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------- set ops / multi-dim / joins 2
 
   /** Set ops: UNION ALL of two filtered scans. */
@@ -805,7 +844,7 @@ object Relational {
   def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .groupBy("user_id")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0)
       .orderBy("user_id")

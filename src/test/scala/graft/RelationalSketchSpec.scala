@@ -40,4 +40,18 @@ class RelationalSketchSpec extends SparkTestBase {
     assert(merged == direct,
       s"merged half-sketches must equal the whole-corpus sketch: $merged vs $direct")
   }
+
+  test("CMS counts: merged half-sketches equal exact counts (collision-free domain)") {
+    // the frequency-sketch analogue of the HLL property above, stronger:
+    // with 5 keys in 2000-counter rows and a pinned seed, the merged CMS
+    // point estimates equal the TRUE counts (CMS only over-estimates, and
+    // only on full-depth collisions — probability ~1e-14 here)
+    val est = Relational.sketchCmsCounts(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$Sf/events.parquet")
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact, s"CMS estimates must be exact here: $est vs $exact")
+  }
 }
