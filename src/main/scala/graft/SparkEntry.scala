@@ -204,6 +204,7 @@ object SparkEntry {
     // standing corpus — exact fingerprint anti-join, then simhash verdicts
     "dedup_incremental_exact" -> (Dedup.incrementalExact _),
     "dedup_incremental_simhash" -> ((s, d) => Dedup.incrementalNearDupMd5(s, d)),
+    "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinHashMd5(s, d)),
     // near-dup CLUSTERING over the md5 pair pipeline: star-contraction
     // connected components (the oracle replays the closure as a recursive
     // CTE — tractable at oracle scale), then the per-document keep/drop
@@ -381,7 +382,11 @@ object SparkEntry {
     * the mixer constants come from the same generator the native
     * expression uses.
     */
-  private def minHashMd5OracleSql(numPerms: Int = 32, bands: Int = 8): String = {
+  /** Shared CTE chain of the md5-minhash oracles: shingling, HUGEINT
+    * affine permutation minima, and banding, up to the `bb`
+    * (doc_id, band_key) frame the candidate joins read.
+    */
+  private def minHashMd5BaseSql(numPerms: Int, bands: Int): String = {
     val mix = graft.functions.MinHashSigExpr.mixers(numPerms)
     val muls = mix.map(_._1).mkString("[", ", ", "]")
     val adds = mix.map(_._2).mkString("[", ", ", "]")
@@ -412,7 +417,11 @@ object SparkEntry {
                         % 18446744073709551616) - 9223372036854775808)) AS BIGINT)) AS sig
           FROM hs),
         bb AS (
-          SELECT doc_id, unnest($bandExprs) AS band_key FROM sig),
+          SELECT doc_id, unnest($bandExprs) AS band_key FROM sig)"""
+  }
+
+  private def minHashMd5OracleSql(numPerms: Int = 32, bands: Int = 8): String =
+    s"""${minHashMd5BaseSql(numPerms, bands)},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id),
@@ -426,7 +435,35 @@ object SparkEntry {
                     JOIN ts tb ON cand.doc_b = tb.doc_id)
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
         ORDER BY doc_a, doc_b"""
-  }
+
+  /** Incremental minhash verdict oracle: batch (doc_id % 10 = 0) banded
+    * against the corpus slice, exact-Jaccard verified, best match per
+    * batch doc (jaccard desc, corpus_id asc), null-padded for admits.
+    */
+  private def minHashIncrementalOracleSql(numPerms: Int = 32, bands: Int = 8): String =
+    s"""${minHashMd5BaseSql(numPerms, bands)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+          FROM bb a JOIN bb b USING (band_key)
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        ts AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
+        jac AS (
+          SELECT batch_id, corpus_id,
+                 CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
+          FROM cand JOIN ts ta ON cand.batch_id = ta.doc_id
+                    JOIN ts tb ON cand.corpus_id = tb.doc_id),
+        best AS (
+          SELECT batch_id, corpus_id, jaccard,
+                 row_number() OVER (PARTITION BY batch_id
+                   ORDER BY jaccard DESC, corpus_id) AS rn
+          FROM jac WHERE jaccard >= 0.5)
+        SELECT d.doc_id, b.corpus_id IS NULL AS is_new,
+               b.corpus_id AS dup_of, b.jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.batch_id
+        ORDER BY d.doc_id"""
 
   /** Sampling configs shared between the registered queries and their
     * oracles — one definition, so the Spark CASE thresholds and the SQL
@@ -1911,6 +1948,10 @@ object SparkEntry {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
            FROM fresh)
          WHERE rn = 1 ORDER BY doc_id""",
+    // incremental minhash verdicts: the full md5-minhash replay (affine
+    // HUGEINT mixing, banding) on batch-vs-corpus slices with the exact
+    // Jaccard verify and best-match selection
+    "dedup_incremental_minhash" -> minHashIncrementalOracleSql(),
     // incremental near-dup verdicts: md5-prefix simhash banding, batch
     // bands joined against corpus bands, Hamming <= 3, nearest corpus doc
     // per batch doc (min hamming, ties to lowest corpus id)

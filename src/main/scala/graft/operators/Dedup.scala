@@ -244,6 +244,18 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
+    val docs = minHashBandedMd5(spark, sfDir, numPerms, bands).localCheckpoint()
+    verifyTokenJaccard(spark, sfDir, bandedCandidates(docs), minJaccard)
+  }
+
+  /** The (doc_id, band_key) md5-minhash banding ([[minHashNearDupPairsMd5]]'s
+    * head, factored so the incremental path shares it).
+    */
+  private[graft] def minHashBandedMd5(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
     val sigs = withShingles(IO.table(spark, sfDir, "documents"))
@@ -257,9 +269,63 @@ object Dedup {
       expr(s"""cast(conv(substring(md5(cast(concat_ws(',', $b, $elems) as binary)),
                1, 15), 16, 10) as bigint)""")
     }: _*)
-    val docs = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
-      .localCheckpoint()
-    verifyTokenJaccard(spark, sfDir, bandedCandidates(docs), minJaccard)
+    sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+  }
+
+  /** Incremental MINHASH dedup verdicts (the token-set member of the
+    * incremental family beside [[incrementalExact]] and
+    * [[incrementalNearDupMd5]]): every batch doc (doc_id % 10 == 0 —
+    * the same synthetic carve as the other incremental rows) is banded
+    * against the corpus-side index, band collisions are exact-Jaccard
+    * verified, and the verdict row carries the best corpus match
+    * (jaccard desc, corpus_id asc — deterministic) or a null-padded
+    * admit.
+    *
+    * Scale shape mirrors [[incrementalNearDupFrames]]: the corpus band
+    * index is the persisted artifact, the banded batch BROADCASTS to it
+    * (no corpus byte crosses the wire for candidate generation), and the
+    * Jaccard verify joins text only for the candidate id set.
+    */
+  def incrementalMinHashMd5(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val banded = minHashBandedMd5(spark, sfDir, numPerms, bands).localCheckpoint()
+    val cand = broadcast(
+      banded.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("batch_id"), col("band_key")))
+      .join(banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("band_key")), "band_key")
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val candIds = cand.select(col("batch_id").as("doc_id"))
+      .union(cand.select(col("corpus_id").as("doc_id")))
+      .distinct()
+    val tokSets = IO.table(spark, sfDir, "documents")
+      .join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokset"))
+    val best = cand
+      .join(tokSets.withColumnRenamed("doc_id", "batch_id")
+        .withColumnRenamed("tokset", "tok_a"), "batch_id")
+      .join(tokSets.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("tokset", "tok_b"), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(desc("jaccard"), asc("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id").as("doc_id"), col("corpus_id"), col("jaccard"))
+    IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_id").isNull.as("is_new"),
+        col("corpus_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-duplicate pairs.
