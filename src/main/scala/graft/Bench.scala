@@ -50,7 +50,8 @@ object Bench {
       "snapshot_diff", "upsert_latest", "dedup_semantic", "emb_project",
       "ann_topk_pq", "pq_codes", "ann_topk_ivfpq", "corpus_quality_quantile",
       "w6_range_frame", "txt_unigram_logprob", "corpus_decontam_bloom",
-      "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack")
+      "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack",
+      "corpus_pack_nosplit", "dedup_incremental_minhash", "mm_dims")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
