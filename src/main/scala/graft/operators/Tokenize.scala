@@ -153,29 +153,38 @@ object Tokenize {
     * shape. The sequential trainer is one Spark job per merge: correct,
     * but a 32k-merge production vocabulary serializes 32k driver rounds.
     * This variant takes several merges from one count pass and is
-    * EXACTLY merge-for-merge equal to the sequential trainer (the
-    * fixture spec pins it): accept the ranked candidates as a PREFIX,
-    * stopping the batch at the first pair that shares a symbol with any
-    * earlier accepted pair's {lhs, rhs, merged}. Why a conflict-free
-    * ranked prefix is exact:
+    * EXACTLY merge-for-merge equal to the sequential trainer (pinned by
+    * the fixture spec AND a 40-corpus random property test). Two rules
+    * buy the exactness:
     *
-    *   - each accepted pair is symbol-disjoint from every merge before
-    *     it in the batch, so its count is INVARIANT under them (no
-    *     occurrence created, destroyed, or straddled) — the sequential
-    *     trainer sees the identical (pair, count) at its turn;
-    *   - merging (l,r)→m can create pairs only of the form (x,m)/(m,y),
-    *     and count(x,m) ≤ count(x,l) pre-merge (every created occurrence
-    *     was an "x l r" occurrence). If a created pair outranked a later
-    *     accepted pair p_j, its parent (x,l) outranked p_j too (the ≤
-    *     bound plus the shared tie-break: rhs l is a strict prefix of m,
-    *     so at equal count (x,l) sorts before (x,m)) — but the parent
-    *     shares l with an accepted merge, so the scan would have STOPPED
-    *     there, before ever accepting p_j. Contradiction; no created
-    *     pair can leapfrog inside an accepted prefix.
+    * 1. RANKED PREFIX, stop at the first conflict: accept candidates in
+    *    rank order until one shares a symbol with an earlier accepted
+    *    pair's {lhs, rhs, merged}. Disjointness keeps every accepted
+    *    pair's count INVARIANT under the merges before it, and any pair
+    *    a batch merge CREATES — (x,m) or (m,y) for merge (l,r)→m — is
+    *    count-bounded by a pre-batch parent ((x,l) resp. (r,y)) that
+    *    conflicts by construction. A created pair with count STRICTLY
+    *    above a later accepted pair p_j implies a conflicting parent
+    *    ranked above p_j, where the scan would have stopped first.
     *
-    * Stop-at-first-conflict is what buys exactness — skip-and-continue
-    * batching (accepting later disjoint pairs past a conflict) diverges,
-    * because the skipped pair may still outrank everything after it.
+    * 2. TIE TRUNCATION, the subtle half (a property test falsified the
+    *    prefix rule alone): a created pair can TIE an accepted pair's
+    *    count and win the lexicographic tie-break — its parent may sit
+    *    below p_j at the same count (e.g. merge (a,c)→ac creates
+    *    (ac,c): parent (c,c) sorts after (b,da) at equal count, but the
+    *    created (ac,c) sorts before it). Every conflicting pair — every
+    *    possible parent — ranks at or below the candidate where the
+    *    scan stopped, so created counts never exceed that stop
+    *    candidate's count: dropping accepted pairs whose count EQUALS
+    *    the first unaccepted candidate's count (whatever ended the
+    *    batch: conflict, window end, batch or merge cap) leaves only
+    *    pairs strictly above every possible created count. If the
+    *    truncation empties the batch, fall back to the top-1 candidate
+    *    — a plain sequential step, exact by definition. (A scan that
+    *    exhausts ALL candidates conflict-free needs no truncation: a
+    *    created pair requires a conflicting parent among the
+    *    candidates, and there is none.)
+    *
     * Batch width adapts to the corpus: early character-level rounds on
     * Zipf text conflict quickly (letters like 'e'/'r' recur across top
     * pairs) and yield short batches; later long-token rounds thin out
@@ -219,17 +228,34 @@ object Tokenize {
         val accepted = Seq.newBuilder[(String, String, Long)]
         var taken = 0
         var stopped = false
+        // count of the FIRST candidate the scan did not accept — whatever
+        // ended the batch (conflict, batch cap, merge cap, or the +1
+        // window row). None iff the scan exhausted every candidate of a
+        // window the limit did not cut, i.e. all pairs were accepted.
+        var stopCount: Option[Long] = None
         top.iterator.foreach { row =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           if (!stopped && taken < maxBatch && done + taken < numMerges) {
-            val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
             if (!used(l) && !used(r) && !used(l + r)) {
               accepted += ((l, r, c))
               used ++= Seq(l, r, l + r)
               taken += 1
-            } else stopped = true // prefix rule: first conflict ends the batch
-          }
+            } else { // prefix rule: first conflict ends the batch
+              stopped = true
+              stopCount = Some(c)
+            }
+          } else if (stopCount.isEmpty) stopCount = Some(c)
         }
-        val batch = accepted.result()
+        val raw = accepted.result()
+        // tie truncation (doc rule 2): created-pair counts are bounded by
+        // the stop candidate's count, so only accepted pairs STRICTLY
+        // above it are safe from a created pair winning a tie-break
+        val batch = stopCount match {
+          case None => raw
+          case Some(sc) =>
+            val kept = raw.filter(_._3 > sc)
+            if (kept.nonEmpty) kept else raw.take(1) // plain sequential step
+        }
         if (batch.isEmpty) exhausted = true
         else {
           batch.foreach { case (l, r, c) =>

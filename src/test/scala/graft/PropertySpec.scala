@@ -117,6 +117,112 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("BPE ranked-prefix batching equals sequential merges on random corpora") {
+    // the exactness claim behind Tokenize.bpeTrainMergesBatched, checked
+    // on the pure algorithm across many random corpora (the Spark specs
+    // pin one fixture; this pins the RULE): a conflict-free ranked
+    // prefix of merges, TIE-TRUNCATED at the first unaccepted candidate's
+    // count, applied together equals applying them one at a time with a
+    // recount in between. The truncation is load-bearing: the prefix rule
+    // alone fails ~5% of random corpora (a created pair ties an accepted
+    // count and wins the lexicographic tie-break), measured at 425/9000
+    // runs on this generator's distribution.
+    type Vocab = Map[Vector[String], Long]
+    def pairCounts(v: Vocab): Map[(String, String), Long] = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Long]
+      v.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          m((p(0), p(1))) = m.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      m.toMap
+    }
+    def fuse(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def applyMerge(v: Vocab, l: String, r: String): Vocab =
+      v.toSeq.map { case (syms, c) => (fuse(syms, l, r), c) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    def ranked(v: Vocab) =
+      pairCounts(v).toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+    def sequential(v0: Vocab, n: Int): Seq[(String, String, Long)] = {
+      var v = v0
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to n) ranked(v).headOption.foreach { case ((l, r), c) =>
+        out += ((l, r, c)); v = applyMerge(v, l, r)
+      }
+      out.result()
+    }
+    def batched(v0: Vocab, n: Int, maxBatch: Int): Seq[(String, String, Long)] = {
+      var v = v0
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = 0
+      var exhausted = false
+      while (done < n && !exhausted) {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var taken = 0
+        var stopped = false
+        var stopCount: Option[Long] = None // first UNaccepted candidate's count
+        // the maxBatch+1 window mirrors the Spark trainer's limit()
+        ranked(v).take(maxBatch + 1).foreach { case ((l, r), c) =>
+          if (!stopped && taken < maxBatch && done + taken < n) {
+            if (!used(l) && !used(r) && !used(l + r)) {
+              batch += ((l, r, c)); used ++= Seq(l, r, l + r); taken += 1
+            } else { stopped = true; stopCount = Some(c) }
+          } else if (stopCount.isEmpty) stopCount = Some(c)
+        }
+        val raw = batch.result()
+        val b = stopCount match {
+          case None => raw // every candidate accepted, window uncut
+          case Some(sc) =>
+            val kept = raw.filter(_._3 > sc)
+            if (kept.nonEmpty) kept else raw.take(1) // sequential fallback
+        }
+        if (b.isEmpty) exhausted = true
+        else {
+          b.foreach { case (l, r, _) => v = applyMerge(v, l, r) }
+          out ++= b
+          done += b.size
+        }
+      }
+      out.result()
+    }
+    val wordGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val corpusGen = Gen.listOfN(30, wordGen)
+    samples(corpusGen, n = 40).zipWithIndex.foreach { case (words, i) =>
+      val vocab: Vocab = words.groupBy(identity)
+        .map { case (w, g) => w.split("").toVector -> g.size.toLong }
+      for (maxBatch <- Seq(2, 4, 8)) {
+        val seqM = sequential(vocab, 10)
+        val batM = batched(vocab, 10, maxBatch)
+        assert(batM == seqM,
+          s"sample $i maxBatch $maxBatch:\n batched: $batM\n sequential: $seqM")
+      }
+    }
+  }
+
+  test("media header parser never throws on arbitrary bytes (fuzz)") {
+    import graft.operators.Multimodal
+    val byteArrayGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+    // plain junk, and junk grafted onto real magic prefixes (the paths
+    // where a lazy parser would index past the end)
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte)
+    val riffMagic = "RIFF????WAVE".getBytes("US-ASCII")
+    samples(byteArrayGen, n = 200).zipWithIndex.foreach { case (bytes, i) =>
+      Multimodal.parseMediaDims(bytes)
+      Multimodal.parseMediaDims(pngMagic ++ bytes)
+      Multimodal.parseMediaDims(jpegMagic ++ bytes)
+      Multimodal.parseMediaDims(riffMagic ++ bytes)
+    }
+  }
+
   test("TopK rewrite agrees with an in-Scala reference on random data") {
     val gen = Gen.listOfN(200,
       Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 100000)))
