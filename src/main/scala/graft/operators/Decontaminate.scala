@@ -35,22 +35,35 @@ import graft.sources.IO
   */
 object Decontaminate {
 
-  /** documents + `toks` + the content-hash split bucket (0-99). */
+  /** documents + `toks` + per-token hashes + the content-hash split bucket
+    * (0-99). Each token is hashed ONCE into `th`; gram hashes then combine
+    * w token-hashes (longs) instead of rebuilding a w-token string per
+    * window position — the [[Dedup.substringSpanPairs]] rolling trick,
+    * which cuts the highest-volume compute of every decontamination pass
+    * (string slicing+concat per gram) to integer mixing.
+    */
   private def withToks(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("bucket",
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long") % 100))
 
-  /** Distinct xxhash64 hashes of the width-`w` word grams of `toks`.
-    * Documents shorter than `w` tokens contribute their whole token list as
-    * one gram (mirrors [[Dedup]]'s short-doc fallback).
+  /** Distinct hashes of the width-`w` word grams: xxhash64 over the w
+    * token-hashes at each window position. Documents shorter than `w`
+    * tokens contribute their whole token list as one gram (out-of-range
+    * element_at yields null, which the hash skips — so the single short-doc
+    * window hashes exactly the tokens present, and cannot collide with a
+    * full-width window short of a 64-bit hash collision; mirrors
+    * [[Dedup]]'s short-doc fallback). The oracle replays grams as RAW
+    * strings, so the hash function is free to change — only the report
+    * must match, which also bounds observed collisions to zero.
     */
   private def gramHashes(w: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(size(col("toks")) - (w - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+      sequence(lit(1), greatest(size(col("th")) - (w - 1), lit(1))),
+      i => xxhash64((0 until w).map(o => element_at(col("th"), i + lit(o))): _*)))
 
   /** (doc_id, n_shared_grams) for every TRAIN document (bucket < 100 -
     * evalPct) sharing at least one width-`gramWidth` gram with an eval
@@ -188,7 +201,10 @@ object Decontaminate {
     val docsPath = s"$sfDir/documents.parquet"
     val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
       s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"$sfDir|$gramWidth|$evalPct|$fpp|$fingerprint"
+    // gramv2 = token-hash-composed gram hashes: the sketch stores gram
+    // HASHES, so the artifact is invalid across a hash-scheme change and
+    // the key must name the scheme
+    val key = s"gramv2|$sfDir|$gramWidth|$evalPct|$fpp|$fingerprint"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_bloom_$digest.bin"
