@@ -85,7 +85,6 @@ object Cluster {
         .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .where(col("u") =!= col("v")))
       .localCheckpoint()
-    var edgeCount = e.count()
     var rounds = 0
     // Structural convergence test instead of a signature-equality loop: a
     // min-rooted star forest is EXACTLY a fixed point of
@@ -97,8 +96,10 @@ object Cluster {
     // signatures needs one more full contraction round just to observe
     // that nothing changed. On clique-ish near-dup graphs that is 1 of
     // 3-4 rounds saved, and it can even be zero loop rounds when the
-    // pre-shrink alone produces the forest.
-    var converged = isStarForest(e)
+    // pre-shrink alone produces the forest. The test job also returns the
+    // edge count (each edge is exactly one parent-role row, so the count
+    // rides on the same aggregation) — one driver job per round, not two.
+    var (converged, edgeCount) = starForestCheck(e)
     // Scale each round's shuffle width to the CONTRACTED edge count (one
     // tiny count job per round on checkpointed data), not the
     // session default: localCheckpoint materializes through the RDD path,
@@ -117,11 +118,11 @@ object Cluster {
         spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
         val next = smallStar(largeStar(e)).localCheckpoint()
         val t1 = System.nanoTime()
-        // refresh the count from the just-checkpointed (already
-        // materialized, O(nodes)) frame so the NEXT round's shuffle width
-        // tracks the contraction instead of staying at the initial width
-        edgeCount = next.count()
-        converged = isStarForest(next)
+        // one fused job refreshes the count (so the NEXT round's shuffle
+        // width tracks the contraction) AND tests convergence
+        val (conv, cnt) = starForestCheck(next)
+        converged = conv
+        edgeCount = cnt
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(f"CCROUND $rounds compute=${(t1 - t0) / 1e9}%.2f test=${(System.nanoTime() - t1) / 1e9}%.2f edges=$edgeCount converged=$converged")
         e = next
@@ -155,15 +156,24 @@ object Cluster {
     * node with its child rows (non-null parent) and parent rows (null),
     * then a node violates iff it has >1 parent or is both child and
     * parent. `count(parent)` equals the distinct-parent count because
-    * smallStar's output is edge-distinct.
+    * smallStar's output is edge-distinct. The same aggregation yields the
+    * edge count for free (Σ np = one parent row per edge), so the loop
+    * pays one driver job per round for sizing AND convergence.
     */
-  private def isStarForest(e: DataFrame): Boolean = {
+  private def starForestCheck(e: DataFrame): (Boolean, Long) = {
     val roles = e.select(col("u").as("n"), col("v").as("parent"))
       .unionByName(e.select(col("v").as("n"), lit(null).cast("long").as("parent")))
-    roles.groupBy("n")
+    val row = roles.groupBy("n")
       .agg(count(col("parent")).as("np"), count(lit(1)).as("total"))
-      .where(col("np") > 1 || (col("np") >= 1 && col("total") > col("np")))
-      .isEmpty
+      .agg(
+        sum(when(col("np") > 1
+          || (col("np") >= 1 && col("total") > col("np")), 1L).otherwise(0L))
+          .as("violations"),
+        sum("np").as("edges"))
+      .collect()(0)
+    val violations = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val edges = if (row.isNullAt(1)) 0L else row.getLong(1)
+    (violations == 0L, edges)
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum
