@@ -258,6 +258,7 @@ object SparkEntry {
       TextAnalysis.fingerprints(s, d).select("doc_id", "fp_md5")),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // LLM-pipeline: corpus preparation
     // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
@@ -267,6 +268,10 @@ object SparkEntry {
     "corpus_pack_nosplit" -> ((s, d) =>
       CorpusPrep.packSequencesNoSplit(s, d, numShards = 32)),
     "corpus_train_val_split" -> ((s, d) => CorpusPrep.trainValSplit(s, d)),
+    // near-dup-cluster-aware split: each doc inherits its cluster
+    // representative's split decision, so near-duplicates of val docs
+    // cannot sit in train (the leakage the content-hash split misses)
+    "corpus_split_leakage_safe" -> ((s, d) => CorpusPrep.leakageSafeSplit(s, d)),
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
@@ -1360,6 +1365,36 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_tokens,
                 CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "txt_bigram_logprob" ->
+      // Jelinek-Mercer interpolated bigram/unigram, λ = 0.7: every count
+      // division is an exact-integer-valued IEEE double op and the
+      // interpolation constants are DOUBLE-cast literals — with 1-λ
+      // COMPUTED as the same double subtraction Spark performs (the
+      // literal 0.3 is not the double 1.0-0.7); the float-then-fixed-point
+      // log follows the unigram convention
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         uni AS (SELECT term, COUNT(*) AS ucnt FROM toks GROUP BY term),
+         tot AS (SELECT SUM(ucnt) AS n FROM uni),
+         occ AS (
+           SELECT doc_id, toks[i.i - 1] AS prev, toks[i.i] AS cur
+           FROM t, unnest(range(2, len(toks) + 1)) AS i(i)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM occ GROUP BY prev, cur),
+         lp AS (
+           SELECT o.doc_id,
+                  CAST(round(CAST(CAST(ln(
+                    CAST(0.7 AS DOUBLE) * (CAST(b.bcnt AS DOUBLE) / CAST(up.ucnt AS DOUBLE))
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (CAST(uc.ucnt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS lpf
+           FROM occ o
+             JOIN bi b ON o.prev = b.prev AND o.cur = b.cur
+             JOIN uni up ON o.prev = up.term
+             JOIN uni uc ON o.cur = uc.term
+             CROSS JOIN tot)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "txt_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, term),
@@ -1419,6 +1454,13 @@ object SparkEntry {
                 CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 95
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
+    "corpus_split_leakage_safe" ->
+      s"""$simHashClusterBaseSql
+         SELECT b.doc_id, b.component_id,
+                CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 95
+                     THEN 'train' ELSE 'val' END AS split
+         FROM base b JOIN documents d ON b.component_id = d.doc_id
+         ORDER BY b.doc_id""",
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 16) AS head16 FROM documents ORDER BY doc_id",
     "corpus_chunk" ->

@@ -250,6 +250,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model score per document: mean log-probability of
+    * each token given its predecessor under a Jelinek-Mercer interpolated
+    * bigram/unigram model trained on the corpus itself —
+    *   p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1-λ)·c(w_i)/N.
+    * One step up from [[unigramLogProb]] on the perplexity-filter ladder:
+    * the bigram term catches token-salad documents whose unigram mix
+    * looks fine (every word common, no two adjacent words ever seen
+    * together). Documents need ≥ 2 tokens to score (a document with no
+    * bigram has no distribution to be improbable under).
+    *
+    * Scale shape: the count tables are Zipf-small (distinct unigrams /
+    * bigrams, map-side combined before their exchanges) and join against
+    * the bigram occurrence stream — AQE broadcasts them when they fit,
+    * and the occurrence side only ever shuffles for the final per-doc
+    * aggregation. Interpolation constants are double-cast literals on
+    * both engines, every count division is an exact-integer-valued IEEE
+    * double op, and the per-position log goes through the same
+    * float-then-fixed-point convention as [[unigramLogProb]], so the
+    * integer sum is order-independent and cross-engine bit-exact.
+    */
+  def bigramLogProb(
+      spark: SparkSession,
+      sfDir: String,
+      lambda: Double = 0.7): DataFrame = {
+    val toks = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt").as("n"))
+    val occ = toks
+      .filter(size(col("tk")) >= 2) // sequence(2,1) would COUNT DOWN, not empty
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(tk)),
+             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bi = occ.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+    occ
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.withColumnRenamed("term", "prev").withColumnRenamed("ucnt", "pcnt"), "prev")
+      .join(uni.withColumnRenamed("term", "cur").withColumnRenamed("ucnt", "ccnt"), "cur")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(
+          lit(lambda) * (col("bcnt").cast("double") / col("pcnt").cast("double"))
+            + lit(1.0 - lambda) * (col("ccnt").cast("double") / col("n").cast("double")))
+          .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lpf").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1000000.0)))
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: a cryptographic content id (md5), a cheap
     * 64-bit content id (xxhash64), and a winnowing-style robust fingerprint
     * (min hash over 5-word rolling windows — stable under small edits

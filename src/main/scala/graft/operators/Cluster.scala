@@ -239,8 +239,15 @@ object Cluster {
     * distributed shape).
     */
   def nearDupComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupComponentsMd5Unsorted(spark, sfDir).orderBy("doc_id")
+
+  /** [[nearDupComponentsMd5]] without the presentation sort — the seam for
+    * compositions (leakage-safe split) that sort once at their own end.
+    */
+  private[graft] def nearDupComponentsMd5Unsorted(
+      spark: SparkSession,
+      sfDir: String): DataFrame =
     documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
-      .orderBy("doc_id")
 
   /** Near-dup clusters over the EXACT-SUBSTRING span graph (md5 twin):
     * documents sharing any verbatim width-8 token window land in one

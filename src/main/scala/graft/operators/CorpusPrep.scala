@@ -180,6 +180,41 @@ object CorpusPrep {
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("val")))
       .orderBy("doc_id")
 
+  /** LEAKAGE-SAFE train/val split: [[trainValSplit]]'s content-hash
+    * bucketing keeps EXACT duplicates on one side (same text → same
+    * bucket), but a near-duplicate of a validation document still lands
+    * in train — the classic eval-inflation leak. This variant splits by
+    * NEAR-DUP CLUSTER: every document inherits the split decision of its
+    * cluster representative (the component-minimum doc), computed from
+    * the representative's content hash with the same bucket convention —
+    * so entire near-dup clusters move to one side, and singleton docs
+    * (the overwhelming majority) get exactly [[trainValSplit]]'s
+    * decision. This is the published hygiene rule: split on the
+    * canonical document, never the raw row.
+    *
+    * Scale shape: the clustering is [[Cluster]]'s star contraction (its
+    * 100 TB story); the split itself adds ONE co-partitioned (long,long)
+    * ⋈ (long,bucket) join — the representative's bucket is computed
+    * map-side on the documents scan and joined by component id, text
+    * never crosses an exchange.
+    */
+  def leakageSafeSplit(
+      spark: SparkSession,
+      sfDir: String,
+      trainPct: Int = 95): DataFrame = {
+    val comp = Cluster.nearDupComponentsMd5Unsorted(spark, sfDir)
+    val repBucket = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("component_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+    comp
+      .join(repBucket, "component_id")
+      .select(col("doc_id"), col("component_id"),
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("val"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** A 32-bit uniform sampling key from the content hash — hex digits 9-16
     * of md5(text), DISJOINT from the digits the train/val split reads
     * (1-8), so sampling decisions are independent of split membership

@@ -43,6 +43,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.keySet.intersect(evalIds).isEmpty, "eval docs never appear in the report")
   }
 
+  test("leakage-safe split: near-dup pairs co-sited, singletons match the plain split") {
+    val split = CorpusPrep.leakageSafeSplit(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // (1) every near-dup pair lands on ONE side — the property the
+    // content-hash split cannot give
+    val pairs = graft.operators.Dedup.simHashNearDupPairsMd5(spark, Sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // (2) a component is entirely one side
+    split.values.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"component $cid straddles")
+    }
+    // (3) singleton components reproduce trainValSplit exactly (the
+    // operator only ever moves docs WITH near-dup structure)
+    val plain = CorpusPrep.trainValSplit(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val componentSizes = split.values.groupBy(_._1).map { case (c, m) => c -> m.size }
+    split.foreach { case (id, (cid, s)) =>
+      if (componentSizes(cid) == 1)
+        assert(s == plain(id), s"singleton $id diverged from the plain split")
+    }
+  }
+
   test("bloom-prefiltered contamination report is row-identical to the exact one") {
     // the bloom is a pure pre-prune (no false negatives; false positives
     // die in the verify join) — any row difference means the sketch

