@@ -101,6 +101,11 @@ object SparkEntry {
     "sketch_profile" -> (Relational.sketchProfile _),
     "sketch_merge" -> (Relational.sketchMergeProfile _),
     "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
+    // DDSketch quantile buckets + extraction: the sketch family's
+    // percentile member, hash-oracled end to end (bucket indices are
+    // integer ceilings of bit-pinned doubles — see Relational.DdLnGamma)
+    "sketch_quantile_buckets" -> (Relational.sketchQuantileBuckets _),
+    "sketch_quantile_values" -> (Relational.sketchQuantileValues _),
     // the exact, oracle-able stats twin + deterministic hash sampling
     "stats_profile" -> (Relational.statsProfile _),
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d)),
@@ -547,6 +552,35 @@ object SparkEntry {
                 array_to_string(list_slice(toks, i.i, i.i + 3), ' ') AS gram
          FROM d, unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i(i)),
        ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 95)"""
+
+  /** Exact decimal expansion of a double, wrapped for SQL: round-trips to
+    * the bit-identical double in any engine with correctly-rounded decimal
+    * parsing (both JVM and DuckDB are), so a Scala constant and its SQL
+    * literal cannot drift.
+    */
+  private def doubleLit(d: Double): String =
+    s"CAST('${new java.math.BigDecimal(d).toString}' AS DOUBLE)"
+
+  private def ddGammaSql: String = doubleLit(Relational.DdGamma)
+  private def ddGammaP1Sql: String = doubleLit(Relational.DdGamma + 1.0)
+
+  /** Shared oracle prefix for the DDSketch rows: the γ-log bucket table
+    * (event_type, sign, bucket, cnt) with the SAME float-frozen ln(γ)
+    * divisor and float-washed ln(x) the Spark plan uses — bucket indices
+    * are integer ceilings of bit-identical doubles, exact on both engines.
+    */
+  private def ddBucketsSql: String =
+    s"""WITH e AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+         b AS (SELECT event_type,
+                 CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+                 CASE WHEN value = 0 THEN 0
+                      ELSE CAST(ceil(CAST(CAST(ln(abs(value)) AS FLOAT) AS DOUBLE)
+                                     / ${doubleLit(Relational.DdLnGamma)}) AS BIGINT)
+                 END AS bucket
+               FROM e),
+         g AS (SELECT event_type, sign, bucket, COUNT(*) AS cnt
+               FROM b GROUP BY event_type, sign, bucket)"""
 
   /** CASE over [[StratifiedRates]] emitting the same floor(rate * 2^32)
     * BIGINT thresholds the Spark plan compares against.
@@ -1106,6 +1140,32 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS est_count FROM events
          WHERE event_type IS NOT NULL GROUP BY event_type
          ORDER BY event_type""",
+    "sketch_quantile_buckets" ->
+      s"""$ddBucketsSql
+         SELECT event_type, sign, bucket, cnt FROM g
+         ORDER BY event_type, sign, bucket""",
+    "sketch_quantile_values" ->
+      s"""$ddBucketsSql,
+         t AS (SELECT event_type, SUM(cnt) AS n FROM g GROUP BY event_type),
+         c AS (SELECT event_type, sign, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type
+                   ORDER BY sign, sign * bucket) AS cum
+               FROM g),
+         x AS (SELECT c.event_type, q.q, c.sign, c.bucket, c.cum,
+                 CAST(CASE WHEN c.sign = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(c.sign AS DOUBLE)
+                           * (CAST(2.0 AS DOUBLE) * power($ddGammaSql, c.bucket)
+                              / $ddGammaP1Sql)
+                      END AS FLOAT) AS rep
+               FROM c JOIN t USING (event_type)
+                 CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                            CAST(0.99 AS DOUBLE)]) AS q) q
+               WHERE c.cum >= greatest(1,
+                 CAST(ceil(q.q * CAST(t.n AS DOUBLE)) AS BIGINT)))
+         SELECT event_type, q, rep AS quantile_value FROM x
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q
+           ORDER BY sign, sign * bucket) = 1
+         ORDER BY event_type, q""",
     "events_enriched" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
                 c.c_mktsegment, c.c_acctbal

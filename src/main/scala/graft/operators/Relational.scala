@@ -755,6 +755,85 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** DDSketch parameters (Masson et al., "DDSketch: a fast and
+    * fully-mergeable quantile sketch with relative-error guarantees",
+    * VLDB 2019): relative accuracy α pins γ = (1+α)/(1-α); a positive
+    * value x lands in bucket ⌈ln(x)/ln(γ)⌉ and every bucket's
+    * representative 2γ^i/(γ+1) is within α of any value in it. The
+    * ln(γ) divisor is frozen through a FLOAT so both engines divide by
+    * the bit-identical double (the unigram-LM convention); ln(x) gets
+    * the same float wash, so bucket indices — integer ceilings of
+    * identical doubles — are cross-engine exact, which is what lets a
+    * sketch row be HASH-oracled (the HLL rows can't be).
+    */
+  private val DdAlpha = 0.01
+  private[graft] val DdGamma = (1 + DdAlpha) / (1 - DdAlpha)
+  private[graft] val DdLnGamma: Double = math.log(DdGamma).toFloat.toDouble
+
+  /** DDSketch BUCKET TABLE per event type — the mergeable QUANTILE member
+    * of the sketch family beside HLL cardinality and CMS frequency:
+    * (event_type, sign, bucket, cnt) where sign splits negatives/zero/
+    * positives and bucket is the γ-log index of |value|. Buckets merge by
+    * ADDING counts (the spec asserts half-corpus sketches sum to the
+    * whole — exactly, not approximately), so per-day bucket tables
+    * persist once and any rollup is a re-aggregation, never a rescan.
+    * Map-side: one codegen'd projection then a groupBy whose key space is
+    * the bucket domain (~1.4k buckets per decade span at α=1%) — the
+    * shuffle carries the sketch, not the data.
+    */
+  def sketchQuantileBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    quantileBucketsUnsorted(spark, sfDir)
+      .orderBy("event_type", "sign", "bucket")
+
+  private def quantileBucketsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"),
+        when(col("value") > 0, 1).when(col("value") < 0, -1).otherwise(0)
+          .as("sign"),
+        when(col("value") === 0, lit(0L))
+          .otherwise(ceil(log(abs(col("value"))).cast("float").cast("double")
+            / lit(DdLnGamma)))
+          .as("bucket"))
+      .groupBy("event_type", "sign", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile EXTRACTION from the DDSketch bucket table: per event type,
+    * the p50 and p99 representatives. Rank r(q) = max(1, ⌈q·n⌉) walks the
+    * buckets in value order (sign asc, then sign·bucket asc — negative
+    * buckets enumerate large-|x| first, which IS ascending value); the
+    * first bucket whose cumulative count reaches the rank answers, and
+    * its representative sign·2γ^b/(γ+1) is float-cast (pow is the one
+    * 1-ulp-risk op left). Every step is integer or bit-pinned double
+    * arithmetic, so the row hash-matches the DuckDB replay — a stronger
+    * contract than percentile_approx, whose internal summary is
+    * implementation-defined.
+    */
+  def sketchQuantileValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = quantileBucketsUnsorted(spark, sfDir)
+    val totals = buckets.groupBy("event_type").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("sign"), (col("sign") * col("bucket")).as("vo"))
+    val cum = buckets.withColumn("cum", sum("cnt").over(w))
+    val rep = when(col("sign") === 0, lit(0.0))
+      .otherwise(col("sign") * (lit(2.0) * pow(lit(DdGamma), col("bucket"))
+        / lit(DdGamma + 1.0)))
+      .cast("float")
+    cum
+      .join(totals, "event_type")
+      .select(col("event_type"), col("sign"), col("bucket"), col("cum"),
+        rep.as("rep"),
+        explode(array(lit(0.5), lit(0.99))).as("q"))
+      .filter(col("cum") >= greatest(lit(1L),
+        ceil(col("q") * col("n").cast("double")).cast("long")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "q")
+          .orderBy(col("sign"), col("sign") * col("bucket"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("q"), col("rep").as("quantile_value"))
+      .orderBy("event_type", "q")
+  }
+
   // ------------------------------------------- set ops / multi-dim / joins 2
 
   /** Set ops: UNION ALL of two filtered scans. */

@@ -41,6 +41,45 @@ class RelationalSketchSpec extends SparkTestBase {
       s"merged half-sketches must equal the whole-corpus sketch: $merged vs $direct")
   }
 
+  test("DDSketch buckets: half-corpus sketches SUM to the whole; quantiles within α") {
+    // quantile member of the mergeable-sketch family: bucket tables merge
+    // by adding counts (exact, like the HLL/CMS properties above), and the
+    // extracted representative is within α = 1% relative error of the true
+    // rank statistic — DDSketch's published guarantee
+    val whole = Relational.sketchQuantileBuckets(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    // merge = plain addition of the two half-corpus bucket tables
+    def half(m: Int) = ev.filter(col("event_id") % 2 === m)
+      .select(col("event_type"),
+        when(col("value") > 0, 1).when(col("value") < 0, -1).otherwise(0).as("sign"),
+        when(col("value") === 0, lit(0L))
+          .otherwise(ceil(log(abs(col("value"))).cast("float").cast("double")
+            / lit(Relational.DdLnGamma))).as("bucket"))
+      .groupBy("event_type", "sign", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val (h0, h1) = (half(0), half(1))
+    val summed = (h0.keySet ++ h1.keySet)
+      .map(k => k -> (h0.getOrElse(k, 0L) + h1.getOrElse(k, 0L))).toMap
+    assert(summed == whole, "half-corpus bucket tables must sum to the whole")
+
+    val got = Relational.sketchQuantileValues(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getFloat(2)).toMap
+    val exactVals = ev.select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    exactVals.foreach { case (k, vs) =>
+      for (q <- Seq(0.5, 0.99)) {
+        val rank = math.max(1, math.ceil(q * vs.length).toLong).toInt
+        val truth = vs(rank - 1)
+        val rep = got((k, q)).toDouble
+        assert(math.abs(rep - truth) <= 0.0101 * math.abs(truth) + 1e-9,
+          s"$k q=$q: rep $rep vs exact $truth exceeds α")
+      }
+    }
+  }
+
   test("CMS counts: merged half-sketches equal exact counts (collision-free domain)") {
     // the frequency-sketch analogue of the HLL property above, stronger:
     // with 5 keys in 2000-counter rows and a pinned seed, the merged CMS
