@@ -209,7 +209,10 @@ object SparkEntry {
     // standing corpus — exact fingerprint anti-join, then simhash verdicts
     "dedup_incremental_exact" -> (Dedup.incrementalExact _),
     "dedup_incremental_simhash" -> ((s, d) => Dedup.incrementalNearDupMd5(s, d)),
-    "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinHashMd5(s, d)),
+    // the registered row is the STORED-index consumer (build-and-persist
+    // on first use, batch-only banding after) — the production contract;
+    // the build-every-time variant stays spec-pinned row-identical
+    "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinHashMd5Stored(s, d)),
     // near-dup CLUSTERING over the md5 pair pipeline: star-contraction
     // connected components (the oracle replays the closure as a recursive
     // CTE — tractable at oracle scale), then the per-document keep/drop

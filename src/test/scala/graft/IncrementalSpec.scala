@@ -74,6 +74,29 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("stored minhash index: persists once, reloads, verdicts row-identical") {
+    val path = java.nio.file.Paths.get(
+      Dedup.minHashIndexArtifactPath(spark, Sf, numPerms = 32, bands = 8))
+    java.nio.file.Files.deleteIfExists(path.resolve("_SUCCESS"))
+    if (java.nio.file.Files.exists(path)) {
+      // wipe any artifact from an earlier run so this exercises the cold path
+      val fs = java.nio.file.Files.walk(path)
+      try fs.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally fs.close()
+    }
+    val onTheFly = Dedup.incrementalMinHashMd5(spark, Sf)
+    // cold: builds and persists the corpus band index
+    val cold = Dedup.incrementalMinHashMd5Stored(spark, Sf)
+    assert(java.nio.file.Files.exists(path), "first use must persist the index")
+    assert(cold.exceptAll(onTheFly).isEmpty && onTheFly.exceptAll(cold).isEmpty,
+      "stored-index verdicts must equal the on-the-fly verdicts")
+    // warm: consumes the artifact (row-identity again — the artifact IS
+    // the corpus banding, so any drift means a stale or torn artifact)
+    val warm = Dedup.incrementalMinHashMd5Stored(spark, Sf)
+    assert(warm.exceptAll(onTheFly).isEmpty && onTheFly.exceptAll(warm).isEmpty)
+  }
+
   test("line dedup: drops cross-doc boilerplate, preserves order, keeps within-doc dups") {
     val docs = Seq(
       (1L, "keep one\nBOILER\nkeep two"),
