@@ -109,6 +109,74 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL INGEST decisions — the batch-arrival sibling of
+    * [[curateThenPack]]: the loop a production pipeline runs when new
+    * data lands, per incoming document (doc_id % 10 == 0, the incremental
+    * family's carve), with the full gate trail:
+    *
+    *   1. `exact_dup`   — content fingerprint already in the corpus, or a
+    *                      lower-id batch doc has the same text (the
+    *                      [[Dedup.incrementalExact]] admit rule);
+    *   2. `near_dup`    — a corpus doc within Hamming 3 of its simhash
+    *                      (the [[Dedup.incrementalNearDupMd5]] verdict);
+    *   3. `contaminated`— shares a gram with the eval carve (an eval
+    *                      member itself flags — never train on eval);
+    *   4. `passes_quality` — the [[decisions]] quality floor.
+    *
+    * `reason` is the FIRST failing gate in that pinned order (cheap exact
+    * checks before expensive similarity, contamination before quality so
+    * a leaky doc is never reported as merely low-quality); `admit` = no
+    * gate failed. Flags are ints (cross-engine compares never touch
+    * boolean collation; reason is the one string, null on admit).
+    *
+    * Scale shape: every gate is the already-audited incremental shape —
+    * the corpus never reshuffles for the batch (fingerprint lookup
+    * against a pre-bucketable index, banded-signature broadcast join,
+    * batch-side-only gram explode against broadcast eval grams), and the
+    * final assembly is batch-sized joins on doc_id.
+    */
+  def ingestDecisions(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 4,
+      minQuality: Double = 0.6): DataFrame = {
+    val docs = IO.table(spark, sfDir, "documents")
+    val corpusFp = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    val batchW = Window.partitionBy("fp").orderBy("doc_id")
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(batchW))
+      .select(col("doc_id"),
+        (col("in_corpus").isNotNull || col("rn") > 1).cast("int").as("exact_dup"))
+    val nearDup = Dedup.incrementalNearDupMd5(spark, sfDir)
+      .select(col("doc_id"), (!col("is_new")).cast("int").as("near_dup"))
+    val contaminated = Decontaminate.contaminatedBatchIds(spark, sfDir, gramWidth)
+      .withColumn("cont", lit(1))
+    val quality = TextAnalysis.qualityScores(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        (col("quality_score") >= minQuality).cast("int").as("passes_quality"))
+    val reason = when(col("exact_dup") === 1, lit("exact_dup"))
+      .when(col("near_dup") === 1, lit("near_dup"))
+      .when(col("contaminated") === 1, lit("contaminated"))
+      .when(col("passes_quality") === 0, lit("low_quality"))
+    exact
+      .join(nearDup, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", when(col("cont").isNotNull, 1).otherwise(0))
+      .drop("cont")
+      .join(quality, "doc_id")
+      .withColumn("reason", reason)
+      .withColumn("admit", col("reason").isNull.cast("int"))
+      .select("doc_id", "exact_dup", "near_dup", "contaminated",
+        "passes_quality", "admit", "reason")
+      .orderBy("doc_id")
+  }
+
   /** The FLAGSHIP end-to-end composition — what a training-data run
     * actually executes, as ONE lineage: curation (dedup → quality →
     * per-source cap) → decontamination → epoch shuffle → sequence

@@ -280,6 +280,29 @@ object Decontaminate {
       spark.read.parquet(s"$pathStr.grams.parquet"), bytes, evalPct)
   }
 
+  /** Contaminated ids of the INCOMING-BATCH carve (doc_id % 10 == 0, the
+    * incremental family's split): batch documents sharing any width-`w`
+    * gram with the eval carve (bucket >= 100 - evalPct over the whole
+    * table). A batch document that is itself an eval member flags
+    * trivially — an eval doc must never be admitted to training. Same
+    * shape as [[contaminationReport]]'s corpus side: batch grams map-side,
+    * eval grams broadcast, one distinct on the (tiny) matched id set.
+    * Seam for the ingest composition ([[Curate.ingestDecisions]]).
+    */
+  private[graft] def contaminatedBatchIds(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int,
+      evalPct: Int = 5): DataFrame = {
+    val docs = gramDocs(spark, sfDir, gramWidth)
+    val evalGrams = evalGramsFrame(docs, evalPct)
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id")
+      .distinct()
+  }
+
   /** The decontaminated training corpus: train documents with NO gram
     * overlap against the eval set. Anti-join against the (small)
     * contaminated id set — broadcastable, the corpus side stays map-only.

@@ -69,6 +69,42 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ingest decisions: flags agree with the standalone gates, reason follows precedence") {
+    import graft.operators.{Curate, Dedup}
+    val rows = Curate.ingestDecisions(spark, Sf, gramWidth = W).collect()
+    val batchIds = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds, "one decision per batch doc")
+    // flags agree with each standalone operator
+    val admitted = Dedup.incrementalExact(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val notNearDup = Dedup.incrementalNearDupMd5(spark, Sf)
+      .filter(col("is_new")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = graft.operators.Decontaminate
+      .contaminatedBatchIds(spark, Sf, gramWidth = W)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val (id, exact, near, cont, qual, admit, reason) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), if (r.isNullAt(6)) null else r.getString(6))
+      assert((exact == 0) == admitted.contains(id), s"doc $id exact flag")
+      assert((near == 0) == notNearDup.contains(id), s"doc $id near flag")
+      assert((cont == 1) == contaminated.contains(id), s"doc $id cont flag")
+      // precedence: first failing gate names the reason; admit iff none fail
+      val expectReason =
+        if (exact == 1) "exact_dup"
+        else if (near == 1) "near_dup"
+        else if (cont == 1) "contaminated"
+        else if (qual == 0) "low_quality"
+        else null
+      assert(reason == expectReason, s"doc $id reason $reason vs $expectReason")
+      assert((admit == 1) == (reason == null), s"doc $id admit")
+    }
+    // the fixture must exercise the trail: some rejects and some admits
+    assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0))
+  }
+
   test("bloom-prefiltered contamination report is row-identical to the exact one") {
     // the bloom is a pure pre-prune (no false negatives; false positives
     // die in the verify join) — any row difference means the sketch
