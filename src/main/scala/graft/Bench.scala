@@ -53,7 +53,8 @@ object Bench {
       "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack",
       "corpus_pack_nosplit", "dedup_incremental_minhash", "mm_dims",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
-      "corpus_ingest_decisions")
+      "corpus_ingest_decisions",
+      "dedup_cluster_decision_stored", "corpus_split_leakage_stored")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -219,6 +219,9 @@ object SparkEntry {
     // decision (lowest-id and best-quality representative policies)
     "dedup_cluster_components" -> (Cluster.nearDupComponentsMd5 _),
     "dedup_cluster_decision" -> (Cluster.dedupDecisionMd5 _),
+    // the persisted-component-map consumer (cluster-once contract):
+    // row-identical to dedup_cluster_decision, so it keeps that oracle
+    "dedup_cluster_decision_stored" -> (Cluster.dedupDecisionMd5Stored _),
     "dedup_cluster_keep_best" -> (Cluster.dedupKeepBestMd5 _),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -280,6 +283,8 @@ object SparkEntry {
     // representative's split decision, so near-duplicates of val docs
     // cannot sit in train (the leakage the content-hash split misses)
     "corpus_split_leakage_safe" -> ((s, d) => CorpusPrep.leakageSafeSplit(s, d)),
+    // persisted-component-map twin of the leakage-safe split
+    "corpus_split_leakage_stored" -> ((s, d) => CorpusPrep.leakageSafeSplitStored(s, d)),
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
@@ -766,6 +771,14 @@ object SparkEntry {
       s"""$simHashClusterBaseSql
          SELECT doc_id, component_id FROM base ORDER BY doc_id""",
     "dedup_cluster_decision" ->
+      s"""$simHashClusterBaseSql
+         SELECT doc_id, component_id,
+                COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
+                doc_id = component_id AS keep
+         FROM base ORDER BY doc_id""",
+    // the stored-map twin is row-identical by construction (the artifact
+    // IS the clustering), so its oracle is the same closure replay
+    "dedup_cluster_decision_stored" ->
       s"""$simHashClusterBaseSql
          SELECT doc_id, component_id,
                 COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
@@ -1522,6 +1535,13 @@ object SparkEntry {
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
     "corpus_split_leakage_safe" ->
+      s"""$simHashClusterBaseSql
+         SELECT b.doc_id, b.component_id,
+                CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 95
+                     THEN 'train' ELSE 'val' END AS split
+         FROM base b JOIN documents d ON b.component_id = d.doc_id
+         ORDER BY b.doc_id""",
+    "corpus_split_leakage_stored" ->
       s"""$simHashClusterBaseSql
          SELECT b.doc_id, b.component_id,
                 CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 95

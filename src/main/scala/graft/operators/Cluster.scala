@@ -267,11 +267,69 @@ object Cluster {
     * drops rather than discarding them blind.
     */
   def dedupDecisionMd5(spark: SparkSession, sfDir: String): DataFrame =
-    documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir))
+    decisionOverComponents(
+      documentComponents(spark, sfDir, Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir)))
+
+  private def decisionOverComponents(comp: DataFrame): DataFrame =
+    comp
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("component_id")))
       .withColumn("keep", col("doc_id") === col("component_id"))
       .orderBy("doc_id")
+
+  /** Stable artifact path for the persisted near-dup component map (the
+    * band-index/bloom convention: pipeline tag + a footer-derived content
+    * fingerprint of the documents table, so a regenerated table misses the
+    * stale map; a scheme-version token guards pipeline changes).
+    */
+  private[graft] def componentArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+    val key = s"ccmap_v1|$sfDir|simhash_md5|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ccmap_$digest.parquet"
+  }
+
+  /** Run the full simhash → star-contraction pipeline ONCE and persist the
+    * (doc_id, component_id) map — the cluster analogue of the train-once
+    * codebook contract. Every consumer of the clustering (dedup decision,
+    * keep-best, leakage-safe split, audits) reads this O(corpus-rows)
+    * two-long-column table instead of re-deriving signatures, candidate
+    * pairs, and the iterative contraction; in production it is refreshed
+    * per corpus version, not per query.
+    */
+  def persistComponentMap(spark: SparkSession, sfDir: String): String = {
+    val path = componentArtifactPath(spark, sfDir)
+    nearDupComponentsMd5Unsorted(spark, sfDir)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The persisted component map, self-priming on first use (like the
+    * stored bloom sketch and minhash band index).
+    */
+  private[graft] def componentMapStored(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = componentArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistComponentMap(spark, sfDir)
+    spark.read.parquet(path)
+  }
+
+  /** [[dedupDecisionMd5]] consuming the PERSISTED component map: repeat
+    * invocations pay one scan of the (doc_id, component_id) artifact plus
+    * the decision window — the signature/banding/contraction pipeline
+    * (all of the on-the-fly cost) runs only at priming. Row-identical by
+    * construction (the artifact IS the clustering), so the registered row
+    * keeps [[dedupDecisionMd5]]'s oracle.
+    */
+  def dedupDecisionMd5Stored(spark: SparkSession, sfDir: String): DataFrame =
+    decisionOverComponents(componentMapStored(spark, sfDir))
 
   /** Representative selection by QUALITY instead of lowest id: per cluster
     * keep the argmax quality_score (ties break on doc_id). This is the

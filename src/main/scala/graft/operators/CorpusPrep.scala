@@ -201,8 +201,29 @@ object CorpusPrep {
   def leakageSafeSplit(
       spark: SparkSession,
       sfDir: String,
-      trainPct: Int = 95): DataFrame = {
-    val comp = Cluster.nearDupComponentsMd5Unsorted(spark, sfDir)
+      trainPct: Int = 95): DataFrame =
+    splitByComponents(spark, sfDir,
+      Cluster.nearDupComponentsMd5Unsorted(spark, sfDir), trainPct)
+
+  /** [[leakageSafeSplit]] consuming [[Cluster]]'s PERSISTED component map:
+    * the clustering pipeline (signatures, banding, star contraction — all
+    * of the on-the-fly cost) runs only when the artifact primes; repeat
+    * splits pay one artifact scan plus the representative-bucket join.
+    * Row-identical by construction, so the registered row keeps
+    * [[leakageSafeSplit]]'s oracle.
+    */
+  def leakageSafeSplitStored(
+      spark: SparkSession,
+      sfDir: String,
+      trainPct: Int = 95): DataFrame =
+    splitByComponents(spark, sfDir,
+      Cluster.componentMapStored(spark, sfDir), trainPct)
+
+  private def splitByComponents(
+      spark: SparkSession,
+      sfDir: String,
+      comp: DataFrame,
+      trainPct: Int): DataFrame = {
     val repBucket = IO.table(spark, sfDir, "documents")
       .select(col("doc_id").as("component_id"),
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)

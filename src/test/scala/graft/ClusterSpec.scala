@@ -134,6 +134,22 @@ class ClusterSpec extends SparkTestBase {
     assert(rows.length == byComp.values.map(_.length).sum)
   }
 
+  test("stored component map: persists once, stored rows identical to on-the-fly") {
+    val path = java.nio.file.Paths.get(Cluster.componentArtifactPath(spark, Sf))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path.toString, "_SUCCESS"))
+    // cold: primes the artifact
+    val cold = Cluster.dedupDecisionMd5Stored(spark, Sf).collect()
+    assert(java.nio.file.Files.exists(path), "first use must persist the map")
+    val live = Cluster.dedupDecisionMd5(spark, Sf).collect()
+    assert(cold.map(_.toString).toSeq == live.map(_.toString).toSeq,
+      "stored decision must be row-identical to the on-the-fly pipeline")
+    // the split twin consumes the same artifact
+    val storedSplit = operators.CorpusPrep.leakageSafeSplitStored(spark, Sf).collect()
+    val liveSplit = operators.CorpusPrep.leakageSafeSplit(spark, Sf).collect()
+    assert(storedSplit.map(_.toString).toSeq == liveSplit.map(_.toString).toSeq,
+      "stored split must be row-identical to the on-the-fly pipeline")
+  }
+
   test("keep-best decision: representative has the cluster-max quality score") {
     val rows = Cluster.dedupKeepBestMd5(spark, Sf).collect()
     val byComp = rows.groupBy(_.getLong(1))
