@@ -51,6 +51,9 @@ object SparkEntry {
     "k6_partitioned_roundtrip" -> (Relational.k6PartitionedRoundTrip _),
     "k7_zstd_roundtrip" -> (Relational.k7ZstdRoundTrip _),
     "k8_compacted_roundtrip" -> (Relational.k8CompactedRoundTrip _),
+    // schema-evolution read: two parquet generations merged with
+    // mergeSchema; the old generation null-pads the added column
+    "k9_mergeschema_roundtrip" -> (Relational.k9MergeSchemaRoundTrip _),
     // projection (P1-P4)
     "p1_select_prune" -> (Relational.p1SelectPrune _),
     "p2_with_column" -> (Relational.p2WithColumn _),
@@ -223,6 +226,8 @@ object SparkEntry {
     // row-identical to dedup_cluster_decision, so it keeps that oracle
     "dedup_cluster_decision_stored" -> (Cluster.dedupDecisionMd5Stored _),
     "dedup_cluster_keep_best" -> (Cluster.dedupKeepBestMd5 _),
+    // size histogram of the near-dup graph, off the persisted map
+    "dedup_cluster_sizes" -> (Cluster.clusterSizeProfile _),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
@@ -248,6 +253,12 @@ object SparkEntry {
     "ann_topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_topk_ivfpq_res" -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)),
     "ann_topk_dot" -> ((s, d) => Similarity.dotTopK(s, d)),
+    // Matryoshka two-stage retrieval: 32-dim-prefix shortlist (50/query),
+    // full-dim rerank of the shortlist only. (An MRL-trained model packs
+    // the signal into a much shorter prefix; the synthetic fixture has no
+    // such structure, so the registered config is the honest half-dims
+    // point — recall vs brute force is spec-measured.)
+    "ann_topk_mrl" -> ((s, d) => Similarity.mrlTopK(s, d)),
     // pinned planes (see ann_topk_lsh); the float cast on the verified
     // cosine absorbs the ≤1-ulp double drift between engines so the row
     // hash-compares (the >= threshold is evaluated on the double in BOTH
@@ -262,6 +273,10 @@ object SparkEntry {
     "txt_lang_id" -> (TextAnalysis.languageId _),
     "txt_scrub" -> (TextAnalysis.scrub _),
     "txt_repetition" -> (TextAnalysis.repetitionScores _),
+    // the published Gopher filter battery, per-rule signals + verdict
+    "txt_gopher_rules" -> (TextAnalysis.gopherRules _),
+    // PII audit trail (counts per pattern class; txt_scrub is the rewrite)
+    "txt_pii_report" -> (TextAnalysis.piiReport _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -306,6 +321,9 @@ object SparkEntry {
     "corpus_mixture_sample" -> ((s, d) =>
       CorpusPrep.mixtureSample(s, d, MixtureWeights)),
     "corpus_shuffle_order" -> ((s, d) => CorpusPrep.shuffleOrder(s, d)),
+    // τ=1/2 temperature-balanced language mixture (XLM-R recipe):
+    // tail langs up-weighted, deterministic content-hash acceptance
+    "corpus_temp_mixture" -> ((s, d) => CorpusPrep.temperatureMixture(s, d)),
     // C4-style cross-doc line dedup (corpus re-lined at 8 tokens/line) and
     // per-source document capping
     "corpus_line_dedup" -> (CorpusPrep.lineDedupRelined _),
@@ -798,6 +816,17 @@ object SparkEntry {
                 (ROW_NUMBER() OVER (PARTITION BY b.component_id
                    ORDER BY q.quality_score DESC, b.doc_id) = 1) AS keep
          FROM base b JOIN q USING (doc_id) ORDER BY b.doc_id""",
+    // size histogram over the same closure; SUM(BIGINT) is HUGEINT in
+    // DuckDB, so n_docs re-casts to match Spark's long sum
+    "dedup_cluster_sizes" ->
+      s"""$simHashClusterBaseSql,
+         sizes AS (
+           SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM base GROUP BY component_id)
+         SELECT cluster_size,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
     "kmeans_codebook" ->
       // the trained centroid VALUES (cent2 is the oracle's own Lloyd
       // replay with the same fixed-point accumulation) — exploded to
@@ -982,6 +1011,31 @@ object SparkEntry {
                   CAST(floor((w * (SELECT MIN(n / w) FROM counts)) / n * 4294967296.0) AS BIGINT) AS thresh
            FROM counts)
          SELECT doc_id, source, lang, n_chars FROM d JOIN rates USING (source)
+         WHERE k < thresh ORDER BY doc_id""",
+    "corpus_temp_mixture" ->
+      // τ=1/2 language temperature mixture: √n fixed-pointed to BIGINT
+      // before the (order-dependent) sum; shares/rates replay the pinned
+      // operation order; acceptance is the integer hash-threshold compare
+      """WITH c AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         f AS (
+           SELECT lang, n,
+                  CAST(round(sqrt(CAST(n AS DOUBLE)) * 1048576.0, 0) AS BIGINT) AS sqf
+           FROM c),
+         r AS (
+           SELECT lang,
+                  least(1.0,
+                    ((CAST(sqf AS DOUBLE) / CAST((SELECT SUM(sqf) FROM f) AS DOUBLE))
+                      * (0.5 * CAST((SELECT SUM(n) FROM f) AS DOUBLE)))
+                      / CAST(n AS DOUBLE)) AS rate
+           FROM f),
+         t AS (
+           SELECT lang, CAST(floor(rate * 4294967296.0) AS BIGINT) AS thresh FROM r),
+         d AS (
+           SELECT doc_id, lang, source, n_chars,
+                  ('0x' || substr(md5(text), 9, 8))::BIGINT AS k
+           FROM documents)
+         SELECT doc_id, lang, source, n_chars FROM d JOIN t USING (lang)
          WHERE k < thresh ORDER BY doc_id""",
     "corpus_shuffle_order" ->
       """WITH d AS (
@@ -1933,6 +1987,13 @@ object SparkEntry {
     "k8_compacted_roundtrip" ->
       // compaction must be content-neutral: the oracle is the source table
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    "k9_mergeschema_roundtrip" ->
+      // schema evolution must be content-neutral modulo the null-padding
+      // contract: old-generation rows (even l_orderkey) read the added
+      // column as NULL
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END AS l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "events_funnel" ->
       // µs event times on both sides (ns-vs-µs truncation must not flip
       // the strict inequalities anchoring each stage)
@@ -2015,6 +2076,42 @@ object SparkEntry {
                        d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
                   / len(toks) AS top_token_share
          FROM t ORDER BY doc_id""",
+    "txt_gopher_rules" ->
+      // every ratio is exact-integer-count division in doubles; keep is a
+      // conjunction over those exact values, so it replays bit-for-bit
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_words FROM t),
+         m AS (
+           SELECT doc_id,
+                  n_words,
+                  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) AS mean_word_len,
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) AS frac_alpha_words,
+                  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) AS symbol_ratio,
+                  CAST(len(list_filter(toks, t -> lower(t) IN
+                    ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits
+           FROM s)
+         SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio, stop_hits,
+                (n_words BETWEEN 50 AND 100000)
+                  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                  AND frac_alpha_words >= 0.80
+                  AND symbol_ratio <= 0.10
+                  AND stop_hits >= 2 AS keep
+         FROM m ORDER BY doc_id""",
+    "txt_pii_report" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                CAST(len(regexp_extract_all(text,
+                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
+                (n_emails + n_urls + n_ipv4 + n_long_numbers) > 0 AS has_pii
+         FROM documents ORDER BY doc_id""",
     "ann_topk_bruteforce" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2094,6 +2191,29 @@ object SparkEntry {
          scored AS (
            SELECT qid, vec_id, CAST(list_inner_product(qv, v) AS FLOAT) AS sim
            FROM q CROSS JOIN v WHERE vec_id <> qid)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+                vec_id, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    // Matryoshka two-stage: 32-dim-prefix cosine shortlist (float-ranked,
+    // 50/query), then full-dim rerank of shortlist rows only — both
+    // stages' ranks tie-break on vec_id like every ANN row
+    "ann_topk_mrl" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT q.qid, v.vec_id,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY CAST(list_cosine_similarity(q.qv[1:32], v.v[1:32]) AS FLOAT) DESC,
+                               v.vec_id) AS rn
+             FROM q CROSS JOIN v WHERE v.vec_id <> q.qid)
+           WHERE rn <= 50),
+         scored AS (
+           SELECT s.qid, s.vec_id,
+                  CAST(list_cosine_similarity(q.qv, v.v) AS FLOAT) AS sim
+           FROM short s JOIN q USING (qid) JOIN v USING (vec_id))
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",

@@ -328,4 +328,70 @@ object TextAnalysis {
                                 element_at(th, i + 5))))""")
           .as("fp_rolling_min"))
       .orderBy("doc_id")
+
+  /** The Gopher rule suite (Rae et al. 2021, "Scaling Language Models",
+    * appendix A1.1): the published hand-tuned filter battery the big
+    * pretraining corpora actually ship — word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio, alphabetic-word fraction, and a
+    * minimum stop-word count. Emits every per-rule signal (a pipeline
+    * audits WHICH rule fired, not just the verdict) plus the conjunction
+    * as `keep`.
+    *
+    * One map-side pass over the text — no shuffle at any scale except the
+    * presentation sort; every signal is a codegen'd HOF over one token
+    * split. Integer counts divided in doubles (exact cross-engine); rule
+    * thresholds compare those exact doubles, so `keep` is deterministic.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / col("n_words").cast("double")).as("mean_word_len"),
+        (size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("double")
+          / col("n_words").cast("double")).as("frac_alpha_words"),
+        (size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("double")
+          / col("n_words").cast("double")).as("symbol_ratio"),
+        size(filter(col("toks"), t => lower(t).isin(stops: _*)))
+          .cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000)
+          && col("mean_word_len").between(3.0, 10.0)
+          && col("frac_alpha_words") >= 0.80
+          && col("symbol_ratio") <= 0.10
+          && col("stop_hits") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** PII detection REPORT: per-document counts of each PII-ish pattern
+    * class ([[scrub]] redacts them; this row is the audit trail a
+    * compliance pass wants — what was found, where, how much, before
+    * anything is rewritten). Patterns are the scrub set plus IPv4;
+    * character-class-only regexes so the Java and RE2 dialects agree
+    * (`\b` is an ASCII word boundary in both). Counting is
+    * `regexp_extract_all` length — one codegen'd map-side pass, no
+    * shuffle at any scale except the presentation sort.
+    */
+  def piiReport(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr(
+          "regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr("regexp_extract_all(text, 'https?://[^\\\\s]+', 0)"))
+          .cast("long").as("n_urls"),
+        size(expr(
+          "regexp_extract_all(text, '\\\\b([0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b', 0)"))
+          .cast("long").as("n_ipv4"),
+        size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)"))
+          .cast("long").as("n_long_numbers"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_long_numbers") > 0)
+      .orderBy("doc_id")
 }

@@ -331,6 +331,26 @@ object Cluster {
   def dedupDecisionMd5Stored(spark: SparkSession, sfDir: String): DataFrame =
     decisionOverComponents(componentMapStored(spark, sfDir))
 
+  /** Cluster-size PROFILE of the near-dup graph: how many clusters exist
+    * at each size, and how many documents they hold. The first diagnostic
+    * a dedup operator reads — a fat tail (few huge clusters) means
+    * boilerplate domination and predicts both the dedup yield and the
+    * star-contraction round count; production pipelines chart this per
+    * corpus version. Consumes the PERSISTED component map (one scan of
+    * the two-long-column artifact), then two tiny aggregations: sizes are
+    * O(clusters) rows and the histogram O(distinct sizes) — nothing at
+    * corpus scale shuffles.
+    */
+  def clusterSizeProfile(spark: SparkSession, sfDir: String): DataFrame =
+    componentMapStored(spark, sfDir)
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+
   /** Representative selection by QUALITY instead of lowest id: per cluster
     * keep the argmax quality_score (ties break on doc_id). This is the
     * policy a real training-data pipeline wants — near-dup clusters hold

@@ -322,6 +322,54 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Temperature-balanced language mixture (the multilingual-pretraining
+    * recipe popularized by mBERT/XLM-R: sample languages with probability
+    * ∝ n_l^τ, τ < 1, so head languages are down-weighted and tail
+    * languages up-weighted without exploding total epochs on tiny
+    * corpora). τ is fixed at 1/2 — `sqrt` is an IEEE correctly-rounded
+    * primitive on every engine, so the shares replay bit-exactly without
+    * a general `pow` (whose libm implementations differ by ulps).
+    *
+    * Determinism: Σ √n_l is a DOUBLE sum whose value depends on addition
+    * order, so each √n_l is fixed-pointed to round(√n·2^20) BIGINT first —
+    * integer sums are order-independent (the kmeans-accumulator argument).
+    * Shares and rates are then exact-integer-sourced double divisions in a
+    * pinned operation order, and acceptance is the integer
+    * content-hash-vs-threshold compare ([[threshold32]]'s rationale), so
+    * the sampled set is reproducible across runs, partition orders, AND
+    * engines.
+    *
+    * Scale shape: the per-lang count frame is tiny (|langs| rows, map-side
+    * combined); rates broadcast back; acceptance is a pure map-side
+    * filter. No data-scale shuffle except the presentation sort.
+    */
+  def temperatureMixture(
+      spark: SparkSession,
+      sfDir: String,
+      targetFrac: Double = 0.5): DataFrame = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    val docs = IO.table(spark, sfDir, "documents")
+    val w = Window.partitionBy()
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("sqf",
+        round(sqrt(col("n").cast("double")) * 1048576.0, 0).cast("long"))
+      // p_l = sqf_l / Σ sqf; rate_l = min(1, (p_l · (targetFrac · N)) / n_l)
+      // — operation order pinned, mirrored verbatim by the oracle
+      .withColumn("p",
+        col("sqf").cast("double") / sum("sqf").over(w).cast("double"))
+      .withColumn("rate", least(lit(1.0),
+        (col("p") * (lit(targetFrac) * sum("n").over(w).cast("double")))
+          / col("n").cast("double")))
+      .withColumn("thresh", floor(col("rate") * 4294967296.0).cast("long"))
+      .select("lang", "thresh")
+    docs
+      .join(broadcast(rates), "lang")
+      .filter(sampleKey32 < col("thresh"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Cross-document line dedup (the C4 recipe): a LINE that occurs in more
     * than `maxDocs` distinct documents is boilerplate (nav bars, cookie
     * banners, licence headers) and is removed from EVERY document; the

@@ -133,6 +133,35 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** K9: schema-evolution read — two parquet generations of the same
+    * table, the newer with an added column, read together with
+    * `mergeSchema` (the footer-reconciliation path; plain parquet reads
+    * take ONE footer's schema and would silently drop or misbind the new
+    * column). Rows from the old generation surface the added column as
+    * NULL — exactly the long-lived-table contract a 100 TB ingest needs,
+    * where rewriting history on every schema change is off the table.
+    * Note the cost model: mergeSchema reconciles footers across files at
+    * planning time (a driver-side listing+footer pass, not a data scan);
+    * production tables bound it by reconciling per-partition manifests
+    * instead of per-file footers.
+    */
+  def k9MergeSchemaRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = IO.scratchDir("graft_k9")
+    val li = t(spark, sfDir, "lineitem")
+    li.filter(col("l_orderkey") % 2 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/gen=0")
+    li.filter(col("l_orderkey") % 2 === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/gen=1")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen=0", s"$base/gen=1")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** K3: the console sink's implicit limit-21 (show()) as a real plan:
     * CollectLimit over a sorted child.
     */

@@ -1047,4 +1047,46 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): shortlist with the PREFIX of each embedding
+    * (MRL-trained models pack the coarse signal into the leading
+    * dimensions), then rerank only the shortlist with the full vector.
+    * The published retrieve-then-rerank contract: stage 1 touches every
+    * corpus row but reads `prefixDims`/`dim` of each vector's floats;
+    * stage 2 reads full vectors for `shortlist` rows per query only.
+    *
+    * Scale shape: stage 1 is the brute-force scaffold (query side
+    * broadcast, corpus never shuffles, TopK window bounded per query) over
+    * sliced vectors — at 100 TB the prefix slice is the point: ~4× less
+    * arithmetic and, with a column layout that stores the prefix
+    * separately, ~4× less I/O. Stage 2 re-scans the corpus and joins the
+    * tiny (qid, vec_id) shortlist BROADCAST — the corpus side never
+    * shuffles in either stage. Cosine over a prefix normalizes by the
+    * prefix norm (cosine() computes both norms on the sliced arrays), so
+    * no stored-norm bookkeeping is needed.
+    */
+  def mrlTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      prefixDims: Int = 32,
+      shortlist: Int = 50): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val cPrefix = c.select(col("vec_id"), slice(col("v"), 1, prefixDims).as("v"))
+    // stage 1: prefix-cosine shortlist (float-ranked, deterministic ties)
+    val short = rankTopK(cPrefix, expr("cosine_sim(qv, v)"), numQueries, shortlist)
+      .select("qid", "vec_id")
+    // stage 2: full-dim rerank of shortlist rows only; both join sides
+    // against the corpus are broadcast (shortlist = numQueries×shortlist
+    // rows, queries = numQueries rows)
+    topKPerQuery(
+      c.join(broadcast(short), "vec_id")
+        .join(broadcast(c.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
+      k)
+  }
 }
