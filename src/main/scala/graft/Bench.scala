@@ -54,7 +54,9 @@ object Bench {
       "corpus_pack_nosplit", "dedup_incremental_minhash", "mm_dims",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
       "corpus_ingest_decisions",
-      "dedup_cluster_decision_stored", "corpus_split_leakage_stored")
+      "dedup_cluster_decision_stored", "corpus_split_leakage_stored",
+      "ann_topk_mrl", "txt_gopher_rules", "txt_pii_report",
+      "corpus_temp_mixture", "dedup_cluster_sizes")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
@@ -115,7 +117,10 @@ object Bench {
     val cc = ccStats
       .map { case (k, (r, e)) => s""""$k":{"cc_rounds":$r,"cc_edges":$e}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"sf":"$sfDir"}""")
+    // stop the session BEFORE printing: Spark's shutdown logging otherwise
+    // lands after the JSON line and any tail-line parser reads noise
+    // instead of the payload (BENCH_r3..r6 all parsed to null this way)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"sf":"$sfDir"}""")
   }
 }

@@ -277,6 +277,8 @@ object SparkEntry {
     "txt_gopher_rules" -> (TextAnalysis.gopherRules _),
     // PII audit trail (counts per pattern class; txt_scrub is the rewrite)
     "txt_pii_report" -> (TextAnalysis.piiReport _),
+    // per-domain URL/document counts (blocklist & per-domain-cap input)
+    "txt_domains" -> (TextAnalysis.domainStats _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -2112,6 +2114,18 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
                 (n_emails + n_urls + n_ipv4 + n_long_numbers) > 0 AS has_pii
          FROM documents ORDER BY doc_id""",
+    "txt_domains" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+           FROM documents),
+         d AS (
+           SELECT doc_id, lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS domain
+           FROM u)
+         SELECT domain,
+                CAST(COUNT(*) AS BIGINT) AS n_urls,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM d GROUP BY domain ORDER BY domain""",
     "ann_topk_bruteforce" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

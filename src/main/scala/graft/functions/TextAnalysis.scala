@@ -394,4 +394,25 @@ object TextAnalysis {
       .withColumn("has_pii",
         col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_long_numbers") > 0)
       .orderBy("doc_id")
+
+  /** Corpus domain profile: every URL mentioned in the text, reduced to
+    * its lowercased host, counted as occurrences and as distinct
+    * documents. The provenance primitive behind domain blocklists and
+    * per-domain caps (the C4/RefinedWeb curation step that happens BEFORE
+    * quality scoring). Scale shape: URL matches are sparse per document
+    * (explode of a regexp_extract_all — no token-level blowup) and the
+    * domain key space is Zipf-small, so the single aggregation arrives
+    * map-side combined; nothing else shuffles.
+    */
+  def domainStats(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, 'https?://[^\\\\s]+', 0)")).as("url"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), "^https?://([^/:?#]+)", 1)).as("domain"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("domain")
 }

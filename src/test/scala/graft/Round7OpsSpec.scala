@@ -92,6 +92,20 @@ class Round7OpsSpec extends SparkTestBase {
     assert(frac > 0.35 && frac < 0.65, f"kept fraction $frac%.2f far from 0.5 target")
   }
 
+  test("domain stats: counts are consistent with the pii report's url counts") {
+    val dom = TextAnalysis.domainStats(spark, Sf)
+    val rows = dom.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 1,
+        "n_urls >= n_docs >= 1 per domain")
+      assert(r.getString(0) == r.getString(0).toLowerCase)
+    }
+    val totalUrls = TextAnalysis.piiReport(spark, Sf)
+      .agg(sum("n_urls")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalUrls,
+      "every URL occurrence must land in exactly one domain bucket")
+  }
+
   test("cluster size profile partitions the corpus") {
     val prof = Cluster.clusterSizeProfile(spark, Sf)
     val rows = prof.collect()
@@ -101,6 +115,27 @@ class Round7OpsSpec extends SparkTestBase {
         "n_docs must equal cluster_size * n_clusters per row")
     }
     assert(rows.map(_.getLong(0)).max > 1, "fixture plants near-dup clusters")
+  }
+
+  test("plan audit: gopher rules and pii report are map-side passes (one sort exchange only)") {
+    for (df <- Seq(TextAnalysis.gopherRules(spark, Sf),
+                   TextAnalysis.piiReport(spark, Sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"expected only the presentation-sort exchange:\n$p")
+      assert(p.contains("rangepartitioning"), "the one exchange must be the sort")
+    }
+  }
+
+  test("plan audit: mrl and temperature mixture never sort-merge join (all joins broadcast)") {
+    val mrl = Similarity.mrlTopK(spark, Sf).queryExecution.executedPlan.toString
+    assert(!mrl.contains("SortMergeJoin"),
+      s"corpus must join shortlist/queries broadcast, never shuffle:\n$mrl")
+    val mix = CorpusPrep.temperatureMixture(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!mix.contains("SortMergeJoin"),
+      s"rates must broadcast back to the corpus side:\n$mix")
+    assert(mix.contains("BroadcastHashJoin"), mix)
   }
 
   test("mergeSchema read null-pads the old generation only") {
