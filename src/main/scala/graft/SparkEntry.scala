@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, Relational, Similarity, Snapshot, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, QualityModel, Relational, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -279,6 +279,11 @@ object SparkEntry {
     "txt_pii_report" -> (TextAnalysis.piiReport _),
     // per-domain URL/document counts (blocklist & per-domain-cap input)
     "txt_domains" -> (TextAnalysis.domainStats _),
+    // distilled quality classifier: logistic regression on rule-battery
+    // labels, fixed-point-summed gradients — training itself is oracled
+    // (the weights row hash-matches DuckDB's unrolled-GD replay)
+    "quality_lr_weights" -> (QualityModel.lrWeights _),
+    "quality_lr_scores" -> (QualityModel.lrScores _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -748,6 +753,50 @@ object SparkEntry {
     * tractable at verify scale; the distributed shape is the
     * large-star/small-star contraction in `operators/Cluster.scala`.
     */
+  /** Shared oracle prefix for the logistic-regression quality model:
+    * the feature frame (Gopher label + exact-ratio features, all
+    * integer-count divisions) and `iters` unrolled full-batch GD steps
+    * with the same fixed-point gradient accumulation the Spark trainer
+    * uses. The HARD sigmoid keeps every arithmetic step an exact or
+    * correctly-rounded IEEE primitive (no libm transcendental — see
+    * QualityModel's determinism note), so the weights are bit-identical
+    * across engines. Ends with `w$iters` = (wa, wb, wc, wd); `f` stays
+    * in scope for scoring.
+    */
+  private def lrGdSql(iters: Int = 3): String = {
+    val head =
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(CAST((CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000)
+                    AND (CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0)
+                    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(toks) >= 0.80
+                    AND CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(toks) <= 0.10
+                    AND len(list_filter(toks, t -> lower(t) IN ('the','be','to','of','and','that','have','with'))) >= 2 AS INT) AS DOUBLE) AS y,
+                  1.0 AS x0,
+                  (CAST(n_chars AS DOUBLE) / len(toks)) / 10.0 AS x1,
+                  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks) AS x2,
+                  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n_chars AS x3
+           FROM (SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks FROM documents)),
+         w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc, 0.0 AS wd)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""g$i AS (
+           SELECT CAST(SUM(CAST(round((p - y) * x0 * 1000000.0, 0) AS BIGINT)) AS DOUBLE) AS ga,
+                  CAST(SUM(CAST(round((p - y) * x1 * 1000000.0, 0) AS BIGINT)) AS DOUBLE) AS gb,
+                  CAST(SUM(CAST(round((p - y) * x2 * 1000000.0, 0) AS BIGINT)) AS DOUBLE) AS gc,
+                  CAST(SUM(CAST(round((p - y) * x3 * 1000000.0, 0) AS BIGINT)) AS DOUBLE) AS gd,
+                  CAST(COUNT(*) AS DOUBLE) AS n
+           FROM (SELECT f.*, least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS p
+                 FROM f, w${i - 1} w)),
+         w$i AS (
+           SELECT w.wa - 1.0 * (g.ga / (g.n * 1000000.0)) AS wa,
+                  w.wb - 1.0 * (g.gb / (g.n * 1000000.0)) AS wb,
+                  w.wc - 1.0 * (g.gc / (g.n * 1000000.0)) AS wc,
+                  w.wd - 1.0 * (g.gd / (g.n * 1000000.0)) AS wd
+           FROM w${i - 1} w, g$i g)"""
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
   private def simHashClusterBaseSql: String =
     """WITH RECURSIVE t AS (
            SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
@@ -2114,6 +2163,21 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
                 (n_emails + n_urls + n_ipv4 + n_long_numbers) > 0 AS has_pii
          FROM documents ORDER BY doc_id""",
+    "quality_lr_weights" ->
+      // the trained weight VECTOR, value for value vs the unrolled replay
+      s"""${lrGdSql()},
+         out AS (
+           SELECT 'bias' AS feature, wa AS weight FROM w3
+           UNION ALL SELECT 'mean_token_len_s', wb FROM w3
+           UNION ALL SELECT 'stopword_ratio', wc FROM w3
+           UNION ALL SELECT 'alpha_ratio', wd FROM w3)
+         SELECT feature, weight FROM out ORDER BY feature""",
+    "quality_lr_scores" ->
+      s"""${lrGdSql()}
+         SELECT doc_id,
+                CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score,
+                CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) >= 0.5 AS predicted
+         FROM f, w3 w ORDER BY doc_id""",
     "txt_domains" ->
       """WITH u AS (
            SELECT doc_id,

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Distilled quality CLASSIFIER: logistic regression trained distributed
+  * on rule-battery labels — the published recipe behind the fastText-style
+  * quality models the big corpora actually filter with (a cheap linear
+  * model distills a slow/hand-tuned labeling pass, then scores every
+  * document at scan speed). Labels here are [[graft.functions.TextAnalysis
+  * .gopherRules]]' `keep` verdict; features are the proven exact-ratio
+  * signals (stopword/alpha ratios, scaled mean token length) — every input
+  * replays bit-for-bit cross-engine, so training itself can be oracled.
+  *
+  * Training is full-batch gradient descent with a FIXED iteration count:
+  * each iteration is ONE aggregation job over the corpus (map-side partial
+  * sums), and the model is a bounded driver artifact (numFeatures doubles)
+  * — exactly the k-means codebook contract from SCALING.md
+  * "Train-once model artifacts". At 100 TB each pass is a linear
+  * map-side scan; nothing shuffles but the 4-long partial-sum rows.
+  *
+  * Determinism (the interesting part — a naive double-sum gradient is
+  * partition-order dependent): two hazards, two fixes.
+  *   - Partition order: each row's per-feature gradient contribution
+  *     (p−y)·x_j is fixed-pointed to round(·×10⁶) BIGINT before summing;
+  *     integer sums are order-independent (the kmeans convention).
+  *   - Engine drift: the TRUE sigmoid puts libm `exp` inside the training
+  *     loop, and its ≤1-ulp JVM-vs-C drift compounds across iterations —
+  *     measured on this corpus it flips one fixed-point gradient unit by
+  *     iteration 2 and desynchronizes every weight after it (a float cast
+  *     cannot absorb a drift that lands ON a rounding boundary). So the
+  *     model uses the HARD sigmoid σ̂(m) = clamp(m/4 + 1/2, 0, 1) — the
+  *     published piecewise-linear surrogate from the quantized-network
+  *     literature — whose every operation (×2⁻², +, clamp) is an exact or
+  *     correctly-rounded IEEE primitive identical on all engines.
+  * Weight updates divide the exact integer sums in a pinned operation
+  * order, so the weight VECTOR is bit-identical across runs, partition
+  * counts, and engines — the DuckDB oracle replays all three unrolled
+  * iterations and hash-matches the weights exactly.
+  */
+object QualityModel {
+
+  /** Gopher stop-set (label side) and quality stop-set (feature side) —
+    * the same lists the oracled txt_gopher_rules / txt_quality rows use.
+    */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val QualityStops =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+  private[graft] val FeatureNames =
+    Seq("bias", "mean_token_len_s", "stopword_ratio", "alpha_ratio")
+
+  /** One map-side pass producing (doc_id, y, x0..x3): the Gopher label and
+    * the scaled feature vector. No join — label and features project from
+    * the same scan.
+    */
+  private def featureFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = col("toks")
+    val nW = size(toks).cast("double")
+    val meanWordLen =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).cast("double") / nW
+    val fracAlphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nW
+    val symbolRatio =
+      size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("double") / nW
+    val gopherHits = size(filter(toks, t => lower(t).isin(GopherStops: _*))).cast("long")
+    val keep = size(toks).cast("long").between(50, 100000) &&
+      meanWordLen.between(3.0, 10.0) && fracAlphaWords >= 0.80 &&
+      symbolRatio <= 0.10 && gopherHits >= 2
+    val stopRatio = size(filter(toks, t => t.isInCollection(QualityStops)))
+      .cast("double") / nW
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double") / col("n_chars").cast("double")
+    IO.table(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(
+        col("doc_id"),
+        keep.cast("int").cast("double").as("y"),
+        lit(1.0).as("x0"),
+        ((col("n_chars").cast("double") / nW) / lit(10.0)).as("x1"),
+        stopRatio.as("x2"),
+        alphaRatio.as("x3"))
+  }
+
+  /** σ̂(w·x) = clamp(w·x/4 + 1/2, 0, 1) with the margin accumulated in
+    * pinned left-to-right order — the oracle writes the identical
+    * expression. No transcendental anywhere (see the determinism note).
+    */
+  private def sigmoid(w: Seq[Double]): Column = {
+    val margin = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    least(lit(1.0), greatest(lit(0.0), lit(0.25) * margin + lit(0.5)))
+  }
+
+  /** The trained weight vector after `iters` full-batch GD steps from
+    * w=0 at learning rate `lr`. One Spark job per iteration; the model is
+    * the returned 4 doubles.
+    */
+  def trainWeights(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3,
+      lr: Double = 1.0): Seq[Double] = {
+    val f = featureFrame(spark, sfDir)
+    var w = Seq(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val p = sigmoid(w)
+      // no float cast needed: every input to the product is an exact or
+      // correctly-rounded double identical on all engines, so the
+      // fixed-point round sees the same value everywhere; the BIGINT sum
+      // is purely for partition-order independence
+      def gFix(xj: String): Column =
+        sum(round(((p - col("y")) * col(xj)) * lit(1000000.0), 0)
+          .cast("long"))
+      val row = f.agg(gFix("x0").as("g0"), gFix("x1").as("g1"),
+        gFix("x2").as("g2"), gFix("x3").as("g3"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = row.getLong(4).toDouble
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (row.getLong(j).toDouble / (n * 1000000.0))
+      }
+    }
+    w
+  }
+
+  /** The model artifact as a frame: (feature, weight) — hash-oracled
+    * value for value against DuckDB's unrolled-GD replay.
+    */
+  def lrWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    FeatureNames.zip(trainWeights(spark, sfDir))
+      .toDF("feature", "weight")
+      .orderBy("feature")
+  }
+
+  /** Per-document quality score under the trained model: σ̂(w·x)
+    * (float-cast for presentation), plus the ≥0.5 decision. Scoring is
+    * one map-side pass — the entire point of distilling rules into a
+    * linear model.
+    */
+  def lrScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = trainWeights(spark, sfDir)
+    featureFrame(spark, sfDir)
+      .select(col("doc_id"),
+        sigmoid(w).cast("float").as("score"))
+      .withColumn("predicted", col("score") >= 0.5f)
+      .orderBy("doc_id")
+  }
+}
