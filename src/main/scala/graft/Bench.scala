@@ -56,7 +56,10 @@ object Bench {
       "corpus_ingest_decisions",
       "dedup_cluster_decision_stored", "corpus_split_leakage_stored",
       "ann_topk_mrl", "txt_gopher_rules", "txt_pii_report",
-      "corpus_temp_mixture", "dedup_cluster_sizes")
+      "corpus_temp_mixture", "dedup_cluster_sizes",
+      "quality_lr_scores", "retrieval_bm25_topk", "dsir_weights",
+      "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
+      "corpus_source_overlap")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

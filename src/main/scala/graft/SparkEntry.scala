@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Layout, Multimodal, PlayStore, QualityModel, Relational, Similarity, Snapshot, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Importance, Layout, LinkGraph, Multimodal, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -292,7 +292,21 @@ object SparkEntry {
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // CCNet head/middle/tail cut over the bigram-LM score
+    "txt_perplexity_buckets" -> (TextAnalysis.perplexityBuckets _),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
+    // BM25 ranked retrieval (fixed-point scores; index = postings + dlen)
+    "retrieval_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // DSIR importance resampling: estimator artifact, per-doc weights,
+    // Gumbel-top-N draw — all replayed bit-exactly by the oracle
+    "dsir_logratios" -> (Importance.logRatios _),
+    "dsir_weights" -> (Importance.weights _),
+    "dsir_sample" -> ((s, d) => Importance.sample(s, d)),
+    // click-graph construction + unrolled-power-iteration PageRank
+    "graph_transition_edges" -> (LinkGraph.transitionEdges _),
+    "graph_pagerank" -> ((s, d) => LinkGraph.pageRank(s, d)),
+    // cross-source verbatim-overlap audit (mixture double-count check)
+    "corpus_source_overlap" -> ((s, d) => CorpusPrep.sourceOverlap(s, d)),
     // LLM-pipeline: corpus preparation
     // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
     // the unpinned default derives the count from corpus size
@@ -796,6 +810,120 @@ object SparkEntry {
     }
     (head +: iterCtes).mkString(",\n")
   }
+
+  /** Shared oracle prefix for the DSIR importance estimator: hashed
+    * unigram buckets (md5 span 1-8 mod 256 — the repo's content-hash
+    * convention), raw-vs-target (lang='en') token counts, the
+    * Laplace-smoothed float-washed fixed-point log-ratio table `lr`, and
+    * the per-document integer dot product `dw` = (doc_id, n_tokens,
+    * lw_fix). Every arithmetic step mirrors graft.operators.Importance
+    * operation for operation.
+    */
+  private def dsirBaseSql: String =
+    """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         bk AS (
+           SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS bucket
+           FROM toks),
+         c AS (
+           SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS bucket,
+                  COUNT(*) AS n_raw,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+           FROM toks GROUP BY 1),
+         tt AS (
+           SELECT CAST(SUM(n_raw) AS DOUBLE) AS tot_raw,
+                  CAST(SUM(n_tgt) AS DOUBLE) AS tot_tgt
+           FROM c),
+         lr AS (
+           SELECT bucket, n_raw, n_tgt,
+                  CAST(round(CAST(CAST(ln(
+                    ((CAST(n_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt.tot_tgt + CAST(256.0 AS DOUBLE)))
+                    / ((CAST(n_raw AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt.tot_raw + CAST(256.0 AS DOUBLE)))
+                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS logratio_fix
+           FROM c, tt),
+         dw AS (
+           SELECT bk.doc_id, COUNT(*) AS n_tokens,
+                  SUM(lr.logratio_fix) AS lw_fix
+           FROM bk JOIN lr USING (bucket) GROUP BY 1)"""
+
+  /** Unrolled-power-iteration PageRank oracle over the event transition
+    * graph: `iters` rounds of (fixed-point contribution sum, fixed-point
+    * dangling mass, pinned-order rank update) — each CTE triple mirrors
+    * one loop round of graft.operators.LinkGraph.pageRank bit for bit.
+    * Ends at `r$iters` = (node, r).
+    */
+  private def pageRankSql(iters: Int = 3): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         outw AS (SELECT src, CAST(SUM(weight) AS DOUBLE) AS outw FROM edges GROUP BY 1),
+         en AS (
+           SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
+           FROM edges e JOIN outw o USING (src)),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (
+           SELECT en.dst AS node,
+                  SUM(CAST(round(CAST(CAST(r.r * en.share AS FLOAT) AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sfix
+           FROM en JOIN r${i - 1} r ON en.src = r.node GROUP BY 1),
+         d$i AS (
+           SELECT COALESCE(SUM(CAST(round(r.r * 1000000000.0) AS BIGINT)), 0) AS dfix
+           FROM r${i - 1} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+         r$i AS (
+           SELECT nd.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(s.sfix, 0) AS DOUBLE) / 1000000000.0)
+                                            + (CAST(d.dfix AS DOUBLE) / 1000000000.0) / nn.n) AS r
+           FROM nodes nd LEFT JOIN s$i s ON nd.node = s.node, d$i d, nn)"""
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Shared oracle prefix for the interpolated bigram LM (λ = 0.7): ends
+    * at `blp` = (doc_id, n_bigrams, mean_logprob). Every count division
+    * is an exact-integer-valued IEEE double op and the interpolation
+    * constants are DOUBLE-cast literals — with 1-λ COMPUTED as the same
+    * double subtraction Spark performs (the literal 0.3 is not the
+    * double 1.0-0.7); the float-then-fixed-point log follows the unigram
+    * convention. Used by txt_bigram_logprob and the CCNet bucket cut.
+    */
+  private def bigramLpBaseSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         uni AS (SELECT term, COUNT(*) AS ucnt FROM toks GROUP BY term),
+         tot AS (SELECT SUM(ucnt) AS n FROM uni),
+         occ AS (
+           SELECT doc_id, toks[i.i - 1] AS prev, toks[i.i] AS cur
+           FROM t, unnest(range(2, len(toks) + 1)) AS i(i)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM occ GROUP BY prev, cur),
+         lp AS (
+           SELECT o.doc_id,
+                  CAST(round(CAST(CAST(ln(
+                    CAST(0.7 AS DOUBLE) * (CAST(b.bcnt AS DOUBLE) / CAST(up.ucnt AS DOUBLE))
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (CAST(uc.ucnt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS lpf
+           FROM occ o
+             JOIN bi b ON o.prev = b.prev AND o.cur = b.cur
+             JOIN uni up ON o.prev = up.term
+             JOIN uni uc ON o.cur = uc.term
+             CROSS JOIN tot),
+         blp AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+                  CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
+           FROM lp GROUP BY doc_id)"""
 
   private def simHashClusterBaseSql: String =
     """WITH RECURSIVE t AS (
@@ -1551,35 +1679,22 @@ object SparkEntry {
                 CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "txt_bigram_logprob" ->
-      // Jelinek-Mercer interpolated bigram/unigram, λ = 0.7: every count
-      // division is an exact-integer-valued IEEE double op and the
-      // interpolation constants are DOUBLE-cast literals — with 1-λ
-      // COMPUTED as the same double subtraction Spark performs (the
-      // literal 0.3 is not the double 1.0-0.7); the float-then-fixed-point
-      // log follows the unigram convention
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         uni AS (SELECT term, COUNT(*) AS ucnt FROM toks GROUP BY term),
-         tot AS (SELECT SUM(ucnt) AS n FROM uni),
-         occ AS (
-           SELECT doc_id, toks[i.i - 1] AS prev, toks[i.i] AS cur
-           FROM t, unnest(range(2, len(toks) + 1)) AS i(i)
-           WHERE len(toks) >= 2),
-         bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM occ GROUP BY prev, cur),
-         lp AS (
-           SELECT o.doc_id,
-                  CAST(round(CAST(CAST(ln(
-                    CAST(0.7 AS DOUBLE) * (CAST(b.bcnt AS DOUBLE) / CAST(up.ucnt AS DOUBLE))
-                    + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (CAST(uc.ucnt AS DOUBLE) / CAST(tot.n AS DOUBLE))
-                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS lpf
-           FROM occ o
-             JOIN bi b ON o.prev = b.prev AND o.cur = b.cur
-             JOIN uni up ON o.prev = up.term
-             JOIN uni uc ON o.cur = uc.term
-             CROSS JOIN tot)
-         SELECT doc_id, COUNT(*) AS n_bigrams,
-                CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
-         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+      s"""$bigramLpBaseSql
+         SELECT doc_id, n_bigrams, mean_logprob FROM blp ORDER BY doc_id""",
+    "txt_perplexity_buckets" ->
+      // percent_rank over a TIE-FREE total order (doc_id breaks score
+      // ties) is pure integer rank arithmetic; the third boundaries are
+      // the same double chain Spark folds ((1/3) then (1/3)*2)
+      s"""$bigramLpBaseSql,
+         pr AS (
+           SELECT doc_id, mean_logprob,
+                  percent_rank() OVER (ORDER BY mean_logprob DESC, doc_id) AS pr
+           FROM blp)
+         SELECT doc_id, mean_logprob,
+                CASE WHEN pr < CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) THEN 'head'
+                     WHEN pr < (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE) THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM pr ORDER BY doc_id""",
     "txt_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, term),
@@ -2178,6 +2293,97 @@ object SparkEntry {
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score,
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) >= 0.5 AS predicted
          FROM f, w3 w ORDER BY doc_id""",
+    "retrieval_bm25_topk" ->
+      // Okapi BM25, Lucene +1 idf, k1=1.2 b=0.75 k=10: the idf ln is
+      // float-washed, the per-term score is fixed-pointed before the
+      // per-doc sum, and BOTH ranking and output read the same integer.
+      // Constants replay Spark's driver arithmetic (1.2+1.0, 1-0.75+…)
+      // as the identical double chains, never pre-folded literals.
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, SUM(tfreq) AS dlen FROM tf GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dlen) AS DOUBLE) AS total FROM dlen),
+         q(qid, term) AS (VALUES
+           (0, 'spark'), (0, 'query'), (0, 'join'),
+           (1, 'fast'), (1, 'sort'), (1, 'merge'), (1, 'scan'),
+           (2, 'customer'), (2, 'order'), (2, 'line'),
+           (3, 'window'), (3, 'filter'), (3, 'group')),
+         dfq AS (
+           SELECT tf.term, COUNT(*) AS dfreq
+           FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+           GROUP BY 1),
+         sc AS (
+           SELECT q.qid, tf.doc_id,
+                  SUM(CAST(round(CAST(CAST(
+                    CAST(CAST(ln(CAST(1.0 AS DOUBLE)
+                      + (st.n - CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS FLOAT) AS DOUBLE)
+                    * ((CAST(tf.tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                       / (CAST(tf.tfreq AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE) * (CAST(dl.dlen AS DOUBLE) / (st.total / st.n)))))
+                  AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS sfix
+           FROM tf
+             JOIN q ON tf.term = q.term
+             JOIN dfq d ON tf.term = d.term
+             JOIN dlen dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT qid, doc_id, sfix,
+                  row_number() OVER (PARTITION BY qid ORDER BY sfix DESC, doc_id) AS rn
+           FROM sc)
+         SELECT qid, doc_id, CAST(sfix AS DOUBLE) / 1000000.0 AS score
+         FROM rk WHERE rn <= 10 ORDER BY qid, doc_id""",
+    "dsir_logratios" ->
+      s"""$dsirBaseSql
+         SELECT bucket, n_raw, n_tgt, logratio_fix FROM lr ORDER BY bucket""",
+    "dsir_weights" ->
+      s"""$dsirBaseSql
+         SELECT doc_id, n_tokens,
+                CAST(lw_fix AS DOUBLE) / 1000000.0 AS log_weight
+         FROM dw ORDER BY doc_id""",
+    "dsir_sample" ->
+      // Gumbel-top-N: uniform from md5 span 17-24 (disjoint from the
+      // split and sampling spans), both ln applications float-washed,
+      // the key an exact BIGINT sum; N = floor(0.25·corpus)
+      s"""$dsirBaseSql,
+         gk AS (
+           SELECT d.doc_id,
+                  dw.lw_fix + CAST(round(CAST(-CAST(ln(-CAST(ln(
+                      (CAST(('0x' || substr(md5(d.text), 17, 8))::BIGINT AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      / CAST(4294967296.0 AS DOUBLE)
+                    ) AS FLOAT)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS key_fix
+           FROM documents d JOIN dw ON d.doc_id = dw.doc_id),
+         rk AS (
+           SELECT doc_id, key_fix,
+                  row_number() OVER (ORDER BY key_fix DESC, doc_id) AS rn
+           FROM gk),
+         tk AS (SELECT CAST(floor(CAST(0.25 AS DOUBLE) * COUNT(*)) AS BIGINT) AS n FROM documents)
+         SELECT doc_id, CAST(key_fix AS DOUBLE) / 1000000.0 AS gumbel_key
+         FROM rk, tk WHERE rk.rn <= tk.n ORDER BY doc_id""",
+    "graph_transition_edges" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev)
+         SELECT src, dst, COUNT(*) AS weight FROM tr
+         WHERE src IS NOT NULL AND src <> dst
+         GROUP BY 1, 2 ORDER BY src, dst""",
+    "graph_pagerank" ->
+      s"""${pageRankSql()}
+         SELECT node, r AS pr FROM r3 ORDER BY node""",
+    "corpus_source_overlap" ->
+      """WITH fp AS (
+           SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp, source
+           FROM documents)
+         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
     "txt_domains" ->
       """WITH u AS (
            SELECT doc_id,

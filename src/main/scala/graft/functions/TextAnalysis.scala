@@ -415,4 +415,33 @@ object TextAnalysis {
         count(lit(1)).as("n_urls"),
         countDistinct("doc_id").as("n_docs"))
       .orderBy("domain")
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * scoreable document by its LM score and cut the corpus into
+    * head / middle / tail thirds — the published "keep the head, sample
+    * the middle, drop the tail" curation gate. Scores come from
+    * [[bigramLogProb]] (higher mean log-prob = lower perplexity = head).
+    *
+    * percent_rank over (mean_logprob DESC, doc_id) is pure integer rank
+    * arithmetic on a TIE-FREE total order (doc_id breaks exact-score
+    * ties), so the cut is deterministic cross-engine; the third
+    * boundaries are double-cast literal quotients on both sides. Docs
+    * with <2 tokens have no bigram distribution and are not scored —
+    * the same exclusion the LM itself makes. One extra data-scale
+    * exchange beyond the LM: the global rank sort (at 100 TB the same
+    * cut runs per-shard against sampled global quantile boundaries;
+    * the exact global rank is the verify-scale contract).
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("mean_logprob"), asc("doc_id"))
+    val third = lit(1.0) / lit(3.0)
+    bigramLogProb(spark, sfDir)
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("mean_logprob"),
+        when(col("pr") < third, lit("head"))
+          .when(col("pr") < third * lit(2.0), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
 }

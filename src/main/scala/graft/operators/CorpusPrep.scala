@@ -499,4 +499,38 @@ object CorpusPrep {
       .withColumn("pos", row_number().over(w).cast("long"))
       .orderBy("bucket", "pos")
   }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct content fingerprints they share — the audit that runs
+    * before mixing corpora (a high-overlap pair means double-counted
+    * training mass and a broken per-source mixture weight). Identity is
+    * the md5 of the first `prefixWords` words: the cheap near-verbatim
+    * fingerprint (republished/mirrored documents keep their opening span
+    * even when boilerplate diverges later — the same reason CCNet-class
+    * pipelines dedup on a leading-span hash before any minhash pass);
+    * `prefixWords = Int.MaxValue` degenerates to exact-text identity.
+    * The self-join runs on the DEDUPLICATED (fingerprint, source) frame,
+    * so its width is bounded by distinct-content volume (never raw
+    * rows), the join key is the 32-hex fingerprint (text itself stays
+    * out of the exchange), and `src_a < src_b` keeps each unordered
+    * pair once.
+    */
+  def sourceOverlap(
+      spark: SparkSession,
+      sfDir: String,
+      prefixWords: Int = 8): DataFrame = {
+    val fp = IO.table(spark, sfDir, "documents")
+      .select(
+        md5(concat_ws(" ",
+          slice(split(col("text"), " "), 1, prefixWords)).cast("binary"))
+          .as("fp"),
+        col("source"))
+      .distinct()
+    fp.withColumnRenamed("source", "src_a")
+      .join(fp.withColumnRenamed("source", "src_b"), "fp")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
 }

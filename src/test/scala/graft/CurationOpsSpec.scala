@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{CorpusPrep, Importance, LinkGraph, Retrieval}
+
+/** Behavior specs for the round-7 curation operators: BM25 retrieval,
+  * DSIR importance resampling, click-graph PageRank, CCNet perplexity
+  * buckets, and the cross-source overlap audit.
+  */
+class CurationOpsSpec extends SparkTestBase {
+
+  private lazy val nDocs =
+    spark.read.parquet(s"$Sf/documents.parquet").count()
+
+  test("bm25: per-query top-k, positive scores, hits contain a query term") {
+    val res = Retrieval.bm25TopK(spark, Sf).cache()
+    val perQ = res.groupBy("qid").agg(count(lit(1)).as("k")).collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 10))
+    assert(res.filter(col("score") <= 0.0).isEmpty, "Lucene +1 idf keeps scores positive")
+    // every returned doc must actually contain a term of its query
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val terms = Retrieval.Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    import spark.implicits._
+    val qt = terms.toDF("qid", "term")
+    val bad = res.join(docs, "doc_id").join(qt, "qid")
+      .groupBy("qid", "doc_id")
+      .agg(max(expr("array_contains(split(text, ' '), term)")).as("hit"))
+      .filter(!col("hit"))
+    assert(bad.isEmpty, "a ranked doc contains none of its query's terms")
+    res.unpersist()
+  }
+
+  test("bm25: ranking is deterministic across partitionings") {
+    val a = Retrieval.bm25TopK(spark, Sf).collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Retrieval.bm25TopK(spark, Sf).collect().toSeq
+      assert(a == b, "fixed-point ranking must not depend on partition layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("dsir: estimator favors target-like documents and the draw is exact-size") {
+    val w = Importance.weights(spark, Sf).cache()
+    assert(w.count() == nDocs)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val byLang = w.join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("log_weight") / col("n_tokens")).as("mw"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(byLang(true) > byLang(false),
+      s"en docs must out-weight non-en under an en-target estimator: $byLang")
+    val s = Importance.sample(spark, Sf)
+    assert(s.count() == math.floor(0.25 * nDocs).toLong)
+    val s2 = Importance.sample(spark, Sf).collect().toSeq
+    assert(s.collect().toSeq == s2, "hash-seeded Gumbel draw must be deterministic")
+    w.unpersist()
+  }
+
+  test("pagerank: mass conserved, strictly positive, partition-independent") {
+    val pr = LinkGraph.pageRank(spark, Sf).cache()
+    val total = pr.agg(sum("pr")).collect()(0).getDouble(0)
+    // fixed-point contributions truncate at 1e-9 per edge; mass stays
+    // within that tolerance of 1
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass $total drifted from 1")
+    assert(pr.filter(col("pr") <= 0.0).isEmpty, "teleportation floors every rank")
+    val a = pr.collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = LinkGraph.pageRank(spark, Sf).collect().toSeq
+      assert(a == b, "fixed-point power iteration must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    pr.unpersist()
+  }
+
+  test("pagerank: a transition sink out-ranks the uniform floor") {
+    val pr = LinkGraph.pageRank(spark, Sf)
+    val edges = LinkGraph.transitionEdges(spark, Sf)
+    val n = pr.count().toDouble
+    // the most-cited node must beat 1/n (it receives real mass)
+    val topIn = edges.groupBy("dst").agg(sum("weight").as("w"))
+      .orderBy(desc("w"), asc("dst")).limit(1)
+      .collect()(0).getLong(0)
+    val r = pr.filter(col("node") === topIn).collect()(0).getDouble(1)
+    assert(r > 1.0 / n, s"hub node $topIn rank $r not above uniform ${1.0 / n}")
+  }
+
+  test("perplexity buckets: thirds partition the scored corpus") {
+    val b = TextAnalysis.perplexityBuckets(spark, Sf).cache()
+    val counts = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    val n = counts.values.sum
+    assert(counts.values.forall(c => math.abs(c - n / 3.0) <= 2),
+      s"cut must be thirds: $counts")
+    // head really is the high-logprob end
+    val hm = b.groupBy("bucket").agg(min("mean_logprob").as("lo"), max("mean_logprob").as("hi"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(hm("head")._1 >= hm("middle")._2 || hm("head")._1 >= hm("tail")._2)
+    b.unpersist()
+  }
+
+  test("source overlap: planted near-dups share opening spans across sources") {
+    val o = CorpusPrep.sourceOverlap(spark, Sf)
+    val rows = o.collect()
+    assert(rows.nonEmpty, "fixture plants cross-source near-dups")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "each unordered pair appears once")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("plan audit: bm25 joins the query set broadcast; dsir scoring broadcasts the estimator") {
+    val bm = Retrieval.bm25TopK(spark, Sf).queryExecution.executedPlan.toString
+    assert(bm.contains("BroadcastHashJoin"), bm)
+    assert(!bm.contains("CartesianProduct"), bm)
+    val dw = Importance.weights(spark, Sf).queryExecution.executedPlan.toString
+    assert(dw.contains("BroadcastHashJoin"), dw)
+    assert(!dw.contains("SortMergeJoin"),
+      s"the 256-row estimator must broadcast back to the token stream:\n$dw")
+  }
+}
