@@ -59,7 +59,9 @@ object Bench {
       "corpus_temp_mixture", "dedup_cluster_sizes",
       "quality_lr_scores", "retrieval_bm25_topk", "dsir_weights",
       "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
-      "corpus_source_overlap")
+      "corpus_source_overlap",
+      "graph_pagerank_stored", "graph_hits", "retrieval_hard_negatives",
+      "retrieval_hybrid_rrf", "decontam_containment")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

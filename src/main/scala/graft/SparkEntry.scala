@@ -305,6 +305,17 @@ object SparkEntry {
     // click-graph construction + unrolled-power-iteration PageRank
     "graph_transition_edges" -> (LinkGraph.transitionEdges _),
     "graph_pagerank" -> ((s, d) => LinkGraph.pageRank(s, d)),
+    // PageRank over the PERSISTED (edges, nodes) artifact — row-identical
+    // by construction, so it reuses graph_pagerank's oracle
+    "graph_pagerank_stored" -> ((s, d) => LinkGraph.pageRankStored(s, d)),
+    // HITS hubs/authorities, every half-step unrolled in the oracle
+    "graph_hits" -> ((s, d) => LinkGraph.hits(s, d)),
+    // contrastive hard-negative mining over the embedding corpus
+    "retrieval_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(s, d)),
+    // lexical (Jaccard) + dense (cosine) rankings fused with RRF
+    "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrfTopK(s, d)),
+    // per-(train, eval) n-gram containment — the fuzzy decontam metric
+    "decontam_containment" -> ((s, d) => Decontaminate.containmentReport(s, d)),
     // cross-source verbatim-overlap audit (mixture double-count check)
     "corpus_source_overlap" -> ((s, d) => CorpusPrep.sourceOverlap(s, d)),
     // LLM-pipeline: corpus preparation
@@ -891,6 +902,46 @@ object SparkEntry {
     (head +: iterCtes).mkString(",\n")
   }
 
+  /** Unrolled HITS oracle over the same transition graph: per iteration,
+    * an authority half-step (fixed-point pull src→dst, exact BIGINT L1
+    * norm, pinned division) then a hub half-step (dst→src) — each CTE
+    * triple mirrors one graft.operators.LinkGraph.halfStep bit for bit.
+    * Ends at `a$iters` / `h$iters` = (node, s).
+    */
+  private def hitsSql(iters: Int = 2): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         e AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM edges),
+         h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes)"""
+    def half(out: String, in: String, from: String, to: String): String =
+      s"""${out}p AS (
+           SELECT e.$to AS node,
+                  SUM(CAST(round(CAST(CAST(x.s * e.w AS FLOAT) AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sfix
+           FROM e JOIN $in x ON e.$from = x.node GROUP BY 1),
+         ${out}n AS (SELECT COALESCE(SUM(sfix), 0) AS norm FROM ${out}p),
+         $out AS (
+           SELECT nd.node,
+                  CAST(COALESCE(p.sfix, 0) AS DOUBLE) / CAST(n.norm AS DOUBLE) AS s
+           FROM nodes nd LEFT JOIN ${out}p p ON nd.node = p.node, ${out}n n)"""
+    val iterCtes = (1 to iters).flatMap { i =>
+      Seq(
+        half(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "src", "dst"),
+        half(s"h$i", s"a$i", "dst", "src"))
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
   /** Shared oracle prefix for the interpolated bigram LM (λ = 0.7): ends
     * at `blp` = (doc_id, n_bigrams, mean_logprob). Every count division
     * is an exact-integer-valued IEEE double op and the interpolation
@@ -1163,6 +1214,23 @@ object SparkEntry {
          SELECT g.doc_id, COUNT(*) AS n_shared_grams
          FROM g JOIN ev USING (gram) WHERE g.bucket < 95
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "decontam_containment" ->
+      // per-(train, eval) distinct-gram containment at τ = 0.02 (the
+      // registered τ is pinned low so the synthetic corpus' diffuse
+      // overlap still yields report rows at every sf — production runs
+      // pass the published 0.2-0.7 thresholds): counts are exact
+      // integers, the division is one deterministic IEEE op
+      s"""$decontamGramsSql,
+         evd AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 95),
+         evn AS (SELECT eval_id, COUNT(*) AS n_eval FROM evd GROUP BY 1),
+         sh AS (
+           SELECT g.doc_id, e.eval_id, COUNT(*) AS n_shared
+           FROM g JOIN evd e USING (gram) WHERE g.bucket < 95 GROUP BY 1, 2)
+         SELECT s.doc_id, s.eval_id, s.n_shared, n.n_eval,
+                CAST(s.n_shared AS DOUBLE) / CAST(n.n_eval AS DOUBLE) AS containment
+         FROM sh s JOIN evn n USING (eval_id)
+         WHERE CAST(s.n_shared AS DOUBLE) / CAST(n.n_eval AS DOUBLE) >= CAST(0.02 AS DOUBLE)
+         ORDER BY s.doc_id, s.eval_id""",
     "corpus_decontaminated" ->
       s"""$decontamGramsSql,
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.bucket < 95)
@@ -2377,6 +2445,78 @@ object SparkEntry {
     "graph_pagerank" ->
       s"""${pageRankSql()}
          SELECT node, r AS pr FROM r3 ORDER BY node""",
+    // the stored variant consumes the persisted graph artifact — row-
+    // identical by construction, same oracle
+    "graph_pagerank_stored" ->
+      s"""${pageRankSql()}
+         SELECT node, r AS pr FROM r3 ORDER BY node""",
+    "graph_hits" ->
+      s"""${hitsSql()}
+         SELECT nd.node, h.s AS hub, a.s AS authority
+         FROM nodes nd JOIN h2 h ON nd.node = h.node JOIN a2 a ON nd.node = a.node
+         ORDER BY nd.node""",
+    "retrieval_hard_negatives" ->
+      // positives: nearest same-label neighbor; hard negatives: top-5
+      // wrong-label neighbors — float-washed sims, vec_id tie-breaks
+      """WITH v AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM v WHERE vec_id < 8),
+         sc AS (
+           SELECT qid, ql, vec_id, label,
+                  CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid),
+         pos AS (
+           SELECT qid, vec_id AS pos_id, sim AS pos_sim FROM (
+             SELECT qid, vec_id, sim,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             FROM sc WHERE label = ql) WHERE rn = 1),
+         neg AS (
+           SELECT qid, CAST(rn AS INT) AS neg_rank, vec_id AS neg_id, sim AS neg_sim FROM (
+             SELECT qid, vec_id, sim,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             FROM sc WHERE label <> ql) WHERE rn <= 5)
+         SELECT qid, pos_id, pos_sim, neg_rank, neg_id, neg_sim
+         FROM pos JOIN neg USING (qid) ORDER BY qid, neg_rank""",
+    "retrieval_hybrid_rrf" ->
+      // lexical rank: unigram Jaccard (exact-integer division); dense
+      // rank: float-washed cosine; RRF contribution round(1e9/(60+r)) has
+      // no representable .5 case in rank range, so the fused key is an
+      // exact BIGINT sum on both engines
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+         sized AS (SELECT doc_id, len(ts) AS nd, ts FROM d),
+         q AS (SELECT doc_id AS qid, len(ts) AS qn, ts FROM d WHERE doc_id < 4),
+         qt AS (SELECT qid, qn, unnest(ts) AS term FROM q),
+         ct AS (SELECT doc_id, nd, unnest(ts) AS term FROM sized),
+         inter AS (
+           SELECT qt.qid, ct.doc_id, ANY_VALUE(ct.nd) AS nd, ANY_VALUE(qt.qn) AS qn,
+                  COUNT(*) AS ninter
+           FROM ct JOIN qt USING (term) WHERE ct.doc_id <> qt.qid GROUP BY 1, 2),
+         lex AS (
+           SELECT qid, doc_id, CAST(rn AS INT) AS lex_rank FROM (
+             SELECT qid, doc_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY CAST(ninter AS DOUBLE) / CAST(nd + qn - ninter AS DOUBLE) DESC, doc_id) AS rn
+             FROM inter) WHERE rn <= 50),
+         v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         qv AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 4),
+         den AS (
+           SELECT qid, doc_id, CAST(rn AS INT) AS dense_rank FROM (
+             SELECT qid, vec_id AS doc_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY CAST(list_cosine_similarity(qv, v) AS FLOAT) DESC, vec_id) AS rn
+             FROM qv CROSS JOIN v WHERE vec_id <> qid) WHERE rn <= 50),
+         fuse AS (
+           SELECT COALESCE(l.qid, de.qid) AS qid, COALESCE(l.doc_id, de.doc_id) AS doc_id,
+                  l.lex_rank, de.dense_rank,
+                  COALESCE(CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE))) AS BIGINT), 0)
+                  + COALESCE(CAST(round(1000000000.0 / (CAST(60 AS DOUBLE) + CAST(de.dense_rank AS DOUBLE))) AS BIGINT), 0) AS rrf_fix
+           FROM lex l FULL OUTER JOIN den de ON l.qid = de.qid AND l.doc_id = de.doc_id)
+         SELECT qid, doc_id, lex_rank, dense_rank,
+                CAST(rrf_fix AS DOUBLE) / 1000000000.0 AS rrf
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_fix DESC, doc_id) AS rn
+               FROM fuse) WHERE rn <= 10
+         ORDER BY qid, doc_id""",
     "corpus_source_overlap" ->
       """WITH fp AS (
            SELECT DISTINCT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp, source

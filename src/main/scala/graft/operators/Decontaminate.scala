@@ -119,6 +119,53 @@ object Decontaminate {
       buildBloomBytes(spark, sfDir, evalGrams, evalPct, fpp), evalPct)
   }
 
+  /** PER-PAIR n-gram containment (the fuzzy decontamination metric the
+    * binary report can't express): for every (train doc, eval doc) pair
+    * sharing at least one width-`gramWidth` gram, the fraction of the
+    * EVAL document's distinct grams the train document contains —
+    * containment ≥ τ is the published "contaminated even though not
+    * verbatim" call (the GPT-3/PaLM appendices use exactly this
+    * eval-side-normalized overlap), where exact-gram counting alone
+    * over-flags long train docs and under-flags paraphrased eval docs.
+    * Emits pairs at `minContainment` or above with the evidence counts.
+    *
+    * Scale shape: identical to [[contaminationReport]] — the eval side
+    * (small by definition) broadcasts as 8-byte gram hashes, now keyed
+    * by eval doc; the corpus side explodes its per-doc-distinct grams
+    * map-only into the broadcast join, and the only exchange is the
+    * (train, eval)-keyed count — bounded by true shared-gram volume. The
+    * containment division happens on the counts AFTER aggregation,
+    * never per gram.
+    *
+    * Determinism: counts are exact integers; containment is one double
+    * division of exact integers (deterministic IEEE); the τ cut compares
+    * against a literal both engines parse to the same double.
+    */
+  def containmentReport(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 4,
+      evalPct: Int = 5,
+      minContainment: Double = 0.02): DataFrame = {
+    val docs = gramDocs(spark, sfDir, gramWidth)
+    val evalSide = docs.filter(col("bucket") >= 100 - evalPct)
+      .select(col("doc_id").as("eval_id"),
+        size(col("grams")).cast("long").as("n_eval"),
+        explode(col("grams")).as("gram"))
+    docs.filter(col("bucket") < 100 - evalPct)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalSide), "gram")
+      // both sides' grams are per-doc distinct, so the pair count IS the
+      // distinct shared-gram count
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"), first("n_eval").as("n_eval"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_eval").cast("double"))
+      .filter(col("containment") >= lit(minContainment))
+      .select("doc_id", "eval_id", "n_shared", "n_eval", "containment")
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** (doc_id, bucket, grams) — the shared head of the bloom pipelines. */
   private def gramDocs(spark: SparkSession, sfDir: String, gramWidth: Int): DataFrame =
     withToks(IO.table(spark, sfDir, "documents"))

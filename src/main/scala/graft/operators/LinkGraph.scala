@@ -62,12 +62,18 @@ object LinkGraph {
       spark: SparkSession,
       sfDir: String,
       iters: Int = 3,
-      d: Double = 0.85): DataFrame = {
-    val edges = transitionEdges(spark, sfDir)
-      .select("src", "dst", "weight")
-    val nodes = items(spark, sfDir)
-      .select(col("item").as("node")).distinct()
-      .localCheckpoint()
+      d: Double = 0.85): DataFrame =
+    pageRankOver(
+      transitionEdges(spark, sfDir).select("src", "dst", "weight"),
+      items(spark, sfDir).select(col("item").as("node")).distinct()
+        .localCheckpoint(),
+      iters, d)
+
+  private def pageRankOver(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iters: Int,
+      d: Double): DataFrame = {
     val outw = edges.groupBy(col("src"))
       .agg(sum("weight").cast("double").as("outw"))
     // edge side enriched with its src's total out-weight once, before
@@ -103,5 +109,137 @@ object LinkGraph {
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("pr")).orderBy("node")
+  }
+
+  /** Content-keyed artifact location for the persisted transition graph —
+    * the [[Cluster.componentArtifactPath]] convention: the key
+    * fingerprints the events table from footer metadata (row count +
+    * uncompressed props bytes, no Spark job), so a changed corpus primes
+    * a fresh artifact instead of silently reusing a stale graph.
+    */
+  private[graft] def graphArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String = {
+    val evPath = s"$sfDir/events.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, evPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, evPath, "props")}"
+    val key = s"graph_v1|$sfDir|transitions|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_graph_$digest"
+  }
+
+  /** Mine the transition graph ONCE and persist both halves of the
+    * artifact — the weighted edge list and the node universe (isolated
+    * items hold rank mass, so the node list cannot be re-derived from the
+    * edges alone). Every iterative consumer (PageRank, HITS, any future
+    * walk) then reads two small parquet scans instead of re-running the
+    * event-scale sessionization window — the graph analogue of the
+    * train-once codebook contract.
+    */
+  def persistTransitionGraph(spark: SparkSession, sfDir: String): String = {
+    val path = graphArtifactPath(spark, sfDir)
+    transitionEdges(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$path/edges")
+    items(spark, sfDir).select(col("item").as("node")).distinct()
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    path
+  }
+
+  /** The persisted (edges, nodes) pair, self-priming on first use. */
+  private[graft] def transitionGraphStored(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val path = graphArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "nodes")))
+      persistTransitionGraph(spark, sfDir)
+    (spark.read.parquet(s"$path/edges"), spark.read.parquet(s"$path/nodes"))
+  }
+
+  /** [[pageRank]] consuming the PERSISTED transition graph: repeat
+    * invocations pay |edges| + |nodes| artifact scans plus the
+    * |nodes|-bounded iteration loop — the event-scale window and edge
+    * aggregation run only at priming. Row-identical by construction (the
+    * artifact IS the graph), so the registered row keeps [[pageRank]]'s
+    * oracle.
+    */
+  def pageRankStored(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3,
+      d: Double = 0.85): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    pageRankOver(edges, nodes, iters, d)
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the transition
+    * graph — the complementary centrality to [[pageRank]]: authorities
+    * are items many strong hubs point AT, hubs are items that point at
+    * strong authorities (in curation terms: link-farm detection and
+    * directory-page discovery run on exactly this pair). Runs `iters`
+    * rounds of the mutual-reinforcement update with L1 normalization:
+    *   a(v) = Σ_{u→v} h(u)·w(u,v) / ‖·‖₁,   h(u) = Σ_{u→v} a(v)·w(u,v) / ‖·‖₁
+    *
+    * Scale shape: identical to [[pageRank]] — the edge list never
+    * shuffles inside the loop (the |nodes|-row score vector broadcasts to
+    * the edge side), each half-step's exchange is one node-keyed
+    * map-side-combined sum, and the L1 norm is an exact BIGINT driver
+    * scalar (the dangling-mass contract).
+    *
+    * Determinism: per-edge products are float-washed then fixed-pointed
+    * to round(·×10⁹) BIGINT before the per-node sum; the norm is the
+    * exact BIGINT sum of those sums, and the normalized score is the
+    * pinned division fix/norm — bit-identical across partition orders
+    * and engines; the oracle unrolls every half-step.
+    */
+  def hits(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).localCheckpoint()
+    // h₀ = 1 for every node; each half-step ends L1-normalized, so the
+    // init scale cancels after the first authority update
+    var hubs = nodes.withColumn("s", lit(1.0)).localCheckpoint()
+    var auths = nodes.withColumn("s", lit(0.0))
+    for (_ <- 0 until iters) {
+      auths = halfStep(e, nodes, hubs, "src", "dst")
+      hubs = halfStep(e, nodes, auths, "dst", "src")
+    }
+    nodes
+      .join(broadcast(hubs.select(col("node"), col("s").as("hub"))),
+        Seq("node"), "left")
+      .join(broadcast(auths.select(col("node"), col("s").as("authority"))),
+        Seq("node"), "left")
+      .select(col("node"), col("hub"), col("authority"))
+      .orderBy("node")
+  }
+
+  /** One HITS half-step: pull `scores` across the edges from `from` to
+    * `to`, fixed-point-sum per target node, L1-normalize by the exact
+    * BIGINT total, null-fill unreached nodes with 0.
+    */
+  private def halfStep(
+      e: DataFrame,
+      nodes: DataFrame,
+      scores: DataFrame,
+      from: String,
+      to: String): DataFrame = {
+    val pulled = e
+      .join(broadcast(scores.withColumnRenamed("node", from)), Seq(from))
+      .select(col(to).as("node"),
+        round((col("s") * col("w")).cast("float") * lit(1000000000.0), 0)
+          .cast("long").as("cfix"))
+      .groupBy("node")
+      .agg(sum("cfix").as("sfix"))
+    val norm = pulled.agg(coalesce(sum("sfix"), lit(0L)))
+      .collect()(0).getLong(0)
+    nodes
+      .join(pulled, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("sfix"), lit(0L)).cast("double")
+          / lit(norm.toDouble)).as("s"))
+      .localCheckpoint()
   }
 }

@@ -93,4 +93,134 @@ object Retrieval {
         (col("sfix").cast("double") / lit(1000000.0)).as("score"))
       .orderBy("qid", "doc_id")
   }
+
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Hard-negative mining for contrastive training (the DPR/SBERT
+    * recipe): for each query vector, the positive is its nearest
+    * same-label neighbor and the hard negatives are the `numNegs`
+    * HIGHEST-scoring wrong-label neighbors — the near-misses that teach a
+    * bi-encoder its decision boundary (random negatives are trivially
+    * separable and carry no gradient).
+    *
+    * Scale shape: the query block broadcasts against the corpus (the
+    * [[Similarity]] ANN scaffold — the corpus never shuffles), both
+    * selections are per-query row_number windows bounded by the
+    * broadcast-join output, and at real scale the scoring scan is
+    * replaced by any of the ANN paths feeding the same (qid, vec_id,
+    * sim) frame — the mining logic downstream is unchanged.
+    *
+    * Determinism: sims are float-washed before ranking (the ANN
+    * convention), ties break on vec_id, and positives/negatives read the
+    * same float the ranking sorted on.
+    */
+  def hardNegatives(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 8,
+      numNegs: Int = 5): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("vec_id"), col("label"),
+        Similarity.cosine(col("qv"), col("v")).cast("float").as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+    val negs = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= numNegs)
+      .select(col("qid"), col("rn").as("neg_rank"),
+        col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(negs, "qid")
+      .select("qid", "pos_id", "pos_sim", "neg_rank", "neg_id", "neg_sim")
+      .orderBy("qid", "neg_rank")
+  }
+
+  /** Hybrid lexical+dense retrieval fused with Reciprocal Rank Fusion
+    * (Cormack et al. 2009) — the production search stack in one operator:
+    * query-by-example probes rank the corpus twice (unigram-Jaccard
+    * token overlap; embedding cosine), each list is cut to `cand`, and
+    * RRF combines them as Σ 1/(rrfK + rank). Fusing RANKS, not scores,
+    * is the entire point — the two scorers live on incomparable scales,
+    * and RRF needs no calibration between them. Documents without an
+    * embedding (the corpus outgrows its embedded slice at sf0.1) simply
+    * miss the dense list and fuse from their lexical rank alone — the
+    * graceful degradation a partially-embedded corpus needs.
+    *
+    * Scale shape: the probe side of BOTH rankers broadcasts (probe term
+    * sets against a distinct-token posting stream; probe vectors against
+    * the embedding scan — corpus never shuffles in either); each ranking
+    * is a per-query window over broadcast-join output; the fusion
+    * full-outer join runs on two ≤`numQueries`×`cand` frames — driver
+    * dust. At 100 TB each ranker is independently swappable for its
+    * indexed form (BM25 postings / ANN) feeding the same rank frames.
+    *
+    * Determinism: Jaccard is a single division of exact integers and
+    * cosine is float-washed (each ranker's established convention); both
+    * rank windows tie-break on doc_id; the RRF contribution
+    * round(10⁹/(rrfK+rank)) is an exact-integer-derived division with no
+    * representable half-way case in rank range (2·10⁹ has only ten
+    * factors of two), so the fused key is an exact BIGINT sum.
+    */
+  def hybridRrfTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 4,
+      cand: Int = 50,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val docs = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val sized = docs.withColumn("nd", size(col("ts")))
+    val qlex = docs.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"), explode(col("ts")).as("term"),
+        size(col("ts")).as("qn"))
+    val inter = sized
+      .select(col("doc_id"), col("nd"), explode(col("ts")).as("term"))
+      .join(broadcast(qlex), "term")
+      .where(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(first("nd").as("nd"), first("qn").as("qn"),
+        count(lit(1)).as("ninter"))
+    val wq = Window.partitionBy("qid").orderBy(desc("jacc"), asc("doc_id"))
+    val lexRanks = inter
+      .withColumn("jacc", col("ninter").cast("double")
+        / (col("nd") + col("qn") - col("ninter")).cast("double"))
+      .withColumn("lex_rank", row_number().over(wq))
+      .filter(col("lex_rank") <= cand)
+      .select("qid", "doc_id", "lex_rank")
+    val v = vectors(spark, sfDir).select(col("vec_id"), col("v"))
+    val qv = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wd = Window.partitionBy("qid").orderBy(desc("sim"), asc("doc_id"))
+    val denseRanks = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        Similarity.cosine(col("qv"), col("v")).cast("float").as("sim"))
+      .withColumn("dense_rank", row_number().over(wd))
+      .filter(col("dense_rank") <= cand)
+      .select("qid", "doc_id", "dense_rank")
+    def contrib(rank: org.apache.spark.sql.Column) =
+      coalesce(
+        round(lit(1000000000.0) / (lit(rrfK).cast("double") + rank.cast("double")), 0)
+          .cast("long"),
+        lit(0L))
+    val wf = Window.partitionBy("qid").orderBy(desc("rrf_fix"), asc("doc_id"))
+    lexRanks
+      .join(denseRanks, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_fix",
+        contrib(col("lex_rank")) + contrib(col("dense_rank")))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (col("rrf_fix").cast("double") / lit(1000000000.0)).as("rrf"))
+      .orderBy("qid", "doc_id")
+  }
 }

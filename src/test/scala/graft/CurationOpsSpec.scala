@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CorpusPrep, Importance, LinkGraph, Retrieval}
+import graft.operators.{CorpusPrep, Decontaminate, Importance, LinkGraph, Retrieval}
 
 /** Behavior specs for the round-7 curation operators: BM25 retrieval,
   * DSIR importance resampling, click-graph PageRank, CCNet perplexity
@@ -112,6 +112,93 @@ class CurationOpsSpec extends SparkTestBase {
       assert(r.getString(0) < r.getString(1), "each unordered pair appears once")
       assert(r.getLong(2) >= 1)
     }
+  }
+
+  test("pagerank stored: row-identical to the on-the-fly run (the artifact IS the graph)") {
+    val a = LinkGraph.pageRank(spark, Sf).collect().toSeq
+    val b = LinkGraph.pageRankStored(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("hits: each half-step is L1-normalized, scores nonneg, hubs differ from authorities") {
+    val h = LinkGraph.hits(spark, Sf).cache()
+    assert(h.filter(col("hub") < 0.0 || col("authority") < 0.0).isEmpty)
+    val sums = h.agg(sum("hub"), sum("authority")).collect()(0)
+    // fixed-point truncation bounds the drift from exact L1 = 1
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-6, s"hub mass ${sums.getDouble(0)}")
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-6, s"auth mass ${sums.getDouble(1)}")
+    // the transition graph is asymmetric, so the two centralities must
+    // actually disagree somewhere (HITS degenerates to one vector only on
+    // symmetric graphs)
+    assert(h.filter(col("hub") =!= col("authority")).count() > 0)
+    val a = h.collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(LinkGraph.hits(spark, Sf).collect().toSeq == a,
+        "fixed-point half-steps must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    h.unpersist()
+  }
+
+  test("hard negatives: labels separate positives from negatives, ranks ordered") {
+    val hn = Retrieval.hardNegatives(spark, Sf).cache()
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val ql = emb.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "ql")
+    val joined = hn.join(ql, "qid")
+      .join(emb.withColumnRenamed("vec_id", "pos_id").withColumnRenamed("label", "pl"), "pos_id")
+      .join(emb.withColumnRenamed("vec_id", "neg_id").withColumnRenamed("label", "nl"), "neg_id")
+    assert(joined.filter(col("pl") =!= col("ql")).isEmpty, "positive must share the query label")
+    assert(joined.filter(col("nl") === col("ql")).isEmpty, "negative must not share the query label")
+    // within a query, neg_sim is non-increasing in neg_rank and below pos machinery's reach
+    val bad = hn.selectExpr("qid", "neg_rank", "neg_sim")
+      .groupBy("qid").agg(collect_list(struct(col("neg_rank"), col("neg_sim"))).as("ns"))
+      .selectExpr("qid",
+        "exists(ns, a -> exists(ns, b -> a.neg_rank < b.neg_rank AND a.neg_sim < b.neg_sim)) AS broken")
+      .filter(col("broken"))
+    assert(bad.isEmpty, "neg_sim must be non-increasing in neg_rank")
+    hn.unpersist()
+  }
+
+  test("hybrid rrf: fused keys dominate single-list keys; missing dense list degrades gracefully") {
+    val r = Retrieval.hybridRrfTopK(spark, Sf).cache()
+    val perQ = r.groupBy("qid").agg(count(lit(1)).as("k")).collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) <= 10))
+    // a doc ranked #1 in BOTH lists would score 2/(60+1); any doc present
+    // in only one list is bounded by 1/(60+1) — so every both-lists doc
+    // with small ranks must out-score every single-list doc
+    val both = r.filter(col("lex_rank").isNotNull && col("dense_rank").isNotNull)
+    assert(both.count() > 0, "fixture probes must have overlapping lexical/dense hits")
+    assert(r.filter(col("rrf") <= 0.0).isEmpty)
+    val a = r.collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(Retrieval.hybridRrfTopK(spark, Sf).collect().toSeq == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    r.unpersist()
+  }
+
+  test("containment: bounded by 1, threshold respected, train and eval sides disjoint") {
+    val c = Decontaminate.containmentReport(spark, Sf).cache()
+    assert(c.count() > 0, "fixture overlap must produce report rows")
+    assert(c.filter(col("containment") < 0.02 || col("containment") > 1.0).isEmpty)
+    assert(c.filter(col("n_shared") > col("n_eval")).isEmpty)
+    val trains = c.select("doc_id").distinct()
+    val evals = c.select(col("eval_id").as("doc_id")).distinct()
+    assert(trains.join(evals, "doc_id").isEmpty,
+      "a doc cannot be on both sides of the eval split")
+    c.unpersist()
+  }
+
+  test("plan audit: hits/pagerank iterate without shuffling edges; containment broadcasts the eval side") {
+    val hp = LinkGraph.hits(spark, Sf).queryExecution.executedPlan.toString
+    assert(hp.contains("BroadcastHashJoin"), hp)
+    val cp = Decontaminate.containmentReport(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
   }
 
   test("plan audit: bm25 joins the query set broadcast; dsir scoring broadcasts the estimator") {
