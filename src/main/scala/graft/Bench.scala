@@ -61,7 +61,9 @@ object Bench {
       "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
       "corpus_source_overlap",
       "graph_pagerank_stored", "graph_hits", "retrieval_hard_negatives",
-      "retrieval_hybrid_rrf", "decontam_containment")
+      "retrieval_hybrid_rrf", "decontam_containment",
+      "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
+      "graph_ppr", "graph_random_walks")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

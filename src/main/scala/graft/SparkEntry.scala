@@ -310,6 +310,10 @@ object SparkEntry {
     "graph_pagerank_stored" -> ((s, d) => LinkGraph.pageRankStored(s, d)),
     // HITS hubs/authorities, every half-step unrolled in the oracle
     "graph_hits" -> ((s, d) => LinkGraph.hits(s, d)),
+    // personalized PageRank from the pinned seed set (node % 10 = 0)
+    "graph_ppr" -> ((s, d) => LinkGraph.personalizedPageRank(s, d)),
+    // deterministic weighted random walks (hash-derandomized DeepWalk)
+    "graph_random_walks" -> ((s, d) => LinkGraph.randomWalks(s, d)),
     // contrastive hard-negative mining over the embedding corpus
     "retrieval_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(s, d)),
     // lexical (Jaccard) + dense (cosine) rankings fused with RRF
@@ -318,6 +322,12 @@ object SparkEntry {
     "decontam_containment" -> ((s, d) => Decontaminate.containmentReport(s, d)),
     // cross-source verbatim-overlap audit (mixture double-count check)
     "corpus_source_overlap" -> ((s, d) => CorpusPrep.sourceOverlap(s, d)),
+    // interpolated Kneser-Ney bigram LM (D = 0.75)
+    "txt_kn_logprob" -> ((s, d) => TextAnalysis.knLogProb(s, d)),
+    // token-budget mixture planner with epoch-capped repetition
+    "corpus_budget_mix" -> ((s, d) => CorpusPrep.budgetMix(s, d)),
+    // embedding spikiness (L∞) z-score outlier gate
+    "emb_outlier_report" -> ((s, d) => Similarity.embSpikeOutliers(s, d)),
     // LLM-pipeline: corpus preparation
     // numShards pinned to 32: the DuckDB oracle hard-codes `doc_id % 32`;
     // the unpinned default derives the count from corpus size
@@ -900,6 +910,96 @@ object SparkEntry {
            FROM nodes nd LEFT JOIN s$i s ON nd.node = s.node, d$i d, nn)"""
     }
     (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Unrolled personalized-PageRank oracle: the [[pageRankSql]] loop with
+    * teleportation — and dangling mass — returning to the pinned seed
+    * set (node % 10 = 0) via the per-node `tele` column; the rank update
+    * replays graft.operators.LinkGraph.personalizedPageRank's pinned
+    * arithmetic (NOT the uniform loop's driver-folded constants).
+    */
+  private def pprSql(iters: Int = 3): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         outw AS (SELECT src, CAST(SUM(weight) AS DOUBLE) AS outw FROM edges GROUP BY 1),
+         en AS (
+           SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / o.outw AS share
+           FROM edges e JOIN outw o USING (src)),
+         sd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes WHERE node % 10 = 0),
+         tele AS (
+           SELECT node,
+                  CASE WHEN node % 10 = 0 THEN CAST(1.0 AS DOUBLE) / sd.ns
+                       ELSE CAST(0.0 AS DOUBLE) END AS tele
+           FROM nodes, sd),
+         r0 AS (SELECT node, tele AS r FROM tele)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (
+           SELECT en.dst AS node,
+                  SUM(CAST(round(CAST(CAST(r.r * en.share AS FLOAT) AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sfix
+           FROM en JOIN r${i - 1} r ON en.src = r.node GROUP BY 1),
+         d$i AS (
+           SELECT COALESCE(SUM(CAST(round(r.r * 1000000000.0) AS BIGINT)), 0) AS dfix
+           FROM r${i - 1} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+         r$i AS (
+           SELECT t.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+                  + CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(s.sfix, 0) AS DOUBLE) / 1000000000.0)
+                                            + (CAST(d.dfix AS DOUBLE) / 1000000000.0) * t.tele) AS r
+           FROM tele t LEFT JOIN s$i s ON t.node = s.node, d$i d)"""
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Unrolled deterministic-random-walk oracle: exact integer
+    * cumulative-weight spans per out-edge set, then one CTE per step
+    * drawing u = md5(walk:step) mod outweight and stepping by interval
+    * containment — graft.operators.LinkGraph.randomWalks replayed
+    * join for join (no floating point anywhere).
+    */
+  private def walksSql(length: Int = 4): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         sp AS (
+           SELECT src, dst, weight,
+                  SUM(weight) OVER (PARTITION BY src ORDER BY dst ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(weight) OVER (PARTITION BY src ORDER BY dst ROWS UNBOUNDED PRECEDING) - weight AS lo,
+                  SUM(weight) OVER (PARTITION BY src) AS total
+           FROM edges),
+         w0 AS (SELECT node AS walk_id, node AS cur FROM nodes)"""
+    val stepCtes = (1 to length).map { t =>
+      s"""w$t AS (
+           SELECT w.walk_id, s.dst AS cur
+           FROM w${t - 1} w JOIN sp s ON w.cur = s.src
+           WHERE (('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':' || '$t'), 1, 8))::BIGINT % s.total) >= s.lo
+             AND (('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':' || '$t'), 1, 8))::BIGINT % s.total) < s.hi)"""
+    }
+    val union = (0 to length)
+      .map(t => s"SELECT walk_id, $t AS step, cur AS node FROM w$t")
+      .mkString("\n           UNION ALL ")
+    (head +: stepCtes).mkString(",\n") +
+      s"\n         SELECT walk_id, step, node FROM (\n           $union)\n         ORDER BY walk_id, step"
   }
 
   /** Unrolled HITS oracle over the same transition graph: per iteration,
@@ -1763,6 +1863,83 @@ object SparkEntry {
                      WHEN pr < (CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM pr ORDER BY doc_id""",
+    "txt_kn_logprob" ->
+      // interpolated Kneser-Ney, D = 0.75: continuation counts N₁₊ are
+      // exact integers (their total IS the bigram type count), the
+      // discount/backoff chain replays in pinned order, and the log
+      // follows the float-then-fixed-point convention
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         occ AS (
+           SELECT doc_id, toks[i.i - 1] AS prev, toks[i.i] AS cur
+           FROM t, unnest(range(2, len(toks) + 1)) AS i(i)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM occ GROUP BY 1, 2),
+         ctx AS (SELECT prev, CAST(SUM(bcnt) AS BIGINT) AS cctx, COUNT(*) AS n1p_v FROM bi GROUP BY 1),
+         cont AS (SELECT cur, COUNT(*) AS n1p_w FROM bi GROUP BY 1),
+         tt AS (SELECT CAST(SUM(n1p_w) AS BIGINT) AS tt FROM cont),
+         lp AS (
+           SELECT o.doc_id,
+                  CAST(round(CAST(CAST(ln(
+                    (greatest(CAST(b.bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                      / CAST(x.cctx AS DOUBLE))
+                    + (((CAST(0.75 AS DOUBLE) * CAST(x.n1p_v AS DOUBLE)) / CAST(x.cctx AS DOUBLE))
+                      * (CAST(c.n1p_w AS DOUBLE) / CAST(tt.tt AS DOUBLE)))
+                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS lpf
+           FROM occ o
+             JOIN bi b ON o.prev = b.prev AND o.cur = b.cur
+             JOIN ctx x ON o.prev = x.prev
+             JOIN cont c ON o.cur = c.cur
+             CROSS JOIN tt)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "corpus_budget_mix" ->
+      // √n temperature shares fixed-pointed before the denominator sum;
+      // budget = 4× corpus tokens, epochs capped at 4 (the temperature
+      // tilt pushes tail sources over the cap while head sources stay
+      // under — the partial-saturation regime the planner exists for);
+      // desired/served/deficit are exact BIGINTs past the one rounding
+      """WITH c AS (
+           SELECT source, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+           FROM documents GROUP BY 1),
+         f AS (
+           SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS sqf
+           FROM c),
+         s AS (SELECT CAST(SUM(sqf) AS BIGINT) AS ssqf, CAST(SUM(n_tokens) AS BIGINT) AS stok FROM f),
+         m AS (
+           SELECT source, n_tokens,
+                  CAST(sqf AS DOUBLE) / CAST(s.ssqf AS DOUBLE) AS share,
+                  CAST(round((CAST(sqf AS DOUBLE) / CAST(s.ssqf AS DOUBLE))
+                    * (CAST(4.0 AS DOUBLE) * CAST(s.stok AS DOUBLE))) AS BIGINT) AS desired_tok
+           FROM f, s)
+         SELECT source, n_tokens, share, desired_tok,
+                least(desired_tok, 4 * n_tokens) AS served_tok,
+                CAST(least(desired_tok, 4 * n_tokens) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+                desired_tok - least(desired_tok, 4 * n_tokens) AS deficit
+         FROM m ORDER BY source""",
+    "emb_outlier_report" ->
+      // fixed-point L∞ peaks make both moments exact integer sums; the
+      // z-score chain replays the pinned mean/std arithmetic
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (
+           SELECT vec_id,
+                  CAST(round(CAST(CAST(list_max(list_transform(v, x -> abs(x))) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS nf
+           FROM v),
+         mo AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nf) AS BIGINT) AS s1,
+                  CAST(SUM(nf * nf) AS BIGINT) AS s2
+           FROM nr),
+         z AS (
+           SELECT vec_id, nf,
+                  (CAST(nf AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                         - ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) AS z
+           FROM nr, mo)
+         SELECT vec_id, CAST(nf AS DOUBLE) / 1000000.0 AS max_abs, z FROM z
+         WHERE abs(z) >= CAST(2.0 AS DOUBLE) ORDER BY vec_id""",
     "txt_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, term),
@@ -2455,6 +2632,10 @@ object SparkEntry {
          SELECT nd.node, h.s AS hub, a.s AS authority
          FROM nodes nd JOIN h2 h ON nd.node = h.node JOIN a2 a ON nd.node = a.node
          ORDER BY nd.node""",
+    "graph_ppr" ->
+      s"""${pprSql()}
+         SELECT node, r AS ppr FROM r3 ORDER BY node""",
+    "graph_random_walks" -> walksSql(),
     "retrieval_hard_negatives" ->
       // positives: nearest same-label neighbor; hard negatives: top-5
       // wrong-label neighbors — float-washed sims, vec_id tie-breaks

@@ -416,6 +416,71 @@ object TextAnalysis {
         countDistinct("doc_id").as("n_docs"))
       .orderBy("domain")
 
+  /** Interpolated Kneser-Ney bigram LM score per document — the smoothing
+    * family the CCNet reference scorer (KenLM) actually ships, one rung
+    * above Jelinek-Mercer on the perplexity-filter ladder:
+    *   p(w|v) = max(c(vw)−D, 0)/c(v·) + (D·N₁₊(v·)/c(v·)) · N₁₊(·w)/|bigram types|
+    * with absolute discount D = 0.75. The continuation probability
+    * N₁₊(·w)/T is KN's insight: "how many contexts has w followed"
+    * rather than "how often has w occurred" — it kills the
+    * high-frequency-but-fixed-context token ("Francisco") that raw
+    * backoff overrates. Documents need ≥ 2 tokens to score.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — every model table
+    * (bigram counts, per-context totals/continuation fan-outs,
+    * per-word continuation counts) is Zipf-small and map-side combined;
+    * the occurrence stream only shuffles for the final per-doc sum.
+    *
+    * Determinism: every count is an exact integer; c(vw)−D and the
+    * divisions are pinned-order IEEE ops on exact-integer-valued
+    * doubles; the log is float-washed then fixed-pointed (the
+    * [[unigramLogProb]] convention), so the per-doc integer sum is
+    * partition-order independent and cross-engine bit-exact. Every
+    * scored bigram has c(vw) ≥ 1 > D, so the discounted term — and the
+    * probability — stays strictly positive.
+    */
+  def knLogProb(
+      spark: SparkSession,
+      sfDir: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val occ = toks
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(tk)),
+             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bi = occ.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+    // per-context: total bigram mass c(v·) and continuation fan-out N₁₊(v·)
+    val ctx = bi.groupBy("prev")
+      .agg(sum("bcnt").as("cctx"), count(lit(1)).as("n1p_v"))
+    // per-word: continuation count N₁₊(·w); its total is |bigram types|
+    val cont = bi.groupBy("cur").agg(count(lit(1)).as("n1p_w"))
+    val types = cont.agg(sum("n1p_w").as("tt"))
+    val d = lit(discount)
+    occ
+      .join(bi, Seq("prev", "cur"))
+      .join(ctx, "prev")
+      .join(cont, "cur")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        round(log(
+          (greatest(col("bcnt").cast("double") - d, lit(0.0))
+            / col("cctx").cast("double"))
+            + (((d * col("n1p_v").cast("double")) / col("cctx").cast("double"))
+              * (col("n1p_w").cast("double") / col("tt").cast("double"))))
+          .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lpf").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1000000.0)))
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
     * scoreable document by its LM score and cut the corpus into
     * head / middle / tail thirds — the published "keep the head, sample

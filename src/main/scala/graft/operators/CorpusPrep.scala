@@ -500,6 +500,55 @@ object CorpusPrep {
       .orderBy("bucket", "pos")
   }
 
+  /** Token-budget mixture planner with bounded repetition (the
+    * data-constrained scaling recipe: when the training budget exceeds
+    * the corpus, repeat sources — but cap epochs, because repeated data
+    * decays in value after ~4 passes). Given a token budget of
+    * `budgetFrac` × corpus tokens: temperature-weight each source by
+    * √tokens (τ = 1/2 — head sources down-weighted without exploding
+    * tail epochs), allocate the budget by those shares, then cap each
+    * source at `maxEpochs` passes and report the undeliverable deficit.
+    * The output is the per-source serving plan a data loader consumes:
+    * (source, n_tokens, share, desired_tok, served_tok, epochs, deficit).
+    *
+    * Scale shape: ONE corpus pass for the per-source token counts
+    * (map-side combined into |sources| rows); everything downstream is
+    * arithmetic on that bounded artifact — the mixture analogue of the
+    * codebook contract.
+    *
+    * Determinism: √n is a correctly-rounded IEEE primitive fixed-pointed
+    * before the (order-dependent) share denominator sum (the
+    * [[temperatureMixture]] argument); shares and the allocation replay
+    * in pinned operation order; desired/served/deficit are exact BIGINTs
+    * past the one rounding.
+    */
+  def budgetMix(
+      spark: SparkSession,
+      sfDir: String,
+      budgetFrac: Double = 4.0,
+      maxEpochs: Int = 4): DataFrame = {
+    val w = Window.partitionBy()
+    IO.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("sqf",
+        round(sqrt(col("n_tokens").cast("double")) * 1048576.0, 0).cast("long"))
+      .withColumn("share",
+        col("sqf").cast("double") / sum("sqf").over(w).cast("double"))
+      .withColumn("desired_tok",
+        round(col("share")
+          * (lit(budgetFrac) * sum("n_tokens").over(w).cast("double")), 0)
+          .cast("long"))
+      .withColumn("served_tok",
+        least(col("desired_tok"), lit(maxEpochs.toLong) * col("n_tokens")))
+      .withColumn("epochs",
+        col("served_tok").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("deficit", col("desired_tok") - col("served_tok"))
+      .select("source", "n_tokens", "share", "desired_tok", "served_tok",
+        "epochs", "deficit")
+      .orderBy("source")
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct content fingerprints they share — the audit that runs
     * before mixing corpora (a high-overlap pair means double-counted

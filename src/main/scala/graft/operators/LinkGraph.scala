@@ -216,6 +216,123 @@ object LinkGraph {
       .orderBy("node")
   }
 
+  /** Personalized PageRank (random walk with restart): identical power
+    * iteration to [[pageRank]] but teleportation — and dangling mass —
+    * returns to a SEED SET instead of the uniform vector:
+    *   r(v) = (1−d)·tele(v) + d·(Σ contrib + dang·tele(v)),
+    * tele uniform over the seeds, zero elsewhere. This is the
+    * seed-expansion primitive of corpus curation ("rank everything by
+    * proximity to these known-good domains") — the published
+    * Common-Crawl curation signal is exactly a PPR from a trusted seed
+    * list. Seeds here are the pinned predicate node % 10 = 0 (a
+    * deterministic, data-independent selection the oracle replays); a
+    * production caller passes any seed table into the same shape.
+    *
+    * Scale shape and determinism: exactly [[pageRank]] — edges never
+    * shuffle in the loop, contributions and dangling mass are
+    * fixed-point BIGINT sums, and the PPR-specific teleport arithmetic
+    * runs in its own pinned operation order (this loop does NOT reuse
+    * [[pageRank]]'s scalar constants, whose driver-folded (1−d)/n would
+    * round differently from (1−d)·tele(v)).
+    */
+  def personalizedPageRank(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3,
+      d: Double = 0.85): DataFrame = {
+    val (edges, nodes0) = transitionGraphStored(spark, sfDir)
+    val outw = edges.groupBy(col("src"))
+      .agg(sum("weight").cast("double").as("outw"))
+    val enriched = edges
+      .join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("outw")).as("share"))
+      .localCheckpoint()
+    val nSeeds = nodes0.filter(col("node") % 10 === 0).count().toDouble
+    val nodes = nodes0
+      .withColumn("tele",
+        when(col("node") % 10 === 0, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0)))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), col("tele").as("r")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = enriched
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"),
+          round((col("r") * col("share")).cast("float") * lit(1000000000.0), 0)
+            .cast("long").as("cfix"))
+        .groupBy("dst")
+        .agg(sum("cfix").as("sfix"))
+      val dang = ranks
+        .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(round(col("r") * lit(1000000000.0), 0).cast("long")),
+          lit(0L)).as("dfix"))
+        .collect()(0).getLong(0).toDouble / 1000000000.0
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - d) * col("tele") + lit(d) *
+            ((coalesce(col("sfix"), lit(0L)).cast("double") / lit(1000000000.0))
+              + lit(dang) * col("tele"))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("ppr")).orderBy("node")
+  }
+
+  /** Deterministic weighted random walks over the stored transition
+    * graph — the DeepWalk/node2vec corpus generator: one walk per start
+    * node, each step drawn ∝ edge weight, emitted as (walk_id, step,
+    * node) sequences ready for the skip-gram/packing pipeline. The
+    * "randomness" is the repo's standard hash-derandomization: step t of
+    * walk w draws u = md5(w:t) mod outweight(cur), so every walk is
+    * reproducible across runs, partition orders, and engines (the oracle
+    * replays each step), and walks ending at a sink stop early — exactly
+    * the published termination rule.
+    *
+    * Scale shape: out-edges get exact integer cumulative-weight spans
+    * ONCE (one window over the edge artifact, src-partitioned); each
+    * step is then one join of the |nodes|-bounded walk frontier against
+    * the span table on the current node — the frontier shuffles, edges
+    * are the build side, nothing rescans the events table. Walk count
+    * scales with |nodes| (start-per-node), not corpus volume; longer
+    * walks are O(length) such joins.
+    *
+    * Determinism: spans are exact integer cumsums over a pinned
+    * (src, dst) order; the draw is an exact integer mod; membership is
+    * integer interval containment — no floating point anywhere.
+    */
+  def randomWalks(
+      spark: SparkSession,
+      sfDir: String,
+      length: Int = 4): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val wspans = Window.partitionBy("src").orderBy("dst")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = edges
+      .withColumn("hi", sum("weight").over(wspans))
+      .withColumn("lo", col("hi") - col("weight"))
+      .withColumn("total", sum("weight").over(Window.partitionBy("src")))
+      .localCheckpoint()
+    var frontier = nodes
+      .select(col("node").as("walk_id"), col("node").as("cur"))
+    var out = frontier
+      .select(col("walk_id"), lit(0).as("step"), col("cur").as("node"))
+    for (t <- 1 to length) {
+      val u = pmod(
+        conv(substring(md5(concat(
+          col("walk_id").cast("string"), lit(":"), lit(t).cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"),
+        col("total"))
+      frontier = frontier
+        .join(spans.withColumnRenamed("src", "cur"), "cur")
+        .where(u >= col("lo") && u < col("hi"))
+        .select(col("walk_id"), col("dst").as("cur"))
+        .localCheckpoint()
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
+    }
+    out.orderBy("walk_id", "step")
+  }
+
   /** One HITS half-step: pull `scores` across the edges from `from` to
     * `to`, fixed-point-sum per target node, L1-normalize by the exact
     * BIGINT total, null-fill unreached nodes with 0.

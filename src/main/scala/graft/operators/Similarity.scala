@@ -1089,4 +1089,54 @@ object Similarity {
         .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
       k)
   }
+
+  /** Embedding-quality gate: flag vectors whose PEAK coordinate
+    * (L∞ norm, "spikiness") is a z-score outlier of the corpus
+    * distribution. On the unit-normalized embeddings every real encoder
+    * emits, the L2 norm is constant by construction and carries zero
+    * signal — what varies is how concentrated the mass is: a
+    * near-one-hot spike means a collapsed/saturated encoding and an
+    * abnormally flat vector means a washed-out one, and both poison
+    * cosine-based dedup/ANN silently (a spiked pair matches on one
+    * coordinate). Production pipelines gate on exactly this kind of
+    * distributional statistic before any similarity pass. Output: the
+    * flagged (vec_id, max_abs, z) rows at |z| ≥ `zCut`.
+    *
+    * Scale shape: one map-side pass computes each vector's fixed-point
+    * peak; the mean/variance reduce to ONE 3-long partial-sum row per
+    * partition (map-side combined — the distilled-classifier shape); the
+    * flag pass is a map-side filter against broadcast scalars.
+    *
+    * Determinism: max-of-abs is exact (no accumulation), and the
+    * float-wash + round(·×10⁶) BIGINT makes both moments exact integer
+    * sums — partition-order independent, cross-engine exact. Σ nf²
+    * stays ~10¹² per million rows at unit scale, so the BIGINT sum
+    * holds to ~10⁶ corpus rows; past that the same query runs the
+    * moments in DECIMAL(38,0) unchanged.
+    */
+  def embSpikeOutliers(
+      spark: SparkSession,
+      sfDir: String,
+      zCut: Double = 2.0): DataFrame = {
+    val normed = corpus(spark, sfDir)
+      .select(col("vec_id"),
+        round(array_max(transform(col("v"), x => abs(x))).cast("float")
+          * lit(1000000.0), 0)
+          .cast("long").as("nf"))
+    val moments = normed.agg(
+      count(lit(1)).as("n"),
+      sum("nf").as("s1"),
+      sum(col("nf") * col("nf")).as("s2"))
+    normed
+      .crossJoin(broadcast(moments))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("std", sqrt(
+        (col("s2").cast("double") / col("n").cast("double"))
+          - (col("mean") * col("mean"))))
+      .withColumn("z", (col("nf").cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= lit(zCut))
+      .select(col("vec_id"),
+        (col("nf").cast("double") / lit(1000000.0)).as("max_abs"), col("z"))
+      .orderBy("vec_id")
+  }
 }

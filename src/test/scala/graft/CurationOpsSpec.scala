@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CorpusPrep, Decontaminate, Importance, LinkGraph, Retrieval}
+import graft.operators.{CorpusPrep, Decontaminate, Importance, LinkGraph, Retrieval, Similarity}
 
 /** Behavior specs for the round-7 curation operators: BM25 retrieval,
   * DSIR importance resampling, click-graph PageRank, CCNet perplexity
@@ -190,6 +190,97 @@ class CurationOpsSpec extends SparkTestBase {
     assert(trains.join(evals, "doc_id").isEmpty,
       "a doc cannot be on both sides of the eval split")
     c.unpersist()
+  }
+
+  test("personalized pagerank: mass concentrates on and around the seed set") {
+    val ppr = LinkGraph.personalizedPageRank(spark, Sf).cache()
+    val total = ppr.agg(sum("ppr")).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass $total drifted from 1")
+    // the seed slice (10 of 100 nodes) must hold MORE than its uniform
+    // 10% share — restart bias is the operator's entire purpose
+    val seedMass = ppr.filter(col("node") % 10 === 0)
+      .agg(sum("ppr")).collect()(0).getDouble(0)
+    assert(seedMass > 0.2, s"seed mass $seedMass not concentrated")
+    // non-seed nodes can only hold mass reachable FROM seeds: a node with
+    // rank > 0 either is a seed or has an in-edge
+    val edges = LinkGraph.transitionEdges(spark, Sf)
+      .select(col("dst").as("node")).distinct()
+    val orphaned = ppr.filter(col("ppr") > 0.0 && col("node") % 10 =!= 0)
+      .join(edges, Seq("node"), "left_anti")
+    assert(orphaned.isEmpty, "positive PPR on an unreachable non-seed node")
+    ppr.unpersist()
+  }
+
+  test("random walks: every step follows a real edge and the draw is reproducible") {
+    val w = LinkGraph.randomWalks(spark, Sf).cache()
+    val starts = w.filter(col("step") === 0)
+    val nNodes = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("CAST(get_json_object(props, '$.k') AS LONG) AS item")
+      .distinct().count()
+    assert(starts.count() == nNodes, "one walk per node")
+    // consecutive (step, step+1) pairs must all be edges of the graph
+    val edges = LinkGraph.transitionEdges(spark, Sf).select("src", "dst")
+    val pairs = w.select(col("walk_id"), col("step"), col("node").as("src"))
+      .join(w.select(col("walk_id"), (col("step") - 1).as("step"),
+        col("node").as("dst")), Seq("walk_id", "step"))
+    assert(pairs.join(edges, Seq("src", "dst"), "left_anti").isEmpty,
+      "a walk stepped along a non-edge")
+    val a = w.collect().toSeq
+    assert(LinkGraph.randomWalks(spark, Sf).collect().toSeq == a,
+      "hash-derandomized walks must be reproducible")
+    w.unpersist()
+  }
+
+  test("kneser-ney: valid log-probs, smooths differently from jelinek-mercer, partition-independent") {
+    val kn = TextAnalysis.knLogProb(spark, Sf).cache()
+    assert(kn.filter(col("mean_logprob") >= 0.0).isEmpty, "log-probs must be negative")
+    val jm = TextAnalysis.bigramLogProb(spark, Sf)
+    // same scoreable population (≥2-token docs)...
+    assert(kn.count() == jm.count())
+    // ...but a different smoothing family: the two models must disagree
+    // on at least some documents' scores
+    val agree = kn.select(col("doc_id"), col("mean_logprob").as("a"))
+      .join(jm.select(col("doc_id"), col("mean_logprob").as("b")), "doc_id")
+      .filter(col("a") === col("b")).count()
+    assert(agree < kn.count(), "KN must not degenerate to the JM interpolation")
+    val a = kn.collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(TextAnalysis.knLogProb(spark, Sf).collect().toSeq == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    kn.unpersist()
+  }
+
+  test("budget mix: shares sum to 1, epoch cap binds, deficit is exact") {
+    val m = CorpusPrep.budgetMix(spark, Sf).cache()
+    val shareSum = m.agg(sum("share")).collect()(0).getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    assert(m.filter(col("served_tok") > col("desired_tok")).isEmpty)
+    assert(m.filter(col("served_tok") > lit(4L) * col("n_tokens")).isEmpty)
+    assert(m.filter(col("deficit") =!= col("desired_tok") - col("served_tok")).isEmpty)
+    assert(m.filter(col("epochs") > 4.0).isEmpty)
+    // a 4× budget over √n shares pushes tail sources past the epoch cap
+    // while head sources stay under — BOTH regimes must appear
+    assert(m.filter(col("deficit") > 0L).count() > 0, "fixture must exercise the cap")
+    assert(m.filter(col("deficit") === 0L).count() > 0, "and some sources must stay under it")
+    m.unpersist()
+  }
+
+  test("embedding spike gate: flags both tails, stable across partitioning") {
+    val o = Similarity.embSpikeOutliers(spark, Sf).cache()
+    assert(o.count() > 0, "fixture embeddings must have spike outliers")
+    assert(o.filter(abs(col("z")) < 2.0).isEmpty)
+    // z-scores must cover both directions: too-spiked AND too-flat
+    assert(o.filter(col("z") > 0.0).count() > 0)
+    assert(o.filter(col("z") < 0.0).count() > 0)
+    val a = o.collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(Similarity.embSpikeOutliers(spark, Sf).collect().toSeq == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    o.unpersist()
   }
 
   test("plan audit: hits/pagerank iterate without shuffling edges; containment broadcasts the eval side") {
