@@ -108,6 +108,65 @@ object EventStream {
       }
   }
 
+  case class ItemEvent(event_id: Long, ts: Timestamp, user_id: Long, item: Long)
+  case class LastItem(item: Long, ts: Long, eventId: Long)
+  case class Transition(user_id: Long, src: Long, dst: Long)
+
+  /** Incremental click-graph mining — the streaming twin of
+    * [[graft.operators.LinkGraph.transitionEdges]]: per-user state holds
+    * only the LAST seen item, each micro-batch sorts its slice by
+    * (ts, event_id) (the batch window's order), and every consecutive
+    * distinct-item pair — including the pair bridging the previous
+    * batch via state — emits one (user, src, dst) transition. Downstream,
+    * the same (src, dst) → weight aggregation as batch runs per
+    * micro-batch (e.g. in foreachBatch upserting the edge artifact), so
+    * the stored graph PageRank/HITS/walks consume stays fresh without
+    * ever rescanning history.
+    *
+    * State is one 3-long record per active user, evicted by event-time
+    * timeout once the watermark passes the user's last activity — the
+    * bounded-state contract every operator in this module keeps. In-order
+    * arrivals reproduce the batch window's transitions exactly
+    * (spec-pinned); an event arriving out of order ACROSS batches (inside
+    * the watermark) contributes a transition from the then-current state
+    * — the standard incremental-mining tradeoff, bounded by the
+    * watermark.
+    */
+  def transitionsStream(
+      events: Dataset[ItemEvent],
+      watermark: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastItem, Transition](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[ItemEvent], state: GroupState[LastItem]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val out = Vector.newBuilder[Transition]
+              var last = state.getOption
+              evs.foreach { e =>
+                last.foreach { l =>
+                  if (l.item != e.item) out += Transition(userId, l.item, e.item)
+                }
+                last = Some(LastItem(e.item, e.ts.getTime, e.event_id))
+              }
+              val cur = last.get
+              state.update(cur)
+              state.setTimeoutTimestamp(
+                math.max(cur.ts, state.getCurrentWatermarkMs() + 1))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Streaming dedup: emit the first event seen per
     * (user_id, event_type, minute) key; duplicate arrivals inside the
     * watermark are dropped and per-key dedup state is evicted once the

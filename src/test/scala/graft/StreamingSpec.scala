@@ -105,6 +105,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming transition mining bridges micro-batches and matches the batch window's pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.ItemEvent]
+    val out = EventStream.transitionsStream(mem.toDS(), "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("transitions")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: user 1 walks 10→20→20 (self-loop dropped); user 2 at 30
+      mem.addData(
+        EventStream.ItemEvent(1, ts("2024-01-01 00:00:10"), 1, 10),
+        EventStream.ItemEvent(2, ts("2024-01-01 00:00:20"), 1, 20),
+        EventStream.ItemEvent(3, ts("2024-01-01 00:00:30"), 1, 20),
+        EventStream.ItemEvent(4, ts("2024-01-01 00:00:15"), 2, 30))
+      q.processAllAvailable()
+      // batch 2: state bridges 20→40 for user 1 and 30→10 for user 2
+      mem.addData(
+        EventStream.ItemEvent(5, ts("2024-01-01 00:01:10"), 1, 40),
+        EventStream.ItemEvent(6, ts("2024-01-01 00:01:20"), 2, 10))
+      q.processAllAvailable()
+      val got = spark.table("transitions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 10L, 20L), (1L, 20L, 40L), (2L, 30L, 10L)))
+      // exactly what the batch lag-window yields on the same events
+      val batch = Seq((1L, ts("2024-01-01 00:00:10"), 10L),
+        (2L, ts("2024-01-01 00:00:20"), 20L), (3L, ts("2024-01-01 00:00:30"), 20L),
+        (4L, ts("2024-01-01 00:00:15"), 30L), (5L, ts("2024-01-01 00:01:10"), 40L),
+        (6L, ts("2024-01-01 00:01:20"), 10L))
+        .toDF("event_id", "ts", "item")
+        .withColumn("user_id", when(col("event_id").isin(4L, 6L), 2L).otherwise(1L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val twin = batch.withColumn("src", lag("item", 1).over(w))
+        .where(col("src").isNotNull && col("src") =!= col("item"))
+        .select("user_id", "src", "item")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == twin, "stream transitions must equal the batch window's pairs")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates and matches the batch twin's keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
