@@ -246,6 +246,13 @@ object SparkEntry {
     // for value against the oracle's full Lloyd replay
     "kmeans_codebook" -> ((s, d) => Similarity.kmeansCodebookTable(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
+    // the production search path: consumes the PERSISTED codebook parquet
+    // (self-priming on first use), never trains — row-identical to
+    // ann_topk_ivf_trained, so it keeps the full-training-replay oracle
+    "ann_topk_ivf_stored" -> ((s, d) => Similarity.ivfCosineTopKStored(s, d)),
+    // 1-bit quantization: packed sign-bit signatures, bit_count(xor)
+    // Hamming shortlist, exact-cosine rerank of the shortlist only
+    "ann_topk_binary" -> ((s, d) => Similarity.binarySignTopK(s, d)),
     // product quantization: per-subvector codebooks trained distributed,
     // codes as INT columns (the stored index artifact), ADC-scored top-k
     "pq_codes" -> ((s, d) => Similarity.pqEncode(s, d)),
@@ -1113,6 +1120,33 @@ object SparkEntry {
            SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS component_id
            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
 
+  /** Full-training-replay IVF oracle, shared by the trained and the
+    * stored-artifact registrations (row-identical by construction).
+    */
+  private def ivfTrainedOracleSql: String =
+    s"""${kmeansCentroidsSql()},
+       assign AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+       q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
+       probes AS (
+         SELECT qid, qv, cid FROM (
+           SELECT q.qid, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+       scored AS (
+         SELECT p.qid, a.vec_id,
+                CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+         FROM assign a JOIN probes p USING (cid)
+         WHERE a.vec_id <> p.qid)
+       SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
+              vec_id, sim
+       FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank""""
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> minHashMd5OracleSql(),
     "dedup_cluster_components" ->
@@ -1173,29 +1207,36 @@ object SparkEntry {
                     ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
            FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1
          ORDER BY vec_id""",
-    "ann_topk_ivf_trained" ->
-      s"""${kmeansCentroidsSql()},
-         assign AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, c.cid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
-             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+    // the stored-index search is row-identical to the trained one (the
+    // artifact IS the trained codebook), so both keys share one oracle
+    "ann_topk_ivf_stored" -> ivfTrainedOracleSql,
+    // binary quantization: the oracle computes Hamming as the count of
+    // sign disagreements (identical by construction to the engine's
+    // bit_count(sig XOR qsig) over packed sign bits), shortlists 50 per
+    // query on (ham, vec_id), then reranks with exact float cosine
+    "ann_topk_binary" ->
+      """WITH v0 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM v0 WHERE vec_id < 10),
-         probes AS (
-           SELECT qid, qv, cid FROM (
-             SELECT q.qid, q.qv, c.cid,
-                    row_number() OVER (PARTITION BY q.qid
-                      ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
-             FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+         ham AS (
+           SELECT q.qid, c.vec_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN (c.v[i] > 0) <> (q.qv[i] > 0) THEN 1 ELSE 0 END)) AS ham
+           FROM v0 c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+             FROM ham) WHERE rn <= 50),
          scored AS (
-           SELECT p.qid, a.vec_id,
-                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
-           FROM assign a JOIN probes p USING (cid)
-           WHERE a.vec_id <> p.qid)
+           SELECT s.qid, s.vec_id,
+                  CAST(list_cosine_similarity(q.qv, c.v) AS FLOAT) AS sim
+           FROM short s JOIN v0 c ON s.vec_id = c.vec_id JOIN q ON s.qid = q.qid)
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "ann_topk_ivf_trained" -> ivfTrainedOracleSql,
     "pq_codes" ->
       s"""${pqBooksSql()}
          SELECT p0.vec_id, ${(0 until PqNumSub).map(s => s"p$s.code AS code_$s").mkString(", ")}

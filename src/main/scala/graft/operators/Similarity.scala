@@ -1139,4 +1139,144 @@ object Similarity {
         (col("nf").cast("double") / lit(1000000.0)).as("max_abs"), col("z"))
       .orderBy("vec_id")
   }
+
+  // --------------------------------------------------------------------
+  // Persisted IVF index (the train-once contract, materialized)
+  // --------------------------------------------------------------------
+
+  /** Stable artifact path for a persisted IVF coarse codebook, keyed by
+    * the training parameters PLUS a footer-derived content fingerprint
+    * of the corpus (row count + embedding byte volume — no Spark job):
+    * the artifact outlives the JVM, and a regenerated corpus at the same
+    * path must miss the stale index. Same idiom as
+    * [[graft.operators.Decontaminate.bloomArtifactPath]]; in production
+    * the index lives BESIDE the corpus it derives from.
+    */
+  private[graft] def ivfArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int,
+      iters: Int): String = {
+    val embPath = s"$sfDir/embeddings.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, embPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, embPath, "embedding")}"
+    val key = s"ivf_v1|$sfDir|$nlist|$iters|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
+  }
+
+  /** Train the coarse codebook ONCE and persist it as a parquet table —
+    * the "train" half of the stored-index contract. At 100 TB this is a
+    * scheduled job that reruns only when the corpus version changes;
+    * every search after that loads k×dim rows of data instead of running
+    * Lloyd iterations over the corpus. Only the codebook persists, not
+    * per-vector cell codes: re-assignment from the loaded codebook is a
+    * map-side argmax over nlist centroids (no shuffle, no join), whereas
+    * stored codes would have to JOIN the corpus on vec_id — a corpus-wide
+    * shuffle that costs more than it saves at any nlist this engine uses.
+    * (Stored codes win only when assignment itself is the bottleneck —
+    * huge nlist — and then they belong in the corpus table as a
+    * write-time column, not a side artifact.)
+    */
+  def persistIvfIndex(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      iters: Int = 2): String = {
+    val path = ivfArtifactPath(spark, sfDir, nlist, iters)
+    kmeansCodebookTable(spark, sfDir, nlist, iters)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    path
+  }
+
+  /** IVF search against the PERSISTED codebook artifact, self-priming on
+    * first use — the production query path: repeat invocations pay a
+    * k×dim artifact scan plus the probe-bounded search, never a training
+    * pass. Row-identical to [[ivfCosineTopKTrained]] by construction
+    * (the artifact IS the trained codebook — k-means here is
+    * deterministic to the bit), so the registered row keeps the trained
+    * variant's full-training-replay oracle.
+    */
+  def ivfCosineTopKStored(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val path = ivfArtifactPath(spark, sfDir, nlist, iters)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "codebook")))
+      persistIvfIndex(spark, sfDir, nlist, iters)
+    ivfCosineTopKFromTable(spark, sfDir,
+      spark.read.parquet(s"$path/codebook"), numQueries, k, nprobe)
+  }
+
+  // --------------------------------------------------------------------
+  // Binary (1-bit) quantization ANN
+  // --------------------------------------------------------------------
+
+  /** Sign-bit signature of a 64-dim vector packed into ONE long: bit i
+    * set iff v[i] > 0. Distinct powers of two sum without carries, so
+    * the fold is a bitwise OR in disguise (bit 63's term is negative in
+    * two's complement — still carry-free). 8 bytes per vector instead of
+    * 512: the signature column is what a 100 TB corpus actually ships
+    * through the candidate stage.
+    */
+  private def signBits(vCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          (acc, i) -> acc + CASE WHEN element_at($vCol, i + 1) > CAST(0 AS DOUBLE)
+                                 THEN shiftleft(CAST(1 AS BIGINT), i)
+                                 ELSE CAST(0 AS BIGINT) END)""")
+
+  /** Binary-quantization ANN: Hamming distance between sign-bit
+    * signatures shortlists candidates, exact cosine reranks the
+    * shortlist — the 1-bit end of the quantization ladder (int8 is
+    * [[quantizedTopK]]). For random-rotation-free sign quantization,
+    * Hamming(sig(a), sig(b)) is a monotone estimator of angular distance
+    * (Charikar 2002 hyperplane LSH with axis-aligned planes), so a
+    * shortlist of `shortlist` ≫ k by Hamming recovers near-exact top-k
+    * after rerank (recall spec-pinned against brute force).
+    *
+    * Scale shape: the Hamming stage scans 8-byte signatures (computed
+    * map-side, never stored wide), scored against the broadcast query
+    * signatures with bit_count(xor) — one codegen'd instruction pair per
+    * candidate; the per-query shortlist window rewrites through
+    * TopKPerKey so the exchange carries ≤ shortlist×queries rows. The
+    * rerank joins the corpus against the BROADCAST shortlist ids
+    * (queries×shortlist rows, bounded), so full vectors are touched
+    * map-side only for shortlist members — the corpus never shuffles.
+    *
+    * Determinism: Hamming is integer-exact; both shortlist and final
+    * rank tie-break on vec_id; the rerank cosine goes through the float
+    * cast like every other ANN scorer.
+    */
+  def binarySignTopK(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      shortlist: Int = 50): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+      .withColumn("sig", signBits("v"))
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("sig").as("qsig"))
+    val wS = Window.partitionBy("qid").orderBy(asc("ham"), asc("vec_id"))
+    val short = c.select("vec_id", "sig")
+      .join(broadcast(q.select("qid", "qsig")),
+        col("vec_id") =!= col("qid"))
+      .withColumn("ham", expr("bit_count(sig ^ qsig)"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "vec_id")
+    topKPerQuery(
+      c.select("vec_id", "v")
+        .join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(q.select("qid", "qv")), Seq("qid"))
+        .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
+      k)
+  }
 }

@@ -110,4 +110,44 @@ class KmeansSpec extends SparkTestBase {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.4, s"trained IVF recall@5 = $recall")
   }
+
+  test("stored IVF index self-primes a persisted artifact and equals the trained path") {
+    val artifact = java.nio.file.Paths.get(
+      Similarity.ivfArtifactPath(spark, Sf, nlist = 16, iters = 2), "codebook")
+    // force a cold start: delete the artifact if an earlier run left one
+    if (java.nio.file.Files.exists(artifact)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(artifact).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val stored = Similarity.ivfCosineTopKStored(spark, Sf).collect()
+    assert(java.nio.file.Files.exists(artifact),
+      "first use must persist the codebook artifact")
+    val trained = Similarity.ivfCosineTopKTrained(spark, Sf).collect()
+    assert(stored.map(_.toString).toSeq == trained.map(_.toString).toSeq,
+      "stored-artifact search must be row-identical to the trained path")
+    // second call consumes the artifact without touching the trainer cache
+    Similarity.clearCodebookCache()
+    val again = Similarity.ivfCosineTopKStored(spark, Sf).collect()
+    assert(again.map(_.toString).toSeq == trained.map(_.toString).toSeq)
+  }
+
+  test("binary sign-bit ANN: Hamming shortlist + rerank holds recall@5 vs brute force") {
+    val exact = Similarity.cosineTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bin = Similarity.binarySignTopK(spark, Sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & bin).size.toDouble / exact.size
+    // 64 sign bits over a 500-row corpus with a 50-wide shortlist: the
+    // hyperplane-LSH bound puts true neighbors overwhelmingly inside the
+    // shortlist; rerank is exact, so misses come only from shortlist
+    // truncation
+    assert(recall >= 0.5, s"binary-quantization recall@5 = $recall")
+    // shortlist covering the whole corpus degenerates to exact brute force
+    val full = Similarity.binarySignTopK(spark, Sf, numQueries = 10, k = 5,
+      shortlist = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact,
+      "an exhaustive shortlist must reproduce exact top-k")
+  }
 }
