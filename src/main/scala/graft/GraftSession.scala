@@ -33,9 +33,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // the driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
-      // Spark 4 rejects by default; read it as nanos-since-epoch LONG
-      // (ordering-compatible — no registered query outputs the raw ts)
+      // some generator builds ship events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark 4 rejects by default; read that encoding as
+      // nanos-since-epoch LONG. Current builds ship TIMESTAMP(MICROS)
+      // (read natively as TIMESTAMP_NTZ, this conf then a no-op); all
+      // event-time arithmetic goes through the schema-aware
+      // operators.EventTime so both encodings produce identical µs values
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate adds a `size(e) > 0 && isnotnull(e)`
       // pre-filter under every explode. For a stored array column that is

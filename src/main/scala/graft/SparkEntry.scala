@@ -221,10 +221,14 @@ object SparkEntry {
     // CTE — tractable at oracle scale), then the per-document keep/drop
     // decision (lowest-id and best-quality representative policies)
     "dedup_cluster_components" -> (Cluster.nearDupComponentsMd5 _),
-    "dedup_cluster_decision" -> (Cluster.dedupDecisionMd5 _),
-    // the persisted-component-map consumer (cluster-once contract):
-    // row-identical to dedup_cluster_decision, so it keeps that oracle
-    "dedup_cluster_decision_stored" -> (Cluster.dedupDecisionMd5Stored _),
+    // the DEFAULT decision row consumes the persisted component map (the
+    // cluster-once contract — production refreshes the artifact per corpus
+    // version, every consumer pays one artifact scan); row-identical to
+    // the rebuild row by construction, so both keep one oracle
+    "dedup_cluster_decision" -> (Cluster.dedupDecisionMd5Stored _),
+    // the full signature→banding→star-contraction pipeline, timed as its
+    // own explicitly-named row (what artifact priming costs)
+    "dedup_cluster_decision_rebuild" -> (Cluster.dedupDecisionMd5 _),
     "dedup_cluster_keep_best" -> (Cluster.dedupKeepBestMd5 _),
     // size histogram of the near-dup graph, off the persisted map
     "dedup_cluster_sizes" -> (Cluster.clusterSizeProfile _),
@@ -304,6 +308,9 @@ object SparkEntry {
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // BM25 ranked retrieval (fixed-point scores; index = postings + dlen)
     "retrieval_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // persisted-posting-index consumer (train-once contract): row-identical
+    // to retrieval_bm25_topk by construction, so it keeps that oracle
+    "retrieval_bm25_stored" -> ((s, d) => Retrieval.bm25TopKStored(s, d)),
     // DSIR importance resampling: estimator artifact, per-doc weights,
     // Gumbel-top-N draw — all replayed bit-exactly by the oracle
     "dsir_logratios" -> (Importance.logRatios _),
@@ -346,9 +353,10 @@ object SparkEntry {
     // near-dup-cluster-aware split: each doc inherits its cluster
     // representative's split decision, so near-duplicates of val docs
     // cannot sit in train (the leakage the content-hash split misses)
-    "corpus_split_leakage_safe" -> ((s, d) => CorpusPrep.leakageSafeSplit(s, d)),
-    // persisted-component-map twin of the leakage-safe split
-    "corpus_split_leakage_stored" -> ((s, d) => CorpusPrep.leakageSafeSplitStored(s, d)),
+    // the DEFAULT row consumes the persisted component map (see
+    // dedup_cluster_decision); the rebuild row times the full clustering
+    "corpus_split_leakage_safe" -> ((s, d) => CorpusPrep.leakageSafeSplitStored(s, d)),
+    "corpus_split_leakage_rebuild" -> ((s, d) => CorpusPrep.leakageSafeSplit(s, d)),
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
@@ -847,6 +855,52 @@ object SparkEntry {
     * lw_fix). Every arithmetic step mirrors graft.operators.Importance
     * operation for operation.
     */
+  /** Okapi BM25, Lucene +1 idf, k1=1.2 b=0.75 k=10: the idf ln is
+    * float-washed, the per-term score is fixed-pointed before the
+    * per-doc sum, and BOTH ranking and output read the same integer.
+    * Constants replay Spark's driver arithmetic (1.2+1.0, 1-0.75+...)
+    * as the identical double chains, never pre-folded literals. Shared
+    * by the build-inclusive and stored-index rows (row-identical by
+    * construction — the artifact IS the tf frame).
+    */
+  private def bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, SUM(tfreq) AS dlen FROM tf GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dlen) AS DOUBLE) AS total FROM dlen),
+         q(qid, term) AS (VALUES
+           (0, 'spark'), (0, 'query'), (0, 'join'),
+           (1, 'fast'), (1, 'sort'), (1, 'merge'), (1, 'scan'),
+           (2, 'customer'), (2, 'order'), (2, 'line'),
+           (3, 'window'), (3, 'filter'), (3, 'group')),
+         dfq AS (
+           SELECT tf.term, COUNT(*) AS dfreq
+           FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+           GROUP BY 1),
+         sc AS (
+           SELECT q.qid, tf.doc_id,
+                  SUM(CAST(round(CAST(CAST(
+                    CAST(CAST(ln(CAST(1.0 AS DOUBLE)
+                      + (st.n - CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS FLOAT) AS DOUBLE)
+                    * ((CAST(tf.tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                       / (CAST(tf.tfreq AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE) * (CAST(dl.dlen AS DOUBLE) / (st.total / st.n)))))
+                  AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS sfix
+           FROM tf
+             JOIN q ON tf.term = q.term
+             JOIN dfq d ON tf.term = d.term
+             JOIN dlen dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN st
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT qid, doc_id, sfix,
+                  row_number() OVER (PARTITION BY qid ORDER BY sfix DESC, doc_id) AS rn
+           FROM sc)
+         SELECT qid, doc_id, CAST(sfix AS DOUBLE) / 1000000.0 AS score
+         FROM rk WHERE rn <= 10 ORDER BY qid, doc_id"""
+
   private def dsirBaseSql: String =
     """WITH toks AS (
            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
@@ -1158,9 +1212,9 @@ object SparkEntry {
                 COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
                 doc_id = component_id AS keep
          FROM base ORDER BY doc_id""",
-    // the stored-map twin is row-identical by construction (the artifact
+    // the rebuild twin is row-identical by construction (the artifact
     // IS the clustering), so its oracle is the same closure replay
-    "dedup_cluster_decision_stored" ->
+    "dedup_cluster_decision_rebuild" ->
       s"""$simHashClusterBaseSql
          SELECT doc_id, component_id,
                 COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
@@ -1800,8 +1854,8 @@ object SparkEntry {
                 event_type, COUNT(*) AS cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
-    // µs on both sides: DuckDB truncates the ns timestamps to µs, so the
-    // Spark side computes on ts div 1000 too (see sessionizeBatch scaladoc)
+    // µs on both sides: DuckDB's TIMESTAMP is µs, and the Spark side
+    // computes on EventTime.tsUs (see sessionizeBatch scaladoc)
     "sess_batch" ->
       """WITH w AS (
            SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -2047,7 +2101,7 @@ object SparkEntry {
                      THEN 'train' ELSE 'val' END AS split
          FROM base b JOIN documents d ON b.component_id = d.doc_id
          ORDER BY b.doc_id""",
-    "corpus_split_leakage_stored" ->
+    "corpus_split_leakage_rebuild" ->
       s"""$simHashClusterBaseSql
          SELECT b.doc_id, b.component_id,
                 CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 < 95
@@ -2579,48 +2633,8 @@ object SparkEntry {
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score,
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) >= 0.5 AS predicted
          FROM f, w3 w ORDER BY doc_id""",
-    "retrieval_bm25_topk" ->
-      // Okapi BM25, Lucene +1 idf, k1=1.2 b=0.75 k=10: the idf ln is
-      // float-washed, the per-term score is fixed-pointed before the
-      // per-doc sum, and BOTH ranking and output read the same integer.
-      // Constants replay Spark's driver arithmetic (1.2+1.0, 1-0.75+…)
-      // as the identical double chains, never pre-folded literals.
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2),
-         dlen AS (SELECT doc_id, SUM(tfreq) AS dlen FROM tf GROUP BY 1),
-         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dlen) AS DOUBLE) AS total FROM dlen),
-         q(qid, term) AS (VALUES
-           (0, 'spark'), (0, 'query'), (0, 'join'),
-           (1, 'fast'), (1, 'sort'), (1, 'merge'), (1, 'scan'),
-           (2, 'customer'), (2, 'order'), (2, 'line'),
-           (3, 'window'), (3, 'filter'), (3, 'group')),
-         dfq AS (
-           SELECT tf.term, COUNT(*) AS dfreq
-           FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
-           GROUP BY 1),
-         sc AS (
-           SELECT q.qid, tf.doc_id,
-                  SUM(CAST(round(CAST(CAST(
-                    CAST(CAST(ln(CAST(1.0 AS DOUBLE)
-                      + (st.n - CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                        / (CAST(d.dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS FLOAT) AS DOUBLE)
-                    * ((CAST(tf.tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-                       / (CAST(tf.tfreq AS DOUBLE)
-                          + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                            + CAST(0.75 AS DOUBLE) * (CAST(dl.dlen AS DOUBLE) / (st.total / st.n)))))
-                  AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS sfix
-           FROM tf
-             JOIN q ON tf.term = q.term
-             JOIN dfq d ON tf.term = d.term
-             JOIN dlen dl ON tf.doc_id = dl.doc_id
-             CROSS JOIN st
-           GROUP BY 1, 2),
-         rk AS (
-           SELECT qid, doc_id, sfix,
-                  row_number() OVER (PARTITION BY qid ORDER BY sfix DESC, doc_id) AS rn
-           FROM sc)
-         SELECT qid, doc_id, CAST(sfix AS DOUBLE) / 1000000.0 AS score
-         FROM rk WHERE rn <= 10 ORDER BY qid, doc_id""",
+    "retrieval_bm25_topk" -> bm25OracleSql,
+    "retrieval_bm25_stored" -> bm25OracleSql,
     "dsir_logratios" ->
       s"""$dsirBaseSql
          SELECT bucket, n_raw, n_tgt, logratio_fix FROM lr ORDER BY bucket""",

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Schema-aware event-time access for the `events` table.
+  *
+  * The test-data generator has shipped `ts` in two physical parquet forms:
+  * TIMESTAMP(NANOS) — which Spark 4 reads as nanos-since-epoch LONG under
+  * `spark.sql.legacy.parquet.nanosAsLong` (see GraftSession) — and
+  * TIMESTAMP(MICROS), which Spark reads natively as TIMESTAMP_NTZ. The
+  * oracle's DuckDB sees a µs TIMESTAMP either way, so all event-time
+  * arithmetic in the engine runs at MICROSECOND resolution regardless of
+  * the encoding; these helpers pick the right extraction from the actual
+  * schema so every event-time operator is insensitive to the generator's
+  * encoding choice.
+  *
+  * The session time zone is pinned UTC (GraftSession), so the NTZ→LTZ cast
+  * inside [[tsUs]]/[[tsStamp]] preserves the wall-clock instant exactly.
+  */
+object EventTime {
+
+  /** `ts` as µs-since-epoch LONG, whatever the physical type. */
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case TimestampType | TimestampNTZType =>
+      unix_micros(col("ts").cast(TimestampType))
+    case _ => expr("ts div 1000") // legacy nanos-as-long encoding
+  }
+
+  /** `ts` truncated to µs as a session-TZ TIMESTAMP (for time windows). */
+  def tsStamp(df: DataFrame): Column = df.schema("ts").dataType match {
+    case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+    case _ => expr("timestamp_micros(ts div 1000)")
+  }
+}

@@ -574,13 +574,15 @@ object Relational {
     * unique ordering key; the sum itself is exact via decimal.
     */
   def w2RunningSum(spark: SparkSession, sfDir: String): DataFrame = {
-    // order at µs resolution (ts div 1000): the oracle's DuckDB timestamps
-    // are µs, so an exact-ns ordering could tie-break same-µs events
-    // differently (ns order vs event_id order) and flip running sums
+    // order at µs resolution (EventTime.tsUs): the oracle's DuckDB
+    // timestamps are µs, so a finer-grained ordering could tie-break
+    // same-µs events differently (sub-µs order vs event_id order) and
+    // flip running sums
+    val ev = t(spark, sfDir, "events")
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id"))
+      .orderBy(EventTime.tsUs(ev), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, sfDir, "events")
+    ev
       .withColumn("running_value",
         sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
       .select("user_id", "event_id", "running_value")
@@ -600,8 +602,9 @@ object Relational {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy(col("tus"))
       .rangeBetween(-hourUs, Window.currentRow)
-    t(spark, sfDir, "events")
-      .withColumn("tus", expr("ts div 1000"))
+    val ev = t(spark, sfDir, "events")
+    ev
+      .withColumn("tus", EventTime.tsUs(ev))
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("sum_1h",
         sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
@@ -1003,15 +1006,16 @@ object Relational {
       spark: SparkSession,
       sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
-    // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
-    // oracle's DuckDB reads parquet TIMESTAMP_NS at micro precision
-    val ev = t(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+    // microseconds on both sides — the oracle's DuckDB TIMESTAMP is µs
+    // (EventTime.tsUs handles both physical ts encodings)
+    val raw = t(spark, sfDir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), EventTime.tsUs(raw).as("tus"))
       .withColumn("bucket", expr(s"tus div $hourUs"))
-    val win = t(spark, sfDir, "events")
+    val win = raw
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("w_user"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("w_start"))
+        EventTime.tsUs(raw).as("w_start"))
       .withColumn("bucket",
         explode(array(expr(s"w_start div $hourUs"),
           expr(s"w_start div $hourUs") + 1)))
@@ -1052,12 +1056,13 @@ object Relational {
     */
   def rangeJoinNaive(spark: SparkSession, sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
-    val ev = t(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
-    val win = t(spark, sfDir, "events")
+    val raw = t(spark, sfDir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), EventTime.tsUs(raw).as("tus"))
+    val win = raw
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("w_user"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("w_start"))
+        EventTime.tsUs(raw).as("w_start"))
     ev.join(win,
         ev("user_id") === win("w_user")
           && ev("tus") >= win("w_start") && ev("tus") < win("w_start") + hourUs
@@ -1075,14 +1080,14 @@ object Relational {
     */
   def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     // µs-resolution ordering for cross-engine ties — see w2RunningSum
+    val ev = t(spark, sfDir, "events")
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id"))
+      .orderBy(EventTime.tsUs(ev), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, sfDir, "events")
-      // microseconds: ts arrives as nanos (GraftSession.nanosAsLong) but the
-      // oracle's DuckDB reads parquet TIMESTAMP_NS at micro precision
+    ev
+      // microseconds on both sides — the oracle's DuckDB TIMESTAMP is µs
       .withColumn("purchase_us",
-        when(col("event_type") === "purchase", expr("ts div 1000")))
+        when(col("event_type") === "purchase", EventTime.tsUs(ev)))
       .withColumn("last_purchase_us",
         last("purchase_us", ignoreNulls = true).over(w))
       .select("event_id", "user_id", "last_purchase_us")
@@ -1170,29 +1175,34 @@ object Relational {
 
   /** Minute-bucket windowed aggregation over the event stream's batch view
     * — the batch twin of [[graft.streaming.EventStream.windowedTypeCounts]]
-    * (ts arrives as nanos-since-epoch, see GraftSession).
+    * (event-time arithmetic at µs via EventTime.tsUs).
     */
-  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev
+      .withColumn("tus", EventTime.tsUs(ev))
       .withColumn("window_start",
-        expr("timestamp_micros((ts div 60000000000) * 60000000)"))
+        expr("timestamp_micros((tus div 60000000) * 60000000)"))
       .groupBy("window_start", "event_type")
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .orderBy("window_start", "event_type")
+  }
 
   /** Built-in gap session windows (session_window) over the events batch
     * view — the declarative sibling of the explicit
     * [[graft.streaming.EventStream.sessionizeBatch]] lag/sum formulation;
     * in streaming mode the same expression maintains merging session state.
     */
-  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("tss", expr("timestamp_micros(ts div 1000)"))
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev
+      .withColumn("tss", EventTime.tsStamp(ev))
       .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
       .agg(count(lit(1)).as("events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("events"))
       .orderBy("user_id", "session_start")
+  }
 
   /** TPC-H Q1-shaped scan+agg — the bench headline (BASELINE.md). One scan,
     * partial agg, single hash exchange on a 6-value grouping key.

@@ -50,12 +50,75 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75,
       k: Int = 10): DataFrame = {
-    import spark.implicits._
     val docs = IO.table(spark, sfDir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     // the index: postings + doc lengths (two corpus shuffles, build-once)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tfreq"))
+    bm25ScoreOverPostings(spark, tf, k1, b, k)
+  }
+
+  /** Stable artifact path for the persisted posting index (the band-index
+    * convention: pipeline tag + footer-derived content fingerprint of the
+    * documents table, so a regenerated corpus misses the stale index).
+    */
+  private[graft] def postingsArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+    val key = s"bm25_v1|$sfDir|ws_tokens|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_$digest.parquet"
+  }
+
+  /** Tokenize → (doc_id, term, tfreq) ONCE and persist — the production
+    * posting index. Everything derived per query batch (doc lengths,
+    * query-term df, corpus stats) reads this text-free frame, never the
+    * corpus.
+    */
+  def persistPostings(spark: SparkSession, sfDir: String): String = {
+    val path = postingsArtifactPath(spark, sfDir)
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tfreq"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** [[bm25TopK]] consuming the PERSISTED posting index, self-priming on
+    * first use (the stored-bloom/band-index/component-map contract): the
+    * corpus tokenize+tf build — all of the on-the-fly cost — runs only at
+    * priming; repeat query batches pay one scan of the posting artifact.
+    * Row-identical by construction (the artifact IS the tf frame), so the
+    * registered row keeps [[bm25TopK]]'s oracle.
+    */
+  def bm25TopKStored(
+      spark: SparkSession,
+      sfDir: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    val path = postingsArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistPostings(spark, sfDir)
+    bm25ScoreOverPostings(spark, spark.read.parquet(path), k1, b, k)
+  }
+
+  /** Scoring tail over a (doc_id, term, tfreq) posting frame — shared by
+    * the build-inclusive and stored-index rows. Doc lengths and df are
+    * posting-frame aggregates (text-free, Zipf-small), the query batch
+    * broadcasts, and everything past the posting join is hit-bounded.
+    */
+  private def bm25ScoreOverPostings(
+      spark: SparkSession,
+      tf: DataFrame,
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
+    import spark.implicits._
     val dlen = tf.groupBy("doc_id").agg(sum("tfreq").as("dlen"))
     val stats = dlen.agg(
       count(lit(1)).cast("double").as("n"),

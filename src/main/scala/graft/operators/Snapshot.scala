@@ -133,14 +133,15 @@ object Snapshot {
 
   /** Registered upsert: per-user latest state, where events in the final
     * week of the window arrive as the update batch against the base state
-    * built from everything earlier. `ts` arrives as nanos-since-epoch long
-    * (GraftSession.nanosAsLong); ordering runs at µs (`tus`) so every
-    * comparison matches the oracle's µs TIMESTAMPs (the sessionize
-    * convention), with the unique event_id as the sub-µs tiebreak.
+    * built from everything earlier. Ordering runs at µs (`tus`, via the
+    * schema-aware [[EventTime.tsUs]]) so every comparison matches the
+    * oracle's µs TIMESTAMPs (the sessionize convention), with the unique
+    * event_id as the sub-µs tiebreak.
     */
   def eventsUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = IO.table(spark, sfDir, "events")
-      .withColumn("tus", expr("ts div 1000"))
+    val raw = IO.table(spark, sfDir, "events")
+    val ev = raw
+      .withColumn("tus", EventTime.tsUs(raw))
       .select("user_id", "event_id", "tus", "event_type", "value")
     val splitUs = 1706054400000000L // 2024-01-24 00:00:00 UTC
     upsertLatest(

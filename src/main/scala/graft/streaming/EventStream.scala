@@ -306,24 +306,27 @@ object EventStream {
     * event_id per key) and the duplicate multiplicity — DuckDB-oracle-able;
     * StreamingSpec pins that the stream emits exactly these keys.
     */
-  def dedupEventsBatch(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // ts is nanos-since-epoch long here (GraftSession.nanosAsLong)
-      .withColumn("minute_bucket", expr("ts div 60000000000"))
+  def dedupEventsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev
+      .withColumn("tus", graft.operators.EventTime.tsUs(ev))
+      .withColumn("minute_bucket", expr("tus div 60000000"))
       .groupBy("user_id", "event_type", "minute_bucket")
       .agg(min("event_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("user_id", "event_type", "minute_bucket")
+  }
 
   /** Batch-mode sessionization of the same semantics (gap-based session ids
     * via lag + running sum) — lets the batch table and the stream agree on
     * session boundaries, and is DuckDB-oracle-able.
     *
     * All event-time arithmetic (ordering, gap comparison, duration) runs at
-    * MICROSECOND resolution: the source timestamps are nanosecond, but
-    * DuckDB's TIMESTAMP is µs, so ns-exact arithmetic diverges from the
-    * oracle wherever independent min/max truncation crosses a boundary
-    * (observed: one duration off by 1 ms in 95k sessions at sf0.1) — µs on
-    * both sides makes every comparison identical.
+    * MICROSECOND resolution (the schema-aware
+    * [[graft.operators.EventTime.tsUs]]): DuckDB's TIMESTAMP is µs, so any
+    * finer-grained arithmetic diverges from the oracle wherever independent
+    * min/max truncation crosses a boundary (observed: one duration off by
+    * 1 ms in 95k sessions at sf0.1) — µs on both sides makes every
+    * comparison identical.
     */
   def sessionizeBatch(
       spark: SparkSession,
@@ -331,12 +334,12 @@ object EventStream {
       gapNs: Long = 30L * 60 * 1000 * 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = gapNs / 1000
-    // ts read as nanos-since-epoch long (GraftSession.nanosAsLong)
     val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val sess = Window.partitionBy("user_id").orderBy("tus", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("tus", expr("ts div 1000"))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev
+      .withColumn("tus", graft.operators.EventTime.tsUs(ev))
       .withColumn("prev_tus", lag("tus", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_tus").isNull || col("tus") - col("prev_tus") > gapUs, 1L)
@@ -364,8 +367,10 @@ object EventStream {
   def funnelSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev
+      .select(col("user_id"), col("event_type"),
+        graft.operators.EventTime.tsUs(ev).as("tus"))
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("tus"))).over(w))
       .withColumn("t_click",

@@ -52,8 +52,10 @@ class CompactionFunnelSpec extends SparkTestBase {
     assert(nv >= nc && nc >= np && nv > 0, s"monotone funnel: $nv $nc $np")
 
     // driver-side replay at µs resolution
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    val events = raw
+      .select(col("user_id"), col("event_type"),
+        graft.operators.EventTime.tsUs(raw).as("tus"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = events.groupBy(_._1)
     var (v, c, p) = (0L, 0L, 0L)

@@ -114,6 +114,12 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 stored: row-identical to the build-inclusive run (the artifact IS the tf frame)") {
+    val a = Retrieval.bm25TopK(spark, Sf).collect().toSeq
+    val b = Retrieval.bm25TopKStored(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("pagerank stored: row-identical to the on-the-fly run (the artifact IS the graph)") {
     val a = LinkGraph.pageRank(spark, Sf).collect().toSeq
     val b = LinkGraph.pageRankStored(spark, Sf).collect().toSeq
