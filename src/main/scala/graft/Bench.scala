@@ -62,7 +62,8 @@ object Bench {
       "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
       "corpus_source_overlap",
       "graph_pagerank_stored", "graph_hits", "retrieval_hard_negatives",
-      "retrieval_hybrid_rrf", "decontam_containment",
+      "retrieval_hybrid_rrf", "decontam_containment", "decontam_neardup",
+      "dedup_source_attribution", "corpus_padding_waste",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
       "graph_ppr", "graph_random_walks")
     val allCases: Seq[(String, () => DataFrame)] =
@@ -92,10 +93,17 @@ object Bench {
           // start each timing from a cache-free session so no query's
           // number depends on what ran before it (r3's minhash swing was
           // cache-state accumulation across the 21-query session).
-          // clearCache drops CacheManager entries; the gc lets the
-          // ContextCleaner reclaim localCheckpoint RDD blocks, which live
-          // outside the catalog cache and are freed on dereference.
+          // clearCache drops CacheManager entries. localCheckpoint RDDs
+          // live OUTSIDE the catalog cache (they register as persistent
+          // RDDs) and System.gc + async ContextCleaner reclaimed them too
+          // slowly at 78 queries × 2 runs — block-store pressure aged the
+          // session until late-list rows ran 2-6× their solo numbers
+          // (r7's dedup_substring_pairs 3.9 s vs 1.6 s solo). A BLOCKING
+          // unpersist of every leftover persistent RDD makes the teardown
+          // deterministic; the gc then only has ordinary garbage left.
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
           System.gc()
           val t0 = System.nanoTime()
           try {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, sort_array, when}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, round, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
 import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Importance, Layout, LinkGraph, Multimodal, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
@@ -232,6 +232,8 @@ object SparkEntry {
     "dedup_cluster_keep_best" -> (Cluster.dedupKeepBestMd5 _),
     // size histogram of the near-dup graph, off the persisted map
     "dedup_cluster_sizes" -> (Cluster.clusterSizeProfile _),
+    // per-source kept/dropped/cross-source-loss audit, off the same map
+    "dedup_source_attribution" -> (Cluster.dedupSourceAttribution _),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
@@ -334,6 +336,9 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrfTopK(s, d)),
     // per-(train, eval) n-gram containment — the fuzzy decontam metric
     "decontam_containment" -> ((s, d) => Decontaminate.containmentReport(s, d)),
+    // the minhash member of the decontamination family: band-collision
+    // candidates, exact-Jaccard verified, worst eval offender per doc
+    "decontam_neardup" -> ((s, d) => Decontaminate.nearDupContaminationReport(s, d)),
     // cross-source verbatim-overlap audit (mixture double-count check)
     "corpus_source_overlap" -> ((s, d) => CorpusPrep.sourceOverlap(s, d)),
     // interpolated Kneser-Ney bigram LM (D = 0.75)
@@ -358,6 +363,8 @@ object SparkEntry {
     "corpus_split_leakage_safe" -> ((s, d) => CorpusPrep.leakageSafeSplitStored(s, d)),
     "corpus_split_leakage_rebuild" -> ((s, d) => CorpusPrep.leakageSafeSplit(s, d)),
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
+    // padding-waste ladder: the batching-vs-packing decision number
+    "corpus_padding_waste" -> (CorpusPrep.paddingWaste _),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
     // library default) vacuously overlap-free here — width 4 yields a
@@ -441,6 +448,18 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
     "mm_features_hist" -> (Multimodal.featureHistQuery _),
+    // the float feature VECTOR itself, fixed-pointed (ratio is an exact
+    // single-precision divide of two small ints on both engines): closes
+    // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
+    "mm_features_fix" -> ((s, d) =>
+      Multimodal.featureQuery(s, d)
+        .select(col("media_id"), col("kind"),
+          posexplode(col("features")).as(Seq("bin", "ratio")))
+        .filter(col("ratio") > 0f)
+        .select(col("media_id"), col("kind"), col("bin").cast("int").as("bin"),
+          round(col("ratio").cast("double") * lit(1000000.0), 0)
+            .cast("long").as("ffix"))
+        .orderBy("media_id", "bin")),
   )
 
   /** DuckDB oracles (driver runs these on the same parquet tables). Queries
@@ -483,7 +502,10 @@ object SparkEntry {
     * affine permutation minima, and banding, up to the `bb`
     * (doc_id, band_key) frame the candidate joins read.
     */
-  private def minHashMd5BaseSql(numPerms: Int, bands: Int): String = {
+  private def minHashMd5BaseSql(
+      numPerms: Int,
+      bands: Int,
+      tokenFeatures: Boolean = false): String = {
     val mix = graft.functions.MinHashSigExpr.mixers(numPerms)
     val muls = mix.map(_._1).mkString("[", ", ", "]")
     val adds = mix.map(_._2).mkString("[", ", ", "]")
@@ -492,15 +514,19 @@ object SparkEntry {
       val elems = (b * rows until (b + 1) * rows).map(j => s"sig[${j + 1}]").mkString(", ")
       s"""('0x' || substr(md5(concat_ws(',', $b, $elems)), 1, 15))::BIGINT"""
     }.mkString("[", ", ", "]")
-    s"""WITH doc AS (
-          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        sh AS (
-          SELECT doc_id,
+    // feature choice mirrors Dedup: 3-word shingles for the dedup rows,
+    // distinct unigrams for the decontam gate (minHashBandedTokensMd5From)
+    val shCte =
+      if (tokenFeatures) "SELECT doc_id, list_distinct(toks) AS shingles FROM doc"
+      else """SELECT doc_id,
                  CASE WHEN len(toks) >= 3
                       THEN list_transform(range(len(toks) - 2),
                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
                       ELSE [text] END AS shingles
-          FROM doc),
+          FROM doc"""
+    s"""WITH doc AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        sh AS ($shCte),
         hs AS (
           SELECT doc_id,
                  list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
@@ -1245,6 +1271,20 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_clusters,
                 CAST(SUM(cluster_size) AS BIGINT) AS n_docs
          FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+    // per-source attribution over the same closure: each doc's source
+    // joined against its representative's source
+    "dedup_source_attribution" ->
+      s"""$simHashClusterBaseSql
+         SELECT d.source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN b.doc_id = b.component_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN b.doc_id <> b.component_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                CAST(SUM(CASE WHEN b.doc_id <> b.component_id AND r.source <> d.source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross_source
+         FROM base b
+           JOIN documents d ON b.doc_id = d.doc_id
+           JOIN documents r ON b.component_id = r.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     "kmeans_codebook" ->
       // the trained centroid VALUES (cent2 is the oracle's own Lloyd
       // replay with the same fixed-point accumulation) — exploded to
@@ -1432,6 +1472,38 @@ object SparkEntry {
          SELECT doc_id, lang, source, n_chars FROM d
          WHERE bucket < 95 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    // minhash decontam: the md5 band replay (dedup_minhash_md5's CTE)
+    // split train/eval on the content-hash bucket, candidates from band
+    // collisions, exact token-set Jaccard, worst offender per train doc
+    "decontam_neardup" ->
+      s"""${minHashMd5BaseSql(32, 8, tokenFeatures = true)},
+         bk AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+           FROM documents),
+         cand AS (
+           SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+           FROM bb t JOIN bk bt ON t.doc_id = bt.doc_id
+                JOIN bb e ON t.band_key = e.band_key
+                JOIN bk be ON e.doc_id = be.doc_id
+           WHERE bt.bucket < 95 AND be.bucket >= 95),
+         ts AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
+         jac AS (
+           SELECT c.doc_id, c.eval_id,
+                  CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                    / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
+           FROM cand c JOIN ts ta ON c.doc_id = ta.doc_id
+                JOIN ts tb ON c.eval_id = tb.doc_id),
+         f AS (SELECT * FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         r AS (
+           SELECT doc_id, eval_id, jaccard,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_eval_matches,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, eval_id) AS rn
+           FROM f)
+         SELECT doc_id, eval_id, jaccard,
+                CAST(n_eval_matches AS BIGINT) AS n_eval_matches
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     "corpus_stratified_sample" ->
       s"""WITH d AS (
            SELECT doc_id, lang, source, n_chars,
@@ -2124,6 +2196,26 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
                 CAST(length(chunk_text) AS BIGINT) AS chunk_chars
          FROM c ORDER BY doc_id, chunk_id""",
+    // waste_frac is two exact-long casts divided in doubles — IEEE-equal
+    // cross-engine without fixed-pointing
+    "corpus_padding_waste" ->
+      """WITH t AS (
+           SELECT len(string_split_regex(text, '\s+')) AS n_tok FROM documents),
+         r AS (
+           SELECT n_tok,
+                  CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                       WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                       WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+                       ELSE 4096 END AS rung
+           FROM t)
+         SELECT CAST(rung AS BIGINT) AS rung,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(LEAST(n_tok, rung)) AS BIGINT) AS n_tokens_kept,
+                CAST(SUM(CASE WHEN n_tok > rung THEN n_tok - rung ELSE 0 END) AS BIGINT) AS n_tokens_truncated,
+                CAST(rung * COUNT(*) AS BIGINT) AS n_padded,
+                CAST(rung * COUNT(*) - SUM(LEAST(n_tok, rung)) AS DOUBLE)
+                  / CAST(rung * COUNT(*) AS DOUBLE) AS waste_frac
+         FROM r GROUP BY rung ORDER BY rung""",
     "mm_dims" ->
       // the Spark side round-trips through REAL PNG/JPEG/WAV bytes
       // (encode → magic-byte detect → header walk); the oracle computes
@@ -2155,6 +2247,28 @@ object SparkEntry {
                 COUNT(*) AS cnt, CAST(n AS BIGINT) AS n_bytes
          FROM by GROUP BY media_id, kind, bin, n
          ORDER BY media_id, bin""",
+    "mm_features_fix" ->
+      // same hex-sliced byte walk as mm_features_hist; the ratio is the
+      // single-precision divide decodeToFeatures performs (exact IEEE on
+      // both engines for counts << 2^24), fixed-pointed at 1e6
+      """WITH b AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                  hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, kind, n,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+           FROM b, unnest(range(n)) AS i(i)),
+         h AS (
+           SELECT media_id, kind, bin, COUNT(*) AS cnt, n
+           FROM by GROUP BY media_id, kind, bin, n)
+         SELECT media_id, kind, CAST(bin AS INT) AS bin,
+                CAST(round(CAST(CAST(cnt AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) AS ffix
+         FROM h ORDER BY media_id, bin""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

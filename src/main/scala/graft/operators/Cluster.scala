@@ -351,6 +351,37 @@ object Cluster {
         sum("cluster_size").as("n_docs"))
       .orderBy("cluster_size")
 
+  /** Per-SOURCE dedup attribution: after near-dup clustering, how many of
+    * each source's documents survive as cluster representatives and how
+    * many die as duplicates of some other document — plus how many of the
+    * losses are to a DIFFERENT source (cross-source dups are the
+    * licensing/attribution question real curation teams audit: "did
+    * source B's crawl just re-serve source A?"). One artifact scan + one
+    * co-keyed join to pull each doc's and its representative's source;
+    * output is |sources| rows.
+    */
+  def dedupSourceAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = IO.table(spark, sfDir, "documents").select("doc_id", "source")
+    val comp = componentMapStored(spark, sfDir)
+      .join(src, "doc_id")
+      .join(
+        src.select(col("doc_id").as("component_id"),
+          col("source").as("rep_source")),
+        "component_id")
+    comp
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("component_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("doc_id") =!= col("component_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("doc_id") =!= col("component_id")
+            && col("rep_source") =!= col("source"), 1L).otherwise(0L))
+          .as("n_lost_cross_source"))
+      .orderBy("source")
+  }
+
   /** Representative selection by QUALITY instead of lowest id: per cluster
     * keep the argmax quality_score (ties break on doc_id). This is the
     * policy a real training-data pipeline wants — near-dup clusters hold

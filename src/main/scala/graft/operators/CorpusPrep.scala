@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis
 import graft.sources.IO
 
 /** Corpus-preparation operators for a training-data pipeline: sequence
@@ -581,5 +582,49 @@ object CorpusPrep {
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Fixed sequence-length ladder for [[paddingWaste]] — the power-of-two
+    * max-length buckets a training stack actually allocates.
+    */
+  private[graft] val PaddingBuckets = Seq(64L, 128L, 256L, 512L, 1024L,
+    2048L, 4096L)
+
+  /** Padding-waste audit for length-bucketed batching: assign every
+    * document the smallest ladder length that fits its whitespace token
+    * count (overflow clamps to the top rung — those docs truncate, the
+    * ladder's third column), then report per rung how many real tokens
+    * ride against the allocated (rung × docs) budget. waste_frac is what
+    * the accelerator pays for padding at that rung: the number that
+    * decides between plain max-length batching and sequence packing
+    * ([[packSequences]]) — pipelines chart it per corpus version next to
+    * the cluster-size profile. One map-side token count + one |ladder|-row
+    * aggregation; nothing at corpus scale shuffles more than the 7-key
+    * groupBy. The division is two exact longs in IEEE doubles —
+    * cross-engine deterministic without fixed-pointing.
+    */
+  def paddingWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = PaddingBuckets.last
+    val rungExpr = PaddingBuckets.init.reverse
+      .foldLeft(lit(top)) { (acc, edge) =>
+        when(col("n_tok") <= edge, lit(edge)).otherwise(acc)
+      }
+    IO.table(spark, sfDir, "documents")
+      .select(size(TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .withColumn("rung", rungExpr)
+      .groupBy("rung")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), col("rung"))).as("n_tokens_kept"),
+        sum(when(col("n_tok") > col("rung"),
+          col("n_tok") - col("rung")).otherwise(0L)).as("n_tokens_truncated"))
+      .withColumn("n_padded", col("rung") * col("n_docs"))
+      .withColumn("waste_frac",
+        (col("n_padded") - col("n_tokens_kept")).cast("double")
+          / col("n_padded").cast("double"))
+      .select("rung", "n_docs", "n_tokens_kept", "n_tokens_truncated",
+        "n_padded", "waste_frac")
+      .orderBy("rung")
   }
 }

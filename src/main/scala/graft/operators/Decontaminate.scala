@@ -166,6 +166,73 @@ object Decontaminate {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** NEAR-DUPLICATE decontamination — the MinHash member of the family:
+    * a train document is contaminated when its token-set Jaccard with ANY
+    * eval document reaches `minJaccard`, with candidates generated by
+    * md5-minhash band-key collisions so neither side ever does an
+    * all-pairs. Published pipelines run this BESIDE the n-gram overlap
+    * ([[contaminationReport]]) and containment ([[containmentReport]])
+    * checks: a lightly-paraphrased eval answer shares no verbatim
+    * 13-gram, and eval docs much shorter than their contaminated train
+    * hosts dodge symmetric-Jaccard — the three metrics catch different
+    * leak shapes, so a real curation gate unions all three.
+    *
+    * Output: one row per contaminated train doc — its WORST offender
+    * (max jaccard, eval_id tiebreak) and how many eval docs it collided
+    * with at or above the threshold.
+    *
+    * Scale shape ([[Dedup.incrementalMinHashFrames]]'s, with the eval
+    * set in the batch seat): the eval side is tiny by definition, so its
+    * banded keys BROADCAST against the corpus banding — the corpus side
+    * never shuffles for candidate generation — and the exact-Jaccard
+    * verify joins token sets only for the candidate id set (contamination-
+    * bounded). At production scale the corpus banding comes from the
+    * persisted band-index artifact ([[Dedup.persistMinHashCorpusIndex]]'s
+    * convention) instead of being recomputed per eval suite.
+    */
+  def nearDupContaminationReport(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5,
+      evalPct: Int = 5): DataFrame = {
+    val docs = withToks(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"), col("bucket"))
+    val trainBanded = Dedup.minHashBandedTokensMd5From(
+      docs.filter(col("bucket") < 100 - evalPct), numPerms, bands)
+    val evalBanded = Dedup.minHashBandedTokensMd5From(
+      docs.filter(col("bucket") >= 100 - evalPct), numPerms, bands)
+    val cand = trainBanded
+      .join(broadcast(evalBanded
+        .select(col("doc_id").as("eval_id"), col("band_key"))), "band_key")
+      .select("doc_id", "eval_id")
+      .distinct()
+    val candIds = cand.select("doc_id")
+      .union(cand.select(col("eval_id").as("doc_id")))
+      .distinct()
+    val tokSets = IO.table(spark, sfDir, "documents")
+      .join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("tokset"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    cand
+      .join(tokSets.withColumnRenamed("tokset", "tok_a"), "doc_id")
+      .join(tokSets.select(col("doc_id").as("eval_id"),
+        col("tokset").as("tok_b")), "eval_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+          / size(array_union(col("tok_a"), col("tok_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("n_eval_matches", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(desc("jaccard"), asc("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"),
+        col("n_eval_matches"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, bucket, grams) — the shared head of the bloom pipelines. */
   private def gramDocs(spark: SparkSession, sfDir: String, gramWidth: Int): DataFrame =
     withToks(IO.table(spark, sfDir, "documents"))

@@ -265,12 +265,39 @@ object Dedup {
   private[graft] def minHashBandedMd5From(
       docs: DataFrame,
       numPerms: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    bandMd5Sigs(
+      withShingles(docs).withColumn("feats", col("shingles")),
+      numPerms, bands)
+
+  /** Md5-minhash banding over DISTINCT WORD TOKENS instead of shingles —
+    * the feature choice for the decontamination gate, where the verify
+    * metric is token-set Jaccard and the candidate generator must fire
+    * with the same probability structure (shingle-minhash bands catch
+    * verbatim passage reuse; unigram-set bands catch reordered /
+    * paraphrase-shaped overlap, which IS the decontam threat model).
+    */
+  private[graft] def minHashBandedTokensMd5From(
+      docs: DataFrame,
+      numPerms: Int = 32,
+      bands: Int = 8): DataFrame =
+    bandMd5Sigs(
+      docs.withColumn("feats", array_distinct(split(col("text"), " "))),
+      numPerms, bands)
+
+  /** Shared banding tail: md5-prefix hash each feature string, fold the
+    * numPerms affine minima in one per-row pass, md5-pack each band of
+    * signature rows into a single 8-byte join key.
+    */
+  private def bandMd5Sigs(
+      withFeats: DataFrame,
+      numPerms: Int,
+      bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val sigs = withShingles(docs)
+    val sigs = withFeats
       .select(col("doc_id"),
-        expr(s"""minhash_sig(transform(shingles,
+        expr(s"""minhash_sig(transform(feats,
                  s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)),
                  $numPerms)""").as("sig"))
     val bandKeys = array((0 until bands).map { b =>

@@ -33,4 +33,29 @@ object EventTime {
     case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
     case _ => expr("timestamp_micros(ts div 1000)")
   }
+
+  /** `ts >= usSinceEpoch`, phrased on the RAW column so the comparison
+    * reaches the parquet scan as a pushed filter (row-group min/max
+    * skipping + partition pruning — the predicate a time-partitioned
+    * 100 TB event table lives on). A filter on the computed µs column
+    * would evaluate post-scan and read everything. Exact at µs: both
+    * physical encodings hold ts at µs-or-finer, and whole-µs thresholds
+    * convert losslessly (timestamp_micros / ×1000 nanos).
+    */
+  def tsAtLeastUs(df: DataFrame, usSinceEpoch: Long): Column =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        col("ts") >= timestamp_micros(lit(usSinceEpoch)).cast(
+          df.schema("ts").dataType)
+      case _ => col("ts") >= lit(math.multiplyExact(usSinceEpoch, 1000L))
+    }
+
+  /** `ts < usSinceEpoch`, pushdown-friendly like [[tsAtLeastUs]]. */
+  def tsBeforeUs(df: DataFrame, usSinceEpoch: Long): Column =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        col("ts") < timestamp_micros(lit(usSinceEpoch)).cast(
+          df.schema("ts").dataType)
+      case _ => col("ts") < lit(math.multiplyExact(usSinceEpoch, 1000L))
+    }
 }

@@ -68,33 +68,63 @@ object Retrieval {
     val docsPath = s"$sfDir/documents.parquet"
     val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
       s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"bm25_v1|$sfDir|ws_tokens|$fingerprint"
+    val key = s"bm25_v2|$sfDir|ws_tokens|$fingerprint"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_$digest.parquet"
   }
 
-  /** Tokenize → (doc_id, term, tfreq) ONCE and persist — the production
-    * posting index. Everything derived per query batch (doc lengths,
-    * query-term df, corpus stats) reads this text-free frame, never the
-    * corpus.
+  /** Tokenize → (doc_id, term, tfreq) ONCE and persist, plus the per-doc
+    * length frame derived from it — the production posting index.
+    * Everything per query batch (query-term df, corpus stats, scoring)
+    * reads these text-free frames, never the corpus.
     */
   def persistPostings(spark: SparkSession, sfDir: String): String = {
     val path = postingsArtifactPath(spark, sfDir)
-    IO.table(spark, sfDir, "documents")
+    val tf = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tfreq"))
-      .write.mode("overwrite").parquet(path)
+    // file counts sized to the artifact, not to shuffle parallelism: the
+    // side frames are vocab/doc-count-bounded (4 readable splits beat 32
+    // scheduling stubs at any scale; a 100 TB deployment would instead
+    // bucket tf by term and size these by HDFS block)
+    tf.coalesce(4).write.mode("overwrite").parquet(s"$path/tf")
+    val tfStored = spark.read.parquet(s"$path/tf")
+    // everything corpus-derived lands in the artifact: doc lengths,
+    // per-term document frequency (vocab-sized — Zipf-small), and the
+    // (N, total-length) scalar pair — the stored consumer then touches
+    // the posting frame exactly once (the hit join)
+    tfStored
+      .groupBy("doc_id").agg(sum("tfreq").as("dlen"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$path/dlen")
+    tfStored
+      .groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+    spark.read.parquet(s"$path/dlen")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("dlen").cast("double").as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     path
   }
 
   /** [[bm25TopK]] consuming the PERSISTED posting index, self-priming on
     * first use (the stored-bloom/band-index/component-map contract): the
-    * corpus tokenize+tf build — all of the on-the-fly cost — runs only at
-    * priming; repeat query batches pay one scan of the posting artifact.
-    * Row-identical by construction (the artifact IS the tf frame), so the
-    * registered row keeps [[bm25TopK]]'s oracle.
+    * corpus tokenize+tf build AND the doc-length aggregation — all of the
+    * corpus-derived cost — run only at priming; repeat query batches pay
+    * one scan of each artifact. Row-identical by construction (the
+    * artifact IS the tf frame), so the registered row keeps
+    * [[bm25TopK]]'s oracle.
     */
+  /** Per-JVM memo of the query-side constants (term→df map, N, total
+    * length) keyed by artifact path — the train-once codebook idiom. The
+    * df map is vocab-bounded (Zipf-small here; a web-scale vocabulary
+    * would keep the in-plan df JOIN — the `dfStored=None` fallback in
+    * [[bm25ScoreOverPostings]] — rather than a driver map).
+    */
+  private val sideConstantsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, (Map[String, Long], Double, Double)]
+
   def bm25TopKStored(
       spark: SparkSession,
       sfDir: String,
@@ -102,36 +132,67 @@ object Retrieval {
       b: Double = 0.75,
       k: Int = 10): DataFrame = {
     val path = postingsArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/stats")))
       persistPostings(spark, sfDir)
-    bm25ScoreOverPostings(spark, spark.read.parquet(path), k1, b, k)
+    val (dfMap, n, total) = sideConstantsCache.getOrElseUpdate(path, {
+      val m = spark.read.parquet(s"$path/df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val st = spark.read.parquet(s"$path/stats").head()
+      (m, st.getDouble(0), st.getDouble(1))
+    })
+    bm25ScoreOverPostings(spark, spark.read.parquet(s"$path/tf"), k1, b, k,
+      dlenStored = Some(spark.read.parquet(s"$path/dlen")),
+      side = Some((dfMap, n, total)))
   }
 
   /** Scoring tail over a (doc_id, term, tfreq) posting frame — shared by
     * the build-inclusive and stored-index rows. Doc lengths and df are
-    * posting-frame aggregates (text-free, Zipf-small), the query batch
-    * broadcasts, and everything past the posting join is hit-bounded.
+    * posting-frame aggregates (text-free, Zipf-small; the stored path
+    * hands lengths in pre-aggregated), the query batch broadcasts, and
+    * everything past the posting join is hit-bounded.
     */
   private def bm25ScoreOverPostings(
       spark: SparkSession,
       tf: DataFrame,
       k1: Double,
       b: Double,
-      k: Int): DataFrame = {
+      k: Int,
+      dlenStored: Option[DataFrame] = None,
+      side: Option[(Map[String, Long], Double, Double)] = None): DataFrame = {
     import spark.implicits._
-    val dlen = tf.groupBy("doc_id").agg(sum("tfreq").as("dlen"))
-    val stats = dlen.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum("dlen").cast("double").as("total"))
-    val qterms = Queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("qid", "term")
+    val dlen = dlenStored.getOrElse(
+      tf.groupBy("doc_id").agg(sum("tfreq").as("dlen")))
     // query-term postings only: the broadcast join prunes the corpus-wide
-    // posting stream down to hit volume before anything else touches it
-    val hits = tf.join(broadcast(qterms), "term")
-    val dfreq = tf
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .groupBy("term").agg(count(lit(1)).as("dfreq"))
+    // posting stream down to hit volume before anything else touches it.
+    // With side constants (stored path) the df and corpus stats ride the
+    // SAME query broadcast as literal columns — one posting pass total;
+    // without them (build-inclusive path) df/stats are derived in-plan.
+    val joined = side match {
+      case Some((dfMap, nV, tV)) =>
+        val q = Queries
+          .flatMap { case (qid, ts) =>
+            ts.map(t => (qid, t, dfMap.getOrElse(t, 0L)))
+          }
+          .toDF("qid", "term", "dfreq")
+        tf.join(broadcast(q), "term")
+          .join(dlen, "doc_id")
+          .withColumn("n", lit(nV))
+          .withColumn("total", lit(tV))
+      case None =>
+        val qterms = Queries
+          .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+          .toDF("qid", "term")
+        val stats = dlen.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("dlen").cast("double").as("total"))
+        val dfreq = tf
+          .join(broadcast(qterms.select("term").distinct()), "term")
+          .groupBy("term").agg(count(lit(1)).as("dfreq"))
+        tf.join(broadcast(qterms), "term")
+          .join(broadcast(dfreq), "term")
+          .join(dlen, "doc_id")
+          .crossJoin(broadcast(stats))
+    }
     val avgdl = col("total") / col("n")
     val idf = log(lit(1.0) +
       (col("n") - col("dfreq").cast("double") + lit(0.5))
@@ -139,10 +200,7 @@ object Retrieval {
     val tfpart = (col("tfreq").cast("double") * lit(k1 + 1.0)) /
       (col("tfreq").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dlen").cast("double") / avgdl)))
-    val scored = hits
-      .join(broadcast(dfreq), "term")
-      .join(dlen, "doc_id")
-      .crossJoin(broadcast(stats))
+    val scored = joined
       .select(col("qid"), col("doc_id"),
         round((idf.cast("double") * tfpart).cast("float") * lit(1000000.0), 0)
           .cast("long").as("sfix"))

@@ -140,13 +140,19 @@ object Snapshot {
     */
   def eventsUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = IO.table(spark, sfDir, "events")
-    val ev = raw
-      .withColumn("tus", EventTime.tsUs(raw))
-      .select("user_id", "event_id", "tus", "event_type", "value")
     val splitUs = 1706054400000000L // 2024-01-24 00:00:00 UTC
+    // the base/update split filters on the RAW ts (EventTime.tsBeforeUs/
+    // tsAtLeastUs) so the time predicate pushes to the parquet scan —
+    // row-group skipping is what bounds the "update batch" read on a
+    // time-partitioned event table; a filter on the computed µs column
+    // would read everything and cut post-scan
+    def slice(pred: Column): DataFrame =
+      raw.filter(pred)
+        .withColumn("tus", EventTime.tsUs(raw))
+        .select("user_id", "event_id", "tus", "event_type", "value")
     upsertLatest(
-      ev.filter(col("tus") < splitUs),
-      ev.filter(col("tus") >= splitUs),
+      slice(EventTime.tsBeforeUs(raw, splitUs)),
+      slice(EventTime.tsAtLeastUs(raw, splitUs)),
       "user_id", "tus", "event_id")
       .orderBy("user_id")
   }

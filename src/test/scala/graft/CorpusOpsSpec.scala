@@ -43,6 +43,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.keySet.intersect(evalIds).isEmpty, "eval docs never appear in the report")
   }
 
+  test("minhash decontam: flags only train docs, jaccard verified against a driver replay") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val rep = Decontaminate.nearDupContaminationReport(spark, Sf).collect()
+    assert(rep.nonEmpty, "testdata must produce near-dup contamination rows")
+    val buckets = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rep.foreach { r =>
+      val (docId, evalId, jac, n) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(buckets(docId) < 95, s"flagged doc must be train-side: $docId")
+      assert(buckets(evalId) >= 95, s"offender must be eval-side: $evalId")
+      assert(n >= 1)
+      val expect = toks(docId).intersect(toks(evalId)).size.toDouble /
+        toks(docId).union(toks(evalId)).size
+      assert(math.abs(jac - expect) < 1e-12 && jac >= 0.5,
+        s"jaccard must match the set replay: $docId vs $evalId ($jac vs $expect)")
+    }
+  }
+
   test("leakage-safe split: near-dup pairs co-sited, singletons match the plain split") {
     val split = CorpusPrep.leakageSafeSplit(spark, Sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap

@@ -114,6 +114,35 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup source attribution: per-source counts tile the corpus, kept = clusters") {
+    val att = operators.Cluster.dedupSourceAttribution(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val clusters = operators.Cluster.nearDupComponentsMd5(spark, Sf)
+      .select("component_id").distinct().count()
+    assert(att.map(_.getLong(1)).sum == docs, "n_docs must tile the corpus")
+    assert(att.map(_.getLong(2)).sum == clusters,
+      "every cluster keeps exactly one representative")
+    att.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"kept+dropped must tile the source: $r")
+      assert(r.getLong(4) <= r.getLong(3), s"cross-source loss bounded: $r")
+    }
+  }
+
+  test("padding waste: rungs tile the corpus, waste bounded, truncation only at top rung") {
+    val pw = operators.CorpusPrep.paddingWaste(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(pw.map(_.getLong(1)).sum == docs, "rungs must tile the corpus")
+    val top = operators.CorpusPrep.PaddingBuckets.last
+    pw.foreach { r =>
+      val (rung, nDocs, kept, trunc, padded, waste) = (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(padded == rung * nDocs)
+      assert(kept <= padded && waste >= 0.0 && waste < 1.0, s"waste in [0,1): $r")
+      assert(trunc == 0 || rung == top, s"truncation only at the top rung: $r")
+    }
+  }
+
   test("bm25 stored: row-identical to the build-inclusive run (the artifact IS the tf frame)") {
     val a = Retrieval.bm25TopK(spark, Sf).collect().toSeq
     val b = Retrieval.bm25TopKStored(spark, Sf).collect().toSeq

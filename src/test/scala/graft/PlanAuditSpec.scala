@@ -30,6 +30,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"endsWith must reach the scan:\n$p")
   }
 
+  test("upsert's time-split predicate pushes to the events scan (EventTime)") {
+    // the base/update split must filter on the RAW ts column so row-group
+    // min/max skipping works — a tus-computed filter evaluates post-scan
+    val p = plan(operators.Snapshot.eventsUpsertLatest(spark, Sf))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty, s"no pushed filters in upsert plan:\n$p")
+    assert(pushed.exists(l => l.contains("ts") &&
+      (l.contains("GreaterThanOrEqual") || l.contains("LessThan"))),
+      s"ts range must reach the scan: ${pushed.mkString("; ")}")
+  }
+
   test("schema-pinned CSV read runs NO inference job; inferred read runs one (S1/S4)") {
     import org.apache.spark.sql.functions.col
     val dir = graft.sources.IO.scratchDir("s4_audit")
