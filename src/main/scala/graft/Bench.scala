@@ -51,7 +51,8 @@ object Bench {
       "ann_topk_pq", "pq_codes", "ann_topk_ivfpq", "corpus_quality_quantile",
       "w6_range_frame", "txt_unigram_logprob", "corpus_decontam_bloom",
       "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack",
-      "corpus_pack_nosplit", "dedup_incremental_minhash", "mm_dims",
+      "corpus_pack_nosplit", "dedup_incremental_minhash",
+      "dedup_incremental_components", "mm_dims",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
       "corpus_ingest_decisions",
       "dedup_cluster_decision_rebuild", "corpus_split_leakage_rebuild",

@@ -234,6 +234,10 @@ object SparkEntry {
     "dedup_cluster_sizes" -> (Cluster.clusterSizeProfile _),
     // per-source kept/dropped/cross-source-loss audit, off the same map
     "dedup_source_attribution" -> (Cluster.dedupSourceAttribution _),
+    // batch-extend the stored corpus clustering: batch rows + the
+    // churn-bounded corpus remap, no corpus re-clustering (oracle replays
+    // BOTH closures from scratch and takes the same delta)
+    "dedup_incremental_components" -> (Cluster.incrementalComponentsMd5 _),
     // LLM-pipeline: similarity search
     "ann_topk_bruteforce" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
@@ -1163,42 +1167,50 @@ object SparkEntry {
                   CAST(SUM(lpf) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_logprob
            FROM lp GROUP BY doc_id)"""
 
-  private def simHashClusterBaseSql: String =
-    """WITH RECURSIVE t AS (
+  /** One full simhash→banding→Hamming→recursive-closure CTE chain over
+    * `documents` (optionally filtered), with every CTE name suffixed so
+    * two chains (full vs corpus-carve) can coexist under one
+    * WITH RECURSIVE — the incremental-clustering oracle needs both.
+    */
+  private def simHashClosureCtes(sfx: String, docFilter: String): String =
+    s"""t$sfx AS (
            SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
                     tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
-           FROM documents),
-         s AS (
+           FROM documents$docFilter),
+         s$sfx AS (
            SELECT doc_id,
                   CASE WHEN len(hs) = 0 THEN 0
                        ELSE CAST(list_sum(list_transform(range(60), b ->
                          CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
                               THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
                   END AS simhash
-           FROM t),
-         bb AS (
+           FROM t$sfx),
+         bb$sfx AS (
            SELECT doc_id, simhash,
                   unnest([CAST(0 * 65536 + ((simhash >> 0) & 65535) AS BIGINT),
                           CAST(1 * 65536 + ((simhash >> 16) & 65535) AS BIGINT),
                           CAST(2 * 65536 + ((simhash >> 32) & 65535) AS BIGINT),
                           CAST(3 * 65536 + ((simhash >> 48) & 65535) AS BIGINT)]) AS band_key
-           FROM s),
-         cand AS (
+           FROM s$sfx),
+         cand$sfx AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-           FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id),
-         edges AS (
-           SELECT doc_a AS u, doc_b AS v FROM cand WHERE hamming <= 3
+           FROM bb$sfx a JOIN bb$sfx b USING (band_key) WHERE a.doc_id < b.doc_id),
+         edges$sfx AS (
+           SELECT doc_a AS u, doc_b AS v FROM cand$sfx WHERE hamming <= 3
            UNION ALL
-           SELECT doc_b AS u, doc_a AS v FROM cand WHERE hamming <= 3),
-         walk(node, reach) AS (
-           SELECT u, u FROM edges
+           SELECT doc_b AS u, doc_a AS v FROM cand$sfx WHERE hamming <= 3),
+         walk$sfx(node, reach) AS (
+           SELECT u, u FROM edges$sfx
            UNION
-           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
-         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
-         base AS (
+           SELECT w.node, e.v FROM walk$sfx w JOIN edges$sfx e ON w.reach = e.u),
+         comp$sfx AS (SELECT node, MIN(reach) AS root FROM walk$sfx GROUP BY node),
+         base$sfx AS (
            SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS component_id
-           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
+           FROM documents d LEFT JOIN comp$sfx c ON d.doc_id = c.node$docFilter)"""
+
+  private def simHashClusterBaseSql: String =
+    "WITH RECURSIVE " + simHashClosureCtes("", "")
 
   /** Full-training-replay IVF oracle, shared by the trained and the
     * stored-artifact registrations (row-identical by construction).
@@ -1271,6 +1283,18 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_clusters,
                 CAST(SUM(cluster_size) AS BIGINT) AS n_docs
          FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+    // the incremental delta: full closure restricted to batch docs plus
+    // corpus docs whose component differs from the corpus-only closure
+    "dedup_incremental_components" ->
+      ("WITH RECURSIVE " + simHashClosureCtes("", "") + ",\n         " +
+        simHashClosureCtes("2", " WHERE doc_id % 10 <> 0") +
+        """
+         SELECT b.doc_id, b.component_id FROM base b WHERE b.doc_id % 10 = 0
+         UNION ALL
+         SELECT b.doc_id, b.component_id
+         FROM base b JOIN base2 c USING (doc_id)
+         WHERE b.component_id <> c.component_id
+         ORDER BY doc_id"""),
     // per-source attribution over the same closure: each doc's source
     // joined against its representative's source
     "dedup_source_attribution" ->

@@ -351,6 +351,121 @@ object Cluster {
         sum("cluster_size").as("n_docs"))
       .orderBy("cluster_size")
 
+  /** Stable artifact root for the persisted CORPUS-CARVE cluster state
+    * (`/index`: the (doc_id, simhash, band_key) banding of the corpus
+    * side, `/map`: its (doc_id, component_id) clustering) — the state
+    * [[incrementalComponentsMd5]] extends per batch. Same
+    * footer-fingerprint convention as [[componentArtifactPath]]; a
+    * distinct scheme token because the doc set is the %10 carve, not the
+    * full table.
+    */
+  private[graft] def corpusClusterStatePath(
+      spark: SparkSession,
+      sfDir: String): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+    val key = s"ccstate_v1|$sfDir|simhash_md5|mod10|$fingerprint"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ccstate_$digest"
+  }
+
+  /** Build the corpus-side cluster state ONCE: band the corpus carve,
+    * cluster it, persist both. In production this is the standing index +
+    * component map a stream of batches extends — rebuilt per corpus
+    * version, never per batch.
+    */
+  def persistCorpusClusterState(spark: SparkSession, sfDir: String): String = {
+    val path = corpusClusterStatePath(spark, sfDir)
+    val corpus = IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    Dedup.simHashBandedFrom(Dedup.simHashSignaturesMd5From(corpus))
+      .write.mode("overwrite").parquet(s"$path/index")
+    val banded = spark.read.parquet(s"$path/index")
+    val pairs = Dedup.simHashPairs(banded, maxHamming = 3, sorted = false)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    corpus.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+      .write.mode("overwrite").parquet(s"$path/map")
+    path
+  }
+
+  /** INCREMENTAL clustering: extend the persisted corpus cluster state
+    * with a new batch (the `doc_id % 10 == 0` carve, the incremental
+    * family's synthetic arrival) WITHOUT re-clustering the corpus. Emits
+    * exactly the delta of the batch-inclusive clustering against the
+    * stored corpus-only map: every batch doc with its component, plus
+    * every corpus doc whose component CHANGED because a batch doc bridged
+    * two existing clusters. The DuckDB oracle replays both closures in
+    * full and takes the same restriction — a hash match proves the
+    * incremental result equals the from-scratch one on every affected
+    * row.
+    *
+    * Why this is sound: batch arrivals add only batch-incident edges
+    * (banding is per-doc, so corpus×corpus collisions are unchanged), so
+    * the full clustering differs from the corpus-only one exactly on the
+    * connected regions of the batch⋈(batch ∪ corpus-representative)
+    * graph, and each merged group's new id — min over its batch ids and
+    * corpus rep ids — IS the min doc_id of the merged node set (each rep
+    * is already the min of its corpus component).
+    *
+    * Scale shape: the batch bands map-side and BROADCASTS against the
+    * stored index (the corpus never re-signs, never shuffles); candidate
+    * verify is bit_count on the index's stored signatures; the star
+    * contraction runs on the batch-bounded supernode edge set; the
+    * corpus-side remap join touches only churn-bounded components. Total
+    * corpus cost per batch: one index scan + one map scan.
+    */
+  def incrementalComponentsMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = corpusClusterStatePath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/map")))
+      persistCorpusClusterState(spark, sfDir)
+    val corpusIdx = spark.read.parquet(s"$path/index")
+    val corpusMap = spark.read.parquet(s"$path/map")
+    val batchDocs = IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val batchBanded = Dedup
+      .simHashBandedFrom(Dedup.simHashSignaturesMd5From(batchDocs))
+      .localCheckpoint()
+    // batch × corpus candidates: band collision + exact Hamming verify
+    // against the INDEX's stored signature (batch side broadcasts)
+    val bc = broadcast(batchBanded
+      .select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
+        col("band_key")))
+      .join(corpusIdx.select(col("doc_id").as("c_id"),
+        col("simhash").as("c_sig"), col("band_key")), "band_key")
+      .select(col("b_id"), col("c_id"),
+        expr("bit_count(b_sig ^ c_sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    // corpus endpoints contract to their component REPRESENTATIVE
+    val bcEdges = bc
+      .join(corpusMap.select(col("doc_id").as("c_id"),
+        col("component_id").as("rep")), "c_id")
+      .select(col("b_id").as("doc_a"), col("rep").as("doc_b"))
+    val bbEdges = Dedup.simHashPairs(batchBanded, maxHamming = 3,
+      sorted = false).select("doc_a", "doc_b")
+    val comp = connectedComponents(
+      bcEdges.unionByName(bbEdges), "doc_a", "doc_b")
+    val batchRows = batchDocs.select("doc_id")
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+    // reps whose group got a smaller id: remap their whole corpus component
+    val repRemap = comp
+      .filter(col("node") % 10 =!= 0 && col("component") =!= col("node"))
+      .select(col("node").as("old_rep"), col("component").as("new_comp"))
+    val corpusChanged = corpusMap
+      .join(broadcast(repRemap),
+        corpusMap("component_id") === repRemap("old_rep"))
+      .select(col("doc_id"), col("new_comp").as("component_id"))
+    batchRows.unionByName(corpusChanged).orderBy("doc_id")
+  }
+
   /** Per-SOURCE dedup attribution: after near-dup clustering, how many of
     * each source's documents survive as cluster representatives and how
     * many die as duplicates of some other document — plus how many of the

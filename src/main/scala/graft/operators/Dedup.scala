@@ -533,7 +533,14 @@ object Dedup {
     * xxhash64 stays the library default.
     */
   def simHashSignaturesMd5(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    simHashSignaturesMd5From(IO.table(spark, sfDir, "documents"))
+
+  /** [[simHashSignaturesMd5]] over an explicit documents frame — the seam
+    * the incremental clustering path uses to sign the batch and the
+    * corpus carve separately.
+    */
+  private[graft] def simHashSignaturesMd5From(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         expr("""simhash64(transform(array_distinct(split(text, ' ')),
                 t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)))""")

@@ -74,6 +74,27 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("incremental components equal the from-scratch batch-inclusive delta") {
+    import graft.operators.Cluster
+    val inc = Cluster.incrementalComponentsMd5(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from-scratch replay: full clustering of all docs, corpus-only map
+    // from the artifact the incremental path primed
+    val full = Cluster.nearDupComponentsMd5(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusOnly = spark.read
+      .parquet(s"${Cluster.corpusClusterStatePath(spark, Sf)}/map")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = full.filter { case (id, comp) =>
+      id % 10 == 0 || corpusOnly(id) != comp
+    }
+    assert(inc == expected,
+      s"incremental delta must equal the from-scratch restriction " +
+        s"(inc=${inc.size} rows, expected=${expected.size})")
+    assert(inc.keys.exists(_ % 10 != 0),
+      "testdata must exercise at least one corpus remap (a batch bridge)")
+  }
+
   test("stored minhash index: persists once, reloads, verdicts row-identical") {
     val path = java.nio.file.Paths.get(
       Dedup.minHashIndexArtifactPath(spark, Sf, numPerms = 32, bands = 8))
