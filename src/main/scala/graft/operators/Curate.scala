@@ -177,6 +177,108 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** The per-micro-batch body of [[ingestGateStream]]: gate an ARBITRARY
+    * arriving (doc_id, text, n_chars) frame against the STORED corpus
+    * state — the same four gates as [[ingestDecisions]] in the same
+    * pinned order, but with every corpus-side input an artifact or a
+    * broadcastable derived frame, so the per-batch cost is
+    * batch-bounded:
+    *
+    *   - exact_dup: md5 fingerprint against the corpus fingerprint set +
+    *     the lower-id-wins rule WITHIN the arriving batch;
+    *   - near_dup: batch simhash banding broadcast against the PERSISTED
+    *     corpus band index ([[Cluster.corpusClusterStatePath]]/index —
+    *     the same artifact the incremental clustering extends);
+    *   - contaminated: batch gram hashes against the broadcast eval gram
+    *     set;
+    *   - passes_quality: the inline quality score, map-side.
+    *
+    * Cross-batch note: admitted docs are NOT folded back into the
+    * fingerprint/band artifacts here — production's foreachBatch body
+    * appends them (the artifact-maintenance write this library's
+    * persist* builders own), so two near-identical docs arriving in
+    * DIFFERENT micro-batches both gate against the pre-stream corpus.
+    * Within one micro-batch the batch-internal exact rule applies.
+    */
+  def ingestGateBatch(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      gramWidth: Int = 4,
+      minQuality: Double = 0.6): DataFrame = {
+    val batch = arrivals.select("doc_id", "text", "n_chars")
+      .localCheckpoint()
+    val corpusFp = IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+      .withColumn("in_corpus", lit(1))
+    val batchW = Window.partitionBy("fp").orderBy("doc_id")
+    val exact = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(batchW))
+      .select(col("doc_id"),
+        (col("in_corpus").isNotNull || col("rn") > 1).cast("int").as("exact_dup"))
+    val statePath = Cluster.corpusClusterStatePath(spark, sfDir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$statePath/index")))
+      Cluster.persistCorpusClusterState(spark, sfDir)
+    val nearDup = Dedup.incrementalNearDupFrames(
+      batch.select("doc_id"),
+      Dedup.simHashBandedFrom(Dedup.simHashSignaturesMd5From(batch)),
+      spark.read.parquet(s"$statePath/index"),
+      maxHamming = 3)
+      .select(col("doc_id"), (!col("is_new")).cast("int").as("near_dup"))
+    val contaminated = Decontaminate.contaminatedIdsOf(
+      Decontaminate.gramsFor(batch, gramWidth),
+      Decontaminate.evalGramsOf(spark, sfDir, gramWidth))
+      .withColumn("cont", lit(1))
+    val quality = batch
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .select(col("doc_id"),
+        (col("quality_score") >= minQuality).cast("int").as("passes_quality"))
+    val reason = when(col("exact_dup") === 1, lit("exact_dup"))
+      .when(col("near_dup") === 1, lit("near_dup"))
+      .when(col("contaminated") === 1, lit("contaminated"))
+      .when(col("passes_quality") === 0, lit("low_quality"))
+    exact
+      .join(nearDup, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", when(col("cont").isNotNull, 1).otherwise(0))
+      .drop("cont")
+      .join(quality, "doc_id")
+      .withColumn("reason", reason)
+      .withColumn("admit", col("reason").isNull.cast("int"))
+      .select("doc_id", "exact_dup", "near_dup", "contaminated",
+        "passes_quality", "admit", "reason")
+  }
+
+  /** STREAMING ingest gate: every micro-batch of arriving documents is
+    * gated by [[ingestGateBatch]] against the stored corpus artifacts and
+    * the decision trail lands in `outDir` (append, with the micro-batch
+    * id stamped) — the foreachBatch shape production curation streams
+    * run, where the same body also merges admitted fingerprints/bands
+    * back into the artifacts. Caller awaits/stops the returned query.
+    */
+  def ingestGateStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String,
+      gramWidth: Int = 4,
+      minQuality: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestGateBatch(spark, sfDir, batch, gramWidth, minQuality)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/decisions")
+      }
+      .start()
+
   /** The FLAGSHIP end-to-end composition — what a training-data run
     * actually executes, as ONE lineage: curation (dedup → quality →
     * per-source cap) → decontamination → epoch shuffle → sequence

@@ -409,13 +409,40 @@ object Decontaminate {
       gramWidth: Int,
       evalPct: Int = 5): DataFrame = {
     val docs = gramDocs(spark, sfDir, gramWidth)
-    val evalGrams = evalGramsFrame(docs, evalPct)
-    docs.filter(col("doc_id") % 10 === 0)
+    contaminatedIdsOf(
+      docs.filter(col("doc_id") % 10 === 0),
+      evalGramsFrame(docs, evalPct))
+  }
+
+  /** Contaminated ids of an ARBITRARY gram-bearing frame against an eval
+    * gram set — the seam the streaming ingest gate drives per
+    * micro-batch.
+    */
+  private[operators] def contaminatedIdsOf(
+      gramDocs: DataFrame,
+      evalGrams: DataFrame): DataFrame =
+    gramDocs
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .select("doc_id")
       .distinct()
-  }
+
+  /** (doc_id, grams) of an arbitrary (doc_id, text) frame + the eval gram
+    * set of the stored corpus — the artifact pair the streaming gate
+    * consumes.
+    */
+  private[operators] def gramsFor(
+      arrivals: DataFrame,
+      gramWidth: Int): DataFrame =
+    withToks(arrivals)
+      .select(col("doc_id"), gramHashes(gramWidth).as("grams"))
+
+  private[operators] def evalGramsOf(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int,
+      evalPct: Int = 5): DataFrame =
+    evalGramsFrame(gramDocs(spark, sfDir, gramWidth), evalPct)
 
   /** The decontaminated training corpus: train documents with NO gram
     * overlap against the eval set. Anti-join against the (small)

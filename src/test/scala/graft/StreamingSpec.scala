@@ -41,6 +41,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: a one-batch stream reproduces the batch decision trail") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val arrivals = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, String, Long)]
+    val outDir = graft.sources.IO.scratchDir("stream_gate")
+    val q = graft.operators.Curate.ingestGateStream(spark, Sf,
+      mem.toDF().toDF("doc_id", "text", "n_chars"), outDir)
+    try {
+      mem.addData(arrivals.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/decisions")
+      .select("doc_id", "exact_dup", "near_dup", "contaminated",
+        "passes_quality", "admit", "reason")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Curate.ingestDecisions(spark, Sf, gramWidth = 4)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream gate must equal the batch trail (${streamed.size} vs ${batch.size})")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
