@@ -62,7 +62,7 @@ object Bench {
       "dsir_weights",
       "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
       "corpus_source_overlap",
-      "graph_pagerank_stored", "graph_hits", "retrieval_hard_negatives",
+      "graph_pagerank_rebuild", "graph_hits", "retrieval_hard_negatives",
       "retrieval_hybrid_rrf", "decontam_containment", "decontam_neardup",
       "dedup_source_attribution", "corpus_padding_waste",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
@@ -156,7 +156,7 @@ object Bench {
       "dedup_incremental_minhash", "ann_topk_pq", "ann_topk_ivfpq_res",
       "pq_codes", "snapshot_diff", "txt_unigram_logprob",
       "corpus_decontam_bloom", "retrieval_bm25_topk",
-      "retrieval_bm25_stored", "graph_pagerank", "graph_pagerank_stored")
+      "retrieval_bm25_stored", "graph_pagerank", "graph_pagerank_rebuild")
     val byName = results.toMap
     val qsCompact = headline.flatMap(k => byName.get(k).map {
       case Right(sec) => s""""$k":${math.round(sec * 1000) / 1000.0}"""

@@ -460,6 +460,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("incremental components consume the stored index: batch broadcasts, no corpus re-sign") {
+    // prime the artifact so the audited plan is the steady-state one
+    operators.Cluster.persistCorpusClusterState(spark, Sf)
+    val df = operators.Cluster.incrementalComponentsMd5(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side must arrive from the persisted parquet state
+    // (index scan), not from re-signing text: the only simhash64 calls
+    // in the plan belong to the batch carve
+    assert(plan.contains("graft_ccstate_"),
+      s"corpus banding must come from the stored artifact:\n${plan.take(2000)}")
+    val simhashCalls = "simhash64".r.findAllIn(plan).length
+    assert(simhashCalls <= 2, // batch banding (+ possible reuse render)
+      s"corpus must never re-sign: $simhashCalls simhash64 sites in plan")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs anywhere")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "batch candidates must broadcast against the index")
+  }
+
   test("incremental exact anti-join over a bucketed fingerprint index: corpus side exchange-free") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_corpus_fp")
