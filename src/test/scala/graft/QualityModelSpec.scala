@@ -13,10 +13,12 @@ import graft.operators.QualityModel
 class QualityModelSpec extends SparkTestBase {
 
   test("trained weights are bit-identical across runs and partitionings") {
+    QualityModel.clearModelCache() // force a real retrain on both sides
     val a = QualityModel.lrWeights(spark, Sf).collect().toSeq
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
+      QualityModel.clearModelCache()
       val b = QualityModel.lrWeights(spark, Sf).collect().toSeq
       assert(a == b, "weight vector must not depend on partition layout")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
