@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: the correctness gate compares
+  * `SparkEntry.queries` dumps against `SparkEntry.oracleSql` BY NAME, so a
+  * misspelled oracle key silently downgrades its query to a rows-only
+  * check (and an orphan oracle checks nothing at all). These are pure
+  * map-shape assertions — no Spark session.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key has a registered query (no orphan oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: ${orphans.toSeq.sorted}")
+  }
+
+  test("the no-oracle rows are exactly the documented exceptions") {
+    // Each name here is a DELIBERATE rows-only row: xxhash64 fast paths
+    // twinned by an md5 row, the reference-CSV PlayStore pipelines
+    // (DuckDB cannot see the bundled resource), genuinely approximate
+    // sketches with exact twins, the spec-pinned batched BPE, and the
+    // mapPartitions feature stub (fixed-point twin mm_features_fix).
+    // Growing this set is a deliberate act — add the justification here.
+    val expected = Set(
+      "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_substring_pairs",
+      "mm_features", "sketch_merge", "sketch_profile",
+      "txt_bpe_merges", "txt_fingerprints",
+      "ps_part1_sentiment", "ps_part2_best_apps", "ps_part3_standardize",
+      "ps_part4_cleaned", "ps_part5_metrics")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == expected,
+      s"no-oracle set drifted: unexpected=${(actual -- expected).toSeq.sorted}, " +
+        s"missing=${(expected -- actual).toSeq.sorted}")
+  }
+}
