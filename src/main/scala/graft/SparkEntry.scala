@@ -371,6 +371,8 @@ object SparkEntry {
     "corpus_chunk" -> ((s, d) => CorpusPrep.chunkDocuments(s, d)),
     // padding-waste ladder: the batching-vs-packing decision number
     "corpus_padding_waste" -> (CorpusPrep.paddingWaste _),
+    // derandomized T5-style span-corruption layout (manifest, not rewrite)
+    "corpus_span_corruption" -> ((s, d) => CorpusPrep.spanCorruptionManifest(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
     // library default) vacuously overlap-free here — width 4 yields a
@@ -2222,6 +2224,27 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
                 CAST(length(chunk_text) AS BIGINT) AS chunk_chars
          FROM c ORDER BY doc_id, chunk_id""",
+    // grid-block derandomization: every arithmetic step is exact integers
+    // off an md5 prefix, so the layout replays bit-for-bit
+    "corpus_span_corruption" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 20),
+         b AS (
+           SELECT doc_id, tk, unnest(range(len(tk) // 20)) AS span_id FROM d),
+         h AS (
+           SELECT doc_id, tk, span_id,
+                  ('0x' || substr(md5(doc_id || ':' || span_id || ':' || 42), 1, 8))::BIGINT AS h
+           FROM b),
+         s AS (
+           SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, tk,
+                  span_id * 20 + (h % 18) + 1 AS start_tok
+           FROM h)
+         SELECT doc_id, span_id, CAST(start_tok AS BIGINT) AS start_tok,
+                CAST(3 AS BIGINT) AS span_len,
+                array_to_string(list_slice(tk, CAST(start_tok AS INT),
+                  CAST(start_tok + 2 AS INT)), ' ') AS span_text
+         FROM s ORDER BY doc_id, span_id""",
     // waste_frac is two exact-long casts divided in doubles — IEEE-equal
     // cross-engine without fixed-pointing
     "corpus_padding_waste" ->

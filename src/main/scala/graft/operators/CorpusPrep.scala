@@ -584,6 +584,51 @@ object CorpusPrep {
       .orderBy("src_a", "src_b")
   }
 
+  /** Span-corruption MANIFEST for denoising objectives (the T5/UL2
+    * recipe): per document, the token spans a masked-span objective
+    * replaces with sentinels. DERANDOMIZED like the weighted walks: the
+    * token stream is gridded into `blockLen`-token blocks and each
+    * complete block masks one `spanLen`-token span whose offset is
+    * md5-derived from (doc_id, block, seed) — corruption rate is exactly
+    * spanLen/blockLen (the published ~15% at 3/20), spans can never
+    * overlap by construction, and every engine replays the layout
+    * bit-for-bit (sampled-span T5 trades this determinism for jitter the
+    * objective does not need). Emitting a MANIFEST (doc, span, start,
+    * text) rather than rewritten text keeps the operator composable: the
+    * training loader owns sentinel ids and target construction.
+    *
+    * Scale shape: one map-side pass — tokens, blocks, and offsets are all
+    * computed inline on the scan; the only exchange is the presentation
+    * sort. At 100 TB this fuses into the same WholeStageCodegen span as
+    * the packing scan that consumes it.
+    */
+  def spanCorruptionManifest(
+      spark: SparkSession,
+      sfDir: String,
+      spanLen: Int = 3,
+      blockLen: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    require(spanLen >= 1 && blockLen > spanLen, "need 1 <= spanLen < blockLen")
+    val offsets = blockLen - spanLen + 1
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= blockLen)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          (size(col("tk")) / blockLen).cast("int") - 1)).as("span_id"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("span_id"),
+          lit(seed)).cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("start_tok",
+        col("span_id") * blockLen + (col("h") % offsets) + 1)
+      .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+        col("start_tok"), lit(spanLen.toLong).as("span_len"),
+        concat_ws(" ",
+          slice(col("tk"), col("start_tok").cast("int"), lit(spanLen)))
+          .as("span_text"))
+      .orderBy("doc_id", "span_id")
+  }
+
   /** Fixed sequence-length ladder for [[paddingWaste]] — the power-of-two
     * max-length buckets a training stack actually allocates.
     */

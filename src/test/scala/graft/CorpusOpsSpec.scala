@@ -43,6 +43,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.keySet.intersect(evalIds).isEmpty, "eval docs never appear in the report")
   }
 
+  test("span corruption: non-overlapping in-bounds spans at the exact grid rate") {
+    val rows = CorpusPrep.spanCorruptionManifest(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val nTok = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (docId, spans) =>
+      val n = nTok(docId)
+      assert(spans.length == n / 20, s"one span per complete block: $docId")
+      val ranges = spans.map(r => (r.getLong(2), r.getLong(2) + r.getLong(3) - 1))
+      ranges.foreach { case (s, e) =>
+        assert(s >= 1 && e <= n, s"span in bounds: $docId [$s,$e] n=$n")
+      }
+      // block grid ⇒ spans sorted by span_id cannot overlap
+      ranges.sorted.toSeq.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1, s"overlap in $docId")
+        case _ =>
+      }
+    }
+    // span_text really is the tokens at the claimed offsets
+    val doc = rows.head.getLong(0)
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === doc)
+      .head().getString(1).split(" ")
+    rows.filter(_.getLong(0) == doc).foreach { r =>
+      val s = r.getLong(2).toInt - 1
+      assert(r.getString(4) == toks.slice(s, s + r.getLong(3).toInt).mkString(" "))
+    }
+  }
+
   test("minhash decontam: flags only train docs, jaccard verified against a driver replay") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val rep = Decontaminate.nearDupContaminationReport(spark, Sf).collect()
