@@ -373,6 +373,8 @@ object SparkEntry {
     "corpus_padding_waste" -> (CorpusPrep.paddingWaste _),
     // derandomized T5-style span-corruption layout (manifest, not rewrite)
     "corpus_span_corruption" -> ((s, d) => CorpusPrep.spanCorruptionManifest(s, d)),
+    // fill-in-the-middle cut layout at the published ~50% apply rate
+    "corpus_fim_manifest" -> ((s, d) => CorpusPrep.fimManifest(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
     // library default) vacuously overlap-free here — width 4 yields a
@@ -2224,6 +2226,25 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
                 CAST(length(chunk_text) AS BIGINT) AS chunk_chars
          FROM c ORDER BY doc_id, chunk_id""",
+    "corpus_fim_manifest" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_tok,
+                  CAST(('0x' || substr(md5(doc_id || ':apply:' || 42), 1, 8))::BIGINT % 100 < 50 AS INT) AS fim,
+                  ('0x' || substr(md5(doc_id || ':cut1:' || 42), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(doc_id || ':cut2:' || 42), 1, 8))::BIGINT AS h2
+           FROM d),
+         c AS (
+           SELECT doc_id, n_tok, fim,
+                  CASE WHEN fim = 1 THEN LEAST(h1 % (n_tok + 1), h2 % (n_tok + 1)) END AS cut_lo,
+                  CASE WHEN fim = 1 THEN GREATEST(h1 % (n_tok + 1), h2 % (n_tok + 1)) END AS cut_hi
+           FROM f)
+         SELECT doc_id, n_tok, fim, cut_lo, cut_hi,
+                cut_lo AS len_prefix, cut_hi - cut_lo AS len_middle,
+                n_tok - cut_hi AS len_suffix
+         FROM c ORDER BY doc_id""",
     // grid-block derandomization: every arithmetic step is exact integers
     // off an md5 prefix, so the layout replays bit-for-bit
     "corpus_span_corruption" ->

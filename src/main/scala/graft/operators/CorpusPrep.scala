@@ -629,6 +629,40 @@ object CorpusPrep {
       .orderBy("doc_id", "span_id")
   }
 
+  /** Fill-in-the-middle (FIM) layout manifest — the code-model sibling of
+    * [[spanCorruptionManifest]]: for the hash-selected half of the corpus
+    * (the published ~50% FIM rate), two md5-derived cut points split the
+    * token stream into prefix | middle | suffix, and training reorders to
+    * PSM/SPM with sentinels. Emitted as cuts + segment lengths (the
+    * loader owns sentinel ids and the reorder); non-selected docs carry
+    * the flag so the manifest covers the corpus exactly once. All
+    * arithmetic is exact integers off md5 prefixes — bit-replayable on
+    * any engine, one map-side pass, no exchange but the presentation
+    * sort.
+    */
+  def fimManifest(
+      spark: SparkSession,
+      sfDir: String,
+      applyPct: Int = 50,
+      seed: Long = 42L): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat_ws(":", col("doc_id"), lit(tag),
+        lit(seed)).cast("binary")), 1, 8), 16, 10).cast("long")
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("fim", (h("apply") % 100 < applyPct).cast("int"))
+      .withColumn("c1", when(col("fim") === 1, h("cut1") % (col("n_tok") + 1)))
+      .withColumn("c2", when(col("fim") === 1, h("cut2") % (col("n_tok") + 1)))
+      .select(col("doc_id"), col("n_tok"), col("fim"),
+        least(col("c1"), col("c2")).as("cut_lo"),
+        greatest(col("c1"), col("c2")).as("cut_hi"))
+      .withColumn("len_prefix", col("cut_lo"))
+      .withColumn("len_middle", col("cut_hi") - col("cut_lo"))
+      .withColumn("len_suffix", col("n_tok") - col("cut_hi"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed sequence-length ladder for [[paddingWaste]] — the power-of-two
     * max-length buckets a training stack actually allocates.
     */

@@ -76,6 +76,26 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("fim manifest: segments tile the doc, rate near 50%, non-fim rows null cuts") {
+    val rows = CorpusPrep.fimManifest(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length == docs, "one manifest row per document")
+    val applied = rows.count(_.getInt(2) == 1)
+    assert(applied > rows.length / 3 && applied < 2 * rows.length / 3,
+      s"hash-gated apply rate must sit near 50%: $applied/${rows.length}")
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      if (r.getInt(2) == 1) {
+        val (lo, hi) = (r.getLong(3), r.getLong(4))
+        assert(lo >= 0 && lo <= hi && hi <= n, s"cuts ordered in range: $r")
+        assert(r.getLong(5) + r.getLong(6) + r.getLong(7) == n,
+          s"prefix+middle+suffix must tile the doc: $r")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"non-fim rows carry no cuts: $r")
+      }
+    }
+  }
+
   test("minhash decontam: flags only train docs, jaccard verified against a driver replay") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val rep = Decontaminate.nearDupContaminationReport(spark, Sf).collect()
