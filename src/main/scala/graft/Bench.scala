@@ -65,7 +65,7 @@ object Bench {
       "graph_pagerank_rebuild", "graph_hits", "retrieval_hard_negatives",
       "retrieval_hybrid_rrf", "decontam_containment", "decontam_neardup",
       "dedup_source_attribution", "corpus_padding_waste",
-      "corpus_span_corruption", "corpus_fim_manifest",
+      "corpus_span_corruption", "corpus_fim_manifest", "corpus_denoiser_mix",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
       "graph_ppr", "graph_random_walks")
     val allCases: Seq[(String, () => DataFrame)] =

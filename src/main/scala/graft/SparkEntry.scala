@@ -375,6 +375,8 @@ object SparkEntry {
     "corpus_span_corruption" -> ((s, d) => CorpusPrep.spanCorruptionManifest(s, d)),
     // fill-in-the-middle cut layout at the published ~50% apply rate
     "corpus_fim_manifest" -> ((s, d) => CorpusPrep.fimManifest(s, d)),
+    // UL2 mixture-of-denoisers routing (R/X/S at 50/25/25)
+    "corpus_denoiser_mix" -> ((s, d) => CorpusPrep.denoiserMix(s, d)),
     // gramWidth pinned to 4 for the registered rows: the synthetic corpus'
     // ~30-word vocabulary makes the published 13-gram convention (the
     // library default) vacuously overlap-free here — width 4 yields a
@@ -2226,6 +2228,25 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
                 CAST(length(chunk_text) AS BIGINT) AS chunk_chars
          FROM c ORDER BY doc_id, chunk_id""",
+    "corpus_denoiser_mix" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tok,
+                  ('0x' || substr(md5(doc_id || ':denoiser:' || 42), 1, 8))::BIGINT % 4 AS route,
+                  ('0x' || substr(md5(doc_id || ':split:' || 42), 1, 8))::BIGINT AS hs
+           FROM d),
+         m AS (
+           SELECT doc_id, n_tok,
+                  CASE WHEN route < 2 THEN 'R' WHEN route = 2 THEN 'X' ELSE 'S' END AS denoiser,
+                  hs
+           FROM r)
+         SELECT doc_id, n_tok, denoiser,
+                CAST(CASE denoiser WHEN 'R' THEN 3 WHEN 'X' THEN 12 END AS BIGINT) AS span_len,
+                CAST(CASE denoiser WHEN 'R' THEN 20 WHEN 'X' THEN 40 END AS BIGINT) AS block_len,
+                CASE WHEN denoiser = 'S' THEN hs % (n_tok + 1) END AS s_split
+         FROM m ORDER BY doc_id""",
     "corpus_fim_manifest" ->
       """WITH d AS (
            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -663,6 +663,45 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** Mixture-of-denoisers assignment (the UL2 recipe): every document is
+    * hash-routed to one denoiser family with its span parameters —
+    * R (regular span corruption, 3/20), X (extreme: long spans, 12/40),
+    * or S (sequential prefix-LM: one hash-placed split point) — at the
+    * published 50/25/25 mix. The R/X rows parameterize
+    * [[spanCorruptionManifest]]'s grid; the S rows carry their split
+    * directly (a FIM cut with the middle pinned to the tail). One
+    * map-side pass; the routing hash is disjoint from the corruption
+    * hashes (different tag), so denoiser choice and span placement are
+    * independent.
+    */
+  def denoiserMix(
+      spark: SparkSession,
+      sfDir: String,
+      seed: Long = 42L): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat_ws(":", col("doc_id"), lit(tag),
+        lit(seed)).cast("binary")), 1, 8), 16, 10).cast("long")
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("route", h("denoiser") % 4)
+      .withColumn("denoiser",
+        when(col("route") < 2, lit("R"))
+          .when(col("route") === 2, lit("X"))
+          .otherwise(lit("S")))
+      .withColumn("span_len",
+        when(col("denoiser") === "R", 3L)
+          .when(col("denoiser") === "X", 12L))
+      .withColumn("block_len",
+        when(col("denoiser") === "R", 20L)
+          .when(col("denoiser") === "X", 40L))
+      .withColumn("s_split",
+        when(col("denoiser") === "S", h("split") % (col("n_tok") + 1)))
+      .select("doc_id", "n_tok", "denoiser", "span_len", "block_len",
+        "s_split")
+      .orderBy("doc_id")
+  }
+
   /** Fixed sequence-length ladder for [[paddingWaste]] — the power-of-two
     * max-length buckets a training stack actually allocates.
     */

@@ -76,6 +76,25 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("denoiser mix: 50/25/25 routing with family-consistent parameters") {
+    val rows = CorpusPrep.denoiserMix(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length == docs)
+    val byDen = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byDen.keySet == Set("R", "X", "S"))
+    assert(byDen("R") > byDen("X") && byDen("R") > byDen("S"),
+      s"R must dominate the published mix: $byDen")
+    rows.foreach { r =>
+      r.getString(2) match {
+        case "R" => assert(r.getLong(3) == 3 && r.getLong(4) == 20 && r.isNullAt(5))
+        case "X" => assert(r.getLong(3) == 12 && r.getLong(4) == 40 && r.isNullAt(5))
+        case "S" =>
+          assert(r.isNullAt(3) && r.isNullAt(4))
+          assert(r.getLong(5) >= 0 && r.getLong(5) <= r.getLong(1))
+      }
+    }
+  }
+
   test("fim manifest: segments tile the doc, rate near 50%, non-fim rows null cuts") {
     val rows = CorpusPrep.fimManifest(spark, Sf).collect()
     val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
