@@ -284,15 +284,9 @@ object Cluster {
     */
   private[graft] def componentArtifactPath(
       spark: SparkSession,
-      sfDir: String): String = {
-    val docsPath = s"$sfDir/documents.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"ccmap_v1|$sfDir|simhash_md5|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ccmap_$digest.parquet"
-  }
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "ccmap", s"ccmap_v1|$sfDir|simhash_md5") + ".parquet"
 
   /** Run the full simhash → star-contraction pipeline ONCE and persist the
     * (doc_id, component_id) map — the cluster analogue of the train-once
@@ -361,15 +355,9 @@ object Cluster {
     */
   private[graft] def corpusClusterStatePath(
       spark: SparkSession,
-      sfDir: String): String = {
-    val docsPath = s"$sfDir/documents.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"ccstate_v1|$sfDir|simhash_md5|mod10|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ccstate_$digest"
-  }
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "ccstate", s"ccstate_v1|$sfDir|simhash_md5|mod10")
 
   /** Build the corpus-side cluster state ONCE: band the corpus carve,
     * cluster it, persist both. In production this is the standing index +
@@ -432,21 +420,14 @@ object Cluster {
       .simHashBandedFrom(Dedup.simHashSignaturesMd5From(batchDocs))
       .localCheckpoint()
     // batch × corpus candidates: band collision + exact Hamming verify
-    // against the INDEX's stored signature (batch side broadcasts)
-    val bc = broadcast(batchBanded
-      .select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
-        col("band_key")))
-      .join(corpusIdx.select(col("doc_id").as("c_id"),
-        col("simhash").as("c_sig"), col("band_key")), "band_key")
-      .select(col("b_id"), col("c_id"),
-        expr("bit_count(b_sig ^ c_sig)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+    // against the INDEX's stored signature (batch side broadcasts) — the
+    // shared generator with the incremental near-dup verdicts
+    val bc = Dedup.bandHammingCandidates(batchBanded, corpusIdx, maxHamming = 3)
     // corpus endpoints contract to their component REPRESENTATIVE
     val bcEdges = bc
-      .join(corpusMap.select(col("doc_id").as("c_id"),
-        col("component_id").as("rep")), "c_id")
-      .select(col("b_id").as("doc_a"), col("rep").as("doc_b"))
+      .join(corpusMap.select(col("doc_id").as("corpus_id"),
+        col("component_id").as("rep")), "corpus_id")
+      .select(col("batch_id").as("doc_a"), col("rep").as("doc_b"))
     val bbEdges = Dedup.simHashPairs(batchBanded, maxHamming = 3,
       sorted = false).select("doc_a", "doc_b")
     val comp = connectedComponents(

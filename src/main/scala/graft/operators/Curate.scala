@@ -184,13 +184,14 @@ object Curate {
     * broadcastable derived frame, so the per-batch cost is
     * batch-bounded:
     *
-    *   - exact_dup: md5 fingerprint against the corpus fingerprint set +
-    *     the lower-id-wins rule WITHIN the arriving batch;
+    *   - exact_dup: md5 fingerprint against the PERSISTED corpus
+    *     fingerprint set ([[ingestArtifactPath]]/fp) + the lower-id-wins
+    *     rule WITHIN the arriving batch;
     *   - near_dup: batch simhash banding broadcast against the PERSISTED
     *     corpus band index ([[Cluster.corpusClusterStatePath]]/index —
     *     the same artifact the incremental clustering extends);
-    *   - contaminated: batch gram hashes against the broadcast eval gram
-    *     set;
+    *   - contaminated: batch gram hashes against the PERSISTED eval gram
+    *     set ([[ingestArtifactPath]]/evalgrams, broadcast);
     *   - passes_quality: the inline quality score, map-side.
     *
     * Cross-batch note: admitted docs are NOT folded back into the
@@ -200,6 +201,36 @@ object Curate {
     * DIFFERENT micro-batches both gate against the pre-stream corpus.
     * Within one micro-batch the batch-internal exact rule applies.
     */
+  /** Artifact root for the gate's corpus-side inputs: the corpus
+    * fingerprint set (`/fp`) and the eval gram set (`/evalgrams`) — the
+    * two frames [[ingestGateBatch]] would otherwise re-derive from a full
+    * corpus scan on EVERY micro-batch. The band index lives separately
+    * under [[Cluster.corpusClusterStatePath]] (shared with the
+    * incremental clustering).
+    */
+  private[graft] def ingestArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "ingate", s"ingate_v1|$sfDir|mod10|$gramWidth")
+
+  /** Build the gate's corpus-side artifacts ONCE (per corpus version). */
+  def persistIngestArtifacts(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 4): String = {
+    val path = ingestArtifactPath(spark, sfDir, gramWidth)
+    IO.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+      .coalesce(4).write.mode("overwrite").parquet(s"$path/fp")
+    Decontaminate.evalGramsOf(spark, sfDir, gramWidth)
+      .coalesce(4).write.mode("overwrite").parquet(s"$path/evalgrams")
+    path
+  }
+
   def ingestGateBatch(
       spark: SparkSession,
       sfDir: String,
@@ -208,10 +239,11 @@ object Curate {
       minQuality: Double = 0.6): DataFrame = {
     val batch = arrivals.select("doc_id", "text", "n_chars")
       .localCheckpoint()
-    val corpusFp = IO.table(spark, sfDir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .select(md5(col("text").cast("binary")).as("fp"))
-      .distinct()
+    val artPath = ingestArtifactPath(spark, sfDir, gramWidth)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$artPath/evalgrams")))
+      persistIngestArtifacts(spark, sfDir, gramWidth)
+    val corpusFp = spark.read.parquet(s"$artPath/fp")
       .withColumn("in_corpus", lit(1))
     val batchW = Window.partitionBy("fp").orderBy("doc_id")
     val exact = batch
@@ -232,7 +264,7 @@ object Curate {
       .select(col("doc_id"), (!col("is_new")).cast("int").as("near_dup"))
     val contaminated = Decontaminate.contaminatedIdsOf(
       Decontaminate.gramsFor(batch, gramWidth),
-      Decontaminate.evalGramsOf(spark, sfDir, gramWidth))
+      spark.read.parquet(s"$artPath/evalgrams"))
       .withColumn("cont", lit(1))
     val quality = batch
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
@@ -257,10 +289,14 @@ object Curate {
 
   /** STREAMING ingest gate: every micro-batch of arriving documents is
     * gated by [[ingestGateBatch]] against the stored corpus artifacts and
-    * the decision trail lands in `outDir` (append, with the micro-batch
-    * id stamped) — the foreachBatch shape production curation streams
-    * run, where the same body also merges admitted fingerprints/bands
-    * back into the artifacts. Caller awaits/stops the returned query.
+    * the decision trail lands in `outDir/decisions` — IDEMPOTENTLY, via
+    * the batchId-keyed overwrite directories of
+    * [[graft.streaming.EventStream.writeBatch]]'s contract: a micro-batch
+    * replayed after checkpoint recovery overwrites its own directory
+    * instead of appending duplicate decision rows. This is the
+    * foreachBatch shape production curation streams run, where the same
+    * body also merges admitted fingerprints/bands back into the
+    * artifacts. Caller awaits/stops the returned query.
     */
   def ingestGateStream(
       spark: SparkSession,
@@ -274,8 +310,8 @@ object Curate {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestGateBatch(spark, sfDir, batch, gramWidth, minQuality)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$outDir/decisions")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/decisions/batch_id=$batchId")
       }
       .start()
 

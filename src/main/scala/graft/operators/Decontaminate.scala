@@ -326,18 +326,12 @@ object Decontaminate {
       sfDir: String,
       gramWidth: Int,
       evalPct: Int,
-      fpp: Double): String = {
-    val docsPath = s"$sfDir/documents.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
+      fpp: Double): String =
     // gramv2 = token-hash-composed gram hashes: the sketch stores gram
     // HASHES, so the artifact is invalid across a hash-scheme change and
     // the key must name the scheme
-    val key = s"gramv2|$sfDir|$gramWidth|$evalPct|$fpp|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_bloom_$digest.bin"
-  }
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "bloom", s"gramv2|$sfDir|$gramWidth|$evalPct|$fpp") + ".bin"
 
   /** Build the eval-gram sketch and persist it at [[bloomArtifactPath]]
     * (atomic temp-file + rename, so a concurrent reader never sees a

@@ -345,15 +345,9 @@ object Dedup {
       spark: SparkSession,
       sfDir: String,
       numPerms: Int,
-      bands: Int): String = {
-    val docsPath = s"$sfDir/documents.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"mhidx_v1|$sfDir|$numPerms|$bands|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_$digest.parquet"
-  }
+      bands: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "mhidx", s"mhidx_v1|$sfDir|$numPerms|$bands") + ".parquet"
 
   /** Build the corpus-side band index ONCE and persist it — the artifact
     * [[incrementalMinHashMd5Stored]] consumes. In production this is the
@@ -643,12 +637,17 @@ object Dedup {
   /** Verdict join over pre-banded frames (test seam + production entry:
     * callers with a persisted corpus band index start here).
     */
-  private[graft] def incrementalNearDupFrames(
-      batchIds: DataFrame,
+  /** Band-collision candidates of a (small, broadcast) batch banding
+    * against a corpus banding, exact-Hamming verified on the bandings'
+    * stored signatures: (batch_id, corpus_id, hamming) with hamming ≤
+    * `maxHamming` — the shared candidate generator of the incremental
+    * near-dup verdicts and the incremental clustering.
+    */
+  private[operators] def bandHammingCandidates(
       batchBanded: DataFrame,
       corpusBanded: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val matches = broadcast(
+      maxHamming: Int): DataFrame =
+    broadcast(
       batchBanded.select(col("doc_id").as("batch_id"),
         col("simhash").as("batch_sig"), col("band_key")))
       .join(corpusBanded.select(col("doc_id").as("corpus_id"),
@@ -657,6 +656,13 @@ object Dedup {
         expr("bit_count(batch_sig ^ corpus_sig)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+
+  private[graft] def incrementalNearDupFrames(
+      batchIds: DataFrame,
+      batchBanded: DataFrame,
+      corpusBanded: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val matches = bandHammingCandidates(batchBanded, corpusBanded, maxHamming)
     val best = matches
       .withColumn("rn", row_number().over(
         Window.partitionBy("batch_id").orderBy(col("hamming"), col("corpus_id"))))

@@ -36,17 +36,23 @@ import graft.sources.IO
   */
 object LinkGraph {
 
-  private def items(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+  private def items(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = IO.table(spark, sfDir, "events")
+    // µs event time via the schema-aware accessor — ordering by raw ts
+    // would diverge from the oracle's µs TIMESTAMPs on the legacy
+    // nanos-as-long encoding (same-µs ties ordering by ns instead of
+    // event_id), and the divergence would bake into the persisted graph
+    // every PageRank/HITS/walk consumer reads
+    ev.select(col("user_id"), EventTime.tsUs(ev).as("tus"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+  }
 
   /** The weighted transition edge list: (src, dst, weight) over
     * consecutive same-user events, self-loops dropped. This IS the graph
     * artifact — build once, iterate many.
     */
   def transitionEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     items(spark, sfDir)
       .withColumn("src", lag("item", 1).over(w))
       .where(col("src").isNotNull && col("src") =!= col("item"))
@@ -119,15 +125,9 @@ object LinkGraph {
     */
   private[graft] def graphArtifactPath(
       spark: SparkSession,
-      sfDir: String): String = {
-    val evPath = s"$sfDir/events.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, evPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, evPath, "props")}"
-    val key = s"graph_v1|$sfDir|transitions|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_graph_$digest"
-  }
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/events.parquet", "props",
+      "graph", s"graph_v1|$sfDir|transitions")
 
   /** Mine the transition graph ONCE and persist both halves of the
     * artifact — the weighted edge list and the node universe (isolated

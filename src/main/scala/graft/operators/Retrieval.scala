@@ -64,15 +64,9 @@ object Retrieval {
     */
   private[graft] def postingsArtifactPath(
       spark: SparkSession,
-      sfDir: String): String = {
-    val docsPath = s"$sfDir/documents.parquet"
-    val fingerprint = s"${IO.parquetRowCount(spark, docsPath)}:" +
-      s"${IO.parquetColumnUncompressedBytes(spark, docsPath, "text")}"
-    val key = s"bm25_v2|$sfDir|ws_tokens|$fingerprint"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_$digest.parquet"
-  }
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "bm25", s"bm25_v2|$sfDir|ws_tokens") + ".parquet"
 
   /** Tokenize → (doc_id, term, tfreq) ONCE and persist, plus the per-doc
     * length frame derived from it — the production posting index.
@@ -107,6 +101,16 @@ object Retrieval {
     path
   }
 
+  /** Per-JVM memo of the query-side constants (term→df map, N, total
+    * length) keyed by artifact path — the train-once codebook idiom. The
+    * df map is vocab-bounded (Zipf-small here; a web-scale vocabulary
+    * would keep the in-plan df JOIN — the `side=None` fallback in
+    * [[bm25ScoreOverPostings]] — rather than a driver map).
+    */
+  private val sideConstantsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, (Map[String, Long], Double, Double)]
+
   /** [[bm25TopK]] consuming the PERSISTED posting index, self-priming on
     * first use (the stored-bloom/band-index/component-map contract): the
     * corpus tokenize+tf build AND the doc-length aggregation — all of the
@@ -115,16 +119,6 @@ object Retrieval {
     * artifact IS the tf frame), so the registered row keeps
     * [[bm25TopK]]'s oracle.
     */
-  /** Per-JVM memo of the query-side constants (term→df map, N, total
-    * length) keyed by artifact path — the train-once codebook idiom. The
-    * df map is vocab-bounded (Zipf-small here; a web-scale vocabulary
-    * would keep the in-plan df JOIN — the `dfStored=None` fallback in
-    * [[bm25ScoreOverPostings]] — rather than a driver map).
-    */
-  private val sideConstantsCache =
-    scala.collection.concurrent.TrieMap
-      .empty[String, (Map[String, Long], Double, Double)]
-
   def bm25TopKStored(
       spark: SparkSession,
       sfDir: String,

@@ -266,4 +266,27 @@ object IO {
       }
       total
     })
+
+  /** Stable tmpdir path for a content-keyed persisted artifact — THE
+    * convention every stored artifact in this library shares (band
+    * indexes, component maps, bloom sketches, posting indexes, click
+    * graphs): the digest covers the caller's scheme/params `key` PLUS a
+    * footer-derived fingerprint (row count + uncompressed bytes of
+    * `column`) of the source table, so a regenerated table misses the
+    * stale artifact; `tag` names the file for humans. Callers append
+    * their own extension/subdirs.
+    */
+  def contentKeyedArtifactPath(
+      spark: SparkSession,
+      dataPath: String,
+      column: String,
+      tag: String,
+      key: String): String = {
+    val fingerprint = s"${parquetRowCount(spark, dataPath)}:" +
+      s"${parquetColumnUncompressedBytes(spark, dataPath, column)}"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key|$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$digest"
+  }
 }

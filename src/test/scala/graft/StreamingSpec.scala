@@ -56,15 +56,19 @@ class StreamingSpec extends SparkTestBase {
       mem.addData(arrivals.toSeq)
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.read.parquet(s"$outDir/decisions")
+    val streamedRows = spark.read.parquet(s"$outDir/decisions")
       .select("doc_id", "exact_dup", "near_dup", "contaminated",
         "passes_quality", "admit", "reason")
-      .collect().map(_.toSeq).toSet
-    val batch = graft.operators.Curate.ingestDecisions(spark, Sf, gramWidth = 4)
-      .collect().map(_.toSeq).toSet
-    assert(streamed == batch,
-      s"stream gate must equal the batch trail (${streamed.size} vs ${batch.size})")
-    assert(streamed.nonEmpty)
+      .collect().map(_.toSeq)
+    val batchRows = graft.operators.Curate.ingestDecisions(spark, Sf, gramWidth = 4)
+      .collect().map(_.toSeq)
+    // multiplicity-sensitive: a replayed/duplicated micro-batch write
+    // would inflate the row count even when the SET of decisions matches
+    assert(streamedRows.length == batchRows.length,
+      s"one decision row per arrival (${streamedRows.length} vs ${batchRows.length})")
+    assert(streamedRows.toSet == batchRows.toSet,
+      "stream gate must equal the batch trail")
+    assert(streamedRows.nonEmpty)
   }
 
   test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
