@@ -71,6 +71,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedRows.nonEmpty)
   }
 
+  test("ingest gate replay: re-running a micro-batch overwrites, never duplicates") {
+    import org.apache.spark.sql.functions.col
+    val arrivals = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text", "n_chars")
+    val outDir = graft.sources.IO.scratchDir("gate_replay")
+    // the foreachBatch body, invoked twice with the SAME batch id — the
+    // checkpoint-recovery shape where the write committed but the offset
+    // did not
+    def writeOnce(): Unit =
+      graft.operators.Curate.ingestGateBatch(spark, Sf, arrivals)
+        .write.mode("overwrite").parquet(s"$outDir/decisions/batch_id=7")
+    writeOnce()
+    val first = spark.read.parquet(s"$outDir/decisions").count()
+    writeOnce()
+    val second = spark.read.parquet(s"$outDir/decisions").count()
+    assert(first == second && first == arrivals.count(),
+      s"replay must be a no-op: $first then $second")
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
