@@ -54,7 +54,7 @@ object Bench {
       "corpus_pack_nosplit", "dedup_incremental_minhash",
       "dedup_incremental_components", "mm_dims",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
-      "corpus_ingest_decisions",
+      "corpus_ingest_decisions", "corpus_ingest_rebuild",
       "dedup_cluster_decision_rebuild", "corpus_split_leakage_rebuild",
       "ann_topk_mrl", "txt_gopher_rules", "txt_pii_report",
       "corpus_temp_mixture", "dedup_cluster_sizes",

@@ -434,7 +434,11 @@ object SparkEntry {
     // the batch-arrival sibling: per incoming doc, the full gate trail
     // (exact dup -> near dup -> contamination -> quality) with the first
     // failing reason — the decision row a continuous-ingest loop audits
-    "corpus_ingest_decisions" -> ((s, d) => Curate.ingestDecisions(s, d, gramWidth = 4)),
+    // the DEFAULT row gates against the persisted artifacts (the
+    // stored-default convention); the rebuild row re-derives the corpus
+    // inputs per call — row-identical, one oracle
+    "corpus_ingest_decisions" -> ((s, d) => Curate.ingestDecisionsStored(s, d, gramWidth = 4)),
+    "corpus_ingest_rebuild" -> ((s, d) => Curate.ingestDecisions(s, d, gramWidth = 4)),
     "corpus_curated" -> ((s, d) => Curate.curatedCorpus(s, d)),
     "corpus_curation_report" -> ((s, d) => Curate.report(s, d)),
     "corpus_quality_quantile" -> ((s, d) => Curate.qualityQuantileFilter(s, d)),
@@ -2529,6 +2533,68 @@ object SparkEntry {
       // exact fp lookup + within-batch window, the md5-simhash verdict
       // pipeline, the string-exact gram contamination set, the quality
       // floor — then the pinned-precedence reason CASE
+      s"""$decontamGramsSql,
+         bfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0),
+         cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+         ex AS (
+           SELECT doc_id,
+                  CASE WHEN fp IN (SELECT fp FROM cfp)
+                        OR ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+                       THEN 1 ELSE 0 END AS exact_dup
+           FROM bfp),
+         t AS (
+           SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+                    tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) = 0 THEN 0
+                       ELSE CAST(list_sum(list_transform(range(60), b ->
+                         CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
+                              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                  END AS simhash
+           FROM t),
+         bb AS (
+           SELECT doc_id, simhash,
+                  unnest([CAST(0 * 65536 + ((simhash >> 0) & 65535) AS BIGINT),
+                          CAST(1 * 65536 + ((simhash >> 16) & 65535) AS BIGINT),
+                          CAST(2 * 65536 + ((simhash >> 32) & 65535) AS BIGINT),
+                          CAST(3 * 65536 + ((simhash >> 48) & 65535) AS BIGINT)]) AS band_key
+           FROM s),
+         nd AS (
+           SELECT DISTINCT a.doc_id FROM bb a JOIN bb b USING (band_key)
+           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+             AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         cont AS (
+           SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+           WHERE g.doc_id % 10 = 0),
+         qq AS (
+           SELECT doc_id,
+                  LEAST(1.0,
+                    (CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                     / len(string_split_regex(text, '\\s+'))) * 2.0
+                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           FROM documents)
+         SELECT b.doc_id, ex.exact_dup,
+                CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
+                CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated,
+                CASE WHEN qq.quality_score >= 0.6 THEN 1 ELSE 0 END AS passes_quality,
+                CASE WHEN ex.exact_dup = 0 AND nd.doc_id IS NULL
+                      AND cont.doc_id IS NULL AND qq.quality_score >= 0.6
+                     THEN 1 ELSE 0 END AS admit,
+                CASE WHEN ex.exact_dup = 1 THEN 'exact_dup'
+                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                     WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                     WHEN qq.quality_score < 0.6 THEN 'low_quality' END AS reason
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+         JOIN ex USING (doc_id)
+         LEFT JOIN nd USING (doc_id)
+         LEFT JOIN cont USING (doc_id)
+         JOIN qq USING (doc_id)
+         ORDER BY b.doc_id""",
+    "corpus_ingest_rebuild" ->
+      // rebuild twin: row-identical to corpus_ingest_decisions, same replay
       s"""$decontamGramsSql,
          bfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0),
          cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),

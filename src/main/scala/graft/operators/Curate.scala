@@ -287,6 +287,24 @@ object Curate {
         "passes_quality", "admit", "reason")
   }
 
+  /** [[ingestDecisions]] with every corpus-side input read from the
+    * persisted artifacts ([[ingestGateBatch]] applied to the batch
+    * carve) — row-identical by construction (StreamingSpec pins the
+    * equality), so the registered row keeps [[ingestDecisions]]' oracle;
+    * the rebuild row times the corpus-recompute path.
+    */
+  def ingestDecisionsStored(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 4,
+      minQuality: Double = 0.6): DataFrame =
+    ingestGateBatch(spark, sfDir,
+      IO.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text", "n_chars"),
+      gramWidth, minQuality)
+      .orderBy("doc_id")
+
   /** STREAMING ingest gate: every micro-batch of arriving documents is
     * gated by [[ingestGateBatch]] against the stored corpus artifacts and
     * the decision trail lands in `outDir/decisions` — IDEMPOTENTLY, via
