@@ -231,7 +231,56 @@ object TextAnalysis {
     * BIGINT; float's 24-bit mantissa washes the ulp out, and float·1e6
     * is exact in double (24+20 bits < 53), so the round is stable.
     */
+  /** Artifact root for the persisted LM count tables — `/uni`
+    * (term, ucnt) and `/bi` (prev, cur, bcnt), both Zipf-small. The LM
+    * ladder's corpus-derived side: training is counting, so these
+    * artifacts ARE the trained model, refreshed per corpus version; every
+    * scoring row then pays only its own occurrence scan (the per-doc
+    * positions scoring needs cannot be pre-aggregated). Row-identical by
+    * construction — the artifact is the same aggregation — so stored and
+    * rebuild rows share one oracle.
+    */
+  private[graft] def lmArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "lmco", s"lmco_v1|$sfDir|ws")
+
+  /** Count once, persist both tables. */
+  def persistLmCounts(spark: SparkSession, sfDir: String): String = {
+    val path = lmArtifactPath(spark, sfDir)
+    val toks = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    toks.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ucnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
+    toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(tk)),
+             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
+        .as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bi")
+    path
+  }
+
+  /** Self-priming (uni, bi) count frames off the artifact. */
+  private def lmCounts(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val path = lmArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/bi")))
+      persistLmCounts(spark, sfDir)
+    (spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"))
+  }
+
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    // counts stay INLINE here (unlike the bigram/KN rows): the count
+    // subplan shares the token-explode exchange with the scoring join,
+    // so the inline form is cheaper than an artifact read at every scale
+    // the row has been measured at
     val toks = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -276,8 +325,7 @@ object TextAnalysis {
       lambda: Double = 0.7): DataFrame = {
     val toks = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val uni = toks.select(explode(col("tk")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("ucnt"))
+    val (uni, bi) = lmCounts(spark, sfDir)
     val total = uni.agg(sum("ucnt").as("n"))
     val occ = toks
       .filter(size(col("tk")) >= 2) // sequence(2,1) would COUNT DOWN, not empty
@@ -286,7 +334,6 @@ object TextAnalysis {
              i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
         .as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    val bi = occ.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
     occ
       .join(bi, Seq("prev", "cur"))
       .join(uni.withColumnRenamed("term", "prev").withColumnRenamed("ucnt", "pcnt"), "prev")
@@ -452,7 +499,7 @@ object TextAnalysis {
              i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
         .as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    val bi = occ.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+    val bi = lmCounts(spark, sfDir)._2
     // per-context: total bigram mass c(v·) and continuation fan-out N₁₊(v·)
     val ctx = bi.groupBy("prev")
       .agg(sum("bcnt").as("cctx"), count(lit(1)).as("n1p_v"))

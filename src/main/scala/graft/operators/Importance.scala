@@ -121,13 +121,45 @@ object Importance {
       .orderBy("doc_id")
   }
 
+  /** Artifact path for the persisted 256-row estimator — the DSIR
+    * "trained model" (the codebook contract made literal: train once per
+    * corpus version, every scoring pass reads the table).
+    */
+  private[graft] def estimatorArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "dsir", s"dsir_v1|$sfDir|$NumBuckets|en") + ".parquet"
+
+  /** Train the estimator once and persist it. */
+  def persistEstimator(spark: SparkSession, sfDir: String): String = {
+    val path = estimatorArtifactPath(spark, sfDir)
+    logRatios(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The persisted estimator, self-priming on first use. Row-identical to
+    * [[logRatios]] by construction, so every consumer keeps its oracle.
+    */
+  private def estimatorStored(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = estimatorArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistEstimator(spark, sfDir)
+    spark.read.parquet(path)
+  }
+
   /** (doc_id, n_tokens, lw_fix) — the exact-integer weight seam
-    * [[weights]] presents and [[sample]] keys on.
+    * [[weights]] presents and [[sample]] keys on. Scores against the
+    * PERSISTED estimator: one corpus pass total per call, the estimator
+    * pass runs only at priming.
     */
   private def weightsFix(spark: SparkSession, sfDir: String): DataFrame =
     tokens(spark, sfDir)
       .withColumn("bucket", bucketOf(col("term")))
-      .join(broadcast(logRatios(spark, sfDir)
+      .join(broadcast(estimatorStored(spark, sfDir)
         .select("bucket", "logratio_fix")), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("logratio_fix").as("lw_fix"))
