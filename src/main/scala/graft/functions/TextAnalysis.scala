@@ -14,8 +14,15 @@ import graft.sources.IO
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def wsTokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens. Leading whitespace would otherwise yield a
+    * phantom empty first token (Spark's split keeps leading empties, only
+    * trailing are trimmed) that inflates every count-derived signal —
+    * filtered here so whitespace-prefixed crawl text scores the same as
+    * its trimmed twin. (Result-neutral on the fixture, which carries no
+    * leading whitespace — pinned by the oracles staying hash-green.)
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Token counting: whitespace tokens next to BPE-ish regex tokens
     * (maximal alnum runs plus single punctuation marks — a regex stand-in
@@ -90,8 +97,11 @@ object TextAnalysis {
   def qualityScoreCol: Column = {
     val toks = col("toks")
     val nTok = size(toks).cast("double")
+    // lower() before the stopword probe — the languageId/gopherRules
+    // convention; a title-case document must not score stopword-poor
+    // (result-neutral on the all-lowercase fixture)
     val stopHits = size(filter(toks,
-      t => t.isInCollection(StopwordsEn))).cast("double")
+      t => lower(t).isInCollection(StopwordsEn))).cast("double")
     least(
       lit(1.0),
       (stopHits / nTok) * 2.0
@@ -107,7 +117,7 @@ object TextAnalysis {
     val toks = col("toks")
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks,
-      t => t.isInCollection(StopwordsEn))).cast("double")
+      t => lower(t).isInCollection(StopwordsEn))).cast("double")
     val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
       .cast("double")
     IO.table(spark, sfDir, "documents")
@@ -254,13 +264,7 @@ object TextAnalysis {
     toks.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ucnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
-    toks
-      .filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(2, size(tk)),
-             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
-        .as("p"))
-      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+    bigramOcc(toks)
       .groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bi")
     path
@@ -276,6 +280,34 @@ object TextAnalysis {
     (spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"))
   }
 
+  /** Per-position (doc_id, prev, cur) bigram occurrences of a
+    * (doc_id, tk) token-array frame — THE pair construction every bigram
+    * consumer shares (a drifted copy would break the cross-engine
+    * bit-exactness the LM ladder's oracles pin).
+    */
+  private def bigramOcc(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("tk")) >= 2) // sequence(2,1) would COUNT DOWN, not empty
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(tk)),
+             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+
+  /** Shared fixed-point mean over per-position `lpf` rows:
+    * (doc_id, nCol, mean_logprob) — the integer sum is partition-order
+    * independent, the one division exact.
+    */
+  private def fixedPointMean(scored: DataFrame, nCol: String): DataFrame =
+    scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as(nCol), sum("lpf").as("s"))
+      .select(col("doc_id"), col(nCol),
+        (col("s").cast("double")
+          / (col(nCol).cast("double") * lit(1000000.0)))
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     // counts stay INLINE here (unlike the bigram/KN rows): the count
     // subplan shares the token-explode exchange with the scoring join,
@@ -290,13 +322,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         round(log(col("cnt").cast("double") / col("total").cast("double"))
           .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lpf").as("s"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("s").cast("double")
-          / (col("n_tokens").cast("double") * lit(1000000.0)))
-          .as("mean_logprob"))
-      .orderBy("doc_id")
+      .transform(fixedPointMean(_, "n_tokens"))
   }
 
   /** Bigram language-model score per document: mean log-probability of
@@ -327,14 +353,7 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
     val (uni, bi) = lmCounts(spark, sfDir)
     val total = uni.agg(sum("ucnt").as("n"))
-    val occ = toks
-      .filter(size(col("tk")) >= 2) // sequence(2,1) would COUNT DOWN, not empty
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(2, size(tk)),
-             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
-        .as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    occ
+    bigramOcc(toks)
       .join(bi, Seq("prev", "cur"))
       .join(uni.withColumnRenamed("term", "prev").withColumnRenamed("ucnt", "pcnt"), "prev")
       .join(uni.withColumnRenamed("term", "cur").withColumnRenamed("ucnt", "ccnt"), "cur")
@@ -344,13 +363,7 @@ object TextAnalysis {
           lit(lambda) * (col("bcnt").cast("double") / col("pcnt").cast("double"))
             + lit(1.0 - lambda) * (col("ccnt").cast("double") / col("n").cast("double")))
           .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lpf").as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("s").cast("double")
-          / (col("n_bigrams").cast("double") * lit(1000000.0)))
-          .as("mean_logprob"))
-      .orderBy("doc_id")
+      .transform(fixedPointMean(_, "n_bigrams"))
   }
 
   /** Document fingerprints: a cryptographic content id (md5), a cheap
@@ -492,13 +505,7 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame = {
     val toks = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val occ = toks
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(2, size(tk)),
-             i -> struct(element_at(tk, i - 1) AS prev, element_at(tk, i) AS cur))"""))
-        .as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val occ = bigramOcc(toks)
     val bi = lmCounts(spark, sfDir)._2
     // per-context: total bigram mass c(v·) and continuation fan-out N₁₊(v·)
     val ctx = bi.groupBy("prev")
@@ -519,13 +526,7 @@ object TextAnalysis {
             + (((d * col("n1p_v").cast("double")) / col("cctx").cast("double"))
               * (col("n1p_w").cast("double") / col("tt").cast("double"))))
           .cast("float") * lit(1000000.0), 0).cast("long").as("lpf"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lpf").as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("s").cast("double")
-          / (col("n_bigrams").cast("double") * lit(1000000.0)))
-          .as("mean_logprob"))
-      .orderBy("doc_id")
+      .transform(fixedPointMean(_, "n_bigrams"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every

@@ -35,9 +35,19 @@ object EventStream {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** `start`/`lastSeen` are µs-since-epoch (the batch twins' resolution —
+    * ms-truncated arithmetic diverged from [[sessionizeBatch]] on same-ms
+    * event pairs).
+    */
   case class SessionState(count: Long, start: Long, lastSeen: Long)
   case class SessionOut(user_id: Long, events: Long, durationMs: Long,
       closed: Boolean)
+
+  /** µs-since-epoch of a Timestamp (getTime is ms-truncated; the
+    * sub-second field carries the full precision).
+    */
+  private def tsMicros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
   /** Gap-based sessionization with explicit state: a session closes after
     * `gapMs` of event-time silence per user. Demonstrates
@@ -64,45 +74,79 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapUs = gapMs * 1000L
+          def durMs(s: SessionState): Long = (s.lastSeen - s.start) / 1000
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator.single(
-              SessionOut(userId, s.count, s.lastSeen - s.start, closed = true))
+              SessionOut(userId, s.count, durMs(s), closed = true))
           } else {
-            val times = batch.map(_.ts.getTime).toVector.sorted
+            // µs arithmetic throughout — the batch twin's resolution
+            // (ms-truncated gaps merged sessions the batch split)
+            val times = batch.map(e => tsMicros(e.ts)).toVector.sorted
             if (times.isEmpty) Iterator.empty
             else {
               val closed = Vector.newBuilder[SessionOut]
               var open = state.getOption
-              times.foreach { t =>
+              // STALE COHORT first: events older than start - gap can
+              // never join the running session, but adjacent stale events
+              // chain with EACH OTHER under the same gap rule (the batch
+              // formulation's grouping — emitting each as a singleton
+              // under-counted late sessions). Ascending order makes the
+              // cohort a prefix.
+              val (stale, live) = open match {
+                case Some(s) => times.partition(_ < s.start - gapUs)
+                case None => (Vector.empty[Long], times)
+              }
+              var chain: Option[SessionState] = None
+              stale.foreach { t =>
+                chain = chain match {
+                  case Some(c) if t <= c.lastSeen + gapUs =>
+                    Some(SessionState(c.count + 1, c.start,
+                      math.max(c.lastSeen, t)))
+                  case Some(c) =>
+                    closed += SessionOut(userId, c.count, durMs(c),
+                      closed = true)
+                    Some(SessionState(1, t, t))
+                  case None => Some(SessionState(1, t, t))
+                }
+              }
+              chain.foreach(c =>
+                closed += SessionOut(userId, c.count, durMs(c), closed = true))
+              live.foreach { t =>
                 open = open match {
                   // within gap of the session interval [start, lastSeen]
                   // (covers late out-of-order events inside the watermark:
                   // merge WITHOUT rewinding lastSeen, so durations never go
                   // negative and later gap checks use the true latest time)
-                  case Some(s) if t >= s.start - gapMs && t <= s.lastSeen + gapMs =>
+                  case Some(s) if t >= s.start - gapUs && t <= s.lastSeen + gapUs =>
                     Some(SessionState(s.count + 1, math.min(s.start, t),
                       math.max(s.lastSeen, t)))
-                  case Some(s) if t > s.lastSeen + gapMs =>
+                  case Some(s) if t > s.lastSeen + gapUs =>
                     // gap forward: close the running session, start anew
-                    closed += SessionOut(userId, s.count, s.lastSeen - s.start,
+                    closed += SessionOut(userId, s.count, durMs(s),
                       closed = true)
                     Some(SessionState(1, t, t))
-                  case Some(s) => // older than start - gap: a stale fragment
+                  case Some(s) => // unreachable: stale cohort already split
                     closed += SessionOut(userId, 1, 0, closed = true)
                     Some(s)
                   case None => Some(SessionState(1, t, t))
                 }
               }
-              val cur = open.get // times is non-empty here
-              state.update(cur)
-              // must be strictly beyond the current watermark
-              state.setTimeoutTimestamp(
-                math.max(cur.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
-              (closed.result() :+
-                SessionOut(userId, cur.count, cur.lastSeen - cur.start,
-                  closed = false)).iterator
+              open match {
+                case Some(cur) =>
+                  state.update(cur)
+                  // timeout API is ms; state is µs. Must be strictly
+                  // beyond the current watermark
+                  state.setTimeoutTimestamp(
+                    math.max(cur.lastSeen / 1000 + gapMs,
+                      state.getCurrentWatermarkMs() + 1))
+                  (closed.result() :+
+                    SessionOut(userId, cur.count, durMs(cur),
+                      closed = false)).iterator
+                case None => closed.result().iterator
+              }
             }
           }
       }
@@ -124,17 +168,26 @@ object EventStream {
     * ever rescanning history.
     *
     * State is one 3-long record per active user, evicted by event-time
-    * timeout once the watermark passes the user's last activity — the
-    * bounded-state contract every operator in this module keeps. In-order
-    * arrivals reproduce the batch window's transitions exactly
-    * (spec-pinned); an event arriving out of order ACROSS batches (inside
-    * the watermark) contributes a transition from the then-current state
-    * — the standard incremental-mining tradeoff, bounded by the
-    * watermark.
+    * timeout once the watermark passes the user's last activity PLUS the
+    * `retention` horizon — the bounded-state contract every operator in
+    * this module keeps, with the horizon making the bridging guarantee
+    * explicit: a user's next event within `retention` of their last one
+    * still finds the state and emits the cross-batch transition (a
+    * timeout at the bare last-activity instant would let any quiet gap
+    * longer than the watermark delay silently drop the bridge edge —
+    * transitions across gaps BEYOND the horizon are deliberately
+    * session-bounded, the standard click-graph cut). Micro-batch slices
+    * sort by (µs event time, event_id) — the batch window's exact
+    * order, same-µs ties broken identically. In-order arrivals within
+    * the horizon reproduce the batch window's transitions exactly
+    * (spec-pinned); an event arriving out of order ACROSS batches
+    * (inside the watermark) contributes a transition from the
+    * then-current state — the standard incremental-mining tradeoff.
     */
   def transitionsStream(
       events: Dataset[ItemEvent],
-      watermark: String = "10 minutes"): Dataset[Transition] = {
+      watermark: String = "10 minutes",
+      retentionMs: Long = 60L * 60 * 1000): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -146,7 +199,7 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val evs = batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
             if (evs.isEmpty) Iterator.empty
             else {
               val out = Vector.newBuilder[Transition]
@@ -155,12 +208,14 @@ object EventStream {
                 last.foreach { l =>
                   if (l.item != e.item) out += Transition(userId, l.item, e.item)
                 }
-                last = Some(LastItem(e.item, e.ts.getTime, e.event_id))
+                last = Some(LastItem(e.item, tsMicros(e.ts), e.event_id))
               }
               val cur = last.get
               state.update(cur)
+              // ts is µs; the timeout API is ms
               state.setTimeoutTimestamp(
-                math.max(cur.ts, state.getCurrentWatermarkMs() + 1))
+                math.max(cur.ts / 1000 + retentionMs,
+                  state.getCurrentWatermarkMs() + 1))
               out.result().iterator
             }
           }

@@ -155,6 +155,79 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transition mining bridges a quiet gap longer than the watermark delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.ItemEvent]
+    // watermark delay 1 min, retention 1 h: user 1 goes quiet for 20 min
+    // while user 2's events advance the watermark far past user 1's last
+    // activity — the bridge edge must still emit on return
+    val out = EventStream.transitionsStream(mem.toDS(), "1 minute")
+    val q = out.writeStream
+      .format("memory").queryName("trans_gap")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(EventStream.ItemEvent(1, ts("2024-01-01 00:00:10"), 1, 10))
+      q.processAllAvailable()
+      // other-user traffic pushes the watermark past 00:00:10 + delay
+      mem.addData(
+        EventStream.ItemEvent(2, ts("2024-01-01 00:10:00"), 2, 30),
+        EventStream.ItemEvent(3, ts("2024-01-01 00:15:00"), 2, 40))
+      q.processAllAvailable()
+      // user 1 returns 20 min after their last event — in order
+      mem.addData(EventStream.ItemEvent(4, ts("2024-01-01 00:20:10"), 1, 20))
+      q.processAllAvailable()
+      val got = spark.table("trans_gap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.contains((1L, 10L, 20L)),
+        s"the quiet-gap bridge edge must survive state eviction: $got")
+    } finally q.stop()
+  }
+
+  test("sessionize: µs-resolution gap test and stale-cohort chaining match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.Event
+    // two events exactly gap + 500µs apart: ms arithmetic would merge
+    // them (truncation erases the excess), µs splits — the batch twin's
+    // call
+    val t1 = ts("2024-01-01 01:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 01:30:00.0005")
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_us")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1, t1, 7, "view", 1.0), Event(2, t2, 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_us")
+        .collect().map(r => (r.getLong(1), r.getBoolean(3)))
+      assert(rows.contains((1L, true)),
+        s"µs gap must split: one closed singleton expected, got ${rows.toSeq}")
+    } finally q.stop()
+
+    // stale cohort: two late events within gap of each other arrive after
+    // the session has advanced far ahead — ONE closed 2-event session
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStream.sessionize(mem2.toDS(), gapMs = 30 * 60 * 1000L,
+      watermark = "10 hours")
+      .writeStream.format("memory").queryName("sess_stale")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem2.addData(Event(1, ts("2024-01-01 13:00:00"), 9, "view", 1.0))
+      q2.processAllAvailable()
+      mem2.addData(
+        Event(2, ts("2024-01-01 10:00:00"), 9, "view", 1.0),
+        Event(3, ts("2024-01-01 10:01:00"), 9, "view", 1.0))
+      q2.processAllAvailable()
+      val stale = spark.table("sess_stale")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .filter(_._3)
+      assert(stale.contains((2L, 60000L, true)),
+        s"late cohort must chain into one 2-event 60 s session: ${stale.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming transition mining bridges micro-batches and matches the batch window's pairs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.ItemEvent]
