@@ -345,6 +345,8 @@ object SparkEntry {
     // the minhash member of the decontamination family: band-collision
     // candidates, exact-Jaccard verified, worst eval offender per doc
     "decontam_neardup" -> ((s, d) => Decontaminate.nearDupContaminationReport(s, d)),
+    // the UNION gate: drop on ANY of {gram overlap, containment, near-dup}
+    "decontam_gate" -> ((s, d) => Decontaminate.decontaminationGate(s, d)),
     // cross-source verbatim-overlap audit (mixture double-count check)
     "corpus_source_overlap" -> ((s, d) => CorpusPrep.sourceOverlap(s, d)),
     // interpolated Kneser-Ney bigram LM (D = 0.75)
@@ -1508,6 +1510,50 @@ object SparkEntry {
          SELECT doc_id, lang, source, n_chars FROM d
          WHERE bucket < 95 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    // the union gate: each metric's replay chained under one WITH —
+    // gram/containment ride decontamGramsSql's CTEs, near-dup rides the
+    // token-minhash chain (its 'sh' CTE renamed csh in the containment
+    // leg to avoid colliding with the minhash shingle CTE)
+    "decontam_gate" ->
+      (s"""$decontamGramsSql,
+         ${minHashMd5BaseSql(32, 8, tokenFeatures = true).stripPrefix("WITH ")},
+         bk AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+           FROM documents),
+         ndc AS (
+           SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+           FROM bb t JOIN bk bt ON t.doc_id = bt.doc_id
+                JOIN bb e ON t.band_key = e.band_key
+                JOIN bk be ON e.doc_id = be.doc_id
+           WHERE bt.bucket < 95 AND be.bucket >= 95),
+         ndt AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
+         nd AS (
+           SELECT DISTINCT c.doc_id
+           FROM ndc c JOIN ndt ta ON c.doc_id = ta.doc_id
+                JOIN ndt tb ON c.eval_id = tb.doc_id
+           WHERE CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tokset, tb.tokset))) >= CAST(0.5 AS DOUBLE)),
+         gh AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.bucket < 95),
+         evd AS (SELECT doc_id AS eval_id, gram FROM g WHERE bucket >= 95),
+         evn AS (SELECT eval_id, COUNT(*) AS n_eval FROM evd GROUP BY 1),
+         csh AS (
+           SELECT g.doc_id, e.eval_id, COUNT(*) AS n_shared
+           FROM g JOIN evd e USING (gram) WHERE g.bucket < 95 GROUP BY 1, 2),
+         ch AS (
+           SELECT DISTINCT s.doc_id
+           FROM csh s JOIN evn n USING (eval_id)
+           WHERE CAST(s.n_shared AS DOUBLE) / CAST(n.n_eval AS DOUBLE) >= CAST(0.02 AS DOUBLE))
+         SELECT d.doc_id,
+                CAST(CASE WHEN gh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS gram_hit,
+                CAST(CASE WHEN ch.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS containment_hit,
+                CAST(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS neardup_hit,
+                CAST(CASE WHEN gh.doc_id IS NOT NULL OR ch.doc_id IS NOT NULL
+                           OR nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dropped
+         FROM d LEFT JOIN gh ON d.doc_id = gh.doc_id
+                LEFT JOIN ch ON d.doc_id = ch.doc_id
+                LEFT JOIN nd ON d.doc_id = nd.doc_id
+         WHERE d.bucket < 95 ORDER BY d.doc_id"""),
     // minhash decontam: the md5 band replay (dedup_minhash_md5's CTE)
     // split train/eval on the content-hash bucket, candidates from band
     // collisions, exact token-set Jaccard, worst offender per train doc

@@ -248,6 +248,52 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** The UNION decontamination gate — the composition the individual
+    * metrics exist for: a train document drops if it fails ANY of the
+    * three checks (verbatim gram overlap, eval-side containment ≥ τ,
+    * token-set near-duplication ≥ j), because each catches a leak shape
+    * the others miss (exact n-gram: verbatim snippets; containment:
+    * short eval answers embedded in long hosts; minhash: paraphrase /
+    * reordering). One row per train doc with the per-metric flag trail —
+    * curation pipelines audit WHY a doc dropped, not just that it did.
+    *
+    * Scale shape: pure composition — each metric keeps its own audited
+    * plan (eval side broadcast everywhere), and the gate adds three
+    * train-keyed left joins of id-only flag frames, each bounded by its
+    * metric's hit volume.
+    */
+  def decontaminationGate(
+      spark: SparkSession,
+      sfDir: String,
+      gramWidth: Int = 4,
+      evalPct: Int = 5,
+      minContainment: Double = 0.02,
+      minJaccard: Double = 0.5): DataFrame = {
+    val train = withToks(IO.table(spark, sfDir, "documents"))
+      .filter(col("bucket") < 100 - evalPct)
+      .select("doc_id")
+    val gramHit = contaminationReport(spark, sfDir, gramWidth, evalPct)
+      .select("doc_id").withColumn("gh", lit(1))
+    val contHit = containmentReport(spark, sfDir, gramWidth, evalPct,
+      minContainment)
+      .select("doc_id").distinct().withColumn("ch", lit(1))
+    val nearHit = nearDupContaminationReport(spark, sfDir,
+      minJaccard = minJaccard, evalPct = evalPct)
+      .select("doc_id").withColumn("nh", lit(1))
+    train
+      .join(gramHit, Seq("doc_id"), "left")
+      .join(contHit, Seq("doc_id"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("gh").isNotNull, 1).otherwise(0).as("gram_hit"),
+        when(col("ch").isNotNull, 1).otherwise(0).as("containment_hit"),
+        when(col("nh").isNotNull, 1).otherwise(0).as("neardup_hit"))
+      .withColumn("dropped",
+        (col("gram_hit") === 1 || col("containment_hit") === 1
+          || col("neardup_hit") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, bucket, grams) — the shared head of the bloom pipelines. */
   private def gramDocs(spark: SparkSession, sfDir: String, gramWidth: Int): DataFrame =
     withToks(IO.table(spark, sfDir, "documents"))

@@ -115,6 +115,27 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination gate: flags equal the standalone reports, dropped is their union") {
+    val gate = Decontaminate.decontaminationGate(spark, Sf).collect()
+    val gram = Decontaminate.contaminationReport(spark, Sf, gramWidth = 4)
+      .collect().map(_.getLong(0)).toSet
+    val cont = Decontaminate.containmentReport(spark, Sf, gramWidth = 4)
+      .collect().map(_.getLong(0)).toSet
+    val near = Decontaminate.nearDupContaminationReport(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getInt(1) == 1) == gram(id), s"gram flag drift at $id")
+      assert((r.getInt(2) == 1) == cont(id), s"containment flag drift at $id")
+      assert((r.getInt(3) == 1) == near(id), s"neardup flag drift at $id")
+      assert((r.getInt(4) == 1) ==
+        (gram(id) || cont(id) || near(id)), s"dropped must be the union at $id")
+    }
+    assert(gate.exists(_.getInt(4) == 1) && gate.exists(_.getInt(4) == 0),
+      "fixture must exercise both gate outcomes")
+  }
+
   test("minhash decontam: flags only train docs, jaccard verified against a driver replay") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val rep = Decontaminate.nearDupContaminationReport(spark, Sf).collect()
