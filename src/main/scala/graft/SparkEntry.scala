@@ -103,6 +103,9 @@ object SparkEntry {
     // sketches (approximate; accuracy-bounded in spec, no byte-exact oracle)
     "sketch_profile" -> (Relational.sketchProfile _),
     "sketch_merge" -> (Relational.sketchMergeProfile _),
+    // oracled exactness anchor for the HLL rows: merged-halves estimate
+    // == whole-corpus estimate, as a hashable boolean frame
+    "sketch_merge_exact" -> (Relational.sketchMergeExact _),
     "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
     // DDSketch quantile buckets + extraction: the sketch family's
     // percentile member, hash-oracled end to end (bucket indices are
@@ -345,6 +348,10 @@ object SparkEntry {
     // the minhash member of the decontamination family: band-collision
     // candidates, exact-Jaccard verified, worst eval offender per doc
     "decontam_neardup" -> ((s, d) => Decontaminate.nearDupContaminationReport(s, d)),
+    // same report consuming the PERSISTED train band index (the serve
+    // path — the corpus is never re-signed per eval suite); the live row
+    // above doubles as the _rebuild twin
+    "decontam_neardup_stored" -> ((s, d) => Decontaminate.nearDupContaminationReportStored(s, d)),
     // the UNION gate: drop on ANY of {gram overlap, containment, near-dup}
     "decontam_gate" -> ((s, d) => Decontaminate.decontaminationGate(s, d)),
     // cross-source verbatim-overlap audit (mixture double-count check)
@@ -907,6 +914,42 @@ object SparkEntry {
     * by the build-inclusive and stored-index rows (row-identical by
     * construction — the artifact IS the tf frame).
     */
+  /** Shared by `decontam_neardup` and its stored-index twin (the artifact
+    * IS the train banding, so the result is row-identical by
+    * construction): md5 token-minhash band replay split train/eval on the
+    * content-hash bucket, candidates from band collisions, exact
+    * token-set Jaccard, worst offender per train doc.
+    */
+  private def decontamNeardupOracleSql: String =
+    s"""${minHashMd5BaseSql(32, 8, tokenFeatures = true)},
+         bk AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+           FROM documents),
+         cand AS (
+           SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+           FROM bb t JOIN bk bt ON t.doc_id = bt.doc_id
+                JOIN bb e ON t.band_key = e.band_key
+                JOIN bk be ON e.doc_id = be.doc_id
+           WHERE bt.bucket < 95 AND be.bucket >= 95),
+         ts AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
+         jac AS (
+           SELECT c.doc_id, c.eval_id,
+                  CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                    / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
+           FROM cand c JOIN ts ta ON c.doc_id = ta.doc_id
+                JOIN ts tb ON c.eval_id = tb.doc_id),
+         f AS (SELECT * FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         r AS (
+           SELECT doc_id, eval_id, jaccard,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_eval_matches,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, eval_id) AS rn
+           FROM f)
+         SELECT doc_id, eval_id, jaccard,
+                CAST(n_eval_matches AS BIGINT) AS n_eval_matches
+         FROM r WHERE rn = 1 ORDER BY doc_id"""
+
   private def bm25OracleSql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2),
@@ -1556,36 +1599,11 @@ object SparkEntry {
          WHERE d.bucket < 95 ORDER BY d.doc_id"""),
     // minhash decontam: the md5 band replay (dedup_minhash_md5's CTE)
     // split train/eval on the content-hash bucket, candidates from band
-    // collisions, exact token-set Jaccard, worst offender per train doc
-    "decontam_neardup" ->
-      s"""${minHashMd5BaseSql(32, 8, tokenFeatures = true)},
-         bk AS (
-           SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
-           FROM documents),
-         cand AS (
-           SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
-           FROM bb t JOIN bk bt ON t.doc_id = bt.doc_id
-                JOIN bb e ON t.band_key = e.band_key
-                JOIN bk be ON e.doc_id = be.doc_id
-           WHERE bt.bucket < 95 AND be.bucket >= 95),
-         ts AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents),
-         jac AS (
-           SELECT c.doc_id, c.eval_id,
-                  CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
-                    / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
-           FROM cand c JOIN ts ta ON c.doc_id = ta.doc_id
-                JOIN ts tb ON c.eval_id = tb.doc_id),
-         f AS (SELECT * FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)),
-         r AS (
-           SELECT doc_id, eval_id, jaccard,
-                  COUNT(*) OVER (PARTITION BY doc_id) AS n_eval_matches,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY jaccard DESC, eval_id) AS rn
-           FROM f)
-         SELECT doc_id, eval_id, jaccard,
-                CAST(n_eval_matches AS BIGINT) AS n_eval_matches
-         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // collisions, exact token-set Jaccard, worst offender per train doc.
+    // The stored row consumes the persisted train band index, which is
+    // row-identical by construction — same oracle.
+    "decontam_neardup" -> decontamNeardupOracleSql,
+    "decontam_neardup_stored" -> decontamNeardupOracleSql,
     "corpus_stratified_sample" ->
       s"""WITH d AS (
            SELECT doc_id, lang, source, n_chars,
@@ -1808,6 +1826,14 @@ object SparkEntry {
       // 2000-counter rows is collision-free, so estimate == truth and the
       // hash match certifies the sketch build/merge/query path
       """SELECT event_type, COUNT(*) AS est_count FROM events
+         WHERE event_type IS NOT NULL GROUP BY event_type
+         ORDER BY event_type""",
+    "sketch_merge_exact" ->
+      // HLL union is lossless, so the engine-side merged-vs-direct
+      // estimate comparison is deterministically true; the oracle pins
+      // the literal per event type — a hash match certifies the sketch
+      // build/merge/estimate path end to end
+      """SELECT event_type, true AS merge_exact FROM events
          WHERE event_type IS NOT NULL GROUP BY event_type
          ORDER BY event_type""",
     "sketch_quantile_buckets" ->

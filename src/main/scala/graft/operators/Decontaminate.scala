@@ -76,9 +76,17 @@ object Decontaminate {
       spark: SparkSession,
       sfDir: String,
       gramWidth: Int = 13,
-      evalPct: Int = 5): DataFrame = {
-    val docs = withToks(IO.table(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("bucket"), gramHashes(gramWidth).as("grams"))
+      evalPct: Int = 5): DataFrame =
+    contaminationReportFrom(gramDocs(spark, sfDir, gramWidth), evalPct)
+
+  /** [[contaminationReport]] over an explicit (doc_id, bucket, grams)
+    * frame — the seam the union gate drives so all gram-based metrics
+    * share ONE materialized gram pass instead of re-tokenizing the corpus
+    * per metric.
+    */
+  private def contaminationReportFrom(
+      docs: DataFrame,
+      evalPct: Int): DataFrame = {
     val evalGrams = docs.filter(col("bucket") >= 100 - evalPct)
       .select(explode(col("grams")).as("gram"))
       .distinct()
@@ -146,8 +154,15 @@ object Decontaminate {
       sfDir: String,
       gramWidth: Int = 4,
       evalPct: Int = 5,
-      minContainment: Double = 0.02): DataFrame = {
-    val docs = gramDocs(spark, sfDir, gramWidth)
+      minContainment: Double = 0.02): DataFrame =
+    containmentReportFrom(gramDocs(spark, sfDir, gramWidth), evalPct,
+      minContainment)
+
+  /** [[containmentReport]] over an explicit gram frame (the gate seam). */
+  private def containmentReportFrom(
+      docs: DataFrame,
+      evalPct: Int,
+      minContainment: Double): DataFrame = {
     val evalSide = docs.filter(col("bucket") >= 100 - evalPct)
       .select(col("doc_id").as("eval_id"),
         size(col("grams")).cast("long").as("n_eval"),
@@ -205,8 +220,85 @@ object Decontaminate {
       evalPct: Int = 5): DataFrame = {
     val docs = withToks(IO.table(spark, sfDir, "documents"))
       .select(col("doc_id"), col("text"), col("bucket"))
-    val trainBanded = Dedup.minHashBandedTokensMd5From(
+    nearDupFromTrainBanding(spark, sfDir,
+      Dedup.minHashBandedTokensMd5From(
+        docs.filter(col("bucket") < 100 - evalPct), numPerms, bands),
+      numPerms, bands, minJaccard, evalPct)
+  }
+
+  /** Stable artifact path for the persisted TRAIN-side token band index
+    * (the [[Dedup.minHashIndexArtifactPath]] convention: params + a
+    * footer-derived content fingerprint, scheme-version token first).
+    * Distinct from the shingle index — the decontam banding is over
+    * distinct word tokens and carves out the eval bucket.
+    */
+  private[graft] def neardupIndexArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int,
+      bands: Int,
+      evalPct: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "dcmh", s"dcmh_v1|$sfDir|$numPerms|$bands|$evalPct") + ".parquet"
+
+  /** Build the train-side token band index ONCE and persist it — the
+    * artifact [[nearDupContaminationReportStored]] consumes. At 100 TB
+    * this is the maintained index of the training corpus (appended per
+    * admitted batch); the md5-per-token signature pass over the corpus —
+    * the dominant cost of every near-dup decontamination call — runs only
+    * here, never per eval suite.
+    */
+  def persistNearDupTrainIndex(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      evalPct: Int = 5): String = {
+    val path = neardupIndexArtifactPath(spark, sfDir, numPerms, bands, evalPct)
+    val docs = withToks(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"), col("bucket"))
+    Dedup.minHashBandedTokensMd5From(
       docs.filter(col("bucket") < 100 - evalPct), numPerms, bands)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** [[nearDupContaminationReport]] consuming the PERSISTED train band
+    * index (self-priming on first use, like the stored bloom sketch and
+    * [[Dedup.incrementalMinHashMd5Stored]]): repeat invocations band only
+    * the EVAL side — tiny by definition — so the per-eval-suite cost is
+    * an index scan plus the candidate-bounded verify. Result is
+    * row-identical by construction (the artifact IS the train banding),
+    * so the registered row reuses [[nearDupContaminationReport]]'s
+    * oracle.
+    */
+  def nearDupContaminationReportStored(
+      spark: SparkSession,
+      sfDir: String,
+      numPerms: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5,
+      evalPct: Int = 5): DataFrame = {
+    val path = neardupIndexArtifactPath(spark, sfDir, numPerms, bands, evalPct)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistNearDupTrainIndex(spark, sfDir, numPerms, bands, evalPct)
+    nearDupFromTrainBanding(spark, sfDir, spark.read.parquet(path),
+      numPerms, bands, minJaccard, evalPct)
+  }
+
+  /** Candidate generation + exact verify over an explicit train banding
+    * (live or artifact-backed) — the shared tail of the near-dup family.
+    */
+  private def nearDupFromTrainBanding(
+      spark: SparkSession,
+      sfDir: String,
+      trainBanded: DataFrame,
+      numPerms: Int,
+      bands: Int,
+      minJaccard: Double,
+      evalPct: Int): DataFrame = {
+    val docs = withToks(IO.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"), col("bucket"))
     val evalBanded = Dedup.minHashBandedTokensMd5From(
       docs.filter(col("bucket") >= 100 - evalPct), numPerms, bands)
     val cand = trainBanded
@@ -229,9 +321,16 @@ object Decontaminate {
     cand
       .join(trainTok, "doc_id")
       .join(broadcast(evalTok), "eval_id")
+      // |union| = |a| + |b| - |inter| on distinct arrays, so only ONE
+      // hash-set pass per pair runs instead of two (intersect + union) —
+      // the verify is the candidate-volume-bound hot loop, and the
+      // division sees the same exact integers either way (same doubles,
+      // same oracle hash)
+      .withColumn("inter",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
-          / size(array_union(col("tok_a"), col("tok_b"))))
+        col("inter")
+          / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       // worst offender via max(struct) — an aggregate combines map-side,
       // where a row_number window would sort-shuffle the full verified
@@ -260,7 +359,11 @@ object Decontaminate {
     * Scale shape: pure composition — each metric keeps its own audited
     * plan (eval side broadcast everywhere), and the gate adds three
     * train-keyed left joins of id-only flag frames, each bounded by its
-    * metric's hit volume.
+    * metric's hit volume. The gram-based metrics share ONE materialized
+    * gram frame (the corpus tokenize+gram pass — the dominant shared
+    * head — runs once, not per metric), and the near-dup leg consumes
+    * the persisted train band index ([[persistNearDupTrainIndex]]), so
+    * gate wall-time tracks max(metric), not Σ(metrics).
     */
   def decontaminationGate(
       spark: SparkSession,
@@ -269,15 +372,13 @@ object Decontaminate {
       evalPct: Int = 5,
       minContainment: Double = 0.02,
       minJaccard: Double = 0.5): DataFrame = {
-    val train = withToks(IO.table(spark, sfDir, "documents"))
-      .filter(col("bucket") < 100 - evalPct)
-      .select("doc_id")
-    val gramHit = contaminationReport(spark, sfDir, gramWidth, evalPct)
+    val g = gramDocs(spark, sfDir, gramWidth).localCheckpoint()
+    val train = g.filter(col("bucket") < 100 - evalPct).select("doc_id")
+    val gramHit = contaminationReportFrom(g, evalPct)
       .select("doc_id").withColumn("gh", lit(1))
-    val contHit = containmentReport(spark, sfDir, gramWidth, evalPct,
-      minContainment)
+    val contHit = containmentReportFrom(g, evalPct, minContainment)
       .select("doc_id").distinct().withColumn("ch", lit(1))
-    val nearHit = nearDupContaminationReport(spark, sfDir,
+    val nearHit = nearDupContaminationReportStored(spark, sfDir,
       minJaccard = minJaccard, evalPct = evalPct)
       .select("doc_id").withColumn("nh", lit(1))
     train

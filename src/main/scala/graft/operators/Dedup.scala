@@ -221,9 +221,14 @@ object Dedup {
         .withColumnRenamed("tokset", "tok_a"), "doc_a")
       .join(tokSets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("tokset", "tok_b"), "doc_b")
+      // |union| = |a| + |b| - |inter| on distinct arrays: one hash-set
+      // pass per candidate pair instead of two; identical exact integers,
+      // identical doubles
+      .withColumn("inter",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
-          / size(array_union(col("tok_a"), col("tok_b"))))
+        col("inter")
+          / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -419,9 +424,12 @@ object Dedup {
         .withColumnRenamed("tokset", "tok_a"), "batch_id")
       .join(tokSets.withColumnRenamed("doc_id", "corpus_id")
         .withColumnRenamed("tokset", "tok_b"), "corpus_id")
+      // one hash-set pass per pair: |union| = |a| + |b| - |inter|
+      .withColumn("inter",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
-          / size(array_union(col("tok_a"), col("tok_b"))))
+        col("inter")
+          / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .withColumn("rn", row_number().over(
         Window.partitionBy("batch_id").orderBy(desc("jaccard"), asc("corpus_id"))))

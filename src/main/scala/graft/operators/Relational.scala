@@ -748,6 +748,28 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Mergeability CERTIFICATE for the HLL family as a hashable frame: per
+    * event type, whether the union of the two half-corpus sketches
+    * ([[sketchMergeProfile]]) estimates exactly the same cardinality as a
+    * single whole-corpus sketch. HLL union is lossless by construction
+    * (the unioned register array equals the directly-built one), so the
+    * flag is deterministically TRUE and the DuckDB oracle pins it as a
+    * literal — the hash match certifies build + merge + estimate end to
+    * end, giving the approximate sketch rows an oracled exactness anchor.
+    */
+  def sketchMergeExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val direct = t(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("direct_users"))
+    sketchMergeProfile(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .join(direct, "event_type")
+      .select(col("event_type"),
+        (col("approx_users") === col("direct_users")).as("merge_exact"))
+      .orderBy("event_type")
+  }
+
   /** The event-type domain the pivot/sketch rows pin (the synthetic
     * events table's closed vocabulary).
     */

@@ -232,6 +232,20 @@ class CorpusOpsSpec extends SparkTestBase {
       "bloom path must reproduce the exact report exactly")
   }
 
+  test("stored-index neardup decontam: self-primes, reloads, stays row-identical") {
+    val live = Decontaminate.nearDupContaminationReport(spark, Sf)
+    val artifact = java.nio.file.Paths.get(
+      Decontaminate.neardupIndexArtifactPath(spark, Sf, 32, 8, 5))
+    org.apache.commons.io.FileUtils.deleteQuietly(artifact.toFile)
+    val cold = Decontaminate.nearDupContaminationReportStored(spark, Sf)
+    assert(cold.exceptAll(live).isEmpty && live.exceptAll(cold).isEmpty,
+      "self-priming first run must equal the live report")
+    assert(java.nio.file.Files.exists(artifact), "train band index must persist")
+    val warm = Decontaminate.nearDupContaminationReportStored(spark, Sf)
+    assert(warm.exceptAll(live).isEmpty && live.exceptAll(warm).isEmpty,
+      "artifact-loaded run must equal the live report")
+  }
+
   test("stored-sketch contamination report: persists once, reloads, stays row-identical") {
     val exact = Decontaminate.contaminationReport(spark, Sf, gramWidth = 4)
     // cold: no memory cache, no artifact on disk → builds and persists

@@ -41,6 +41,12 @@ class RelationalSketchSpec extends SparkTestBase {
       s"merged half-sketches must equal the whole-corpus sketch: $merged vs $direct")
   }
 
+  test("sketch_merge_exact certificate: every event type flags true") {
+    val rows = Relational.sketchMergeExact(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(1)),
+      s"merge certificate must be all-true: ${rows.mkString(",")}")
+  }
+
   test("DDSketch buckets: half-corpus sketches SUM to the whole; quantiles within α") {
     // quantile member of the mergeable-sketch family: bucket tables merge
     // by adding counts (exact, like the HLL/CMS properties above), and the
