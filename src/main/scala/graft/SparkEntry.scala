@@ -333,6 +333,8 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => LinkGraph.pageRankStored(s, d)),
     // edge construction + iteration, timed as its own explicit row
     "graph_pagerank_rebuild" -> ((s, d) => LinkGraph.pageRank(s, d)),
+    // the past-broadcast-ceiling code path, forced at test scale
+    "graph_pagerank_joinloop" -> ((s, d) => LinkGraph.pageRankJoinLoop(s, d)),
     // HITS hubs/authorities, every half-step unrolled in the oracle
     "graph_hits" -> ((s, d) => LinkGraph.hits(s, d)),
     // personalized PageRank from the pinned seed set (node % 10 = 0)
@@ -642,21 +644,50 @@ object SparkEntry {
       case (acc, ((l, r), i)) => s"replace($acc, '$l$r', chr(${i + 1}))"
     }
 
+  /** DuckDB replay of [[graft.functions.TextAnalysis.wsTokens]]: split on
+    * \s+ and DROP empty tokens, mirroring the engine's
+    * phantom-leading-token filter — identical by construction, not by
+    * fixture luck (the fixture carries no leading whitespace, so hashes
+    * were green either way; this pins them green under testdata drift).
+    */
+  private def wsToksSql(textExpr: String): String =
+    s"list_filter(string_split_regex($textExpr, '\\s+'), t -> t <> '')"
+
+  /** Stopword-hit count replaying the engine's lower()-then-membership
+    * probe ([[graft.functions.TextAnalysis.qualityScoreCol]]) — same
+    * identical-by-construction contract as [[wsToksSql]] (the fixture is
+    * all-lowercase, so case-sensitive membership happened to agree).
+    */
+  private def stopHitsSql(toksExpr: String): String =
+    s"len(list_filter($toksExpr, t -> lower(t) IN " +
+      "('the','a','of','and','to','in','is','it','for','on','with')))"
+
+  /** The blended quality score replayed over a raw documents row —
+    * [[graft.functions.TextAnalysis.qualityScoreCol]] with the engine's
+    * empty-token filter and lowercased stopword probe mirrored in
+    * ([[wsToksSql]]/[[stopHitsSql]]).
+    */
+  private def qualityScoreSql: String =
+    s"""LEAST(1.0,
+          (CAST(${stopHitsSql(wsToksSql("text"))} AS DOUBLE)
+            / len(${wsToksSql("text")})) * 2.0
+          + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END)"""
+
   /** Shared CTE chain for the curation oracles: quality score, canonical
     * flag (first doc_id per identical text), quality flag, and the
     * capped `keep` decision — the same pinned stage order as
     * [[Curate.decisions]] (minQuality 0.6, cap 12).
     */
   private def curationFlagsSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
          SELECT doc_id, source, lang, n_chars, text,
-                string_split_regex(text, '\s+') AS toks,
+                ${wsToksSql("text")} AS toks,
                 ('0x' || substr(md5(text), 17, 8))::BIGINT AS pick_key
          FROM documents),
        q AS (
          SELECT doc_id, source, lang, n_chars, text, pick_key,
                 LEAST(1.0,
-                  (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                  (CAST(${stopHitsSql("toks")} AS DOUBLE)
                     / len(toks)) * 2.0
                   + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
          FROM t),
@@ -875,6 +906,10 @@ object SparkEntry {
                     AND len(list_filter(toks, t -> lower(t) IN ('the','be','to','of','and','that','have','with'))) >= 2 AS INT) AS DOUBLE) AS y,
                   1.0 AS x0,
                   (CAST(n_chars AS DOUBLE) / len(toks)) / 10.0 AS x1,
+                  -- case-sensitive + unfiltered split ON PURPOSE: the LR
+                  -- feature frame (QualityModel.featureFrame) uses raw
+                  -- split + isInCollection, unlike qualityScoreCol —
+                  -- both sides match by construction as written
                   CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks) AS x2,
                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n_chars AS x3
            FROM (SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks FROM documents)),
@@ -1318,12 +1353,7 @@ object SparkEntry {
     "dedup_cluster_keep_best" ->
       s"""$simHashClusterBaseSql,
          q AS (
-           SELECT doc_id,
-                  LEAST(1.0,
-                    (CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                       t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
-                     / len(string_split_regex(text, '\\s+'))) * 2.0
-                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           SELECT doc_id, $qualityScoreSql AS quality_score
            FROM documents)
          SELECT b.doc_id, b.component_id, q.quality_score,
                 (ROW_NUMBER() OVER (PARTITION BY b.component_id
@@ -2096,8 +2126,8 @@ object SparkEntry {
                 MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
          FROM documents GROUP BY source ORDER BY source""",
     "txt_token_counts" ->
-      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
-                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,
+      s"""SELECT doc_id, len(${wsToksSql("text")}) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_regex_tokens,
                 n_chars
          FROM documents ORDER BY doc_id""",
     "txt_top_bigrams" ->
@@ -2366,8 +2396,8 @@ object SparkEntry {
     // waste_frac is two exact-long casts divided in doubles — IEEE-equal
     // cross-engine without fixed-pointing
     "corpus_padding_waste" ->
-      """WITH t AS (
-           SELECT len(string_split_regex(text, '\s+')) AS n_tok FROM documents),
+      s"""WITH t AS (
+           SELECT len(${wsToksSql("text")}) AS n_tok FROM documents),
          r AS (
            SELECT n_tok,
                   CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
@@ -2641,12 +2671,7 @@ object SparkEntry {
            SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
            WHERE g.doc_id % 10 = 0),
          qq AS (
-           SELECT doc_id,
-                  LEAST(1.0,
-                    (CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                       x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
-                     / len(string_split_regex(text, '\\s+'))) * 2.0
-                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           SELECT doc_id, $qualityScoreSql AS quality_score
            FROM documents)
          SELECT b.doc_id, ex.exact_dup,
                 CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
@@ -2703,12 +2728,7 @@ object SparkEntry {
            SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
            WHERE g.doc_id % 10 = 0),
          qq AS (
-           SELECT doc_id,
-                  LEAST(1.0,
-                    (CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                       x -> x IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
-                     / len(string_split_regex(text, '\\s+'))) * 2.0
-                    + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
+           SELECT doc_id, $qualityScoreSql AS quality_score
            FROM documents)
          SELECT b.doc_id, ex.exact_dup,
                 CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup,
@@ -2730,14 +2750,14 @@ object SparkEntry {
     "corpus_quality_quantile" ->
       // percent_rank is pure integer rank arithmetic over the same
       // (quality_score, doc_id) total order — no interpolated percentile
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, source, n_chars,
-                  string_split_regex(text, '\s+') AS toks
+                  ${wsToksSql("text")} AS toks
            FROM documents),
          q AS (
            SELECT doc_id, source,
                   LEAST(1.0,
-                    (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks)) * 2.0
+                    (CAST(${stopHitsSql("toks")} AS DOUBLE) / len(toks)) * 2.0
                     + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
            FROM t),
          r AS (
@@ -2866,23 +2886,23 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_users
          FROM u""",
     "txt_quality" ->
-      """WITH t AS (
-           SELECT doc_id, n_chars, text, string_split_regex(text, '\s+') AS toks
+      s"""WITH t AS (
+           SELECT doc_id, n_chars, text, ${wsToksSql("text")} AS toks
            FROM documents)
          SELECT doc_id,
                 CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
-                CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                CAST(${stopHitsSql("toks")} AS DOUBLE)
                   / len(toks) AS stopword_ratio,
                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                   / n_chars AS alpha_ratio,
                 LEAST(1.0,
-                  (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE) / len(toks)) * 2.0
+                  (CAST(${stopHitsSql("toks")} AS DOUBLE) / len(toks)) * 2.0
                   + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
          FROM t ORDER BY doc_id""",
     "txt_lang_id" ->
       """WITH t AS (
            SELECT doc_id, lang AS labelled_lang,
-                  string_split_regex(lower(text), '\s+') AS toks
+                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
            FROM documents),
          c AS (
            SELECT doc_id, labelled_lang, toks, unnest([
@@ -2915,8 +2935,10 @@ object SparkEntry {
                 CAST(scrubbed <> text AS INT) AS changed
          FROM documents ORDER BY doc_id""",
     "txt_repetition" ->
+      // toks mirrors wsTokens' empty-token filter (see wsToksSql; inlined
+      // here because this plain string must not escape-process '\.')
       """WITH t AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)
          SELECT doc_id,
                 CAST(len(toks) AS BIGINT) AS n_tokens,
                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
@@ -2929,7 +2951,7 @@ object SparkEntry {
       // every ratio is exact-integer-count division in doubles; keep is a
       // conjunction over those exact values, so it replays bit-for-bit
       """WITH t AS (
-           SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+           SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents),
          s AS (
            SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_words FROM t),
          m AS (
@@ -3023,6 +3045,11 @@ object SparkEntry {
     // the rebuild twin re-derives the graph — row-identical by
     // construction, same oracle
     "graph_pagerank_rebuild" ->
+      s"""${pageRankSql()}
+         SELECT node, r AS pr FROM r3 ORDER BY node""",
+    // the past-ceiling join-loop variant changes the join STRATEGY, not
+    // the arithmetic — bit-identical ranks, same oracle
+    "graph_pagerank_joinloop" ->
       s"""${pageRankSql()}
          SELECT node, r AS pr FROM r3 ORDER BY node""",
     "graph_hits" ->

@@ -322,7 +322,20 @@ object Curate {
       arrivals: DataFrame,
       outDir: String,
       gramWidth: Int = 4,
-      minQuality: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+      minQuality: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
+    // prime the corpus artifacts EAGERLY, before the query starts: lazy
+    // priming inside foreachBatch would run a corpus-scale clustering job
+    // inside micro-batch 0 (trigger-timeout risk, and re-priming on every
+    // checkpoint recovery); after this the per-batch body is strictly
+    // batch-bounded
+    val artPath = ingestArtifactPath(spark, sfDir, gramWidth)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$artPath/evalgrams")))
+      persistIngestArtifacts(spark, sfDir, gramWidth)
+    val statePath = Cluster.corpusClusterStatePath(spark, sfDir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$statePath/index")))
+      Cluster.persistCorpusClusterState(spark, sfDir)
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
@@ -332,6 +345,7 @@ object Curate {
           .parquet(s"$outDir/decisions/batch_id=$batchId")
       }
       .start()
+  }
 
   /** The FLAGSHIP end-to-end composition — what a training-data run
     * actually executes, as ONE lineage: curation (dedup → quality →

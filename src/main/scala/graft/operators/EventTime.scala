@@ -21,17 +21,26 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object EventTime {
 
+  /** Legacy nanos-as-long → µs via exact FLOOR division: `div` truncates
+    * toward zero, which for pre-epoch (negative) nanos would round the
+    * opposite way from unix_micros' floor and break the "both encodings
+    * yield identical µs" contract. pmod keeps the arithmetic in exact
+    * longs (a double `floor(ts / 1000)` loses precision past 2^53 —
+    * current epoch nanos are ~1.7e18).
+    */
+  private val legacyNanosToUs = "(ts - pmod(ts, 1000)) div 1000"
+
   /** `ts` as µs-since-epoch LONG, whatever the physical type. */
   def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
     case TimestampType | TimestampNTZType =>
       unix_micros(col("ts").cast(TimestampType))
-    case _ => expr("ts div 1000") // legacy nanos-as-long encoding
+    case _ => expr(legacyNanosToUs) // legacy nanos-as-long encoding
   }
 
   /** `ts` truncated to µs as a session-TZ TIMESTAMP (for time windows). */
   def tsStamp(df: DataFrame): Column = df.schema("ts").dataType match {
     case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
-    case _ => expr("timestamp_micros(ts div 1000)")
+    case _ => expr(s"timestamp_micros($legacyNanosToUs)")
   }
 
   /** `ts >= usSinceEpoch`, phrased on the RAW column so the comparison

@@ -75,30 +75,35 @@ object LinkGraph {
         .localCheckpoint(),
       iters, d)
 
+  /** The broadcast ceiling in NODES (not bytes): ~10⁸ (long, double) rank
+    * rows ≈ 3–5 GB materialized per executor — the practical edge of
+    * Spark's broadcast (SCALING.md "Broadcast ceiling"). Graphs above it
+    * run the co-partitioned contrib-JOIN loop instead.
+    */
+  private val BroadcastNodeCeiling = 100000000L
+
   private def pageRankOver(
       edges: DataFrame,
       nodes: DataFrame,
       iters: Int,
-      d: Double): DataFrame = {
+      d: Double,
+      broadcastCeiling: Long = BroadcastNodeCeiling): DataFrame = {
     val outw = edges.groupBy(col("src"))
       .agg(sum("weight").cast("double").as("outw"))
-    // edge side enriched with its src's total out-weight once, before
-    // the loop — w/outw is then a per-edge constant across iterations
-    val enriched = edges
-      .join(outw, "src")
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("outw")).as("share"))
-      .localCheckpoint()
-    val n = nodes.count().toDouble
+    val nCount = nodes.count()
+    // past the ceiling the rank vector cannot broadcast: pre-hash-
+    // partition the enriched edges on src ONCE (the checkpoint pins the
+    // partitioning, so edges never re-shuffle across rounds) and make
+    // each round a shuffle-hash join whose build side is the |nodes|-row
+    // rank frame — only (node, rank) pairs move per iteration. Identical
+    // arithmetic either way: the strategy changes WHERE rows meet, never
+    // their values (the joinloop row reuses the broadcast row's oracle).
+    val joinLoop = nCount > broadcastCeiling
+    val enriched = enrichedShares(edges, outw, joinLoop)
+    val n = nCount.toDouble
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n)).localCheckpoint()
     for (_ <- 0 until iters) {
-      val contrib = enriched
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"),
-          round((col("r") * col("share")).cast("float") * lit(1000000000.0), 0)
-            .cast("long").as("cfix"))
-        .groupBy("dst")
-        .agg(sum("cfix").as("sfix"))
+      val contrib = contribOf(enriched, ranks, joinLoop)
       // dangling mass: ranks of nodes with no out-edges, as exact fix-point
       val dangRow = ranks
         .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
@@ -114,7 +119,79 @@ object LinkGraph {
               + lit(dang / n))).as("r"))
         .localCheckpoint()
     }
+    // the final ranks checkpoint is eager, so the cached edge frame is no
+    // longer needed (broadcast mode's localCheckpoint is cleaned by the
+    // ContextCleaner instead)
+    if (joinLoop) enriched.unpersist()
     ranks.select(col("node"), col("r").as("pr")).orderBy("node")
+  }
+
+  /** Edge side enriched with its src's total out-weight once, before the
+    * loop — w/outw is then a per-edge constant across iterations. In
+    * join-loop mode the frame is hash-partitioned on src and CACHED
+    * (persist, not localCheckpoint: the checkpoint's LogicalRDD forgets
+    * its partitioning under AQE, while InMemoryRelation pins the
+    * exchange's output partitioning — and
+    * `canChangeCachedPlanOutputPartitioning` defaults false), so every
+    * round's contrib join sees edges already partitioned on src and
+    * never re-shuffles them; [[pageRankOver]] unpersists after the loop.
+    * On a real cluster the production form of the same contract is the
+    * src-bucketed edge TABLE (partitioning pinned on disk across jobs).
+    */
+  private def enrichedShares(
+      edges: DataFrame,
+      outw: DataFrame,
+      joinLoop: Boolean): DataFrame = {
+    val e = edges
+      .join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("outw")).as("share"))
+    if (joinLoop) {
+      // materialize EAGERLY: an unexecuted cached plan reports unknown
+      // partitioning under AQE and the loop would re-shuffle edges every
+      // round; once final, the scan exposes HashPartitioning(src)
+      val cached = e.repartition(col("src")).persist()
+      cached.count()
+      cached
+    } else e.localCheckpoint()
+  }
+
+  /** One round's dst-keyed fixed-point contribution sum. Broadcast mode
+    * ships the rank vector to the edge partitions; join-loop mode makes
+    * it the BUILD side of a shuffle-hash join against the pre-partitioned
+    * edges (only the |nodes|-row rank frame moves). Same arithmetic, same
+    * values — only where the rows meet changes.
+    */
+  private def contribOf(
+      enriched: DataFrame,
+      ranks: DataFrame,
+      joinLoop: Boolean): DataFrame = {
+    val rankSide = ranks.withColumnRenamed("node", "src")
+    val pulled =
+      if (joinLoop) enriched.join(rankSide.hint("shuffle_hash"), "src")
+      else enriched.join(broadcast(rankSide), "src")
+    pulled
+      .select(col("dst"),
+        round((col("r") * col("share")).cast("float") * lit(1000000000.0), 0)
+          .cast("long").as("cfix"))
+      .groupBy("dst")
+      .agg(sum("cfix").as("sfix"))
+  }
+
+  /** First-iteration contribution frame in FORCED join-loop mode — plan-
+    * audit seam (the loop's per-round checkpoints hide iteration plans
+    * from the returned rank frame).
+    */
+  private[graft] def joinLoopRoundSeam(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val outw = edges.groupBy(col("src"))
+      .agg(sum("weight").cast("double").as("outw"))
+    val enriched = enrichedShares(edges, outw, joinLoop = true)
+    val n = nodes.count().toDouble
+    val ranks = nodes.withColumn("r", lit(1.0) / lit(n)).localCheckpoint()
+    contribOf(enriched, ranks, joinLoop = true)
   }
 
   /** Content-keyed artifact location for the persisted transition graph —
@@ -170,6 +247,23 @@ object LinkGraph {
       d: Double = 0.85): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
     pageRankOver(edges, nodes, iters, d)
+  }
+
+  /** [[pageRankStored]] FORCING the past-ceiling join loop (ceiling 0):
+    * the code path a web-scale graph (|nodes| > ~10⁸, past the broadcast
+    * ceiling) selects automatically. Bit-identical ranks — the strategy
+    * changes where rows meet, not their values — so the registered row
+    * reuses the broadcast loop's oracle; the plan contract (edges never
+    * re-shuffle across rounds, only the |nodes|-row rank frame moves) is
+    * asserted in PlanAuditSpec.
+    */
+  def pageRankJoinLoop(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3,
+      d: Double = 0.85): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    pageRankOver(edges, nodes, iters, d, broadcastCeiling = 0L)
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over the transition

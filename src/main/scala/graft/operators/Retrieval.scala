@@ -111,6 +111,15 @@ object Retrieval {
     scala.collection.concurrent.TrieMap
       .empty[String, (Map[String, Long], Double, Double)]
 
+  /** Vocab-size ceiling for the driver-side df map: above it the stored
+    * path keeps the in-plan df JOIN (`side = None`) instead of collecting
+    * the vocabulary — ~10⁶ (string, long) entries is tens of MB of driver
+    * heap, the comfortable edge; a web-scale vocabulary (10⁸+ terms)
+    * must never collect. Read from the df artifact FOOTER (row count, no
+    * Spark job), so the gate costs nothing.
+    */
+  private val DfMapTermCeiling = 1000000L
+
   /** [[bm25TopK]] consuming the PERSISTED posting index, self-priming on
     * first use (the stored-bloom/band-index/component-map contract): the
     * corpus tokenize+tf build AND the doc-length aggregation — all of the
@@ -128,15 +137,20 @@ object Retrieval {
     val path = postingsArtifactPath(spark, sfDir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/stats")))
       persistPostings(spark, sfDir)
-    val (dfMap, n, total) = sideConstantsCache.getOrElseUpdate(path, {
-      val m = spark.read.parquet(s"$path/df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val st = spark.read.parquet(s"$path/stats").head()
-      (m, st.getDouble(0), st.getDouble(1))
-    })
+    val side =
+      if (IO.parquetRowCount(spark, s"$path/df") > DfMapTermCeiling) None
+      else Some(sideConstantsCache.getOrElseUpdate(path, {
+        // bound the memo to the most recent artifact: many corpus
+        // versions in one long-lived driver must not accumulate maps
+        sideConstantsCache.clear()
+        val m = spark.read.parquet(s"$path/df").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val st = spark.read.parquet(s"$path/stats").head()
+        (m, st.getDouble(0), st.getDouble(1))
+      }))
     bm25ScoreOverPostings(spark, spark.read.parquet(s"$path/tf"), k1, b, k,
       dlenStored = Some(spark.read.parquet(s"$path/dlen")),
-      side = Some((dfMap, n, total)))
+      side = side)
   }
 
   /** Scoring tail over a (doc_id, term, tfreq) posting frame — shared by

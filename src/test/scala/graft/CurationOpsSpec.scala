@@ -155,6 +155,12 @@ class CurationOpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("pagerank join loop: bit-identical to the broadcast loop (strategy, not values)") {
+    val a = LinkGraph.pageRankStored(spark, Sf).collect().toSeq
+    val b = LinkGraph.pageRankJoinLoop(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("hits: each half-step is L1-normalized, scores nonneg, hubs differ from authorities") {
     val h = LinkGraph.hits(spark, Sf).cache()
     assert(h.filter(col("hub") < 0.0 || col("authority") < 0.0).isEmpty)

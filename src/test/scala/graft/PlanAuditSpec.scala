@@ -537,6 +537,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("pagerank join loop: edges keep their pinned partitioning, only rank rows shuffle") {
+    val df = graft.operators.LinkGraph.joinLoopRoundSeam(spark, Sf)
+    val p = plan(df)
+    // node-level collects (not string matching): the cached edge frame's
+    // BUILD plan legitimately used a broadcast pre-loop and its string
+    // renders inside InMemoryRelation, but collect() does not descend
+    // into cached plans — so these assert on the per-round plan only
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size == 1,
+      s"past-ceiling loop must shuffle-hash join the rank frame:\n$p")
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty,
+      s"no broadcast join in the past-ceiling round:\n$p")
+    // exactly two exchanges: the |nodes|-row rank frame moving to the
+    // edges' pinned src-partitioning, and the dst-keyed contribution sum
+    // (map-side combined). The edge side re-uses the checkpoint's
+    // partitioning — a third exchange would mean edges re-shuffled.
+    val ex = shuffles(df)
+    assert(ex.size == 2,
+      s"exactly two exchanges (rank side + contribution sum), saw ${ex.size}:\n$p")
+    assert(!ex.exists(_.output.exists(_.name == "share")),
+      s"the edge-volume share column must never cross an exchange: " +
+        s"${ex.map(_.output.map(_.name))}")
+  }
+
   test("vocabulary: top-N is a TakeOrdered, never a global sort") {
     val p = plan(graft.operators.Tokenize.vocabulary(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"),
