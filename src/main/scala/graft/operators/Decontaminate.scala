@@ -312,12 +312,13 @@ object Decontaminate {
     // train set), the eval token sets broadcast (tiny by definition), so
     // candidate volume pays exactly two exchanges (the distinct above and
     // the train join) however hot the banding runs.
+    // token sets cross the verify as 8-byte hashes ([[Dedup.hashedTokenSet]]
+    // — ~1.7× on the candidate-mass-bound hot loop, collision bound there)
     val trainTok = docs.filter(col("bucket") < 100 - evalPct)
-      .select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("tok_a"))
+      .select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("tok_a"))
     val evalTok = docs.filter(col("bucket") >= 100 - evalPct)
       .select(col("doc_id").as("eval_id"),
-        array_distinct(split(col("text"), " ")).as("tok_b"))
+        Dedup.hashedTokenSet(col("text")).as("tok_b"))
     cand
       .join(trainTok, "doc_id")
       .join(broadcast(evalTok), "eval_id")

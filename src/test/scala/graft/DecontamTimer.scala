@@ -50,13 +50,11 @@ object DecontamTimer {
       println(s"TIMER cand_rows=${c.count()}")
       c
     }
-    time("verify_tail") {
+    def verifyWith(tokExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
       val trainTok = docs.filter(col("bucket") < 95)
-        .select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("tok_a"))
+        .select(col("doc_id"), tokExpr(col("text")).as("tok_a"))
       val evalTok = docs.filter(col("bucket") >= 95)
-        .select(col("doc_id").as("eval_id"),
-          array_distinct(split(col("text"), " ")).as("tok_b"))
+        .select(col("doc_id").as("eval_id"), tokExpr(col("text")).as("tok_b"))
       noop(cand
         .join(trainTok, "doc_id")
         .join(broadcast(evalTok), "eval_id")
@@ -70,6 +68,12 @@ object DecontamTimer {
         .agg(count(lit(1)).as("n_eval_matches"),
           max(struct(col("jaccard"), (-col("eval_id")).as("neg_eval"))).as("best")))
     }
+    time("verify_tail_strings")(verifyWith(t => array_distinct(split(t, " "))))
+    time("verify_tail_hashed")(verifyWith(t =>
+      array_distinct(transform(split(t, " "), x => xxhash64(x)))))
+    time("verify_tail_strings2")(verifyWith(t => array_distinct(split(t, " "))))
+    time("verify_tail_hashed2")(verifyWith(t =>
+      array_distinct(transform(split(t, " "), x => xxhash64(x)))))
     spark.stop()
   }
 }
