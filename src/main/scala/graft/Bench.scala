@@ -75,7 +75,8 @@ object Bench {
       "dedup_source_attribution", "corpus_padding_waste",
       "corpus_span_corruption", "corpus_fim_manifest", "corpus_denoiser_mix",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
-      "graph_ppr", "graph_random_walks")
+      "graph_ppr", "graph_random_walks",
+      "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

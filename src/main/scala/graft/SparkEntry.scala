@@ -258,6 +258,9 @@ object SparkEntry {
     // the materialized train-once artifact itself, hash-checked value
     // for value against the oracle's full Lloyd replay
     "kmeans_codebook" -> ((s, d) => Similarity.kmeansCodebookTable(s, d)),
+    // SemDeDup/D4-style per-cell prototypicality pruning over the trained
+    // codebook: drop the most-central 25% of every cell
+    "emb_semantic_prune" -> ((s, d) => Similarity.semanticPruneDecisions(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
     // the production search path: consumes the PERSISTED codebook parquet
     // (self-priming on first use), never trains — row-identical to
@@ -309,6 +312,13 @@ object SparkEntry {
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
     "txt_fingerprints_md5" -> ((s, d) =>
       TextAnalysis.fingerprints(s, d).select("doc_id", "fp_md5")),
+    // winnowing fingerprint selection (MOSS): min-hash per w-window of
+    // k-gram md5-prefix hashes — fully oracled (DuckDB replays the
+    // selection with list_min over list slices)
+    "txt_winnow" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
+    // near-dup pairs over the SELECTED fingerprints — the substring-pair
+    // criterion at ~2/(w+1) the exploded volume
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
@@ -771,6 +781,28 @@ object SparkEntry {
     }.mkString(" ")
     s"CASE source $arms END"
   }
+
+  /** CTE chain replaying the winnowing selection
+    * ([[graft.functions.TextAnalysis.winnowFingerprintFrame]]): k-gram
+    * md5-prefix hashes, list_min per w-window slice, distinct — ends
+    * with `wf` = (doc_id, fps LIST<BIGINT>). Slice clamping past the
+    * list end matches Spark's `slice` truncation, so the short-doc
+    * fallbacks (whole token list as one gram / one whole-list window)
+    * agree by construction.
+    */
+  private def winnowBaseSql(k: Int = 3, w: Int = 4): String =
+    s"""WITH wdoc AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        wg AS (
+          SELECT doc_id,
+                 list_transform(range(greatest(len(toks) - ${k - 1}, 1)),
+                   i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + $k), ' ')), 1, 15))::BIGINT) AS gh
+          FROM wdoc),
+        wf AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(greatest(len(gh) - ${w - 1}, 1)),
+                   i -> list_min(list_slice(gh, i + 1, i + $w)))) AS fps
+          FROM wg)"""
 
   /** CTE chain replaying [[graft.operators.Similarity.kmeansCodebook]]'s
     * Lloyd's iterations in SQL: literal-free — init centroids are the
@@ -1412,6 +1444,26 @@ object SparkEntry {
                     ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
            FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1
          ORDER BY vec_id""",
+    "emb_semantic_prune" ->
+      // same Lloyd replay; own-centroid sim is the rn=1 row's float, the
+      // per-cell ranking and floor() cut are exact-integer on both sides
+      s"""${kmeansCentroidsSql()},
+         sp_assign AS (
+           SELECT vec_id, cid, sim FROM (
+             SELECT e.vec_id, c.cid,
+                    CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) AS sim,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         sp_rank AS (
+           SELECT vec_id, cid, sim,
+                  CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY sim DESC, vec_id) AS INT) AS cell_rank,
+                  count(*) OVER (PARTITION BY cid) AS cell_n
+           FROM sp_assign)
+         SELECT vec_id, cid, sim, cell_rank,
+                CAST(cell_rank > floor(0.25 * cell_n) AS INT) AS keep
+         FROM sp_rank ORDER BY vec_id""",
     // the stored-index search is row-identical to the trained one (the
     // artifact IS the trained codebook), so both keys share one oracle
     "ann_topk_ivf_stored" -> ivfTrainedOracleSql,
@@ -2924,6 +2976,20 @@ object SparkEntry {
          ORDER BY doc_id""",
     "txt_fingerprints_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "txt_winnow" ->
+      s"""${winnowBaseSql()}
+         SELECT doc_id, unnest(fps) AS fp FROM wf ORDER BY doc_id, fp""",
+    "dedup_winnow_pairs" ->
+      // df-cap then pair-join over the selected fingerprints — the
+      // substring-pairs oracle shape on the winnowed set
+      s"""${winnowBaseSql()},
+         we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+         wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),
+         wk AS (SELECT we.doc_id, we.fp FROM we JOIN wkeep USING (fp))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_shared_fps
+         FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
     "txt_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

@@ -389,6 +389,51 @@ object TextAnalysis {
           .as("fp_rolling_min"))
       .orderBy("doc_id")
 
+  /** WINNOWING fingerprint selection (Schleimer et al. 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS scheme):
+    * hash every width-`k` token gram, slide a window of `w` consecutive
+    * gram hashes, and keep the MINIMUM of each window. The guarantee the
+    * whole-document hashes in [[fingerprints]] cannot give: any shared
+    * token run of at least k+w-1 tokens between two documents selects at
+    * least one IDENTICAL fingerprint in both — local, position-robust
+    * overlap detection with a selected set ~2/(w+1) the gram count.
+    *
+    * Entirely map-side (one codegen'd pass per document: tokens → gram
+    * hashes → window minima → distinct), so selection runs at scan speed
+    * at any corpus size; only the selected (doc_id, fp) rows — ~1/4 the
+    * gram volume at w=4, text pruned — ever leave the scan. Gram hashes
+    * use the md5-prefix convention (first 15 hex chars → BIGINT) so the
+    * oracle replays the exact values; ties inside a window collapse to
+    * one value (min is value-based), matching DuckDB `list_min`.
+    * Short-doc clamp: a document with fewer than k tokens hashes its
+    * whole token list as one gram (`slice` truncates past the end on
+    * both engines), and fewer than w grams yield one whole-list window.
+    */
+  private[graft] def winnowFingerprintFrame(
+      docs: DataFrame,
+      k: Int,
+      w: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gh", expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
+            i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"""))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)),
+              i -> array_min(slice(gh, i, $w)))"""))).as("fp"))
+
+  /** Registered surface of [[winnowFingerprintFrame]]: the selected
+    * fingerprint set per document as (doc_id, fp) rows.
+    */
+  def winnowFingerprints(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame =
+    winnowFingerprintFrame(IO.table(spark, sfDir, "documents"), k, w)
+      .orderBy("doc_id", "fp")
+
   /** The Gopher rule suite (Rae et al. 2021, "Scaling Language Models",
     * appendix A1.1): the published hand-tuned filter battery the big
     * pretraining corpora actually ship — word-count bounds, mean-word-

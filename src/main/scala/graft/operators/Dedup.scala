@@ -931,4 +931,34 @@ object Dedup {
       win => conv(substring(md5(win.cast("binary")), 1, 15), 16, 10)
         .cast("long"),
       w, maxDf, estWindowRows(spark, sfDir))
+
+  /** WINNOWING-based near-dup pairs — [[substringSpanPairs]]'s criterion
+    * run over the SELECTED fingerprint set instead of every window
+    * ([[graft.functions.TextAnalysis.winnowFingerprintFrame]]): a pair
+    * surfaces when the two documents share at least one selected
+    * fingerprint, which (by the winnowing guarantee) any common token run
+    * of k+w-1 tokens forces. Same detection family as exact-substring
+    * dedup at ~2/(w+1) the exploded-row volume — the px the MOSS scheme
+    * buys at 100 TB, where the all-windows explode is the dominant
+    * shuffle. Same df-cap-then-join tail (hot boilerplate fingerprints
+    * are template noise, dropped before they can fan out m²).
+    */
+  def winnowPairs(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50): DataFrame =
+    spanPairsFromWindows(
+      graft.functions.TextAnalysis
+        .winnowFingerprintFrame(IO.table(spark, sfDir, "documents"), k, w)
+        .withColumnRenamed("fp", "wh"),
+      maxDf,
+      // selected volume ≈ 2/(w+1) of the gram count — size the
+      // materialization gate to what actually explodes
+      estWindowRows(spark, sfDir) * 2 / (w + 1),
+      sorted = false)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_shared_windows").as("n_shared_fps"))
+      .orderBy("doc_a", "doc_b")
 }

@@ -449,6 +449,54 @@ object Similarity {
       .select("vec_id", "cid")
       .orderBy("vec_id")
 
+  /** SEMANTIC PRUNE — per-cell prototypicality pruning (the SemDeDup /
+    * D4 "Semantic Deduplication and Diversification" decision, Abbas et
+    * al. 2023/2024, applied at the cell level): inside each trained
+    * k-means cell, rank points by cosine similarity to their own
+    * centroid and DROP the most prototypical `dropFrac` of the cell —
+    * the near-centroid mass is semantically redundant (many documents
+    * saying the template thing), while the tail carries the diversity
+    * worth training on. Complements [[semDedupDecisions]]: that drops
+    * pairwise near-identical points, this thins whole dense regions.
+    *
+    * Scale shape: assignment and the own-centroid similarity are the
+    * same map-side codegen'd argmax as every IVF row (embeddings never
+    * shuffle — pruned to (vec_id, cid, sim) before any exchange), and
+    * the per-cell ranking exchanges only those 20-byte triples, hashed
+    * on cid across nlist-bounded partitions. The rank is a full per-cell
+    * ordering (a quantile DECISION, not a top-k — TopKPerKey does not
+    * apply), which is exactly the shape of a one-shot curation pass.
+    *
+    * `keep` = cell_rank > floor(dropFrac · cell_n): exact-integer floor
+    * on both engines, rank ties impossible (row_number with a vec_id
+    * tiebreak), so the decision replays bit-for-bit.
+    */
+  def semanticPruneDecisions(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      dropFrac: Double = 0.25): DataFrame = {
+    val codebook = kmeansCodebook(spark, sfDir, k, iters)
+    val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
+    val assigned = corpus(spark, sfDir).select("vec_id", "v")
+      .withColumn("sims", simsAgainst(col("v"), codebook.map(_._2)))
+      .select(col("vec_id"),
+        element_at(cidLookup,
+          array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          .as("cid"),
+        array_max(col("sims")).as("sim"))
+    val byCell = Window.partitionBy("cid")
+    assigned
+      .withColumn("cell_rank",
+        row_number().over(byCell.orderBy(col("sim").desc, col("vec_id"))))
+      .withColumn("cell_n", count(lit(1)).over(byCell))
+      .select(col("vec_id"), col("cid"), col("sim"), col("cell_rank"),
+        (col("cell_rank") > floor(lit(dropFrac) * col("cell_n")))
+          .cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** The trained coarse codebook as a TABLE (cid, pos, centroid_val) —
     * the materialized form of the train-once contract: write this frame
     * as parquet beside the corpus and every later query loads it via

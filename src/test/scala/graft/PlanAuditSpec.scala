@@ -645,6 +645,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("winnow pairs: equi-join on selected fingerprints, text never in an exchange") {
+    val df = Dedup.winnowPairs(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"fingerprint join must stay an equi-join:\n$p")
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "toks"
+          || a.name == "gh"),
+        s"only (doc_id, fp) rows may shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("semantic prune: map-side assignment, only (vec_id,cid,sim) triples exchange") {
+    val df = Similarity.semanticPruneDecisions(spark, Sf)
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "v" || a.name == "embedding"
+          || a.name == "sims"),
+        s"embeddings must be pruned before the per-cell ranking exchange: ${e.output.map(_.name)}")
+    }
+  }
+
   test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
     val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
       .filter(_.outputPartitioning.toString.contains("fp_xx"))

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Behavior specs for the round-9 operators: winnowing fingerprint
+  * selection (+ pair detection over it) and per-cell semantic pruning.
+  */
+class Round9OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val K = 3 // gram width
+  private val W = 4 // winnowing window (in grams)
+
+  private def winnow(docs: Seq[(Long, String)]) =
+    TextAnalysis.winnowFingerprintFrame(docs.toDF("doc_id", "text"), K, W)
+
+  test("winnowing guarantee: a shared k+w-1 token run forces a shared fingerprint") {
+    // docs share the 6-token run "q r s t u v" (k+w-1 = 6) embedded in
+    // otherwise-disjoint text — winnowing MUST select the same
+    // fingerprint from that run in both documents
+    val fps = winnow(Seq(
+      (1L, "a b c d e q r s t u v f g h i j"),
+      (2L, "z y x w q r s t u v m n o p"))).collect()
+    val set1 = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    val set2 = fps.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    assert(set1.intersect(set2).nonEmpty,
+      "a k+w-1 shared token run must select at least one common fingerprint")
+  }
+
+  test("winnowing selects a subset of the doc's gram hashes, ~2/(w+1) dense") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val fps = TextAnalysis.winnowFingerprintFrame(docs, K, W)
+    val grams = docs
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${K - 1}, 1)),
+            i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(split(text, ' '), i, $K)) as binary)), 1, 15), 16, 10) as bigint))"""))
+        .as("fp"))
+    assert(fps.join(grams, Seq("doc_id", "fp"), "left_anti").isEmpty,
+      "every selected fingerprint must be one of the doc's gram hashes")
+    val nFps = fps.count().toDouble
+    val nGrams = grams.count().toDouble
+    assert(nFps < nGrams, "selection must be sparser than the gram set")
+    assert(nFps > nGrams / (2 * W),
+      s"selection too sparse to honor window coverage: $nFps of $nGrams")
+  }
+
+  test("winnowing is position-robust: one edit far from a window leaves distant fingerprints intact") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok35", "EDITED")
+    val fps = winnow(Seq((1L, base), (2L, edited))).collect()
+    val a = fps.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    val b = fps.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    // the first 30 tokens are untouched: every fingerprint selected from
+    // windows wholly inside them survives the edit
+    assert(a.intersect(b).size >= math.min(a.size, b.size) / 2,
+      s"a single far edit must preserve most fingerprints: |a|=${a.size} |b|=${b.size} shared=${a.intersect(b).size}")
+  }
+
+  test("winnow pairs: n_shared_fps counts exactly the df-capped fingerprint intersection") {
+    val pairs = Dedup.winnowPairs(spark, Sf).collect()
+    assert(pairs.nonEmpty, "the duplicate-bearing fixture must surface pairs")
+    val fps = TextAnalysis.winnowFingerprintFrame(
+      spark.read.parquet(s"$Sf/documents.parquet"), K, W)
+    val capped = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("fp")
+    val kept = fps.join(capped, "fp")
+    val expect = kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.length == expect.size)
+    pairs.foreach { r =>
+      assert(expect((r.getLong(0), r.getLong(1))) == r.getLong(2))
+    }
+  }
+
+  test("semantic prune: keep is the per-cell rank cut at exactly floor(dropFrac * cell_n)") {
+    val d = Similarity.semanticPruneDecisions(spark, Sf)
+    val perCell = d.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(col("keep")).as("kept"),
+      sum(lit(1) - col("keep")).as("dropped"))
+      .collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(3) == math.floor(0.25 * n).toLong,
+        s"cell ${r.getLong(0)}: dropped ${r.getLong(3)} of $n, expected floor(0.25*$n)")
+    }
+    // the dropped quarter must be the MOST prototypical (highest-sim) rows
+    val worstKept = d.filter(col("keep") === 1)
+      .groupBy("cid").agg(max("sim").as("max_kept"))
+    val bestDropped = d.filter(col("keep") === 0)
+      .groupBy("cid").agg(min("sim").as("min_dropped"))
+    val violated = worstKept.join(bestDropped, "cid")
+      .filter(col("max_kept") > col("min_dropped"))
+    assert(violated.isEmpty,
+      "every dropped row must be at least as central as every kept row in its cell")
+  }
+
+  test("semantic prune: cell assignment agrees with kmeans_assign") {
+    val d = Similarity.semanticPruneDecisions(spark, Sf)
+      .select("vec_id", "cid")
+    val a = Similarity.kmeansAssignments(spark, Sf)
+    assert(d.exceptAll(a).isEmpty && a.exceptAll(d).isEmpty,
+      "prune must rank inside the same trained cells the assigner emits")
+  }
+}
