@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr}
 
 /** Config-installable packaging of the whole graft engine surface:
   *
@@ -50,6 +50,12 @@ object GraftExtensions {
       { children: Seq[Expression] =>
         require(children.size == 2, "dot_product takes exactly 2 arguments")
         DotProductExpr(children.head, children(1))
+      }),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |a ∩ b| of two sorted distinct BIGINT arrays",
+      { children: Seq[Expression] =>
+        require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCountExpr(children.head, children(1))
       }),
     ("simhash64", "simhash64(hashes) - 64-bit bit-majority simhash of a BIGINT array",
       { children: Seq[Expression] =>

@@ -72,6 +72,7 @@ object GraftSession {
     graft.functions.DotProductExpr.register(spark)
     graft.functions.SimHash64Expr.register(spark)
     graft.functions.MinHashSigExpr.register(spark)
+    graft.functions.SortedIntersectCountExpr.register(spark)
     spark
   }
 }

@@ -322,13 +322,15 @@ object Decontaminate {
     cand
       .join(trainTok, "doc_id")
       .join(broadcast(evalTok), "eval_id")
-      // |union| = |a| + |b| - |inter| on distinct arrays, so only ONE
-      // hash-set pass per pair runs instead of two (intersect + union) —
-      // the verify is the candidate-volume-bound hot loop, and the
-      // division sees the same exact integers either way (same doubles,
-      // same oracle hash)
+      // |union| = |a| + |b| - |inter| on distinct arrays, and the
+      // intersect is the codegen'd two-pointer merge over the PRE-SORTED
+      // token sets (no per-pair hash set, no materialized array) — the
+      // verify is the candidate-volume-bound hot loop, and the division
+      // sees the same exact integers either way (same doubles, same
+      // oracle hash)
       .withColumn("inter",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+        call_function("sorted_intersect_count",
+          col("tok_a"), col("tok_b")).cast("double"))
       .withColumn("jaccard",
         col("inter")
           / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))

@@ -210,7 +210,11 @@ object Dedup {
     * zero.
     */
   private[graft] def hashedTokenSet(text: Column): Column =
-    array_distinct(transform(split(text, " "), t => xxhash64(t)))
+    // sorted ascending so the verify loops can run the allocation-free
+    // two-pointer sorted_intersect_count instead of array_intersect's
+    // per-pair hash set; the n·log n sort runs ONCE per document,
+    // amortized over every candidate pair the document appears in
+    array_sort(array_distinct(transform(split(text, " "), t => xxhash64(t))))
 
   /** Exact token-set Jaccard verification of candidate (doc_a, doc_b)
     * pairs. Prune BEFORE tokenizing: semi-join documents against the
@@ -237,11 +241,13 @@ object Dedup {
         .withColumnRenamed("tokset", "tok_a"), "doc_a")
       .join(tokSets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("tokset", "tok_b"), "doc_b")
-      // |union| = |a| + |b| - |inter| on distinct arrays: one hash-set
-      // pass per candidate pair instead of two; identical exact integers,
-      // identical doubles
+      // |union| = |a| + |b| - |inter| on distinct arrays; the intersect
+      // is the codegen'd two-pointer merge over the pre-sorted sets —
+      // no per-pair hash set, no materialized array. Identical exact
+      // integers, identical doubles.
       .withColumn("inter",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+        call_function("sorted_intersect_count",
+          col("tok_a"), col("tok_b")).cast("double"))
       .withColumn("jaccard",
         col("inter")
           / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))
@@ -440,9 +446,10 @@ object Dedup {
         .withColumnRenamed("tokset", "tok_a"), "batch_id")
       .join(tokSets.withColumnRenamed("doc_id", "corpus_id")
         .withColumnRenamed("tokset", "tok_b"), "corpus_id")
-      // one hash-set pass per pair: |union| = |a| + |b| - |inter|
+      // two-pointer merge over pre-sorted sets: |union| = |a|+|b|-|inter|
       .withColumn("inter",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+        call_function("sorted_intersect_count",
+          col("tok_a"), col("tok_b")).cast("double"))
       .withColumn("jaccard",
         col("inter")
           / (size(col("tok_a")) + size(col("tok_b")) - col("inter")))

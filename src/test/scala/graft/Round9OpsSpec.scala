@@ -106,6 +106,28 @@ class Round9OpsSpec extends SparkTestBase {
       "every dropped row must be at least as central as every kept row in its cell")
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(300)
+    val toks = docs.select(col("doc_id"),
+      expr("array_sort(array_distinct(transform(split(text, ' '), t -> xxhash64(t))))").as("ts"))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("a.doc_id") % 17 === col("b.doc_id") % 17)
+      .select(col("a.ts").as("x"), col("b.ts").as("y"))
+    val diff = pairs.filter(
+      call_function("sorted_intersect_count", col("x"), col("y"))
+        =!= size(array_intersect(col("x"), col("y"))))
+    assert(diff.isEmpty, "merge count must equal the built-in intersect size")
+    // edge cases: empty and disjoint and identical
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue), 2))
+      .toDF("x", "y", "want")
+    assert(edge.filter(
+      call_function("sorted_intersect_count", col("x"), col("y")) =!= col("want")).isEmpty)
+  }
+
   test("semantic prune: cell assignment agrees with kmeans_assign") {
     val d = Similarity.semanticPruneDecisions(spark, Sf)
       .select("vec_id", "cid")
