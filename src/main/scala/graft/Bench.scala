@@ -76,7 +76,8 @@ object Bench {
       "corpus_span_corruption", "corpus_fim_manifest", "corpus_denoiser_mix",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
       "graph_ppr", "graph_random_walks",
-      "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune")
+      "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
+      "dedup_winnow_components")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

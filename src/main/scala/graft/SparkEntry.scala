@@ -433,6 +433,9 @@ object SparkEntry {
     "dedup_substring_pairs" -> ((s, d) => Dedup.substringSpanPairs(s, d)),
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpanPairsMd5(s, d)),
     "dedup_substring_components" -> (Cluster.substringComponentsMd5 _),
+    // closure over the winnowed pair graph — the substring-components
+    // decision at ~2/(w+1) the exploded edge volume
+    "dedup_winnow_components" -> (Cluster.winnowComponentsMd5 _),
     // tokenizer training: corpus vocabulary, round-0 BPE pair statistics,
     // the iterative merge trainer (argmax-per-round: spec-pinned, not
     // SQL-expressible), and segmentation under a pinned 4-merge table
@@ -2581,6 +2584,39 @@ object SparkEntry {
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM k a JOIN k b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM cand
+           UNION ALL
+           SELECT doc_b AS u, doc_a AS v FROM cand),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
+         SELECT d0.doc_id, COALESCE(c.root, d0.doc_id) AS component_id
+         FROM documents d0 LEFT JOIN comp c ON d0.doc_id = c.node
+         ORDER BY doc_id""",
+    "dedup_winnow_components" ->
+      // winnow selection CTEs + the same recursive-CTE closure the
+      // substring-components oracle uses (engine shape: star contraction)
+      s"""WITH RECURSIVE wdoc AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         wg AS (
+           SELECT doc_id,
+                  list_transform(range(greatest(len(toks) - 2, 1)),
+                    i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 3), ' ')), 1, 15))::BIGINT) AS gh
+           FROM wdoc),
+         wf AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(greatest(len(gh) - 3, 1)),
+                    i -> list_min(list_slice(gh, i + 1, i + 4)))) AS fps
+           FROM wg),
+         we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+         wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),
+         wk AS (SELECT we.doc_id, we.fp FROM we JOIN wkeep USING (fp)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
          edges AS (
            SELECT doc_a AS u, doc_b AS v FROM cand
            UNION ALL

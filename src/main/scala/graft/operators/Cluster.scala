@@ -260,6 +260,17 @@ object Cluster {
       Dedup.substringSpanPairsMd5Unsorted(spark, sfDir))
       .orderBy("doc_id")
 
+  /** Connected components over the WINNOWED pair graph — the same
+    * closure as [[substringComponentsMd5]] at ~2/(w+1) the exploded edge
+    * volume (the winnowing selection guarantee keeps any k+w-1-token
+    * shared run detectable, so the component structure it induces is the
+    * one a production boilerplate-clustering pass wants at 100 TB).
+    */
+  def winnowComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
+    documentComponents(spark, sfDir,
+      Dedup.winnowPairsUnsorted(spark, sfDir))
+      .orderBy("doc_id")
+
   /** The dedup DECISION: per document, its cluster, the cluster size, and
     * whether it is the kept representative (lowest doc_id — deterministic).
     * `filter(keep)` is the deduplicated corpus; `filter(!keep)` is the

@@ -956,6 +956,18 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       maxDf: Int = 50): DataFrame =
+    winnowPairsUnsorted(spark, sfDir, k, w, maxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[winnowPairs]] without the presentation sort (cluster input — the
+    * contraction loop re-shuffles immediately).
+    */
+  private[graft] def winnowPairsUnsorted(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50): DataFrame =
     spanPairsFromWindows(
       graft.functions.TextAnalysis
         .winnowFingerprintFrame(IO.table(spark, sfDir, "documents"), k, w)
@@ -967,5 +979,4 @@ object Dedup {
       sorted = false)
       .select(col("doc_a"), col("doc_b"),
         col("n_shared_windows").as("n_shared_fps"))
-      .orderBy("doc_a", "doc_b")
 }
