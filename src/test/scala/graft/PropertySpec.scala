@@ -327,4 +327,45 @@ class PropertySpec extends SparkTestBase {
     }.toSet
     assert(out == expected)
   }
+
+  test("sorted_intersect_count equals a Set-based reference on random long arrays") {
+    // random multisets (duplicates + negatives + extremes) pushed through
+    // the producer's canonicalization (sort ∘ distinct) — the expression
+    // must agree with plain Set intersection cardinality every time
+    val arrGen: Gen[List[Long]] = Gen.listOfN(40,
+      Gen.oneOf(Gen.chooseNum(-20L, 20L), Gen.oneOf(Long.MinValue, Long.MaxValue, 0L)))
+    samples(Gen.zip(arrGen, arrGen), n = 8).foreach { case (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("x", "y")
+        .select(
+          call_function("sorted_intersect_count",
+            array_sort(array_distinct(col("x"))),
+            array_sort(array_distinct(col("y")))).as("got"))
+      assert(df.head().getInt(0) == xs.toSet.intersect(ys.toSet).size,
+        s"merge count drifted from Set intersection on $xs vs $ys")
+    }
+  }
+
+  test("winnowing on random texts: selection is a gram subset and obeys the window bound") {
+    import graft.functions.TextAnalysis
+    val word: Gen[String] = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val textGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 30) // includes docs shorter than k and w
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val texts = samples(textGen, n = 12).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintFrame(docs, 3, 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      val nToks = t.split(" ", -1).length
+      val nGrams = math.max(nToks - 2, 1)
+      val nWindows = math.max(nGrams - 3, 1)
+      val n = fps.getOrElse(id, 0L)
+      assert(n >= 1, s"doc $id must select at least one fingerprint")
+      assert(n <= nWindows,
+        s"doc $id selected $n fps from $nWindows windows (distinct can only shrink)")
+    }
+  }
 }
