@@ -793,8 +793,11 @@ object SparkEntry {
     * fallbacks (whole token list as one gram / one whole-list window)
     * agree by construction.
     */
-  private def winnowBaseSql(k: Int = 3, w: Int = 4): String =
-    s"""WITH wdoc AS (
+  private def winnowBaseSql(
+      k: Int = 3,
+      w: Int = 4,
+      recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}wdoc AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         wg AS (
           SELECT doc_id,
@@ -2599,18 +2602,7 @@ object SparkEntry {
     "dedup_winnow_components" ->
       // winnow selection CTEs + the same recursive-CTE closure the
       // substring-components oracle uses (engine shape: star contraction)
-      s"""WITH RECURSIVE wdoc AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         wg AS (
-           SELECT doc_id,
-                  list_transform(range(greatest(len(toks) - 2, 1)),
-                    i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 3), ' ')), 1, 15))::BIGINT) AS gh
-           FROM wdoc),
-         wf AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(greatest(len(gh) - 3, 1)),
-                    i -> list_min(list_slice(gh, i + 1, i + 4)))) AS fps
-           FROM wg),
+      s"""${winnowBaseSql(recursive = true)},
          we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
          wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),
          wk AS (SELECT we.doc_id, we.fp FROM we JOIN wkeep USING (fp)),
