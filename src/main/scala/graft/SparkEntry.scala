@@ -261,6 +261,9 @@ object SparkEntry {
     // SemDeDup/D4-style per-cell prototypicality pruning over the trained
     // codebook: drop the most-central 25% of every cell
     "emb_semantic_prune" -> ((s, d) => Similarity.semanticPruneDecisions(s, d)),
+    // the embedding member of the incremental family: batch vectors vs
+    // the cell-indexed corpus, SemDeDup cell-bounded candidates
+    "emb_incremental_neardup" -> ((s, d) => Similarity.incrementalSemanticNearDup(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
     // the production search path: consumes the PERSISTED codebook parquet
     // (self-priming on first use), never trains — row-identical to
@@ -1470,6 +1473,33 @@ object SparkEntry {
          SELECT vec_id, cid, sim, cell_rank,
                 CAST(cell_rank > floor(0.25 * cell_n) AS INT) AS keep
          FROM sp_rank ORDER BY vec_id""",
+    "emb_incremental_neardup" ->
+      // same Lloyd replay + rn=1 assignment for both slices; candidates
+      // join within cid, threshold on the DOUBLE cosine, pick ranks the
+      // FLOAT cast (cos DESC, corpus_id) — the engine's max(struct)
+      s"""${kmeansCentroidsSql()},
+         iassign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         ib AS (SELECT vec_id AS batch_id, v AS bv, cid FROM iassign WHERE vec_id % 10 = 0),
+         ic AS (SELECT vec_id AS corpus_id, v, cid FROM iassign WHERE vec_id % 10 <> 0),
+         ih0 AS (
+           SELECT ib.batch_id, ic.corpus_id,
+                  list_cosine_similarity(ic.v, ib.bv) AS cs
+           FROM ic JOIN ib USING (cid)),
+         ipick AS (
+           SELECT batch_id, corpus_id, CAST(cs AS FLOAT) AS cosf,
+                  row_number() OVER (PARTITION BY batch_id
+                    ORDER BY CAST(cs AS FLOAT) DESC, corpus_id) AS rn
+           FROM ih0 WHERE cs >= 0.35)
+         SELECT b.vec_id, p.corpus_id IS NULL AS is_new,
+                p.corpus_id AS dup_of, p.cosf AS cos
+         FROM (SELECT vec_id FROM v0 WHERE vec_id % 10 = 0) b
+           LEFT JOIN (SELECT * FROM ipick WHERE rn = 1) p ON b.vec_id = p.batch_id
+         ORDER BY vec_id""",
     // the stored-index search is row-identical to the trained one (the
     // artifact IS the trained codebook), so both keys share one oracle
     "ann_topk_ivf_stored" -> ivfTrainedOracleSql,

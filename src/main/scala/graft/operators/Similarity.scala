@@ -1028,6 +1028,60 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL semantic near-dup verdicts — the embedding member of the
+    * incremental family beside [[graft.operators.Dedup.incrementalExact]]
+    * / `incrementalMinHashMd5Stored` / `incrementalNearDupMd5`, and the
+    * serve path of [[semDedupDecisions]]: every batch vector (vec_id %
+    * 10 == 0 — the same synthetic carve as the other incremental rows)
+    * is cell-assigned against the trained codebook and compared ONLY to
+    * same-cell corpus vectors; the verdict row carries the best corpus
+    * match (cosine desc, corpus id asc — deterministic) or a null-padded
+    * admit.
+    *
+    * Scale shape: assignment is the map-side literal-codebook argmax on
+    * BOTH sides (the corpus never shuffles for it — in production the
+    * corpus side IS the stored assignment, here recomputed at scan
+    * speed); the batch broadcasts, so candidate generation is a
+    * broadcast hash join on cid with volume Σ(batch_cell × corpus_cell)
+    * — the SemDeDup cell bound, never batch × corpus. Only the
+    * (batch_id, corpus_id, cos) triples of above-threshold hits reach
+    * the per-batch-vector argmax, which map-combines via max(struct).
+    * Cosine doubles are pure IEEE mul/add/sqrt — bit-identical across
+    * engines, so the oracle replays the pick exactly.
+    */
+  def incrementalSemanticNearDup(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val codebook = kmeansCodebook(spark, sfDir, k, iters)
+    val all = corpus(spark, sfDir).select("vec_id", "v")
+    val corpusA = assignToCodebook(all.filter(col("vec_id") % 10 =!= 0), codebook)
+    val batchA = assignToCodebook(all.filter(col("vec_id") % 10 === 0), codebook)
+    val best = corpusA
+      .join(broadcast(batchA.select(col("vec_id").as("batch_id"),
+        col("v").as("bv"), col("cid"))), "cid")
+      .withColumn("cos", expr("cosine_sim(v, bv)"))
+      // threshold on the DOUBLE (bit-identical IEEE arithmetic — the
+      // emb_near_dup convention); rank and report the FLOAT cast (the
+      // topKPerQuery convention, absorbing any ulp of engine drift in
+      // the pick)
+      .filter(col("cos") >= tau)
+      // max(struct) argmax: map-side combine beats a window sort over the
+      // hit volume (the decontam worst-offender pattern)
+      .groupBy("batch_id")
+      .agg(max(struct(col("cos").cast("float").as("cos_f"),
+        (-col("vec_id")).as("neg_id"))).as("b"))
+      .select(col("batch_id").as("vec_id"), (-col("b.neg_id")).as("dup_of"),
+        col("b.cos_f").as("cos"))
+    all.filter(col("vec_id") % 10 === 0).select("vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNull.as("is_new"),
+        col("dup_of"), col("cos"))
+      .orderBy("vec_id")
+  }
+
   /** Johnson-Lindenstrauss random projection to `outDims` dimensions with
     * a PINNED ±1 sign matrix (Achlioptas 2003's database-friendly
     * projections: E[⟨Px,Py⟩] ∝ ⟨x,y⟩ with the same concentration bounds as

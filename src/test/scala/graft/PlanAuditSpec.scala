@@ -666,6 +666,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("incremental semantic near-dup: batch broadcasts, vectors never exchange") {
+    val df = Similarity.incrementalSemanticNearDup(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"cell-bounded candidates must stay a cid equi-join:\n$p")
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "v" || a.name == "bv"
+          || a.name == "embedding" || a.name == "sims"),
+        s"only verdict triples may shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
   test("curation pipeline: dedup window shuffles fingerprints with text pruned") {
     val hashEx = shuffles(graft.operators.Curate.decisions(spark, Sf))
       .filter(_.outputPartitioning.toString.contains("fp_xx"))

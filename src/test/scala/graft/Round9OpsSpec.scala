@@ -128,6 +128,33 @@ class Round9OpsSpec extends SparkTestBase {
       call_function("sorted_intersect_count", col("x"), col("y")) =!= col("want")).isEmpty)
   }
 
+  test("incremental semantic near-dup: verdicts cover the batch and every dup is a same-cell hit") {
+    val v = Similarity.incrementalSemanticNearDup(spark, Sf)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val nBatch = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(v.count() == nBatch, "one verdict row per batch vector")
+    assert(v.filter(col("is_new") =!= col("dup_of").isNull).isEmpty)
+    // every non-new verdict must really be an above-threshold same-cell pair
+    val assign = Similarity.kmeansAssignments(spark, Sf)
+    val dups = v.filter(!col("is_new"))
+    assert(dups.count() > 0, "the duplicate-bearing fixture must surface dups")
+    val withVecs = dups
+      .join(emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("bv")), "vec_id")
+      .join(emb.select(col("vec_id").as("dup_of"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv")), "dup_of")
+      .withColumn("cos2", expr("cosine_sim(bv, cv)"))
+    assert(withVecs.filter(col("cos2") < 0.35).isEmpty,
+      "reported dup below the threshold")
+    assert(withVecs.filter(abs(col("cos2").cast("float") - col("cos")) > 1e-6).isEmpty,
+      "reported cos must be the pair's cosine")
+    val cellPairs = dups
+      .join(assign, Seq("vec_id"))
+      .join(assign.select(col("vec_id").as("dup_of"), col("cid").as("cid2")), "dup_of")
+    assert(cellPairs.filter(col("cid") =!= col("cid2")).isEmpty,
+      "candidates must come from the batch vector's own cell")
+  }
+
   test("semantic prune: cell assignment agrees with kmeans_assign") {
     val d = Similarity.semanticPruneDecisions(spark, Sf)
       .select("vec_id", "cid")
