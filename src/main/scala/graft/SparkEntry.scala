@@ -201,6 +201,10 @@ object SparkEntry {
     "ps5_twin_parquet" -> (PlayStore.ps5TwinParquet _),
     // LLM-pipeline: dedup
     "dedup_exact" -> (Dedup.exactByText _),
+    // canonical-form preparation + the published "fuzzy exact" criterion
+    // (case/punct/whitespace-invariant content identity)
+    "txt_normalize" -> (TextAnalysis.normalize _),
+    "dedup_exact_normalized" -> (Dedup.exactByNormalizedText _),
     "dedup_exact_hash" -> (Dedup.exactByHash _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashNearDupPairs(s, d)),
@@ -2204,6 +2208,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+    // plain string (no interpolation): the regex '\s' must reach DuckDB
+    // unprocessed, like txt_scrub
+    "txt_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, CAST(norm_text <> text AS INT) AS changed
+         FROM n ORDER BY doc_id""",
+    "dedup_exact_normalized" ->
+      """WITH n AS (
+           SELECT doc_id, lang, source, n_chars,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+           FROM documents)
+         SELECT doc_id, lang, source, n_chars FROM n
+         QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1
          ORDER BY doc_id""",
     "dedup_exact_hash" ->
       "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY md5(text) ORDER BY fp",

@@ -389,6 +389,29 @@ object TextAnalysis {
           .as("fp_rolling_min"))
       .orderBy("doc_id")
 
+  /** Aggressive text normalization — the published pre-hash canonical
+    * form (RefinedWeb/Dolma-class "fuzzy exact" preparation): lowercase,
+    * strip everything outside [a-z0-9\s] to a space, collapse whitespace
+    * runs, trim. Pure per-row codegen'd string ops (scan speed at any
+    * size); both engines run the identical regex chain, so the
+    * canonical form — and every hash derived from it — is byte-equal by
+    * construction.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Registered surface of [[normalizeText]]. */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        normalizeText(col("text")).as("norm_text"),
+        col("text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).cast("int").as("changed"))
+      .orderBy("doc_id")
+
   /** WINNOWING fingerprint selection (Schleimer et al. 2003, "Winnowing:
     * Local Algorithms for Document Fingerprinting" — the MOSS scheme):
     * hash every width-`k` token gram, slide a window of `w` consecutive

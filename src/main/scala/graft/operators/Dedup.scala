@@ -74,6 +74,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact dedup over the NORMALIZED canonical form
+    * ([[graft.functions.TextAnalysis.normalizeText]]) — the published
+    * "fuzzy exact" criterion: two documents differing only in case,
+    * punctuation, or whitespace layout are the same document. Same
+    * fingerprint-keyed shape as [[exactByText]] (the 192-bit digest pair
+    * of the CANONICAL text keys the shuffle, raw text pruned before the
+    * exchange), so the only added cost is the map-side regex chain.
+    */
+  def exactByNormalizedText(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("nfp_xx", "nfp_md5").orderBy("doc_id")
+    val norm = graft.functions.TextAnalysis.normalizeText(col("text"))
+    IO.table(spark, sfDir, "documents")
+      .withColumn("nfp_xx", xxhash64(norm))
+      .withColumn("nfp_md5", md5(norm.cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup, fingerprint form: group by content hash. At scale this is
     * the cheaper shape (the 16-byte digest shuffles instead of the full
     * text) and it reports duplicate multiplicity.

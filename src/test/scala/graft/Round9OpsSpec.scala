@@ -128,6 +128,30 @@ class Round9OpsSpec extends SparkTestBase {
       call_function("sorted_intersect_count", col("x"), col("y")) =!= col("want")).isEmpty)
   }
 
+  test("normalization: canonical form is case/punct/whitespace-invariant and idempotent") {
+    val df = Seq(
+      "Hello, World!",
+      "hello world",
+      "  hello   WORLD  ",
+      "hello-world",
+      "entirely different").toDF("text")
+      .select(col("text"), TextAnalysis.normalizeText(col("text")).as("n"))
+    val norms = df.collect().map(_.getString(1))
+    assert(norms.take(4).toSet == Set("hello world"),
+      s"all four variants must canonicalize identically: ${norms.toSeq}")
+    assert(norms(4) == "entirely different")
+    // idempotent: a second pass is the identity
+    assert(df.filter(
+      TextAnalysis.normalizeText(col("n")) =!= col("n")).isEmpty)
+  }
+
+  test("normalized exact dedup keeps no more survivors than raw exact dedup") {
+    val raw = graft.operators.Dedup.exactByText(spark, Sf).count()
+    val norm = graft.operators.Dedup.exactByNormalizedText(spark, Sf).count()
+    assert(norm <= raw,
+      s"canonicalization can only merge fingerprint classes: norm=$norm raw=$raw")
+  }
+
   test("incremental semantic near-dup: verdicts cover the batch and every dup is a same-cell hit") {
     val v = Similarity.incrementalSemanticNearDup(spark, Sf)
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
