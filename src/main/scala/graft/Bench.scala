@@ -77,7 +77,8 @@ object Bench {
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
       "graph_ppr", "graph_random_walks",
       "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
-      "dedup_winnow_components", "emb_incremental_neardup")
+      "dedup_winnow_components", "emb_incremental_neardup",
+      "dedup_exact_normalized")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -425,6 +425,9 @@ object SparkEntry {
     "corpus_mixture_sample" -> ((s, d) =>
       CorpusPrep.mixtureSample(s, d, MixtureWeights)),
     "corpus_shuffle_order" -> ((s, d) => CorpusPrep.shuffleOrder(s, d)),
+    // per-shard reproducibility certificate over the shuffle layout:
+    // order-insensitive + order-sensitive xor fingerprints
+    "corpus_shard_manifest" -> ((s, d) => CorpusPrep.shardManifest(s, d)),
     // τ=1/2 temperature-balanced language mixture (XLM-R recipe):
     // tail langs up-weighted, deterministic content-hash acceptance
     "corpus_temp_mixture" -> ((s, d) => CorpusPrep.temperatureMixture(s, d)),
@@ -1782,6 +1785,26 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY shuffle_key % 64
                   ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
          FROM d ORDER BY bucket, pos""",
+    "corpus_shard_manifest" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey,
+                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS dh,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         p AS (
+           SELECT *, skey % 64 AS bucket,
+                  CAST(row_number() OVER (PARTITION BY skey % 64
+                    ORDER BY skey, doc_id) AS BIGINT) AS pos
+           FROM d),
+         s AS (
+           SELECT bucket, ntok, dh,
+                  ('0x' || substr(md5(bucket || ':' || pos || ':' || dh), 1, 15))::BIGINT AS slot
+           FROM p)
+         SELECT bucket, COUNT(*) AS n_docs,
+                CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                bit_xor(dh) AS content_fp, bit_xor(slot) AS order_fp
+         FROM s GROUP BY bucket ORDER BY bucket""",
     "ann_topk_lsh" ->
       s"""${lshBucketKeysSql()},
          qb AS (SELECT vec_id AS qid, bucket_key FROM bb WHERE vec_id < 10),

@@ -501,6 +501,56 @@ object CorpusPrep {
       .orderBy("bucket", "pos")
   }
 
+  /** SHARD MANIFEST — the reproducibility certificate for the
+    * [[shuffleOrder]] layout: per shard, the document count, token
+    * volume, an order-INSENSITIVE content fingerprint (bit_xor of the
+    * per-doc md5-prefix hashes — same docs in any order ⇒ same value)
+    * and an order-SENSITIVE one (bit_xor of md5(bucket:pos:doc-hash)
+    * slots — xor commutes so the aggregation is exchange-friendly, but
+    * each value encodes its position, so ANY reorder, swap, or
+    * drop/extra flips the fingerprint). A re-run of the writer on
+    * another cluster certifies byte-identical shard layout by comparing
+    * |shards| rows instead of diffing 100 TB of output; the manifests
+    * are also the resume tokens a restarted writer checks before
+    * re-emitting a shard.
+    *
+    * Scale shape: one scan; the doc hash, token count, and shuffle key
+    * compute map-side, TEXT IS PRUNED before the bucket-partitioned
+    * position window (the [[shuffleOrder]] exchange carries ~32-byte
+    * rows), and the final aggregation map-combines to |shards| rows.
+    */
+  def shardManifest(
+      spark: SparkSession,
+      sfDir: String,
+      seed: Long = 42L,
+      numBuckets: Int = 64): DataFrame = {
+    val skey = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        skey.as("shuffle_key"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("dh"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("bucket", pmod(col("shuffle_key"), lit(numBuckets.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("slot", conv(
+        substring(md5(concat_ws(":",
+          col("bucket").cast("string"), col("pos").cast("string"),
+          col("dh").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        expr("bit_xor(dh)").as("content_fp"),
+        expr("bit_xor(slot)").as("order_fp"))
+      .orderBy("bucket")
+  }
+
   /** Token-budget mixture planner with bounded repetition (the
     * data-constrained scaling recipe: when the training budget exceeds
     * the corpus, repeat sources — but cap epochs, because repeated data

@@ -666,6 +666,14 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("shard manifest: text pruned before the bucket window exchange") {
+    val df = graft.operators.CorpusPrep.shardManifest(spark, Sf)
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"the manifest exchanges hashes and counts, never documents: ${e.output.map(_.name)}")
+    }
+  }
+
   test("incremental semantic near-dup: batch broadcasts, vectors never exchange") {
     val df = Similarity.incrementalSemanticNearDup(spark, Sf)
     val p = plan(df)

@@ -128,6 +128,31 @@ class Round9OpsSpec extends SparkTestBase {
       call_function("sorted_intersect_count", col("x"), col("y")) =!= col("want")).isEmpty)
   }
 
+  test("shard manifest: covers the corpus, agrees with shuffleOrder, and the order fp is position-sensitive") {
+    import graft.operators.CorpusPrep
+    val m = CorpusPrep.shardManifest(spark, Sf).collect()
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(m.map(_.getLong(1)).sum == nDocs, "every document lands in exactly one shard")
+    assert(m.length <= 64 && m.map(_.getLong(0)).distinct.length == m.length)
+    // per-shard counts must equal the shuffle layout's bucket populations
+    val buckets = CorpusPrep.shuffleOrder(spark, Sf)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.foreach(r => assert(buckets(r.getLong(0)) == r.getLong(1)))
+    // position sensitivity: xor-ing slot hashes with pos+1 instead of pos
+    // must flip the order fingerprint while content_fp stays put — a
+    // reordered shard cannot certify
+    val shifted = CorpusPrep.shuffleOrder(spark, Sf)
+      .join(spark.read.parquet(s"$Sf/documents.parquet").select("doc_id", "text"), "doc_id")
+      .withColumn("dh", expr("cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("slot2", expr(
+        "cast(conv(substring(md5(cast(concat_ws(':', cast(bucket as string), cast(pos + 1 as string), cast(dh as string)) as binary)), 1, 15), 16, 10) as bigint)"))
+      .groupBy("bucket").agg(expr("bit_xor(slot2)").as("order_fp2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.foreach(r => assert(shifted(r.getLong(0)) != r.getLong(4),
+      s"shard ${r.getLong(0)}: a uniform position shift must change order_fp"))
+  }
+
   test("normalization: canonical form is case/punct/whitespace-invariant and idempotent") {
     val df = Seq(
       "Hello, World!",
