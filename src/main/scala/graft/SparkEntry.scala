@@ -326,6 +326,9 @@ object SparkEntry {
     // near-dup pairs over the SELECTED fingerprints — the substring-pair
     // criterion at ~2/(w+1) the exploded volume
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
+    // the local-overlap member of the incremental family: batch winnows
+    // map-side and broadcasts against the persisted corpus fp index
+    "dedup_incremental_winnow" -> ((s, d) => Dedup.incrementalWinnowStored(s, d)),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
@@ -2672,6 +2675,28 @@ object SparkEntry {
          comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node)
          SELECT d0.doc_id, COALESCE(c.root, d0.doc_id) AS component_id
          FROM documents d0 LEFT JOIN comp c ON d0.doc_id = c.node
+         ORDER BY doc_id""",
+    "dedup_incremental_winnow" ->
+      // winnow both slices, df-cap on the CORPUS (index) side, pair
+      // counts, rn=1 pick (n_shared desc, corpus_id) — the max(struct)
+      s"""${winnowBaseSql()},
+         iwe AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+         iwc AS (SELECT doc_id AS corpus_id, fp FROM iwe WHERE doc_id % 10 <> 0),
+         iwb AS (SELECT doc_id AS batch_id, fp FROM iwe WHERE doc_id % 10 = 0),
+         iwkeep AS (SELECT fp FROM iwc GROUP BY fp HAVING count(*) <= 50),
+         iwp AS (
+           SELECT b.batch_id, c.corpus_id, COUNT(*) AS n_shared
+           FROM iwc c JOIN iwkeep USING (fp) JOIN iwb b ON c.fp = b.fp
+           GROUP BY 1, 2),
+         iwpick AS (
+           SELECT batch_id, corpus_id, n_shared,
+                  row_number() OVER (PARTITION BY batch_id
+                    ORDER BY n_shared DESC, corpus_id) AS rn
+           FROM iwp)
+         SELECT d.doc_id, p.corpus_id IS NULL AS is_new,
+                p.corpus_id AS dup_of, p.n_shared
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+           LEFT JOIN (SELECT * FROM iwpick WHERE rn = 1) p ON d.doc_id = p.batch_id
          ORDER BY doc_id""",
     "dedup_winnow_components" ->
       // winnow selection CTEs + the same recursive-CTE closure the

@@ -666,6 +666,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("incremental winnow: batch broadcasts against the index, text never exchanges") {
+    val df = Dedup.incrementalWinnowStored(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"fp candidates must stay an equi-join:\n$p")
+    shuffles(df).foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "toks"
+          || a.name == "gh"),
+        s"only verdict/id rows may shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
   test("shard manifest: text pruned before the bucket window exchange") {
     val df = graft.operators.CorpusPrep.shardManifest(spark, Sf)
     shuffles(df).foreach { e =>

@@ -128,6 +128,28 @@ class Round9OpsSpec extends SparkTestBase {
       call_function("sorted_intersect_count", col("x"), col("y")) =!= col("want")).isEmpty)
   }
 
+  test("incremental winnow: verdicts cover the batch and n_shared is the capped fp intersection") {
+    val v = Dedup.incrementalWinnowStored(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    assert(v.length == docs.filter(col("doc_id") % 10 === 0).count())
+    val dups = v.filter(!_.getBoolean(1))
+    assert(dups.nonEmpty, "the duplicate-bearing fixture must surface dups")
+    // recompute the capped shared-fp count for each picked pair
+    val fps = TextAnalysis.winnowFingerprintFrame(docs, K, W)
+    val corpusFps = fps.filter(col("doc_id") % 10 =!= 0)
+    val capped = corpusFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("fp")
+    val shared = fps.filter(col("doc_id") % 10 === 0)
+      .join(capped, "fp")
+      .join(corpusFps.select(col("doc_id").as("corpus_id"), col("fp")), "fp")
+      .groupBy("doc_id", "corpus_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    dups.foreach { r =>
+      assert(shared((r.getLong(0), r.getLong(2))) == r.getLong(3),
+        s"verdict for batch doc ${r.getLong(0)} reports a wrong shared count")
+    }
+  }
+
   test("shard manifest: covers the corpus, agrees with shuffleOrder, and the order fp is position-sensitive") {
     import graft.operators.CorpusPrep
     val m = CorpusPrep.shardManifest(spark, Sf).collect()
