@@ -1049,16 +1049,65 @@ object Similarity {
     * Cosine doubles are pure IEEE mul/add/sqrt — bit-identical across
     * engines, so the oracle replays the pick exactly.
     */
+  /** Stable artifact path for the persisted CELL INDEX — the corpus as a
+    * (vec_id, v, cid) table under the trained codebook (the IVF index in
+    * table form; mhidx conventions).
+    */
+  private[graft] def cellIndexArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int,
+      iters: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/embeddings.parquet",
+      "embedding", "cellidx", s"cellidx_v1|$sfDir|$k|$iters") + ".parquet"
+
+  /** Build the corpus-side cell index ONCE and persist it — the artifact
+    * [[incrementalSemanticNearDup]] and [[embIngestStream]] consume. In
+    * production this is the maintained semantic index (appended per
+    * admitted batch); the corpus-wide assignment pass runs only here.
+    */
+  def persistCellIndex(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2): String = {
+    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
+    assignToCodebook(
+      corpus(spark, sfDir).select("vec_id", "v")
+        .filter(col("vec_id") % 10 =!= 0),
+      kmeansCodebook(spark, sfDir, k, iters))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
   def incrementalSemanticNearDup(
       spark: SparkSession,
       sfDir: String,
       k: Int = 16,
       iters: Int = 2,
       tau: Double = 0.35): DataFrame = {
-    val codebook = kmeansCodebook(spark, sfDir, k, iters)
-    val all = corpus(spark, sfDir).select("vec_id", "v")
-    val corpusA = assignToCodebook(all.filter(col("vec_id") % 10 =!= 0), codebook)
-    val batchA = assignToCodebook(all.filter(col("vec_id") % 10 === 0), codebook)
+    val batch = corpus(spark, sfDir).select("vec_id", "v")
+      .filter(col("vec_id") % 10 === 0)
+    incrementalSemanticNearDupFrames(spark, sfDir, batch, k, iters, tau)
+  }
+
+  /** Verdict core over an explicit batch (vec_id, v) frame — the
+    * production/streaming entry; consumes the PERSISTED cell index
+    * (self-priming on first use, the stored-artifact convention), so a
+    * repeat batch pays one index scan plus the cell-bounded verify.
+    */
+  private[graft] def incrementalSemanticNearDupFrames(
+      spark: SparkSession,
+      sfDir: String,
+      batch: DataFrame,
+      k: Int = 16,
+      iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistCellIndex(spark, sfDir, k, iters)
+    val corpusA = spark.read.parquet(path)
+    val batchA = assignToCodebook(batch, kmeansCodebook(spark, sfDir, k, iters))
     val best = corpusA
       .join(broadcast(batchA.select(col("vec_id").as("batch_id"),
         col("v").as("bv"), col("cid"))), "cid")
@@ -1075,11 +1124,45 @@ object Similarity {
         (-col("vec_id")).as("neg_id"))).as("b"))
       .select(col("batch_id").as("vec_id"), (-col("b.neg_id")).as("dup_of"),
         col("b.cos_f").as("cos"))
-    all.filter(col("vec_id") % 10 === 0).select("vec_id")
+    batch.select("vec_id")
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("dup_of").isNull.as("is_new"),
         col("dup_of"), col("cos"))
       .orderBy("vec_id")
+  }
+
+  /** Streaming twin of [[incrementalSemanticNearDup]] — the vector-ingest
+    * analogue of `Curate.ingestGateStream`: arriving (vec_id, embedding)
+    * micro-batches get verdict rows against the SAME persisted cell
+    * index, written idempotently per batch id (re-running a micro-batch
+    * overwrites its own directory, never duplicates). Artifacts prime
+    * EAGERLY before `.start()` so micro-batch 0 never pays a
+    * corpus-scale training/assignment job (the ingest-gate lesson).
+    */
+  def embIngestStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      tau: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistCellIndex(spark, sfDir, k, iters)
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalSemanticNearDupFrames(spark, sfDir,
+          batch.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+          k, iters, tau)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/verdicts/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** Johnson-Lindenstrauss random projection to `outDims` dimensions with

@@ -71,6 +71,31 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedRows.nonEmpty)
   }
 
+  test("embedding ingest stream: a one-batch stream reproduces the batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val arrivals = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = graft.sources.IO.scratchDir("emb_stream")
+    val q = graft.operators.Similarity.embIngestStream(spark, Sf,
+      mem.toDF().toDF("vec_id", "embedding"), outDir)
+    try {
+      mem.addData(arrivals.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/verdicts")
+      .select("vec_id", "is_new", "dup_of", "cos")
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Similarity.incrementalSemanticNearDup(spark, Sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length == batch.length && streamed.toSet == batch.toSet,
+      "stream verdicts must equal the batch row")
+    assert(streamed.nonEmpty)
+  }
+
   test("ingest gate replay: re-running a micro-batch overwrites, never duplicates") {
     import org.apache.spark.sql.functions.col
     val arrivals = spark.read.parquet(s"$Sf/documents.parquet")
