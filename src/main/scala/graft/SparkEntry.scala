@@ -329,6 +329,9 @@ object SparkEntry {
     // the local-overlap member of the incremental family: batch winnows
     // map-side and broadcasts against the persisted corpus fp index
     "dedup_incremental_winnow" -> ((s, d) => Dedup.incrementalWinnowStored(s, d)),
+    // serve path: the persisted full-corpus fingerprint table replaces
+    // the md5 selection pass; row-identical, shares the live oracle
+    "dedup_winnow_pairs_stored" -> ((s, d) => Dedup.winnowPairsStored(s, d)),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
@@ -3109,6 +3112,17 @@ object SparkEntry {
     "dedup_winnow_pairs" ->
       // df-cap then pair-join over the selected fingerprints — the
       // substring-pairs oracle shape on the winnowed set
+      s"""${winnowBaseSql()},
+         we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+         wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),
+         wk AS (SELECT we.doc_id, we.fp FROM we JOIN wkeep USING (fp))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_shared_fps
+         FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    // row-identical by construction (the artifact IS the fingerprint
+    // frame) — the stored row reuses the live pairs oracle
+    "dedup_winnow_pairs_stored" ->
       s"""${winnowBaseSql()},
          we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
          wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),

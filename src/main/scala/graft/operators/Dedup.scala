@@ -976,6 +976,61 @@ object Dedup {
     path
   }
 
+  /** Full-corpus variant of [[winnowIndexArtifactPath]] (no incremental
+    * carve) — the pairs/components serve path.
+    */
+  private[graft] def winnowFullIndexArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int,
+      w: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "wnfull", s"wnfull_v1|$sfDir|$k|$w") + ".parquet"
+
+  /** Persist the FULL-corpus winnow fingerprint table once — the md5
+    * selection pass (the dominant cost of every winnow call) runs only
+    * here; [[winnowPairsStored]] and any components/pairs consumer read
+    * the table.
+    */
+  def persistWinnowFullIndex(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4): String = {
+    val path = winnowFullIndexArtifactPath(spark, sfDir, k, w)
+    graft.functions.TextAnalysis.winnowFingerprintFrame(
+      IO.table(spark, sfDir, "documents"), k, w)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** [[winnowPairs]] consuming the PERSISTED full-corpus fingerprint
+    * table (self-priming on first use): repeat invocations skip the md5
+    * selection pass entirely — the artifact IS the exploded frame, so
+    * the row is identical by construction and keeps the live row's
+    * oracle.
+    */
+  def winnowPairsStored(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50): DataFrame = {
+    val path = winnowFullIndexArtifactPath(spark, sfDir, k, w)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistWinnowFullIndex(spark, sfDir, k, w)
+    spanPairsFromWindows(
+      spark.read.parquet(path).withColumnRenamed("fp", "wh"),
+      maxDf,
+      // already materialized on disk: re-scanning parquet twice beats a
+      // checkpoint, so keep the materialization gate closed
+      0L,
+      sorted = false)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_shared_windows").as("n_shared_fps"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** INCREMENTAL winnow verdicts — the local-overlap member of the
     * incremental family beside exact / minhash / simhash / semantic:
     * every batch doc (doc_id % 10 == 0, the shared synthetic carve) is
