@@ -267,8 +267,12 @@ object Cluster {
     * one a production boilerplate-clustering pass wants at 100 TB).
     */
   def winnowComponentsMd5(spark: SparkSession, sfDir: String): DataFrame =
+    // consumes the persisted full-corpus fingerprint table (the family
+    // default: the selection pass is a build-once artifact; the live
+    // cost stays visible in dedup_winnow_pairs) — row-identical, so the
+    // recursive-CTE oracle is unchanged
     documentComponents(spark, sfDir,
-      Dedup.winnowPairsUnsorted(spark, sfDir))
+      Dedup.winnowPairsStoredUnsorted(spark, sfDir))
       .orderBy("doc_id")
 
   /** The dedup DECISION: per document, its cluster, the cluster size, and

@@ -1015,6 +1015,16 @@ object Dedup {
       sfDir: String,
       k: Int = 3,
       w: Int = 4,
+      maxDf: Int = 50): DataFrame =
+    winnowPairsStoredUnsorted(spark, sfDir, k, w, maxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[winnowPairsStored]] without the presentation sort (cluster input). */
+  private[graft] def winnowPairsStoredUnsorted(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4,
       maxDf: Int = 50): DataFrame = {
     val path = winnowFullIndexArtifactPath(spark, sfDir, k, w)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
@@ -1028,7 +1038,6 @@ object Dedup {
       sorted = false)
       .select(col("doc_a"), col("doc_b"),
         col("n_shared_windows").as("n_shared_fps"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** INCREMENTAL winnow verdicts — the local-overlap member of the
