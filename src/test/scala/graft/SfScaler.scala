@@ -19,17 +19,25 @@ import org.apache.spark.sql.functions._
   *     regime; users/events shift so per-user session volume is
   *     unchanged.
   *
-  * Usage: Test/runMain graft.SfScaler /root/testdata/sf0.1 /tmp/sf1
+  * Usage: Test/runMain graft.SfScaler /root/testdata/sf0.1 /tmp/sf1 [copies]
+  *
+  * copies > 26 (e.g. the x100 sf10 cut) switch the per-copy text
+  * transform from a Caesar shift to a SEEDED ALPHABET PERMUTATION
+  * (26! >> copies): still length-preserving and injective per copy, so
+  * within-copy duplicate/near-dup structure replicates exactly while
+  * cross-copy token images stay (almost surely) disjoint.
   */
 object SfScaler {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.build("sf-scaler")
-    val copies = 10
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def caesar(i: Int): String = alpha.drop(i) + alpha.take(i)
+    def caesar(i: Int): String =
+      if (i < 26) alpha.drop(i) + alpha.take(i)
+      else new scala.util.Random(i.toLong).shuffle(alpha.toList).mkString
 
     def copyUnion(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
