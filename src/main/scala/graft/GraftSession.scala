@@ -33,6 +33,22 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the cluster posture the shuffle-partitions comment promises: start
+      // every exchange wide (8x cores) and let AQE coalesce down by size.
+      // parallelismFirst (default true) keeps small-scale shuffles at
+      // ~core parallelism, so tiny inputs lose nothing, while a 10-100x
+      // input (measured: the x100 sf10 probe's orders-lineitem SMJ sorted
+      // ~2M rows per partition at a fixed 32) gets per-partition volumes
+      // that fit in memory instead of spilling.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(cpus * 8, 64).toString)
+      // let AQE swap a sort-merge join for a shuffled hash join when the
+      // runtime per-partition build side fits comfortably in memory
+      // (default 0 disables the conversion entirely): with the wide
+      // start above, partitions are advisory-sized, so the bound is a
+      // real memory guarantee — the sort pass on both sides disappears
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (128L * 1024 * 1024).toString)
       // some generator builds ship events.ts as parquet TIMESTAMP(NANOS),
       // which Spark 4 rejects by default; read that encoding as
       // nanos-since-epoch LONG. Current builds ship TIMESTAMP(MICROS)

@@ -110,12 +110,18 @@ object Cluster {
     // in-memory at any scale; the session width is the ceiling.
     val spark = edges.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE reads initialPartitionNum (when set) as the pre-coalesce width,
+    // so the per-round bound must pin BOTH confs — otherwise the
+    // session-wide wide-start default would override the loop's sizing
+    val initialKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val sessionInitial = spark.conf.getOption(initialKey)
     def roundParts(edgeCount: Long): String =
       math.min(edgeCount / 1000000L + 1L, sessionParts.toLong).toString
     try {
       while (!converged && rounds < MaxRounds) {
         val t0 = System.nanoTime()
         spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
+        spark.conf.set(initialKey, roundParts(edgeCount))
         val next = smallStar(largeStar(e)).localCheckpoint()
         val t1 = System.nanoTime()
         // one fused job refreshes the count (so the NEXT round's shuffle
@@ -128,7 +134,13 @@ object Cluster {
         e = next
         rounds += 1
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      sessionInitial match {
+        case Some(v) => spark.conf.set(initialKey, v)
+        case None => spark.conf.unset(initialKey)
+      }
+    }
     require(converged, s"star contraction did not converge in $MaxRounds rounds")
     // Converged state is a star forest: every edge is (child, root). The
     // groupBy(min) is belt-and-braces normalization (and dedups roots that
