@@ -99,6 +99,11 @@ object LinkGraph {
     // arithmetic either way: the strategy changes WHERE rows meet, never
     // their values (the joinloop row reuses the broadcast row's oracle).
     val joinLoop = nCount > broadcastCeiling
+    // width estimate from the ALREADY-COMPUTED node count — an
+    // edges.count() here would re-run the whole edge construction when
+    // the caller passes a freshly built (non-artifact) frame; the floor
+    // at session width covers the small-graph regime either way
+    LoopWidth.pinned(edges.sparkSession, nCount) {
     val enriched = enrichedShares(edges, outw, joinLoop)
     val n = nCount.toDouble
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n)).localCheckpoint()
@@ -124,6 +129,7 @@ object LinkGraph {
     // ContextCleaner instead)
     if (joinLoop) enriched.unpersist()
     ranks.select(col("node"), col("r").as("pr")).orderBy("node")
+    }
   }
 
   /** Edge side enriched with its src's total out-weight once, before the
@@ -291,6 +297,7 @@ object LinkGraph {
       sfDir: String,
       iters: Int = 2): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, edges.count()) {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w")).localCheckpoint()
     // h₀ = 1 for every node; each half-step ends L1-normalized, so the
@@ -308,6 +315,7 @@ object LinkGraph {
         Seq("node"), "left")
       .select(col("node"), col("hub"), col("authority"))
       .orderBy("node")
+    }
   }
 
   /** Personalized PageRank (random walk with restart): identical power
@@ -335,6 +343,7 @@ object LinkGraph {
       iters: Int = 3,
       d: Double = 0.85): DataFrame = {
     val (edges, nodes0) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, edges.count()) {
     val outw = edges.groupBy(col("src"))
       .agg(sum("weight").cast("double").as("outw"))
     val enriched = edges
@@ -370,6 +379,7 @@ object LinkGraph {
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("ppr")).orderBy("node")
+    }
   }
 
   /** Deterministic weighted random walks over the stored transition
@@ -399,6 +409,7 @@ object LinkGraph {
       sfDir: String,
       length: Int = 4): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, edges.count()) {
     val wspans = Window.partitionBy("src").orderBy("dst")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = edges
@@ -425,6 +436,7 @@ object LinkGraph {
         frontier.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
     }
     out.orderBy("walk_id", "step")
+    }
   }
 
   /** One HITS half-step: pull `scores` across the edges from `from` to
