@@ -226,6 +226,21 @@ class Round9OpsSpec extends SparkTestBase {
       "candidates must come from the batch vector's own cell")
   }
 
+  test("iterative loops restore the session width confs (no conf leak)") {
+    // a leaked shuffle-width conf would silently poison every later
+    // query in the session — run each pinned loop family and assert the
+    // session's width knobs come back exactly
+    val partsKey = "spark.sql.shuffle.partitions"
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val parts0 = spark.conf.get(partsKey)
+    val init0 = spark.conf.getOption(initKey)
+    graft.operators.LinkGraph.pageRank(spark, Sf).collect()
+    graft.operators.Cluster.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b").collect()
+    assert(spark.conf.get(partsKey) == parts0, "shuffle.partitions leaked")
+    assert(spark.conf.getOption(initKey) == init0, "initialPartitionNum leaked")
+  }
+
   test("semantic prune: cell assignment agrees with kmeans_assign") {
     val d = Similarity.semanticPruneDecisions(spark, Sf)
       .select("vec_id", "cid")
