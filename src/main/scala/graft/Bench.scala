@@ -82,7 +82,8 @@ object Bench {
       "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
       "dedup_winnow_components", "emb_incremental_neardup",
       "dedup_exact_normalized", "corpus_shard_manifest",
-      "dedup_incremental_winnow", "dedup_winnow_pairs_stored")
+      "dedup_incremental_winnow", "dedup_winnow_pairs_stored",
+      "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
