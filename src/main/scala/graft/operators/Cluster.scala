@@ -153,6 +153,71 @@ object Cluster {
     (comp, rounds)
   }
 
+  /** Edge ceiling for the DRIVER union-find closure of batch-bounded
+    * graphs ([[incrementalComponentsMd5]]): 4M (long, long) edges ≈
+    * 64 MB collected — the bm25-df-map contract (a bounded driver
+    * artifact with an in-plan fallback past the ceiling, never an
+    * unbounded data collect). The incremental path's edge set is
+    * batch-incident by construction (≤ batch × band-candidates), so a
+    * serve-path batch sits far below this; a batch large enough to cross
+    * it falls back to the distributed star contraction.
+    */
+  private[graft] val EdgeCollectCeiling = 4000000L
+
+  /** Driver-side connected components over a SMALL edge frame: collect
+    * the (long, long) edges (caller guards the ceiling), union-find with
+    * min-id roots and path compression, return the same
+    * (node, component = smallest id in component) contract as
+    * [[connectedComponents]] — parity is spec-pinned. Replaces a 6-8-job
+    * contraction ladder with one collect and one tiny createDataFrame
+    * when the graph is batch-bounded; records (0 rounds, edge count) in
+    * [[lastRunStats]] so bench telemetry shows which path served.
+    */
+  private[graft] def driverComponents(
+      spark: SparkSession,
+      edges: DataFrame): DataFrame =
+    driverComponentsOf(spark,
+      edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect())
+
+  /** [[driverComponents]] over already-collected (long, long) edge rows —
+    * the seam the incremental path uses to fuse the ceiling guard into
+    * one limit-bounded collect.
+    */
+  private[graft] def driverComponentsOf(
+      spark: SparkSession,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) parent.put(x, x)
+    var nEdges = 0L
+    collected.foreach { row =>
+      val u = row.getLong(0)
+      val v = row.getLong(1)
+      nEdges += 1
+      add(u); add(v)
+      val ru = find(u)
+      val rv = find(v)
+      // always root at the smaller id: by induction each root is the
+      // min of its set, so the final root IS the component minimum —
+      // the exact connectedComponents contract
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(n => rows += ((n.longValue(), find(n))))
+    lastRunStats = Some((0, nEdges))
+    spark.createDataFrame(rows.toSeq).toDF("node", "component")
+  }
+
   /** Star-forest test on a child→parent oriented edge list (smallStar's
     * output invariant: every edge is (x, m) with m < x, and the edge set
     * is distinct). The graph is a star forest iff BOTH
@@ -430,10 +495,13 @@ object Cluster {
     *
     * Scale shape: the batch bands map-side and BROADCASTS against the
     * stored index (the corpus never re-signs, never shuffles); candidate
-    * verify is bit_count on the index's stored signatures; the star
-    * contraction runs on the batch-bounded supernode edge set; the
-    * corpus-side remap join touches only churn-bounded components. Total
-    * corpus cost per batch: one index scan + one map scan.
+    * verify is bit_count on the index's stored signatures; the closure
+    * runs on the batch-bounded supernode edge set — driver union-find
+    * below [[EdgeCollectCeiling]], distributed star contraction past it;
+    * the corpus-side remap join touches only churn-bounded components.
+    * Corpus-proportional work per batch: one index scan (candidate join)
+    * + two map scans (rep contraction, changed-row remap) + one batch
+    * document scan — everything else is batch-bounded.
     */
   def incrementalComponentsMd5(spark: SparkSession, sfDir: String): DataFrame = {
     val path = corpusClusterStatePath(spark, sfDir)
@@ -446,19 +514,54 @@ object Cluster {
     val batchBanded = Dedup
       .simHashBandedFrom(Dedup.simHashSignaturesMd5From(batchDocs))
       .localCheckpoint()
-    // batch × corpus candidates: band collision + exact Hamming verify
-    // against the INDEX's stored signature (batch side broadcasts) — the
-    // shared generator with the incremental near-dup verdicts
-    val bc = Dedup.bandHammingCandidates(batchBanded, corpusIdx, maxHamming = 3)
+    // FUSED candidate generation: batch×corpus and batch×batch band
+    // collisions come from ONE broadcast join of the batch banding
+    // against (corpus index ∪ batch banding) — the %10 carve keeps the
+    // two id spaces disjoint, so `other_id % 10` routes each candidate
+    // row, and one distinct replaces the two the split generators paid.
+    // Exact-Hamming verify reads the stored signatures either way.
+    val others = corpusIdx
+      .select(col("doc_id").as("other_id"), col("simhash").as("other_sig"),
+        col("band_key"))
+      .unionByName(batchBanded.select(col("doc_id").as("other_id"),
+        col("simhash").as("other_sig"), col("band_key")))
+    val cand = broadcast(
+      batchBanded.select(col("doc_id").as("batch_id"),
+        col("simhash").as("batch_sig"), col("band_key")))
+      .join(others, "band_key")
+      // corpus hit, or the ordered half of a batch self-pair
+      .where(col("other_id") % 10 =!= 0 || col("other_id") > col("batch_id"))
+      .select(col("batch_id"), col("other_id"),
+        expr("bit_count(batch_sig ^ other_sig)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select("batch_id", "other_id")
+      .distinct()
     // corpus endpoints contract to their component REPRESENTATIVE
-    val bcEdges = bc
+    val bcEdges = cand.filter(col("other_id") % 10 =!= 0)
+      .withColumnRenamed("other_id", "corpus_id")
       .join(corpusMap.select(col("doc_id").as("corpus_id"),
         col("component_id").as("rep")), "corpus_id")
       .select(col("batch_id").as("doc_a"), col("rep").as("doc_b"))
-    val bbEdges = Dedup.simHashPairs(batchBanded, maxHamming = 3,
-      sorted = false).select("doc_a", "doc_b")
-    val comp = connectedComponents(
-      bcEdges.unionByName(bbEdges), "doc_a", "doc_b")
+    val bbEdges = cand.filter(col("other_id") % 10 === 0)
+      .select(col("batch_id").as("doc_a"), col("other_id").as("doc_b"))
+    // The supernode edge set is BATCH-BOUNDED (every edge is
+    // batch-incident, volume ≤ batch × band-candidates), so below the
+    // collect ceiling the closure is a driver union-find over one
+    // checkpointed (long, long) frame — a model-artifact-sized collect
+    // like the bm25 df-map, with the distributed star contraction as the
+    // in-plan fallback past the ceiling. This removes the per-round
+    // checkpoint + convergence-check job ladder that dominated the serve
+    // path at bench scale (3.25 s for ~300 edges in r9).
+    val edges = bcEdges.unionByName(bbEdges).localCheckpoint()
+    // ceiling guard fused into the collect itself: fetch at most
+    // ceiling+1 rows — one row past the ceiling proves the fallback is
+    // needed without a separate count job (CollectLimit stops early)
+    val local = edges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(EdgeCollectCeiling.toInt + 1).collect()
+    val comp =
+      if (local.length <= EdgeCollectCeiling) driverComponentsOf(spark, local)
+      else connectedComponents(edges, "doc_a", "doc_b")
     val batchRows = batchDocs.select("doc_id")
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -99,6 +99,53 @@ class ClusterSpec extends SparkTestBase {
     assert(components(edges) == unionFind(edges))
   }
 
+  test("driverComponents matches connectedComponents on the same edge frames") {
+    // the incremental serve path's below-ceiling closure must hand back
+    // EXACTLY the distributed contract: one row per node in the edge
+    // list, component = smallest id in the component
+    val graphs = Seq(
+      Seq[(Long, Long)]((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq[(Long, Long)]((1L, 5L), (2L, 6L), (5L, 6L)), // the regression graph
+      (0L until 100L).map(i => (i, i + 1)).toSeq) ++
+      (1 to 4).map { seed =>
+        val rnd = new scala.util.Random(seed)
+        Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+          .filter { case (a, b) => a != b }
+      }
+    graphs.foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val drv = Cluster.driverComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Cluster.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv == dist, s"driver/distributed closure drift on $edges")
+    }
+  }
+
+  test("incremental components serve below the ceiling via the driver path (telemetry)") {
+    Cluster.lastRunStats = None
+    Cluster.incrementalComponentsMd5(spark, Sf).write
+      .format("noop").mode("overwrite").save()
+    val (rounds, edges) = Cluster.lastRunStats.getOrElse(
+      fail("incremental components must record closure telemetry"))
+    assert(rounds == 0,
+      s"sf0.001's batch-bounded graph must take the driver path, got $rounds rounds")
+    assert(edges > 0, "testdata must exercise at least one batch edge")
+  }
+
+  test("winnow components: star contraction converges within the clique-ish bound") {
+    // the structural-convergence contract the bench cc telemetry tracks:
+    // near-dup graphs are clique-ish, so the contraction (after the
+    // small-star pre-shrink) must close in a couple of rounds — a jump
+    // past this bound is a convergence regression, not data drift
+    Cluster.lastRunStats = None
+    Cluster.winnowComponentsMd5(spark, Sf).write
+      .format("noop").mode("overwrite").save()
+    val (rounds, _) = Cluster.lastRunStats.getOrElse(
+      fail("winnow components must record contraction telemetry"))
+    assert(rounds <= 3, s"winnow component contraction took $rounds rounds")
+  }
+
   test("near-dup components agree with the pair list (both endpoints co-labeled)") {
     val pairs = Dedup.simHashNearDupPairsMd5(spark, Sf)
       .select("doc_a", "doc_b")
