@@ -72,7 +72,8 @@ object Bench {
       "dsir_sample", "graph_pagerank", "txt_perplexity_buckets",
       "corpus_source_overlap",
       "graph_pagerank_rebuild", "graph_pagerank_joinloop",
-      "graph_hits", "retrieval_hard_negatives",
+      "graph_hits", "graph_hits_joinloop", "graph_ppr_joinloop",
+      "retrieval_hard_negatives",
       "retrieval_hybrid_rrf", "decontam_containment", "decontam_neardup",
       "decontam_neardup_stored", "decontam_gate",
       "dedup_source_attribution", "corpus_padding_waste",

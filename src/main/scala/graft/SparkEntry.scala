@@ -360,8 +360,13 @@ object SparkEntry {
     "graph_pagerank_joinloop" -> ((s, d) => LinkGraph.pageRankJoinLoop(s, d)),
     // HITS hubs/authorities, every half-step unrolled in the oracle
     "graph_hits" -> ((s, d) => LinkGraph.hits(s, d)),
+    // HITS past the broadcast ceiling: two pinned edge layouts
+    // (forward/reverse adjacency), score frame as shuffle-hash build side
+    "graph_hits_joinloop" -> ((s, d) => LinkGraph.hitsJoinLoop(s, d)),
     // personalized PageRank from the pinned seed set (node % 10 = 0)
     "graph_ppr" -> ((s, d) => LinkGraph.personalizedPageRank(s, d)),
+    // PPR past the broadcast ceiling (shared contrib-join seam)
+    "graph_ppr_joinloop" -> ((s, d) => LinkGraph.personalizedPageRankJoinLoop(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
     "graph_random_walks" -> ((s, d) => LinkGraph.randomWalks(s, d)),
     // contrastive hard-negative mining over the embedding corpus
@@ -3264,7 +3269,17 @@ object SparkEntry {
          SELECT nd.node, h.s AS hub, a.s AS authority
          FROM nodes nd JOIN h2 h ON nd.node = h.node JOIN a2 a ON nd.node = a.node
          ORDER BY nd.node""",
+    // join-loop twin: strategy, not values — same oracle as graph_hits
+    "graph_hits_joinloop" ->
+      s"""${hitsSql()}
+         SELECT nd.node, h.s AS hub, a.s AS authority
+         FROM nodes nd JOIN h2 h ON nd.node = h.node JOIN a2 a ON nd.node = a.node
+         ORDER BY nd.node""",
     "graph_ppr" ->
+      s"""${pprSql()}
+         SELECT node, r AS ppr FROM r3 ORDER BY node""",
+    // join-loop twin: strategy, not values — same oracle as graph_ppr
+    "graph_ppr_joinloop" ->
       s"""${pprSql()}
          SELECT node, r AS ppr FROM r3 ORDER BY node""",
     "graph_random_walks" -> walksSql(),

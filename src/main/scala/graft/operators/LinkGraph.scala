@@ -87,7 +87,8 @@ object LinkGraph {
       nodes: DataFrame,
       iters: Int,
       d: Double,
-      broadcastCeiling: Long = BroadcastNodeCeiling): DataFrame = {
+      broadcastCeiling: Long = BroadcastNodeCeiling,
+      widthRows: Option[Long] = None): DataFrame = {
     val outw = edges.groupBy(col("src"))
       .agg(sum("weight").cast("double").as("outw"))
     val nCount = nodes.count()
@@ -99,11 +100,15 @@ object LinkGraph {
     // arithmetic either way: the strategy changes WHERE rows meet, never
     // their values (the joinloop row reuses the broadcast row's oracle).
     val joinLoop = nCount > broadcastCeiling
-    // width estimate from the ALREADY-COMPUTED node count — an
-    // edges.count() here would re-run the whole edge construction when
-    // the caller passes a freshly built (non-artifact) frame; the floor
-    // at session width covers the small-graph regime either way
-    LoopWidth.pinned(edges.sparkSession, nCount) {
+    // Width estimate: the per-round contrib join shuffles EDGE-volume
+    // rows, so artifact-backed callers pass the edge row count (parquet
+    // footer metadata — no job). Fresh-frame callers fall back to the
+    // node count — an edges.count() here would re-run the whole edge
+    // construction — which UNDER-sizes the loop on dense graphs (avg
+    // degree >> 1); the floor at session width covers the small-graph
+    // regime, and every stored/production entry point passes the edge
+    // estimate.
+    LoopWidth.pinned(edges.sparkSession, widthRows.getOrElse(nCount)) {
     val enriched = enrichedShares(edges, outw, joinLoop)
     val n = nCount.toDouble
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n)).localCheckpoint()
@@ -152,14 +157,22 @@ object LinkGraph {
       .join(outw, "src")
       .select(col("src"), col("dst"),
         (col("weight").cast("double") / col("outw")).as("share"))
-    if (joinLoop) {
-      // materialize EAGERLY: an unexecuted cached plan reports unknown
-      // partitioning under AQE and the loop would re-shuffle edges every
-      // round; once final, the scan exposes HashPartitioning(src)
-      val cached = e.repartition(col("src")).persist()
-      cached.count()
-      cached
-    } else e.localCheckpoint()
+    if (joinLoop) pinnedPartitioned(e, "src") else e.localCheckpoint()
+  }
+
+  /** Cache a frame hash-partitioned on `key`, materialized EAGERLY: an
+    * unexecuted cached plan reports unknown partitioning under AQE and a
+    * loop would re-shuffle it every round; once final, the scan exposes
+    * HashPartitioning(key). persist, not localCheckpoint: the
+    * checkpoint's LogicalRDD forgets its partitioning under AQE, while
+    * InMemoryRelation pins the exchange's output partitioning (and
+    * `canChangeCachedPlanOutputPartitioning` defaults false). Callers
+    * unpersist after their loop.
+    */
+  private def pinnedPartitioned(df: DataFrame, key: String): DataFrame = {
+    val cached = df.repartition(col(key)).persist()
+    cached.count()
+    cached
   }
 
   /** One round's dst-keyed fixed-point contribution sum. Broadcast mode
@@ -252,8 +265,18 @@ object LinkGraph {
       iters: Int = 3,
       d: Double = 0.85): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
-    pageRankOver(edges, nodes, iters, d)
+    pageRankOver(edges, nodes, iters, d,
+      widthRows = Some(storedEdgeRows(spark, sfDir)))
   }
+
+  /** Edge row count of the persisted transition graph from parquet
+    * footer metadata — the no-job width estimate every artifact-backed
+    * iterative loop sizes its exchanges with (the contrib joins shuffle
+    * edge-volume rows, so |edges|, not |nodes|, is the honest estimate
+    * on dense graphs).
+    */
+  private def storedEdgeRows(spark: SparkSession, sfDir: String): Long =
+    IO.parquetRowCount(spark, s"${graphArtifactPath(spark, sfDir)}/edges")
 
   /** [[pageRankStored]] FORCING the past-ceiling join loop (ceiling 0):
     * the code path a web-scale graph (|nodes| > ~10⁸, past the broadcast
@@ -269,7 +292,8 @@ object LinkGraph {
       iters: Int = 3,
       d: Double = 0.85): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
-    pageRankOver(edges, nodes, iters, d, broadcastCeiling = 0L)
+    pageRankOver(edges, nodes, iters, d, broadcastCeiling = 0L,
+      widthRows = Some(storedEdgeRows(spark, sfDir)))
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over the transition
@@ -295,27 +319,74 @@ object LinkGraph {
   def hits(
       spark: SparkSession,
       sfDir: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      broadcastCeiling: Long = BroadcastNodeCeiling): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
-    LoopWidth.pinned(spark, edges.count()) {
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")).localCheckpoint()
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+    // Past the broadcast ceiling (|nodes| > ~10⁸) the score vector
+    // cannot ship to the edge partitions; HITS pulls across the edges in
+    // BOTH directions, so join-loop mode maintains TWO pinned edge
+    // layouts — forward (src-partitioned) and reverse (dst-partitioned)
+    // adjacency, the standard pair a web-scale graph store keeps on disk
+    // — and each half-step is a shuffle-hash join whose build side is
+    // the |nodes|-row score frame. Identical arithmetic either way (the
+    // strategy changes where rows meet, never their values), so the
+    // join-loop row reuses this row's oracle.
+    val joinLoop = nodes.count() > broadcastCeiling
+    val eRaw = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    val eBySrc =
+      if (joinLoop) pinnedPartitioned(eRaw, "src") else eRaw.localCheckpoint()
+    val eByDst =
+      if (joinLoop) pinnedPartitioned(eRaw, "dst") else eBySrc
     // h₀ = 1 for every node; each half-step ends L1-normalized, so the
     // init scale cancels after the first authority update
     var hubs = nodes.withColumn("s", lit(1.0)).localCheckpoint()
     var auths = nodes.withColumn("s", lit(0.0))
     for (_ <- 0 until iters) {
-      auths = halfStep(e, nodes, hubs, "src", "dst")
-      hubs = halfStep(e, nodes, auths, "dst", "src")
+      auths = halfStep(eBySrc, nodes, hubs, "src", "dst", joinLoop)
+      hubs = halfStep(eByDst, nodes, auths, "dst", "src", joinLoop)
     }
-    nodes
-      .join(broadcast(hubs.select(col("node"), col("s").as("hub"))),
-        Seq("node"), "left")
-      .join(broadcast(auths.select(col("node"), col("s").as("authority"))),
-        Seq("node"), "left")
-      .select(col("node"), col("hub"), col("authority"))
-      .orderBy("node")
+    if (joinLoop) { eBySrc.unpersist(); eByDst.unpersist() }
+    val hsel = hubs.select(col("node"), col("s").as("hub"))
+    val asel = auths.select(col("node"), col("s").as("authority"))
+    // presentation join: |nodes|-row sides — broadcastable below the
+    // ceiling, plain co-keyed joins past it
+    val joined =
+      if (joinLoop)
+        nodes.join(hsel, Seq("node"), "left").join(asel, Seq("node"), "left")
+      else
+        nodes.join(broadcast(hsel), Seq("node"), "left")
+          .join(broadcast(asel), Seq("node"), "left")
+    joined.select(col("node"), col("hub"), col("authority")).orderBy("node")
     }
+  }
+
+  /** [[hits]] FORCING the past-ceiling join loop (ceiling 0) — the code
+    * path a web-scale graph selects automatically, bit-identical scores
+    * (same oracle); the per-round plan contract (edges keep their two
+    * pinned layouts, only score rows shuffle) is asserted in
+    * PlanAuditSpec via [[hitsJoinLoopRoundSeam]].
+    */
+  def hitsJoinLoop(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 2): DataFrame =
+    hits(spark, sfDir, iters, broadcastCeiling = 0L)
+
+  /** First HITS half-step's pre-normalization aggregation in FORCED
+    * join-loop mode — plan-audit seam (the loop's per-round checkpoints
+    * and the norm collect hide iteration plans from the returned frame).
+    */
+  private[graft] def hitsJoinLoopRoundSeam(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val eBySrc = pinnedPartitioned(
+      edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w")), "src")
+    val hubs = nodes.withColumn("s", lit(1.0)).localCheckpoint()
+    pulledSums(eBySrc, hubs, "src", "dst", joinLoop = true)
   }
 
   /** Personalized PageRank (random walk with restart): identical power
@@ -341,16 +412,18 @@ object LinkGraph {
       spark: SparkSession,
       sfDir: String,
       iters: Int = 3,
-      d: Double = 0.85): DataFrame = {
+      d: Double = 0.85,
+      broadcastCeiling: Long = BroadcastNodeCeiling): DataFrame = {
     val (edges, nodes0) = transitionGraphStored(spark, sfDir)
-    LoopWidth.pinned(spark, edges.count()) {
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
     val outw = edges.groupBy(col("src"))
       .agg(sum("weight").cast("double").as("outw"))
-    val enriched = edges
-      .join(outw, "src")
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("outw")).as("share"))
-      .localCheckpoint()
+    // past the ceiling: same seam as PageRank — src-pinned cached edges,
+    // per-round shuffle-hash contrib join with the rank frame as build
+    // side ([[enrichedShares]]/[[contribOf]]); same arithmetic either
+    // way, so the join-loop row reuses this row's oracle
+    val joinLoop = nodes0.count() > broadcastCeiling
+    val enriched = enrichedShares(edges, outw, joinLoop)
     val nSeeds = nodes0.filter(col("node") % 10 === 0).count().toDouble
     val nodes = nodes0
       .withColumn("tele",
@@ -358,13 +431,7 @@ object LinkGraph {
       .localCheckpoint()
     var ranks = nodes.select(col("node"), col("tele").as("r")).localCheckpoint()
     for (_ <- 0 until iters) {
-      val contrib = enriched
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"),
-          round((col("r") * col("share")).cast("float") * lit(1000000000.0), 0)
-            .cast("long").as("cfix"))
-        .groupBy("dst")
-        .agg(sum("cfix").as("sfix"))
+      val contrib = contribOf(enriched, ranks, joinLoop)
       val dang = ranks
         .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
         .agg(coalesce(sum(round(col("r") * lit(1000000000.0), 0).cast("long")),
@@ -378,9 +445,20 @@ object LinkGraph {
               + lit(dang) * col("tele"))).as("r"))
         .localCheckpoint()
     }
+    if (joinLoop) enriched.unpersist()
     ranks.select(col("node"), col("r").as("ppr")).orderBy("node")
     }
   }
+
+  /** [[personalizedPageRank]] FORCING the past-ceiling join loop (ceiling
+    * 0) — bit-identical scores (strategy, not values), same oracle.
+    */
+  def personalizedPageRankJoinLoop(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3,
+      d: Double = 0.85): DataFrame =
+    personalizedPageRank(spark, sfDir, iters, d, broadcastCeiling = 0L)
 
   /** Deterministic weighted random walks over the stored transition
     * graph — the DeepWalk/node2vec corpus generator: one walk per start
@@ -409,7 +487,7 @@ object LinkGraph {
       sfDir: String,
       length: Int = 4): DataFrame = {
     val (edges, nodes) = transitionGraphStored(spark, sfDir)
-    LoopWidth.pinned(spark, edges.count()) {
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
     val wspans = Window.partitionBy("src").orderBy("dst")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = edges
@@ -448,14 +526,9 @@ object LinkGraph {
       nodes: DataFrame,
       scores: DataFrame,
       from: String,
-      to: String): DataFrame = {
-    val pulled = e
-      .join(broadcast(scores.withColumnRenamed("node", from)), Seq(from))
-      .select(col(to).as("node"),
-        round((col("s") * col("w")).cast("float") * lit(1000000000.0), 0)
-          .cast("long").as("cfix"))
-      .groupBy("node")
-      .agg(sum("cfix").as("sfix"))
+      to: String,
+      joinLoop: Boolean): DataFrame = {
+    val pulled = pulledSums(e, scores, from, to, joinLoop)
     val norm = pulled.agg(coalesce(sum("sfix"), lit(0L)))
       .collect()(0).getLong(0)
     nodes
@@ -464,5 +537,29 @@ object LinkGraph {
         (coalesce(col("sfix"), lit(0L)).cast("double")
           / lit(norm.toDouble)).as("s"))
       .localCheckpoint()
+  }
+
+  /** The half-step's node-keyed fixed-point sum: broadcast mode ships the
+    * score vector to the (checkpointed) edge partitions; join-loop mode
+    * makes it the BUILD side of a shuffle-hash join against an edge
+    * frame pre-partitioned on `from`, so edges never re-shuffle — only
+    * the |nodes|-row score frame moves. Same arithmetic, same values.
+    */
+  private def pulledSums(
+      e: DataFrame,
+      scores: DataFrame,
+      from: String,
+      to: String,
+      joinLoop: Boolean): DataFrame = {
+    val scoreSide = scores.withColumnRenamed("node", from)
+    val joined =
+      if (joinLoop) e.join(scoreSide.hint("shuffle_hash"), Seq(from))
+      else e.join(broadcast(scoreSide), Seq(from))
+    joined
+      .select(col(to).as("node"),
+        round((col("s") * col("w")).cast("float") * lit(1000000000.0), 0)
+          .cast("long").as("cfix"))
+      .groupBy("node")
+      .agg(sum("cfix").as("sfix"))
   }
 }

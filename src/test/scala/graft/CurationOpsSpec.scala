@@ -161,6 +161,18 @@ class CurationOpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("hits join loop: bit-identical to the broadcast loop (strategy, not values)") {
+    val a = LinkGraph.hits(spark, Sf).collect().toSeq
+    val b = LinkGraph.hitsJoinLoop(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ppr join loop: bit-identical to the broadcast loop (strategy, not values)") {
+    val a = LinkGraph.personalizedPageRank(spark, Sf).collect().toSeq
+    val b = LinkGraph.personalizedPageRankJoinLoop(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("hits: each half-step is L1-normalized, scores nonneg, hubs differ from authorities") {
     val h = LinkGraph.hits(spark, Sf).cache()
     assert(h.filter(col("hub") < 0.0 || col("authority") < 0.0).isEmpty)

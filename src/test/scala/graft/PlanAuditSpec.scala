@@ -569,6 +569,33 @@ class PlanAuditSpec extends SparkTestBase {
         s"${ex.map(_.output.map(_.name))}")
   }
 
+  test("hits join loop: edges keep their pinned layout, only score rows shuffle") {
+    val df = graft.operators.LinkGraph.hitsJoinLoopRoundSeam(spark, Sf)
+    val p = plan(df)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size == 1,
+      s"past-ceiling half-step must shuffle-hash join the score frame:\n$p")
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty,
+      s"no broadcast join in the past-ceiling half-step:\n$p")
+    // two exchanges only: the |nodes|-row score frame moving to the
+    // edges' pinned src-partitioning, and the node-keyed fixed-point sum
+    // (map-side combined); the edge side reuses the cached layout
+    val ex = shuffles(df)
+    assert(ex.size == 2,
+      s"exactly two exchanges (score side + contribution sum), saw ${ex.size}:\n$p")
+    assert(!ex.exists(_.output.exists(_.name == "w")),
+      s"the edge-volume weight column must never cross an exchange: " +
+        s"${ex.map(_.output.map(_.name))}")
+  }
+
   test("vocabulary: top-N is a TakeOrdered, never a global sort") {
     val p = plan(graft.operators.Tokenize.vocabulary(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"),
