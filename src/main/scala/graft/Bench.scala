@@ -40,7 +40,7 @@ object Bench {
     run(SparkEntry.queries("dedup_incremental_components")(spark, sfDir))
     run(SparkEntry.queries("decontam_neardup_stored")(spark, sfDir))
     run(SparkEntry.queries("dedup_incremental_winnow")(spark, sfDir))
-    run(SparkEntry.queries("dedup_winnow_pairs_stored")(spark, sfDir))
+    run(SparkEntry.queries("dedup_winnow_pairs")(spark, sfDir))
     run(SparkEntry.queries("emb_incremental_neardup")(spark, sfDir))
 
     // ---- timed cases ----
@@ -83,7 +83,7 @@ object Bench {
       "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
       "dedup_winnow_components", "emb_incremental_neardup",
       "dedup_exact_normalized", "corpus_shard_manifest",
-      "dedup_incremental_winnow", "dedup_winnow_pairs_stored",
+      "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+

@@ -324,14 +324,15 @@ object SparkEntry {
     // selection with list_min over list slices)
     "txt_winnow" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     // near-dup pairs over the SELECTED fingerprints — the substring-pair
-    // criterion at ~2/(w+1) the exploded volume
-    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
+    // criterion at ~2/(w+1) the exploded volume. DEFAULT row consumes
+    // the persisted full-corpus fingerprint table (the graph_pagerank
+    // stored-default convention); the _rebuild twin prices the md5
+    // selection pass. Row-identical, one oracle.
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairsStored(s, d)),
+    "dedup_winnow_pairs_rebuild" -> ((s, d) => Dedup.winnowPairs(s, d)),
     // the local-overlap member of the incremental family: batch winnows
     // map-side and broadcasts against the persisted corpus fp index
     "dedup_incremental_winnow" -> ((s, d) => Dedup.incrementalWinnowStored(s, d)),
-    // serve path: the persisted full-corpus fingerprint table replaces
-    // the md5 selection pass; row-identical, shares the live oracle
-    "dedup_winnow_pairs_stored" -> ((s, d) => Dedup.winnowPairsStored(s, d)),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
@@ -3126,8 +3127,8 @@ object SparkEntry {
          FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
     // row-identical by construction (the artifact IS the fingerprint
-    // frame) — the stored row reuses the live pairs oracle
-    "dedup_winnow_pairs_stored" ->
+    // frame) — the rebuild twin reuses the stored-default row's oracle
+    "dedup_winnow_pairs_rebuild" ->
       s"""${winnowBaseSql()},
          we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
          wkeep AS (SELECT fp FROM we GROUP BY fp HAVING count(*) <= 50),

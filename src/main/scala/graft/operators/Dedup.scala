@@ -976,6 +976,46 @@ object Dedup {
     path
   }
 
+  /** Artifact path of the DF-CAPPED corpus winnow index (keyed by maxDf
+    * on top of the raw index's params): the serve-side derivative
+    * [[incrementalWinnowStored]] reads so repeat batches skip the
+    * corpus-wide df aggregation + join-back entirely.
+    */
+  private[graft] def winnowKeepIndexArtifactPath(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int,
+      w: Int,
+      maxDf: Int): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
+      "wnkeep", s"wnkeep_v1|$sfDir|$k|$w|$maxDf") + ".parquet"
+
+  /** Derive and persist the df-capped corpus winnow index ONCE (priming
+    * the raw index first if needed): the corpus-wide df count and the
+    * join-back — the only corpus-shuffling steps of the incremental
+    * winnow serve path — run here, at index-maintenance time. In
+    * production both tables are maintained together per admitted batch
+    * (the df counts are incrementable), so the per-batch query never
+    * aggregates the corpus.
+    */
+  def persistWinnowKeepIndex(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 50): String = {
+    val idxPath = winnowIndexArtifactPath(spark, sfDir, k, w)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath)))
+      persistWinnowCorpusIndex(spark, sfDir, k, w)
+    val path = winnowKeepIndexArtifactPath(spark, sfDir, k, w, maxDf)
+    val idx = spark.read.parquet(idxPath)
+    val keep = idx.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    idx.join(keep, "fp")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Full-corpus variant of [[winnowIndexArtifactPath]] (no incremental
     * carve) — the pairs/components serve path.
     */
@@ -1051,10 +1091,13 @@ object Dedup {
     * fingerprint volume.
     *
     * Scale shape: the batch winnows map-side and BROADCASTS into the fp
-    * equi-join — the index never shuffles; the df-cap (computed on the
-    * index, the production side) drops hot boilerplate fingerprints
-    * before they can fan out; only (batch_id, corpus_id) hit pairs reach
-    * the pair count, which map-combines.
+    * equi-join against the PERSISTED df-capped index
+    * ([[persistWinnowKeepIndex]]) — on the serve path the corpus never
+    * shuffles and never aggregates: the df-cap (which drops hot
+    * boilerplate fingerprints before they can fan out) is precomputed at
+    * index-maintenance time, so a batch costs one capped-index scan;
+    * only (batch_id, corpus_id) hit pairs reach the pair count, which
+    * map-combines.
     */
   def incrementalWinnowStored(
       spark: SparkSession,
@@ -1062,18 +1105,16 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       maxDf: Int = 50): DataFrame = {
-    val path = winnowIndexArtifactPath(spark, sfDir, k, w)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistWinnowCorpusIndex(spark, sfDir, k, w)
-    val idx = spark.read.parquet(path)
-    val keep = idx.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("fp")
+    val keepPath = winnowKeepIndexArtifactPath(spark, sfDir, k, w, maxDf)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(keepPath)))
+      persistWinnowKeepIndex(spark, sfDir, k, w, maxDf)
+    val capped = spark.read.parquet(keepPath)
     val batch = IO.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 10 === 0)
     val batchFps = graft.functions.TextAnalysis
       .winnowFingerprintFrame(batch, k, w)
       .withColumnRenamed("doc_id", "batch_id")
-    val best = idx.join(keep, "fp")
+    val best = capped
       .join(broadcast(batchFps), "fp")
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("n_shared"))
