@@ -108,7 +108,13 @@ object Tokenize {
   def bpeTrainMerges(
       spark: SparkSession,
       sfDir: String,
-      numMerges: Int = 8): DataFrame = {
+      numMerges: Int = 8): DataFrame =
+    // vocab-bounded loop: pin exchange width (the LinkGraph/Cluster
+    // treatment) so each per-round checkpoint/count pass doesn't pay the
+    // session's wide-start AQE posture over a Zipf-small frame; the
+    // document row count (parquet footer, no job) upper-bounds the vocab
+    LoopWidth.pinned(spark,
+      IO.parquetRowCount(spark, s"$sfDir/documents.parquet")) {
     var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 0
@@ -207,7 +213,11 @@ object Tokenize {
       spark: SparkSession,
       sfDir: String,
       numMerges: Int,
-      maxBatch: Int): (DataFrame, Int) = {
+      maxBatch: Int): (DataFrame, Int) =
+    // same width pinning as the sequential trainer: vocab-bounded rounds
+    // must not schedule at the session's wide-start width
+    LoopWidth.pinned(spark,
+      IO.parquetRowCount(spark, s"$sfDir/documents.parquet")) {
     var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var done = 0

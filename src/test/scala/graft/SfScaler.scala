@@ -19,25 +19,60 @@ import org.apache.spark.sql.functions._
   *     regime; users/events shift so per-user session volume is
   *     unchanged.
   *
-  * Usage: Test/runMain graft.SfScaler /root/testdata/sf0.1 /tmp/sf1 [copies]
+  * Usage: Test/runMain graft.SfScaler /root/testdata/sf0.1 /tmp/sf1 [copies] [mode]
   *
   * copies > 26 (e.g. the x100 sf10 cut) switch the per-copy text
-  * transform from a Caesar shift to a SEEDED ALPHABET PERMUTATION
-  * (26! >> copies): still length-preserving and injective per copy, so
-  * within-copy duplicate/near-dup structure replicates exactly while
-  * cross-copy token images stay (almost surely) disjoint.
+  * transform from a Caesar shift to a SEEDED ALPHABET DERANGEMENT
+  * (rejection-sampled: no fixed points, not equal to any Caesar
+  * rotation), so cross-copy letter images are disjoint by construction,
+  * not almost-surely. Digits rotate by a per-copy non-zero shift for the
+  * same reason. Punctuation-only tokens remain invariant across the
+  * translate modes — cross-copy leakage through them is possible in
+  * principle; the testdata generator emits none, and the `fixedmass`
+  * mode below is immune entirely.
+  *
+  * mode `fixedmass` (the constant-OUTPUT probe): copy 0 stays verbatim;
+  * every other copy suffixes EVERY whitespace token with its (shifted)
+  * doc_id, making all transformed documents pairwise token-disjoint —
+  * and disjoint from the originals. Exact/near-dup/winnow/contamination
+  * TEXT-overlap mass is then exactly the source cut's (copy 0's own),
+  * while corpus volume scales ×copies: the probe that separates "output
+  * went up because dup mass is linear by construction" from "the
+  * scan/banding side itself is super-linear". Token counts per doc are
+  * preserved; n_chars is recomputed (the suffix is not
+  * length-preserving); embedding-space overlap is NOT pinned by this
+  * mode (embeddings replicate as usual).
   */
 object SfScaler {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val fixedMass = args.lift(3).contains("fixedmass")
     val spark = GraftSession.build("sf-scaler")
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val rotations = (0 until 26).map(s => alpha.drop(s) + alpha.take(s)).toSet
     def caesar(i: Int): String =
       if (i < 26) alpha.drop(i) + alpha.take(i)
-      else new scala.util.Random(i.toLong).shuffle(alpha.toList).mkString
+      else {
+        // derange: reject permutations with any fixed point or equal to
+        // a Caesar rotation, so cross-copy collisions are impossible
+        // rather than merely improbable (attempt bumps the seed)
+        Iterator.from(0)
+          .map(a => new scala.util.Random(i.toLong * 1009L + a)
+            .shuffle(alpha.toList).mkString)
+          .find(p => !p.zip(alpha).exists { case (x, y) => x == y }
+            && !rotations(p))
+          .get
+      }
+    // non-zero digit rotation per copy: digit-bearing tokens must not
+    // survive a copy transform verbatim either
+    def digitShift(i: Int): String = {
+      val s = 1 + ((i - 1) % 9)
+      digits.drop(s) + digits.take(s)
+    }
 
     def copyUnion(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -45,15 +80,26 @@ object SfScaler {
         .map(i => xform(base, i))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
-      println(s"[sfscaler] $table x$copies")
+      println(s"[sfscaler] $table x$copies" + (if (fixedMass) " (fixedmass)" else ""))
     }
 
     copyUnion("documents") { (df, i) =>
-      df.select(
-        (col("doc_id") + lit(i * 100000L)).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), alpha, caesar(i))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      val newId = (col("doc_id") + lit(i * 100000L)).as("doc_id")
+      if (i == 0)
+        df.select(newId, col("text"), col("lang"), col("source"), col("n_chars"))
+      else if (fixedMass) {
+        // suffix every token with the shifted doc id: token images of
+        // distinct documents are DISJOINT, so copies contribute zero
+        // exact/near-dup/contamination mass — output stays copy 0's
+        val tagged = regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), (col("doc_id") + lit(i * 100000L)).cast("string")))
+        df.select(newId, tagged.as("text"), col("lang"), col("source"),
+          length(tagged).cast("long").as("n_chars"))
+      } else
+        df.select(newId,
+          translate(col("text"), alpha + digits, caesar(i) + digitShift(i))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
     }
     copyUnion("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 100000L))
