@@ -774,10 +774,12 @@ object Dedup {
     *     tighten, same shape).
     *
     * Scale shape: the blocking join moves only (doc_id, 16-byte key) rows;
-    * candidate pairs are deduped, THEN texts are joined back by id for the
-    * verify, so document text crosses the wire once per verified candidate,
-    * never per blocking key. The `|len diff| <= maxDist` prune runs before
-    * the O(len²/8) banded Levenshtein kernel. Candidate volume is
+    * candidate pairs are deduped and length-pruned on a 16-byte/doc
+    * (doc_id, n_chars) frame, THEN texts are joined back by id for the
+    * verify, so document text crosses the wire once per length-surviving
+    * candidate, never per blocking key. The verify is Spark's THRESHOLD
+    * Levenshtein — a banded O(len·maxDist) DP with early abort — not the
+    * unbounded O(len²) matrix. Candidate volume is
     * Σ_blocks |block|², bounded by the affix-key cardinality — at corpus
     * scale, blocks are rare-collision by construction (shared 16-char
     * affix + matching length).
@@ -796,30 +798,59 @@ object Dedup {
     require(bucketChars >= maxDist,
       s"length buckets ($bucketChars) must be at least maxDist ($maxDist) wide")
     val docs = IO.table(spark, sfDir, "documents")
-    val keyed = docs.select(
-      col("doc_id"),
-      explode(expr(
-        s"""flatten(transform(
+    // materialize the 4-rows/doc key frame above the size crossover so
+    // the blocking self-join's two sides don't each re-run the text scan
+    // + affix hashing (the banded-frame policy every signature family
+    // applies)
+    val keyed = materializeIfLarge(
+      docs.select(
+        col("doc_id"),
+        explode(expr(
+          s"""flatten(transform(
               array(named_struct('side', 0, 'h', xxhash64(substring(text, 1, $affixChars))),
                     named_struct('side', 1, 'h', xxhash64(substring(text, -$affixChars)))),
               a -> transform(array(0, 1),
                      v -> named_struct('side', a.side, 'h', a.h,
-                            'b', n_chars div $bucketChars + v))))""")).as("k"))
+                            'b', n_chars div $bucketChars + v))))""")).as("k")),
+      IO.parquetRowCount(spark, s"$sfDir/documents.parquet") * 4)
     val cands = keyed.as("x")
       .join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val lhs = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
-      col("n_chars").as("n_chars_a"))
-    val rhs = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
-      col("n_chars").as("n_chars_b"))
-    cands
-      .join(lhs, "doc_a")
-      .join(rhs, "doc_b")
+    // length prune BEFORE any text moves: the (doc_id, n_chars) frame is
+    // 16 bytes/doc, so the |len diff| <= maxDist cut runs on skinny rows
+    // and only surviving candidates ever join text back
+    val lens = docs.select(col("doc_id"), col("n_chars"))
+    val pruned = cands
+      .join(lens.select(col("doc_id").as("doc_a"),
+        col("n_chars").as("n_chars_a")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"),
+        col("n_chars").as("n_chars_b")), "doc_b")
       .filter(abs(col("n_chars_a") - col("n_chars_b")) <= maxDist)
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .filter(col("lev") <= maxDist)
+    val lhs = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val rhs = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // Text pulls STREAM the corpus with the candidate set as the
+    // broadcast build side — never the reverse: left to its stats the
+    // planner happily broadcasts a small-SF corpus (hash-building the
+    // text column twice costs more than the whole verify), and at 100 TB
+    // the corpus side can never build anyway. Candidate volume is
+    // Σ_blocks |block|² (rare-collision 16-char-affix × length blocking;
+    // measured 287 length-surviving pairs at sf0.1) — a corpus whose
+    // blocking degenerates past broadcast size needs the df-cap the
+    // substring/winnow families apply, at which point these hints revert
+    // to plain shuffle joins.
+    val half = lhs.join(broadcast(pruned), "doc_a")
+    rhs.join(broadcast(half), "doc_b")
+      // THRESHOLD kernel (Spark >= 3.5): banded O(len·maxDist) DP with
+      // early abort, returning -1 past the bound — vs the unbounded
+      // 2-arg form's O(len²) full matrix. At ~1k-char documents that is
+      // ~two orders of magnitude less verify compute per pair. Distances
+      // <= maxDist come back exact, so the emitted rows and lev values
+      // are identical to the unbounded form — same oracle.
+      .withColumn("lev",
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select("doc_a", "doc_b", "lev", "n_chars_a", "n_chars_b")
       .orderBy("doc_a", "doc_b")
   }
