@@ -698,6 +698,10 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"fp candidates must stay an equi-join:\n$p")
+    // steady state reads the persisted DF-CAPPED index — the corpus-wide
+    // df aggregation must not appear in the per-batch plan
+    assert(p.contains("graft_wnkeep_"),
+      s"serve path must consume the capped-index artifact:\n${p.take(2000)}")
     shuffles(df).foreach { e =>
       assert(!e.output.exists(a => a.name == "text" || a.name == "toks"
           || a.name == "gh"),
