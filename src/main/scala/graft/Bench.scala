@@ -80,6 +80,7 @@ object Bench {
       "corpus_span_corruption", "corpus_fim_manifest", "corpus_denoiser_mix",
       "txt_kn_logprob", "corpus_budget_mix", "emb_outlier_report",
       "graph_ppr", "graph_random_walks",
+      "graph_label_prop", "graph_label_prop_joinloop", "graph_label_prop_sizes",
       "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
       "dedup_winnow_components", "emb_incremental_neardup",
       "dedup_exact_normalized", "corpus_shard_manifest",

@@ -368,6 +368,14 @@ object SparkEntry {
     "graph_ppr" -> ((s, d) => LinkGraph.personalizedPageRank(s, d)),
     // PPR past the broadcast ceiling (shared contrib-join seam)
     "graph_ppr_joinloop" -> ((s, d) => LinkGraph.personalizedPageRankJoinLoop(s, d)),
+    // synchronous label propagation communities (integer-exact argmax,
+    // min-label tie-break), every round unrolled in the oracle
+    "graph_label_prop" -> ((s, d) => LinkGraph.labelPropagation(s, d)),
+    // label propagation past the broadcast ceiling: v-pinned cached
+    // symmetrized edges, label frame as shuffle-hash build side
+    "graph_label_prop_joinloop" -> ((s, d) => LinkGraph.labelPropagationJoinLoop(s, d)),
+    // the community-size profile a curation planner consumes
+    "graph_label_prop_sizes" -> ((s, d) => LinkGraph.labelCommunitySizes(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
     "graph_random_walks" -> ((s, d) => LinkGraph.randomWalks(s, d)),
     // contrastive hard-negative mining over the embedding corpus
@@ -1151,6 +1159,50 @@ object SparkEntry {
                   + CAST(0.85 AS DOUBLE) * ((CAST(COALESCE(s.sfix, 0) AS DOUBLE) / 1000000000.0)
                                             + (CAST(d.dfix AS DOUBLE) / 1000000000.0) / nn.n) AS r
            FROM nodes nd LEFT JOIN s$i s ON nd.node = s.node, d$i d, nn)"""
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Unrolled label-propagation oracle: the [[pageRankSql]] graph head,
+    * then `iters` synchronous rounds — symmetrized weight-merged edges,
+    * per-(node,label) integer vote sums, argmax with (sw DESC, l ASC)
+    * tie-break, isolated nodes carrying their previous label. Integer
+    * arithmetic end to end, so the replay is exact by construction.
+    */
+  private def labelPropSql(iters: Int = 3): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         sym AS (
+           SELECT src AS u, dst AS v, weight FROM edges
+           UNION ALL
+           SELECT dst AS u, src AS v, weight FROM edges),
+         und AS (SELECT u, v, SUM(weight) AS w FROM sym GROUP BY 1, 2),
+         l0 AS (SELECT node, node AS l FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""v$i AS (
+           SELECT und.u, r.l, SUM(und.w) AS sw
+           FROM und JOIN l${i - 1} r ON und.v = r.node GROUP BY 1, 2),
+         t$i AS (
+           SELECT u, l FROM (
+             SELECT u, l,
+                    ROW_NUMBER() OVER (PARTITION BY u ORDER BY sw DESC, l ASC) AS rn
+             FROM v$i) WHERE rn = 1),
+         l$i AS (
+           SELECT nd.node, COALESCE(t.l, p.l) AS l
+           FROM nodes nd
+           LEFT JOIN t$i t ON nd.node = t.u
+           JOIN l${i - 1} p ON nd.node = p.node)"""
     }
     (head +: iterCtes).mkString(",\n")
   }
@@ -3283,6 +3335,17 @@ object SparkEntry {
     "graph_ppr_joinloop" ->
       s"""${pprSql()}
          SELECT node, r AS ppr FROM r3 ORDER BY node""",
+    "graph_label_prop" ->
+      s"""${labelPropSql()}
+         SELECT node, l AS community FROM l3 ORDER BY node""",
+    // join-loop twin: strategy, not values — same oracle
+    "graph_label_prop_joinloop" ->
+      s"""${labelPropSql()}
+         SELECT node, l AS community FROM l3 ORDER BY node""",
+    "graph_label_prop_sizes" ->
+      s"""${labelPropSql()}
+         SELECT l AS community, COUNT(*) AS members
+         FROM l3 GROUP BY 1 ORDER BY 1""",
     "graph_random_walks" -> walksSql(),
     "retrieval_hard_negatives" ->
       // positives: nearest same-label neighbor; hard negatives: top-5

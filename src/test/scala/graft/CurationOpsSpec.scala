@@ -173,6 +173,31 @@ class CurationOpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("label prop join loop: bit-identical to the broadcast loop (strategy, not values)") {
+    val a = LinkGraph.labelPropagation(spark, Sf).collect().toSeq
+    val b = LinkGraph.labelPropagationJoinLoop(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("label prop: labels are node ids, sizes tile the node universe, synchronous rounds coarsen") {
+    val labels = LinkGraph.labelPropagation(spark, Sf).cache()
+    val nodes = labels.select("node")
+    // every community label is itself a node id (labels only propagate,
+    // never invent values)
+    assert(labels.select(col("community").as("node"))
+      .join(nodes, Seq("node"), "left_anti").isEmpty)
+    // the size profile partitions the node universe exactly
+    val sizes = LinkGraph.labelCommunitySizes(spark, Sf)
+    assert(sizes.agg(sum("members")).collect()(0).getLong(0) == labels.count())
+    // rounds never split communities on this graph: community count is
+    // non-increasing in iters (synchronous LPA coarsens the click graph)
+    val c1 = LinkGraph.labelPropagation(spark, Sf, iters = 1)
+      .select("community").distinct().count()
+    val c3 = labels.select("community").distinct().count()
+    assert(c3 <= c1, s"3 rounds produced $c3 communities vs $c1 after 1")
+    labels.unpersist()
+  }
+
   test("hits: each half-step is L1-normalized, scores nonneg, hubs differ from authorities") {
     val h = LinkGraph.hits(spark, Sf).cache()
     assert(h.filter(col("hub") < 0.0 || col("authority") < 0.0).isEmpty)

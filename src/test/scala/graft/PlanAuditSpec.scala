@@ -596,6 +596,33 @@ class PlanAuditSpec extends SparkTestBase {
         s"${ex.map(_.output.map(_.name))}")
   }
 
+  test("label prop join loop: edges keep their pinned layout, only label rows shuffle") {
+    val df = graft.operators.LinkGraph.labelPropJoinLoopRoundSeam(spark, Sf)
+    val p = plan(df)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size == 1,
+      s"past-ceiling vote round must shuffle-hash join the label frame:\n$p")
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty,
+      s"no broadcast join in the past-ceiling vote round:\n$p")
+    // two exchanges only: the |nodes|-row label frame moving to the
+    // symmetrized edges' pinned v-partitioning, and the (u,label)-keyed
+    // vote sum (map-side combined); the edge side reuses the cached layout
+    val ex = shuffles(df)
+    assert(ex.size == 2,
+      s"exactly two exchanges (label side + vote sum), saw ${ex.size}:\n$p")
+    assert(!ex.exists(_.output.exists(_.name == "w")),
+      s"the edge-volume weight column must never cross an exchange: " +
+        s"${ex.map(_.output.map(_.name))}")
+  }
+
   test("vocabulary: top-N is a TakeOrdered, never a global sort") {
     val p = plan(graft.operators.Tokenize.vocabulary(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"),
