@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, round, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Importance, Layout, LinkGraph, Multimodal, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Importance, Layout, LinkGraph, Multimodal, Pca, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -511,6 +511,11 @@ object SparkEntry {
     // that the two engines render differently
     "emb_project" -> ((s, d) => Similarity.randomProjection(s, d)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))),
+    // top principal component: one-pass fixed-point moments, bounded
+    // driver power iteration (oracle replays moments + every round)
+    "emb_pca_component" -> (Pca.componentTable _),
+    // per-vector PC1 score — map-side centered dot with literal arrays
+    "emb_pca_project" -> (Pca.project _),
     // LLM-pipeline: multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_features" -> ((s, d) =>
@@ -1161,6 +1166,63 @@ object SparkEntry {
            FROM nodes nd LEFT JOIN s$i s ON nd.node = s.node, d$i d, nn)"""
     }
     (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Unrolled PCA-power-iteration oracle: replays graft.operators.Pca
+    * exactly — floor-fixed-point moment sums (BIGINT, order-independent),
+    * mean/covariance folded in the engine's pinned operation order, then
+    * [[graft.operators.Pca.Iters]] unrolled mat-vec + L2-normalize rounds
+    * where every sum is a BIGINT sum of floor(·×10⁹) terms, and the final
+    * sign canonicalization (first coordinate ≥ 0). dim pinned at 64 (the
+    * embeddings table's width — the ann_topk_binary precedent).
+    */
+  private def pcaSql(iters: Int = graft.operators.Pca.Iters): String = {
+    val head =
+      """WITH pv0 AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pv0),
+         pmfix AS (
+           SELECT j, SUM(CAST(floor(vj * 1000000.0) AS BIGINT)) AS ms
+           FROM (SELECT generate_subscripts(v, 1) AS j, unnest(v) AS vj FROM pv0)
+           GROUP BY j),
+         pmean AS (
+           SELECT j, CAST(ms AS DOUBLE) / 1000000.0 / pnn.n AS m
+           FROM pmfix, pnn),
+         ppfix AS (
+           SELECT tj.j, tk.k,
+                  SUM(CAST(floor(pv0.v[tj.j] * pv0.v[tk.k] * 1000000.0) AS BIGINT)) AS ps
+           FROM pv0, range(1, 65) tj(j), range(1, 65) tk(k)
+           GROUP BY tj.j, tk.k),
+         pcov AS (
+           SELECT p.j, p.k,
+                  CAST(p.ps AS DOUBLE) / 1000000.0 / pnn.n - mj.m * mk.m AS c
+           FROM ppfix p
+           JOIN pmean mj ON p.j = mj.j
+           JOIN pmean mk ON p.k = mk.j, pnn),
+         pw0 AS (SELECT j, 1.0 / sqrt(64.0) AS w FROM range(1, 65) t(j))"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""py$i AS (
+           SELECT c.j, SUM(CAST(floor(c.c * w.w * 1000000000.0) AS BIGINT)) AS yfix
+           FROM pcov c JOIN pw${i - 1} w ON c.k = w.j GROUP BY c.j),
+         pq$i AS (
+           SELECT SUM(CAST(floor((CAST(yfix AS DOUBLE) / 1000000000.0)
+                                 * (CAST(yfix AS DOUBLE) / 1000000000.0)
+                                 * 1000000000.0) AS BIGINT)) AS qs
+           FROM py$i),
+         pw$i AS (
+           SELECT y.j, (CAST(y.yfix AS DOUBLE) / 1000000000.0)
+                       / sqrt(CAST(q.qs AS DOUBLE) / 1000000000.0) AS w
+           FROM py$i y, pq$i q)"""
+    }
+    val tail =
+      s"""psgn AS (
+           SELECT CASE WHEN (SELECT w FROM pw$iters WHERE j = 1) < 0
+                       THEN -1.0 ELSE 1.0 END AS s),
+         ppc AS (SELECT j, w * psgn.s AS loading FROM pw$iters, psgn),
+         peig AS (
+           SELECT sqrt(CAST(qs AS DOUBLE) / 1000000000.0) AS eig FROM pq$iters)"""
+    (head +: iterCtes :+ tail).mkString(",\n")
   }
 
   /** Unrolled label-propagation oracle: the [[pageRankSql]] graph head,
@@ -3093,6 +3155,21 @@ object SparkEntry {
           SELECT vec_id, CAST(t.pos AS INT) AS pos, proj[t.pos + 1] AS val
           FROM p, unnest(range(len(proj))) AS t(pos)
           ORDER BY vec_id, pos""",
+    "emb_pca_component" ->
+      s"""${pcaSql()}
+         SELECT CAST(p.j - 1 AS INT) AS pos, p.loading, e.eig AS eigenvalue
+         FROM ppc p, peig e ORDER BY pos""",
+    "emb_pca_project" ->
+      s"""${pcaSql()},
+         pproj AS (
+           SELECT pv0.vec_id,
+                  SUM(CAST(floor((pv0.v[t.j] - m.m) * p.loading * 1000000000.0) AS BIGINT)) AS pfx
+           FROM pv0, range(1, 65) t(j)
+           JOIN pmean m ON t.j = m.j
+           JOIN ppc p ON t.j = p.j
+           GROUP BY pv0.vec_id)
+         SELECT vec_id, CAST(pfx AS DOUBLE) / 1000000000.0 AS pc1
+         FROM pproj ORDER BY vec_id""",
     "k8_compacted_roundtrip" ->
       // compaction must be content-neutral: the oracle is the source table
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",

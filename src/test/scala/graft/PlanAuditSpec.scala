@@ -623,6 +623,13 @@ class PlanAuditSpec extends SparkTestBase {
         s"${ex.map(_.output.map(_.name))}")
   }
 
+  test("pca projection: wholly map-side — the only exchange is the presentation sort") {
+    val df = graft.operators.Pca.project(spark, Sf)
+    val ex = shuffles(df)
+    assert(ex.size <= 1,
+      s"projection must not shuffle beyond the output sort, saw ${ex.size}:\n${plan(df)}")
+  }
+
   test("vocabulary: top-N is a TakeOrdered, never a global sort") {
     val p = plan(graft.operators.Tokenize.vocabulary(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"),
