@@ -84,7 +84,7 @@ object Bench {
       "txt_winnow", "dedup_winnow_pairs", "emb_semantic_prune",
       "dedup_winnow_components", "emb_incremental_neardup",
       "dedup_exact_normalized", "corpus_shard_manifest",
-      "emb_pca_component", "emb_pca_project",
+      "emb_pca_component", "emb_pca_project", "emb_knn_graph",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =

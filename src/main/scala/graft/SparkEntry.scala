@@ -253,6 +253,8 @@ object SparkEntry {
     // the exact bucketing — the size-adaptive plane count stays the library
     // default and is spec-covered (LlmOpsSpec linear-growth test)
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d, planesPerBand = 8)),
+    // all-nodes approximate kNN graph over the same pinned LSH bands
+    "emb_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
     // k-means coarse-quantizer training (2 fixed Lloyd's iterations,
@@ -1944,6 +1946,18 @@ object SparkEntry {
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "emb_knn_graph" ->
+      s"""${lshBucketKeysSql()},
+         cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+                  FROM bb a JOIN bb b USING (bucket_key) WHERE a.vec_id <> b.vec_id),
+         scored AS (
+           SELECT src, dst,
+                  CAST(list_cosine_similarity(va.v, vb.v) AS FLOAT) AS sim
+           FROM cand JOIN v0 va ON src = va.vec_id
+                     JOIN v0 vb ON dst = vb.vec_id)
+         SELECT src, CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS "rank",
+                dst, sim
+         FROM scored QUALIFY "rank" <= 5 ORDER BY src, "rank"""",
     "emb_near_dup_pairs" ->
       s"""${lshBucketKeysSql()},
          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -263,6 +263,49 @@ object Similarity {
       k)
   }
 
+  /** Approximate kNN GRAPH: for EVERY corpus vector, its k nearest
+    * neighbors among LSH band candidates — the all-pairs analogue of
+    * [[lshCosineTopK]] and the input artifact of graph-based dedup
+    * sweeps, NN-descent refinement, and cluster-free SemDeDup variants.
+    *
+    * Scale shape: candidate volume is the banded self-join residue
+    * (Σ bucket² per band), held linear in corpus size by
+    * [[adaptivePlanesPerBand]]'s constant expected bucket occupancy; the
+    * registered row pins planesPerBand so the oracle can inline the
+    * hyperplanes. Unlike the query-side top-k there is no broadcast-able
+    * side — both vector joins are candidate-keyed hash joins, which is
+    * the honest cost of an all-nodes kNN graph at 100 TB (each embedding
+    * crosses an exchange once per side). The per-node top-k is the
+    * two-phase TopKPerKey rewrite; rank ties break on the FLOAT score
+    * then neighbor id (the cross-engine contract of [[topKPerQuery]]).
+    */
+  def knnGraph(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 5,
+      bands: Int = 4,
+      planesPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val rows = IO.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
+    val banded = bandedCorpus(c, bands, planesPerBand, dim, rows)
+    val cand = banded
+      .join(banded.withColumnRenamed("vec_id", "dst"), Seq("bucket_key"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"))
+      .distinct()
+    val scored = cand
+      .join(c.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(c.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .withColumn("sim", expr("cosine_sim(sv, dv)").cast("float"))
+    val w = Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "rank", "dst", "sim")
+      .orderBy("src", "rank")
+  }
+
   /** IVF (inverted-file) approximate top-k — the second classic ANN scale
     * path next to [[lshCosineTopK]]: a small coarse-quantizer codebook of
     * `nlist` centroids partitions the corpus by nearest centroid, and each

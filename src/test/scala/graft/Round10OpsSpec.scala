@@ -35,6 +35,25 @@ class Round10OpsSpec extends SparkTestBase {
     p.unpersist()
   }
 
+  test("knn graph: per-node rank contract and exact agreement with the query-side LSH top-k") {
+    import graft.operators.Similarity
+    val g = Similarity.knnGraph(spark, Sf).cache()
+    // rank contract: ≤k consecutive ranks per src, sims non-increasing
+    val byRank = g.groupBy("src")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"))
+    assert(byRank.filter(col("n") =!= col("maxr") || col("n") > 5).isEmpty,
+      "ranks must be consecutive 1..n with n <= k")
+    // the graph restricted to the LSH query ids IS the query-side top-k
+    // (same bands, same planes, same tie-breaks) — column names aside
+    val fromGraph = g.filter(col("src") < 10)
+      .select(col("src").as("qid"), col("rank"), col("dst").as("vec_id"), col("sim"))
+      .collect().toSeq
+    val fromTopK = Similarity.lshCosineTopK(spark, Sf, planesPerBand = 8)
+      .collect().toSeq
+    assert(fromGraph == fromTopK)
+    g.unpersist()
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
