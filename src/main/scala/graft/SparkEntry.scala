@@ -215,6 +215,10 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, d) => Dedup.simHashNearDupPairsMd5(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minHashNearDupPairsMd5(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // exact Jaccard-threshold join over the FULL corpus via lossless
+    // prefix filtering (AllPairs); the oracle is the naive all-pairs
+    // join, so a hash match also proves the filter dropped nothing
+    "dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
     // incremental dedup: the incoming batch (doc_id % 10 == 0) against the
     // standing corpus — exact fingerprint anti-join, then simhash verdicts
     "dedup_incremental_exact" -> (Dedup.incrementalExact _),
@@ -378,6 +382,10 @@ object SparkEntry {
     "graph_label_prop_joinloop" -> ((s, d) => LinkGraph.labelPropagationJoinLoop(s, d)),
     // the community-size profile a curation planner consumes
     "graph_label_prop_sizes" -> ((s, d) => LinkGraph.labelCommunitySizes(s, d)),
+    // per-node triangle counts via degree-ordered wedge orientation
+    "graph_triangles" -> ((s, d) => LinkGraph.triangleCounts(s, d)),
+    // local clustering coefficient over the same oriented-wedge counts
+    "graph_clustering_coeff" -> ((s, d) => LinkGraph.clusteringCoefficients(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
     "graph_random_walks" -> ((s, d) => LinkGraph.randomWalks(s, d)),
     // contrastive hard-negative mining over the embedding corpus
@@ -1270,6 +1278,62 @@ object SparkEntry {
     }
     (head +: iterCtes).mkString(",\n")
   }
+
+  /** Degree-ordered triangle oracle: replays
+    * graft.operators.LinkGraph.nodeTriangles verbatim — distinct
+    * undirected edges, (degree, id) orientation, ordered wedges, closing
+    * probe — exact integer arithmetic throughout, ending in the
+    * per-node (node, degree, triangles) frame `pn`.
+    */
+  private def triangleBaseSql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         FROM events),
+       tr AS (
+         SELECT item AS dst,
+                lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         FROM ev),
+       edges AS (
+         SELECT src, dst, COUNT(*) AS weight FROM tr
+         WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       nodes AS (SELECT DISTINCT item AS node FROM ev),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges),
+       deg AS (
+         SELECT n, COUNT(*) AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+         GROUP BY 1),
+       orient AS (
+         SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+                     THEN un.u ELSE un.v END AS a,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+                     THEN un.v ELSE un.u END AS b,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+                     THEN dv.d ELSE du.d END AS db
+         FROM und un
+         JOIN deg du ON un.u = du.n
+         JOIN deg dv ON un.v = dv.n),
+       tris AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM orient e1
+         JOIN orient e2 ON e1.a = e2.a
+           AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+         JOIN orient e3 ON e3.a = e1.b AND e3.b = e2.b),
+       pt AS (
+         SELECT n, COUNT(*) AS t FROM (
+           SELECT x AS n FROM tris
+           UNION ALL SELECT y FROM tris
+           UNION ALL SELECT z FROM tris)
+         GROUP BY 1),
+       pn AS (
+         SELECT nd.node,
+                COALESCE(dg.d, 0) AS degree,
+                COALESCE(pt.t, 0) AS triangles
+         FROM nodes nd
+         LEFT JOIN deg dg ON nd.node = dg.n
+         LEFT JOIN pt ON nd.node = pt.n)"""
 
   /** Unrolled personalized-PageRank oracle: the [[pageRankSql]] loop with
     * teleportation — and dangling mass — returning to the pinned seed
@@ -3437,6 +3501,17 @@ object SparkEntry {
       s"""${labelPropSql()}
          SELECT l AS community, COUNT(*) AS members
          FROM l3 GROUP BY 1 ORDER BY 1""",
+    "graph_triangles" ->
+      s"""$triangleBaseSql
+         SELECT node, triangles FROM pn ORDER BY node""",
+    "graph_clustering_coeff" ->
+      s"""$triangleBaseSql
+         SELECT node, degree, triangles,
+                CASE WHEN degree >= 2
+                     THEN CAST(triangles * 2 AS DOUBLE)
+                          / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END AS lcc
+         FROM pn ORDER BY node""",
     "graph_random_walks" -> walksSql(),
     "retrieval_hard_negatives" ->
       // positives: nearest same-label neighbor; hard negatives: top-5
@@ -3770,6 +3845,28 @@ object SparkEntry {
                     / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
            FROM g a JOIN g b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_jaccard_prefix" ->
+      // deliberately the NAIVE all-pairs join (no prefix-filter replay):
+      // a hash match proves the engine's filter lossless on this corpus.
+      // Same bigram-shingle sets as dedup_ngram_jaccard; J >= 9/10
+      // tested in exact integer cross-multiplication, the jaccard double
+      // is one exact integer division — engine-identical.
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS grams
+           FROM d),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.grams, b.grams)) AS o,
+                  len(a.grams) AS na, len(b.grams) AS nb
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(o AS DOUBLE) / CAST(na + nb - o AS DOUBLE) AS jaccard
+         FROM pr WHERE o * 19 >= (na + nb) * 9 AND na + nb > o
+         ORDER BY doc_a, doc_b""",
     "ps1_twin_parquet" ->
       """SELECT user_id,
                 CASE WHEN MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 THEN 0.0

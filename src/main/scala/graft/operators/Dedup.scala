@@ -752,6 +752,169 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT Jaccard-threshold similarity join over the FULL corpus via
+    * PREFIX FILTERING (Chaudhuri et al. ICDE 2006; Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search", WWW 2007) — the
+    * guaranteed-complete member of the near-dup family, over the same
+    * bigram-shingle sets as [[ngramJaccardPairs]]. That baseline is
+    * honest about its all-pairs cliff (it pins an explicit id bound);
+    * MinHash removes the cliff but trades recall (a qualifying pair can
+    * miss every band). This operator removes the cliff AND keeps exact
+    * recall — every pair with shingle-set Jaccard ≥ t, unbounded:
+    *
+    *   - Global shingle order by (document frequency ASC, shingle):
+    *     each document's RAREST shingles sort first.
+    *   - Prefix emit: a document with s distinct shingles indexes only
+    *     its first p = s − ⌈t·s⌉ + 1. Lossless: J(x,y) ≥ t forces
+    *     |x∩y| ≥ ⌈t·max(|x|,|y|)⌉, so if the smallest-order common
+    *     shingle sat outside either prefix the intersection could not
+    *     reach that bound — every qualifying pair collides on some
+    *     prefix shingle.
+    *   - Length filter: J ≤ min/max of the set sizes, so 10·min ≥ 9·max
+    *     (t = 9/10 in exact integer cross-multiplication) prunes
+    *     candidates before any text moves.
+    *   - Verify: exact |∩| on the distinct shingle arrays of candidate
+    *     docs only (second shingling pass is candidate-semi-joined, the
+    *     [[verifyTokenJaccard]] contract).
+    *
+    * Scale shape: the df aggregation is one shingle-keyed shuffle (at
+    * 100 TB it is a persisted vocab artifact like the LM-counts table —
+    * refreshed per corpus version, not per query). The candidate join
+    * keys on PREFIX shingles only — by construction the rarest
+    * ~(1−t)·s of each doc — so per-key collision lists stay short
+    * exactly where a raw inverted index would explode (boilerplate
+    * shingles rank last in df order and never enter the index). Only
+    * (shingle, doc_id, size) rows shuffle; text crosses the wire once
+    * per surviving candidate.
+    *
+    * Determinism: df counts, prefix selection, and intersection sizes
+    * are exact integers; the final jaccard double is one exact integer
+    * division. The DuckDB oracle is the NAIVE ALL-PAIRS join — it does
+    * not replay the filter, so a hash match also PROVES the filter
+    * lossless on the data (any dropped qualifying pair would diverge).
+    */
+  def jaccardPrefixPairs(
+      spark: SparkSession,
+      sfDir: String,
+      minJaccard: Double = 0.9): DataFrame = {
+    // t = 9/10 exactly (the AllPairs paper's own experimental setting);
+    // all pruning runs in integer cross-multiplication
+    require(minJaccard == 0.9, "threshold is pinned to the oracle's 9/10")
+    val docs = IO.table(spark, sfDir, "documents")
+    // Shingles are xxhash64-hashed AT THE SCAN — strings never shuffle
+    // anywhere in this operator (df, ordering, prefix index, candidate
+    // join, and verify all run on 8-byte keys). The global prefix order
+    // becomes (df, hash): any consistent total order preserves the
+    // lossless-prefix guarantee, it need not be lexicographic.
+    // one materialization of the hashed sets: three consumers (the df
+    // aggregation, the ordered-prefix build, the verify-set lookup)
+    // would each replay scan + shingle + hash + sort otherwise
+    val toks = docs.select(col("doc_id"),
+      array_sort(transform(gramSet(col("text")), g => xxhash64(g)))
+        .as("toks"))
+      .localCheckpoint()
+    val df = toks.select(explode(col("toks")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc shingles in global (df, hash) order; prefix length
+    // p = s − ceil(9s/10) + 1 (integer ceil via (9s+9) div 10)
+    val ordered = toks
+      .select(col("doc_id"), size(col("toks")).as("s"),
+        explode(col("toks")).as("h"))
+      .join(df, "h")
+      .groupBy("doc_id", "s")
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+        .as("ord"))
+      .select(col("doc_id"), col("s"),
+        slice(transform(col("ord"), x => x("h")), lit(1),
+          (col("s") - expr("(s * 9 + 9) div 10") + 1).cast("int"))
+          .as("prefix"))
+    val pre = ordered.select(col("doc_id"), col("s"),
+      explode(col("prefix")).as("h"))
+    // eager checkpoint: the candidate frame feeds the verify join AND
+    // (via candIds → the shingle-set rebuild) BOTH its build sides —
+    // uncheckpointed, the whole prefix pipeline would replay once per
+    // consumer inside the single action (measured 3-4× the wall). The
+    // materialized frame is two longs per candidate.
+    val cand = pre.select(col("h"), col("doc_id").as("doc_a"),
+        col("s").as("sa"))
+      .join(pre.select(col("h"), col("doc_id").as("doc_b"),
+        col("s").as("sb")), "h")
+      .where(col("doc_a") < col("doc_b")
+        && least(col("sa"), col("sb")) * 10 >= greatest(col("sa"), col("sb")) * 9)
+      .select("doc_a", "doc_b")
+      .distinct()
+      .localCheckpoint()
+    // Exact verify on candidate docs only (semi-joined second pass). The
+    // shingle sets cross the verify as SORTED xxhash64 arrays so |∩| is
+    // the codegen'd allocation-free two-pointer merge instead of a
+    // per-pair string hash set — on a dense corpus the candidate × set
+    // inner loop IS the operator's cost (measured 17 s → sub-second at
+    // bench scale). |∩| and the set sizes equal their string-set values
+    // absent a 64-bit collision INSIDE one candidate pair's union
+    // (~|union|²/2⁶⁵ per pair); the string-set oracle hash-matching the
+    // output is a standing proof no such collision occurs on the data.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    val vSets = toks.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"), col("toks").as("tokset"))
+    // Join strategy for the two set lookups, ceiling-gated like the bm25
+    // df map: below ~1M candidate-incident docs (≈0.5 GB of sorted-hash
+    // sets) BROADCAST the set side — the candidate frame then streams
+    // through both joins in one map-side codegen stage and the arrays
+    // never cross an exchange (unhinted, the first join's array output
+    // re-shuffles on doc_b at ~400 B/row — measured as the operator's
+    // dominant cost). Past the ceiling, shuffle-hash joins (never
+    // sort-merge: sorting millions of candidate rows buys nothing).
+    val va = vSets.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("tokset", "tok_a")
+    val vb = vSets.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("tokset", "tok_b")
+    val smallSets = candIds.count() <= VerifySetBroadcastCeiling
+    val (ja, jb) =
+      if (smallSets) (broadcast(va), broadcast(vb))
+      else (va.hint("shuffle_hash"), vb.hint("shuffle_hash"))
+    cand
+      .join(ja, "doc_a")
+      .join(jb, "doc_b")
+      .withColumn("o",
+        call_function("sorted_intersect_count", col("tok_a"), col("tok_b"))
+          .cast("long"))
+      .withColumn("na", size(col("tok_a")).cast("long"))
+      .withColumn("nb", size(col("tok_b")).cast("long"))
+      // J >= 9/10 ⟺ 10o >= 9(na+nb−o) ⟺ 19o >= 9(na+nb): exact integers
+      .where(col("o") * 19 >= (col("na") + col("nb")) * 9)
+      .select(col("doc_a"), col("doc_b"),
+        (col("o").cast("double")
+          / (col("na") + col("nb") - col("o")).cast("double")).as("jaccard"))
+      // materialize the (near-dup-mass-bounded) verdicts BEFORE the
+      // presentation sort: the range partitioner samples its child to
+      // pick bounds, and sampling an un-materialized frame re-executes
+      // the whole candidate-verify stage a second time (measured ~2×)
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct bigram-shingle set of a document — the [[ngramJaccardPairs]]
+    * gram construction, shared with the prefix-filter join so the two
+    * rows measure the same similarity.
+    */
+  private def gramSet(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+  }
+
+  /** Candidate-incident-doc ceiling for broadcasting the verify-side
+    * shingle sets in [[jaccardPrefixPairs]]: 1M docs × ~0.5 KB of sorted
+    * hashes ≈ 0.5 GB — inside the practical broadcast edge, with the
+    * co-keyed shuffle-hash join as the in-plan fallback past it (the
+    * bm25 df-map contract).
+    */
+  private[graft] val VerifySetBroadcastCeiling = 1000000L
+
   /** Fuzzy near-dup pairs by EDIT DISTANCE: blocked candidate generation,
     * then an exact Levenshtein verify — the entity-resolution-style
     * complement to the token-set (MinHash/Jaccard) and bit-sketch (SimHash)

@@ -672,6 +672,118 @@ object LinkGraph {
     }
   }
 
+  /** Per-node TRIANGLE counts over the undirected click graph — the
+    * cohesion signal community/curation audits read next to degree (a
+    * high-degree node with zero triangles is a hub/spam pattern; dense
+    * triangle mass marks organic browsing neighborhoods). Counts each
+    * triangle once per incident node; nodes in no triangle (including
+    * isolated items) report 0.
+    *
+    * Algorithm: degree-ordered edge orientation (Schank–Wagner; the
+    * MapReduce analysis is Suri & Vassilvitskii, "Counting Triangles and
+    * the Curse of the Last Reducer", WWW 2011). Each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; wedges
+    * are pairs of out-edges at a common source, and a wedge (a→b, a→c)
+    * with (deg,id)(b) < (deg,id)(c) closes iff the oriented edge b→c
+    * exists. Every triangle is generated EXACTLY once (its lowest-order
+    * vertex is the wedge source), so no post-dedup is needed.
+    *
+    * Scale shape: orientation bounds every out-neighborhood by O(√m), so
+    * wedge volume is Σ outdeg² ≤ O(m^1.5) — the curse-of-the-last-reducer
+    * fix (a uniform-degree orientation-free wedge join would explode on
+    * the max-degree hub). All three joins are equi-key shuffles on node
+    * ids ((a) for the wedge join, (b,c) for the closing probe); only
+    * (long, long, long) rows move — never weights, never text. The
+    * degree frame is |nodes| rows; AQE picks broadcast for it below its
+    * thresholds and a co-keyed shuffle join past them — no manual hint
+    * needed because the join is one-shot, not a loop.
+    *
+    * Determinism: everything is exact integer arithmetic on exact keys —
+    * bit-identical across partition orders and engines; the DuckDB
+    * oracle replays orientation, wedges, and the closing probe verbatim.
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    nodeTriangles(undirectedOf(edges), nodes)
+      .select(col("node"), col("triangles"))
+      .orderBy("node")
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node: lcc = 2·T / (d·(d−1)) for
+    * degree ≥ 2, else 0 — the standard per-node cohesion ratio over the
+    * same oriented-wedge triangle counts. Degrees and triangle counts
+    * are exact longs; the single division runs on exactly-representable
+    * integer-valued doubles (d·(d−1) < 2⁵³ at any real degree), so the
+    * double result is IEEE-identical cross-engine.
+    */
+  def clusteringCoefficients(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    nodeTriangles(undirectedOf(edges), nodes)
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double")
+            / (col("degree").cast("double") * (col("degree") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("node")
+  }
+
+  /** Distinct undirected (u < v) edge set of the directed weighted edge
+    * artifact — weights collapse (triangle structure is unweighted) and
+    * reciprocal pairs merge.
+    */
+  private def undirectedOf(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** (node, degree, triangles) for every node in the universe — the
+    * shared frame behind [[triangleCounts]]/[[clusteringCoefficients]];
+    * also the test seam for synthetic graphs ([[nodeTriangles]] with a
+    * constructed edge frame).
+    */
+  private[graft] def nodeTriangles(
+      und: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("d"))
+    // orient low→high in (degree, id) order; carry the head's (deg, id)
+    // so the wedge join can order out-neighbors without re-joining deg
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
+    // wedges at a: out-neighbor pairs ordered by (deg, id) — the closing
+    // edge is then oriented b→c by construction
+    val e1 = oriented.select(col("a"), col("b"), col("db"))
+    val e2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val tris = e1.join(e2, Seq("a"))
+      .where(col("db") < col("dc")
+        || (col("db") === col("dc") && col("b") < col("c")))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .select("a", "b", "c")
+    val perNode = tris.select(col("a").as("n"))
+      .unionByName(tris.select(col("b").as("n")))
+      .unionByName(tris.select(col("c").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("t"))
+    nodes
+      .join(deg.withColumnRenamed("n", "node"), Seq("node"), "left")
+      .join(perNode.withColumnRenamed("n", "node"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
   /** First round's pre-argmax vote aggregation in FORCED join-loop mode —
     * plan-audit seam (per-round checkpoints hide iteration plans from
     * the returned label frame).

@@ -54,6 +54,79 @@ class Round10OpsSpec extends SparkTestBase {
     g.unpersist()
   }
 
+  test("triangles: oriented-wedge counts equal brute force on random graphs") {
+    import graft.operators.LinkGraph
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val und = edges.toDF("u", "v")
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+      val got = LinkGraph.nodeTriangles(und, nodes)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute force: adjacency sets, count closed wedges per node
+      val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      val truth = adj.map { case (n, nbrs) =>
+        val t = nbrs.toSeq.combinations(2)
+          .count { case Seq(x, y) => adj(x).contains(y) }
+        n -> (nbrs.size.toLong, t.toLong)
+      }
+      truth.foreach { case (n, (d, t)) =>
+        assert(got(n) == ((d, t)), s"node $n seed $seed: got ${got(n)}, want ($d,$t)")
+      }
+    }
+  }
+
+  test("triangles on testdata: total divisible by 3, lcc bounded, rows consistent") {
+    import graft.operators.LinkGraph
+    val cc = LinkGraph.clusteringCoefficients(spark, Sf).cache()
+    val tot = cc.agg(sum("triangles")).collect()(0).getLong(0)
+    assert(tot % 3 == 0, s"per-node triangle mass $tot must be 3x the triangle count")
+    assert(cc.filter(col("lcc") < 0.0 || col("lcc") > 1.0).isEmpty,
+      "lcc must lie in [0,1]")
+    assert(cc.filter(col("degree") < 2 && col("lcc") =!= 0.0).isEmpty,
+      "degree<2 nodes have lcc 0 by contract")
+    // the triangles row is the same frame minus degree/lcc
+    val t = LinkGraph.triangleCounts(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.collect().foreach { r =>
+      assert(t(r.getLong(0)) == r.getLong(2), s"row drift at node ${r.getLong(0)}")
+    }
+    cc.unpersist()
+  }
+
+  test("jaccard prefix join: equals brute-force all-pairs (filter provably lossless)") {
+    import graft.operators.Dedup
+    val filtered = Dedup.jaccardPrefixPairs(spark, Sf)
+      .filter(col("doc_a") < 150 && col("doc_b") < 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive truth over the same id range, no prefix filter involved —
+    // same bigram-shingle construction as the engine's gram sets
+    val docs = graft.sources.IO.table(spark, Sf, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),
+               i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"""))
+          .as("toks"))
+    val naive = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("o"),
+        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+      .where(col("o") * 19 >= (col("na") + col("nb")) * 9)
+      .select(col("doc_a"), col("doc_b"),
+        (col("o").cast("double")
+          / (col("na") + col("nb") - col("o")).cast("double")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(naive.nonEmpty, "testdata plants qualifying near-dup pairs")
+    assert(filtered == naive,
+      s"prefix filter must be lossless: got ${filtered.size} pairs, want ${naive.size}")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
