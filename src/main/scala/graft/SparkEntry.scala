@@ -107,6 +107,10 @@ object SparkEntry {
     // == whole-corpus estimate, as a hashable boolean frame
     "sketch_merge_exact" -> (Relational.sketchMergeExact _),
     "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
+    // Misra-Gries heavy hitters: bounded per-partition summaries, then
+    // exact counts of the candidate superset — exact output, no
+    // full-vocabulary shuffle
+    "sketch_heavy_hitters" -> ((s, d) => Relational.sketchHeavyHitters(s, d)),
     // DDSketch quantile buckets + extraction: the sketch family's
     // percentile member, hash-oracled end to end (bucket indices are
     // integer ceilings of bit-pinned doubles — see Relational.DdLnGamma)
@@ -2177,6 +2181,16 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS est_count FROM events
          WHERE event_type IS NOT NULL GROUP BY event_type
          ORDER BY event_type""",
+    "sketch_heavy_hitters" ->
+      // the MG candidate pass is a guaranteed superset and the second
+      // pass re-counts exactly, so the output is the plain GROUP BY /
+      // HAVING answer — partition-independent, hash-oracled
+      s"""WITH tk AS (
+           SELECT unnest(${wsToksSql("text")}) AS token FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM tk),
+         c AS (SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1)
+         SELECT token, freq FROM c, tot
+         WHERE freq * 256 > tot.n ORDER BY token""",
     "sketch_merge_exact" ->
       // HLL union is lossless, so the engine-side merged-vs-direct
       // estimate comparison is deterministically true; the oracle pins

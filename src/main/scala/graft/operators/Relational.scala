@@ -809,6 +809,88 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** MISRA-GRIES heavy hitters over the document token stream — the
+    * deterministic-output frequency member of the sketch family: the
+    * EXACT set of tokens with count·k > N (every token holding more than
+    * a 1/k share of the corpus's N token occurrences), computed without
+    * ever shuffling the full vocabulary.
+    *
+    * Two passes (Misra & Gries 1982; the distributed soundness argument
+    * is the mergeable-summaries one, Agarwal et al. PODS 2012):
+    *
+    *   1. CANDIDATES: each partition streams its tokens through a
+    *      k-counter Misra-Gries summary (k counters regardless of local
+    *      vocabulary — the decrement step evicts the long tail in
+    *      place). A globally heavy token (freq > N/k = Σ Nᵢ/k) must be
+    *      locally heavy (freqᵢ > Nᵢ/k) in at least one partition, and MG
+    *      retains every locally heavy token, so the union of partition
+    *      survivors is a guaranteed SUPERSET of the heavy hitters —
+    *      ≤ k·partitions rows total, a bounded broadcastable artifact.
+    *   2. EXACT COUNTS: one more scan counts ONLY candidate tokens
+    *      (map-side filter against the broadcast candidate set), then
+    *      the integer threshold freq·k > N cuts exactly.
+    *
+    * Scale shape: three corpus scans (N, candidates, candidate counts),
+    * ZERO full-vocabulary shuffles — the exact-count exchange carries
+    * ≤ k·partitions map-side-combined rows. A naive groupBy-all at
+    * 100 TB shuffles the entire token→count table to answer a ~k-row
+    * question. mapPartitions is the appropriate tool here (a streaming
+    * summary algorithm with in-place eviction has no Catalyst
+    * equivalent — the Multimodal byte-parsing adjudication).
+    *
+    * The MG sweep order varies with partitioning, but the OUTPUT is
+    * partition-independent: candidates are a superset of the answer
+    * under any split, and the final counts/threshold are exact integers
+    * — so this sketch row hash-oracles against DuckDB's plain
+    * GROUP BY/HAVING (the CMS-row contract, stronger than HLL's).
+    */
+  def sketchHeavyHitters(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+        .as("token"))
+    val n = toks.count()
+    val candidates = misraGriesCandidates(toks.as[String], k).distinct()
+    toks.join(broadcast(candidates), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") * k > lit(n))
+      .orderBy("token")
+  }
+
+  /** Per-partition Misra-Gries survivors of a token stream — the
+    * candidate seam (spec-pinned superset property). At most k tokens
+    * per input partition.
+    */
+  private[graft] def misraGriesCandidates(
+      toks: org.apache.spark.sql.Dataset[String],
+      k: Int): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, java.lang.Long](k * 2)
+      it.foreach { tok =>
+        val c = counters.get(tok)
+        if (c != null) counters.put(tok, c.longValue + 1L)
+        else if (counters.size < k) counters.put(tok, 1L)
+        else {
+          // full and unseen: decrement every counter, evict zeros —
+          // the token itself is "absorbed" by the k decrements
+          val itr = counters.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue.longValue == 1L) itr.remove()
+            else e.setValue(e.getValue.longValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(counters.keySet()).asScala
+        .toVector.iterator
+    }.toDF("token")
+  }
+
   /** DDSketch parameters (Masson et al., "DDSketch: a fast and
     * fully-mergeable quantile sketch with relative-error guarantees",
     * VLDB 2019): relative accuracy α pins γ = (1+α)/(1-α); a positive

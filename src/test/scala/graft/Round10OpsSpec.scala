@@ -127,6 +127,45 @@ class Round10OpsSpec extends SparkTestBase {
       s"prefix filter must be lossless: got ${filtered.size} pairs, want ${naive.size}")
   }
 
+  test("misra-gries candidates: guaranteed superset of heavy tokens under any partitioning") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed synthetic stream: few heavy tokens + a long tail
+    val stream = Seq.fill(20000)(
+      if (rnd.nextInt(10) < 4) s"heavy${rnd.nextInt(3)}"
+      else s"tail${rnd.nextInt(5000)}")
+    (1 to 8 by 3).foreach { parts =>
+      val ds = spark.createDataset(stream).repartition(parts).as[String]
+      val k = 64
+      val cands = Relational.misraGriesCandidates(ds, k)
+        .collect().map(_.getString(0)).toSet
+      val n = stream.size
+      val truth = stream.groupBy(identity).view.mapValues(_.size)
+        .filter { case (_, c) => c.toLong * k > n }.keySet
+      assert(truth.nonEmpty, "synthetic stream plants heavy hitters")
+      assert(truth.subsetOf(cands),
+        s"parts=$parts: MG candidates must contain every heavy token")
+      // and per-partition state is bounded: at most k survivors each
+      assert(cands.size <= k * parts)
+    }
+  }
+
+  test("heavy hitters row equals brute-force groupBy + threshold on testdata") {
+    import graft.operators.Relational
+    val got = Relational.sketchHeavyHitters(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = graft.sources.IO.table(spark, Sf, "documents")
+      .select(explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+        .as("token"))
+    val n = toks.count()
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .where(col("freq") * 256 > lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.nonEmpty, "testdata has tokens above the 1/256 share")
+    assert(got == truth)
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
