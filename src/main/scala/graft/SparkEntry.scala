@@ -516,6 +516,9 @@ object SparkEntry {
     // snapshot maintenance: CDC diff + latest-wins upsert (SCD-1 merge)
     "snapshot_diff" -> (Snapshot.ordersSnapshotDiff _),
     "snapshot_apply" -> (Snapshot.ordersSnapshotApply _),
+    // SCD type-2 history: consecutive distinct states -> validity spans,
+    // one key-partitioned exchange for both window passes
+    "snapshot_scd2" -> (Snapshot.eventsScd2History _),
     "upsert_latest" -> (Snapshot.eventsUpsertLatest _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
@@ -3203,6 +3206,30 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 10 <> 7
          ORDER BY o_orderkey""",
+    "snapshot_scd2" ->
+      // SCD-2 replay: run starts via null-safe lag compare, spans closed
+      // by the next run's start version — pure copies and comparisons,
+      // no arithmetic, bit-identical cross-engine
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+           FROM events),
+         f AS (
+           SELECT user_id, tus, event_id, event_type,
+                  lag(tus) OVER w IS NULL
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    AS is_start
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (SELECT * FROM f WHERE is_start),
+         o AS (
+           SELECT user_id, tus AS valid_from,
+                  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                    AS valid_to,
+                  event_type
+           FROM s)
+         SELECT user_id, valid_from, valid_to,
+                valid_to IS NULL AS is_current, event_type
+         FROM o ORDER BY user_id, valid_from""",
     "upsert_latest" ->
       // µs times on both sides (sessionize convention); src ranks the
       // update batch above base on a same-µs tie, event_id pins the rest

@@ -92,6 +92,52 @@ object Snapshot {
     removed.unionByName(added)
   }
 
+  /** SCD TYPE-2 history build: collapse a versioned change stream into
+    * one row per CONSECUTIVE DISTINCT attribute state, with
+    * [valid_from, valid_to) validity spans and an is_current flag — the
+    * other half of dimension maintenance next to [[upsertLatest]]'s
+    * type-1 overwrite (type 1 keeps the latest state, type 2 keeps the
+    * full auditable timeline; every warehouse dimension pipeline ships
+    * both). A run of versions with unchanged attributes emits ONE span:
+    * state begins when the attributes change, not when a row arrives.
+    *
+    * Scale shape: one key-partitioned shuffle total. Both window passes
+    * (the lag-based change flag and the lead-based span close) partition
+    * by the key with the same (version, tiebreak) ordering, and the
+    * run-start filter between them preserves partitioning AND ordering
+    * — Catalyst plans a single exchange + sort and reuses it for the
+    * second window (plan-audited). No groupBy materializes runs; the
+    * run-start row IS the span row. Output volume is the number of
+    * state CHANGES, not the stream length.
+    *
+    * Determinism: (version, tiebreak) is unique per key, flags and span
+    * bounds are exact comparisons/copies of input values — no
+    * arithmetic at all — so the history is bit-identical cross-engine.
+    */
+  def scd2History(
+      changes: DataFrame,
+      key: String,
+      version: String,
+      tiebreak: String,
+      attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(version).asc, col(tiebreak).asc)
+    // run start: first row of the key, or any null-safe attribute change
+    val attrChanged = attrs
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val starts = changes
+      .withColumn("_start",
+        lag(col(version), 1).over(w).isNull || attrChanged)
+      .filter(col("_start"))
+    starts
+      .withColumn("valid_to", lead(col(version), 1).over(w))
+      .select(
+        Seq(col(key), col(version).as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")) ++
+          attrs.map(col): _*)
+  }
+
   // ---- registered shapes over the driver testdata ----
 
   /** Deterministic "previous load" of orders: the key stripe
@@ -130,6 +176,20 @@ object Snapshot {
         "o_orderkey", Seq("o_orderstatus", "o_totalprice")),
       "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
       .orderBy("o_orderkey")
+
+  /** Registered SCD-2 row: per-user event_type state history over the
+    * events stream at µs versions (event_id as the same-µs tiebreak, the
+    * upsert convention) — runs of same-type events collapse to one
+    * validity span each, the current state carries valid_to = null.
+    */
+  def eventsScd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    val changes = raw
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select("user_id", "tus", "event_id", "event_type")
+    scd2History(changes, "user_id", "tus", "event_id", Seq("event_type"))
+      .orderBy("user_id", "valid_from")
+  }
 
   /** Registered upsert: per-user latest state, where events in the final
     * week of the window arrive as the update batch against the base state

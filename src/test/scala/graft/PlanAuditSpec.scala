@@ -791,6 +791,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scd2 history: both window passes share ONE key exchange") {
+    val df = graft.operators.Snapshot.eventsScd2History(spark, Sf)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    // the lag-flag window and the lead-close window both partition by
+    // user_id with the same ordering, and the run-start filter preserves
+    // both — a second hash exchange (or a second sort) would mean the
+    // plan re-shuffled between the passes
+    val keyExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1,
+      s"scd2 must reuse one user_id exchange for both windows, got $keyExchanges:\n$p")
+    val sorts = p.linesIterator.count(l => l.trim.startsWith("+- Sort ")
+      || l.trim.startsWith("Sort "))
+    // one window sort + (at most) the presentation range sort
+    assert(sorts <= 2, s"unexpected extra sorts in scd2 plan:\n$p")
+  }
+
   test("curate-then-pack composition stays ONE pipeline") {
     val df = graft.operators.Curate.curateThenPack(spark, Sf, gramWidth = 4)
     df.write.format("noop").mode("overwrite").save()

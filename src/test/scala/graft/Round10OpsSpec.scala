@@ -166,6 +166,42 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("scd2: spans tile each key's timeline, runs collapse, states alternate") {
+    import graft.operators.Snapshot
+    val hist = Snapshot.eventsScd2History(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getString(4)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (user, rows) =>
+      val spans = rows.sortBy(_._2)
+      // exactly one open (current) span per key, and it is the last
+      assert(spans.count(_._4) == 1, s"user $user: one current span")
+      assert(spans.last._4 && spans.last._3.isEmpty)
+      spans.sliding(2).foreach {
+        case Array(a, b) =>
+          // spans tile: each closed span ends where the next begins
+          assert(a._3.contains(b._2), s"user $user: gap between spans")
+          // and consecutive spans carry DIFFERENT states (runs collapsed)
+          assert(a._5 != b._5, s"user $user: uncollapsed run")
+        case _ =>
+      }
+    }
+    // span count equals the brute-force number of state changes
+    val ev = graft.sources.IO.table(spark, Sf, "events")
+    val seqs = ev.select(col("user_id"), graft.operators.EventTime.tsUs(ev).as("tus"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val expected = seqs.map { case (_, rows) =>
+      val types = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      1 + types.sliding(2).count { case Array(x, y) => x != y; case _ => false }
+    }.sum
+    assert(hist.length == expected, s"got ${hist.length} spans, want $expected")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
