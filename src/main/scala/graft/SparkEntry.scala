@@ -344,6 +344,9 @@ object SparkEntry {
     // map-side and broadcasts against the persisted corpus fp index
     "dedup_incremental_winnow" -> ((s, d) => Dedup.incrementalWinnowStored(s, d)),
     "txt_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    // PMI collocations: above-chance co-occurrence (min-count guarded),
+    // float-washed ln over a pinned exact-integer operand chain
+    "txt_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // CCNet head/middle/tail cut over the bigram-LM score
@@ -2490,6 +2493,32 @@ object SparkEntry {
            FROM documents WHERE len(string_split(text, ' ')) >= 2)
          SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
          ORDER BY cnt DESC, bigram LIMIT 100""",
+    "txt_pmi_collocations" ->
+      // exact counts; the PMI operand chain (casts + association order)
+      // mirrors the engine's, the one ln float-washed; bigram tiebreak
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         uni AS (SELECT unnest(tk) AS t FROM t),
+         uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+         nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uc),
+         occ AS (
+           SELECT tk[i.i - 1] AS w1, tk[i.i] AS w2
+           FROM t, unnest(range(2, len(tk) + 1)) AS i(i)
+           WHERE len(tk) >= 2),
+         bi AS (SELECT w1, w2, COUNT(*) AS cab FROM occ GROUP BY 1, 2),
+         nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bi),
+         s AS (
+           SELECT b.w1 || ' ' || b.w2 AS bigram, b.cab AS n_ab,
+                  CAST(CAST(ln(
+                    (CAST(b.cab AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE))
+                    / (CAST(nb.nb AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))
+                  ) AS FLOAT) AS DOUBLE) AS pmi
+           FROM bi b
+             JOIN uc ua ON b.w1 = ua.t
+             JOIN uc ub ON b.w2 = ub.t
+             CROSS JOIN nu CROSS JOIN nb
+           WHERE b.cab >= 5)
+         SELECT bigram, n_ab, pmi FROM s
+         ORDER BY pmi DESC, bigram LIMIT 100""",
     "txt_unigram_logprob" ->
       // fixed-point per-token log-probs (round(float(ln(p))*1e6) BIGINT)
       // so the per-doc sum is order-independent and engine-exact; the

@@ -181,6 +181,65 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(topN)
 
+  /** PMI COLLOCATIONS: the top bigrams by pointwise mutual information
+    *   pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )
+    *            = ln( c(ab)·N_u² / (N_b·c(a)·c(b)) )
+    * — the statistical-collocation complement to [[topBigrams]]'s raw
+    * frequency ranking (raw counts surface boilerplate; PMI surfaces
+    * pairs that co-occur far above chance — named entities, fixed
+    * phrases — the vocabulary-curation signal tokenizer and quality
+    * teams read). The min-count floor is the standard guard against the
+    * PMI rare-pair pathology (a hapax bigram of two hapax words scores
+    * maximal PMI on zero evidence).
+    *
+    * Scale shape: one token explode → unigram counts, one bigram
+    * explode → pair counts — both Zipf-small after their map-side
+    * combines; the min-count filter cuts the pair table BEFORE the two
+    * unigram joins (AQE broadcasts the vocab side when it fits); totals
+    * are one-row broadcast frames. The final top-N is TakeOrdered.
+    *
+    * Determinism: all counts are exact longs; the PMI operand chain is
+    * pinned (casts and association order mirrored in the oracle), the
+    * single ln is float-washed (the LM-ladder convention), and ties
+    * break on the bigram string.
+    */
+  def pmiCollocations(
+      spark: SparkSession,
+      sfDir: String,
+      minCount: Int = 5,
+      topN: Int = 100): DataFrame = {
+    val toks = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum("c").as("nu"))
+    val bi = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(tk)),
+             i -> struct(element_at(tk, i - 1) AS w1, element_at(tk, i) AS w2))"""))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+    val nb = bi.agg(sum("cab").as("nb"))
+    bi.filter(col("cab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("cab").as("n_ab"),
+        log(
+          (col("cab").cast("double") * col("nu").cast("double")
+            * col("nu").cast("double"))
+            / (col("nb").cast("double") * col("ca").cast("double")
+              * col("cb").cast("double")))
+          .cast("float").cast("double").as("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(topN)
+  }
+
   /** TF-IDF top-3 terms per document. All inputs to the score are exact
     * integers, so the double score is bit-identical across engines:
     * (tf/dlen) * ln((N+1)/(df+1)). The raw token stream is exploded and

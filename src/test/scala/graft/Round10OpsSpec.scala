@@ -202,6 +202,33 @@ class Round10OpsSpec extends SparkTestBase {
     assert(hist.length == expected, s"got ${hist.length} spans, want $expected")
   }
 
+  test("pmi collocations: formula replay, min-count floor, ordering contract") {
+    import graft.functions.TextAnalysis
+    val rows = TextAnalysis.pmiCollocations(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getLong(1) >= 5), "min-count floor")
+    val pmis = rows.map(_.getDouble(2))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "pmi desc")
+    // replay the top row's pmi from independently-collected counts
+    val top = rows.head
+    val Array(w1, w2) = top.getString(0).split(" ", 2)
+    val toks = graft.sources.IO.table(spark, Sf, "documents")
+      .select(split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t")).collect().map(_.getString(0))
+    val nu = uni.length.toDouble
+    val ca = uni.count(_ == w1).toDouble
+    val cb = uni.count(_ == w2).toDouble
+    val bis = toks.collect().flatMap(_.getSeq[String](0).sliding(2).collect {
+      case Seq(a, b) => (a, b)
+    })
+    val nb = bis.length.toDouble
+    val cab = bis.count(_ == ((w1, w2))).toDouble
+    assert(cab >= 5)
+    val expected = math.log((cab * nu * nu) / (nb * ca * cb)).toFloat.toDouble
+    assert(top.getDouble(2) == expected,
+      s"pmi(${top.getString(0)}): got ${top.getDouble(2)}, want $expected")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
