@@ -263,6 +263,9 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, d) => Similarity.lshCosineTopK(s, d, planesPerBand = 8)),
     // all-nodes approximate kNN graph over the same pinned LSH bands
     "emb_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    // one NN-descent round: neighbors-of-neighbors candidates, monotone
+    // per-rank improvement over the LSH seed graph
+    "emb_knn_refine" -> ((s, d) => Similarity.knnGraphRefined(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
     // k-means coarse-quantizer training (2 fixed Lloyd's iterations,
@@ -2020,6 +2023,38 @@ object SparkEntry {
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "emb_knn_refine" ->
+      // one NN-descent round over the knn-graph CTE: undirected
+      // neighborhood ∪ two-hop candidates, re-scored, per-node top-k —
+      // UNION dedups on both engines, same float-washed cosine + dst
+      // tie-break as the seed graph
+      s"""${lshBucketKeysSql()},
+         cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+                  FROM bb a JOIN bb b USING (bucket_key) WHERE a.vec_id <> b.vec_id),
+         scored AS (
+           SELECT src, dst,
+                  CAST(list_cosine_similarity(va.v, vb.v) AS FLOAT) AS sim
+           FROM cand JOIN v0 va ON src = va.vec_id
+                     JOIN v0 vb ON dst = vb.vec_id),
+         g AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+             FROM scored) WHERE rnk <= 5),
+         und AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+         c2 AS (SELECT src, dst FROM und
+                UNION SELECT src, far FROM (
+                  SELECT a.src, b.far FROM und a
+                  JOIN (SELECT src AS dst, dst AS far FROM und) b USING (dst)
+                  WHERE a.src <> b.far)),
+         s2 AS (
+           SELECT src, dst,
+                  CAST(list_cosine_similarity(va.v, vb.v) AS FLOAT) AS sim
+           FROM c2 JOIN v0 va ON src = va.vec_id
+                   JOIN v0 vb ON dst = vb.vec_id)
+         SELECT src, CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS "rank",
+                dst, sim
+         FROM s2 QUALIFY "rank" <= 5 ORDER BY src, "rank"""",
     "emb_knn_graph" ->
       s"""${lshBucketKeysSql()},
          cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst

@@ -306,6 +306,59 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** One NN-DESCENT refinement round over [[knnGraph]] (Dong et al.,
+    * "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures", WWW 2011): a node's improved neighbors are
+    * found among its neighbors' neighbors. Candidates for each node are
+    * its UNDIRECTED current neighborhood (out ∪ in) plus all two-hop
+    * nodes through it; re-score, keep the per-node top-k. Because the
+    * candidate set is a superset of the node's current list, every rank's
+    * similarity is MONOTONICALLY non-decreasing (spec-pinned), and recall
+    * against the exact top-k can only improve — the standard cheap fix
+    * for LSH's per-band misses without touching the bucket structure.
+    *
+    * Scale shape: degrees in the undirected graph are ≤ 2k, so the
+    * two-hop join emits ≤ 4k² candidates per node — LINEAR in corpus
+    * size for constant k, independent of bucket occupancy (the
+    * NN-descent core win). The adjacency is (long, long) rows end to
+    * end; vectors join in only for the candidate-keyed re-score (each
+    * embedding crosses once per side, the knnGraph contract), and the
+    * per-node cut is the TopKPerKey rn≤k rewrite. The seed graph is
+    * checkpointed once — the two-hop self-join and the union both read
+    * the materialized adjacency, not the LSH pipeline twice.
+    */
+  def knnGraphRefined(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 5,
+      bands: Int = 4,
+      planesPerBand: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val g0 = knnGraph(spark, sfDir, k, bands, planesPerBand, dim)
+      .select("src", "dst")
+    val und = g0
+      .union(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val twoHop = und.as("a")
+      .join(und.select(col("src").as("dst"), col("dst").as("far")).as("b"),
+        "dst")
+      .where(col("src") =!= col("far"))
+      .select(col("src"), col("far").as("dst"))
+    val cand = und.union(twoHop).distinct()
+    val scored = cand
+      .join(c.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(c.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .withColumn("sim", expr("cosine_sim(sv, dv)").cast("float"))
+    val w = Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "rank", "dst", "sim")
+      .orderBy("src", "rank")
+  }
+
   /** IVF (inverted-file) approximate top-k — the second classic ANN scale
     * path next to [[lshCosineTopK]]: a small coarse-quantizer codebook of
     * `nlist` centroids partitions the corpus by nearest centroid, and each

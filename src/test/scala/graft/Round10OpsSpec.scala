@@ -229,6 +229,44 @@ class Round10OpsSpec extends SparkTestBase {
       s"pmi(${top.getString(0)}): got ${top.getDouble(2)}, want $expected")
   }
 
+  test("nn-descent refine: per-rank sims monotonically improve, recall never drops") {
+    import graft.operators.Similarity
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getFloat(3)))
+      .toMap
+    val g0 = byRank(Similarity.knnGraph(spark, Sf))
+    val g1 = byRank(Similarity.knnGraphRefined(spark, Sf))
+    // candidate superset ⟹ the refined rank-i sim dominates the seed's
+    g0.foreach { case ((src, rank), (_, sim0)) =>
+      val (_, sim1) = g1.getOrElse((src, rank),
+        fail(s"refined graph lost ($src, rank $rank)"))
+      assert(sim1 >= sim0, s"($src,$rank): refined $sim1 < seed $sim0")
+    }
+    // recall vs the exact top-k can only improve (strictly better
+    // somewhere on this fixture, else the round was a no-op)
+    val c = graft.sources.IO.table(spark, Sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = byRank(
+      c.as("a").join(c.select(col("vec_id").as("dst"), col("v").as("dv")).as("b"),
+          col("vec_id") =!= col("dst"))
+        .withColumn("sim", expr("cosine_sim(v, dv)").cast("float"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(desc("sim"), asc("dst"))))
+        .filter(col("rank") <= 5)
+        .select(col("vec_id").as("src"), col("rank"), col("dst"), col("sim")))
+    def recall(g: Map[(Long, Int), (Long, Float)]) = {
+      val bySrc = g.groupBy(_._1._1).view.mapValues(_.values.map(_._1).toSet)
+      val truth = exact.groupBy(_._1._1).view.mapValues(_.values.map(_._1).toSet)
+      truth.map { case (s, t) =>
+        bySrc.getOrElse(s, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val (r0, r1) = (recall(g0), recall(g1))
+    assert(r1 >= r0, s"refined recall $r1 must not drop below seed $r0")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
