@@ -140,6 +140,9 @@ object SparkEntry {
     "w2_running_sum" -> (Relational.w2RunningSum _),
     "w6_range_frame" -> (Relational.w6RangeFrame _),
     "w7_first_last_ignore_nulls" -> (Relational.w7FirstLastIgnoreNulls _),
+    // ntile/percent_rank/cume_dist over a tie-free order — the
+    // total-cardinality window family (stock plan by design)
+    "w8_distribution_ranks" -> (Relational.w8DistributionRanks _),
     "w3_analytic_windows" -> (Relational.w3AnalyticWindows _),
     // scale patterns: skew salting, stream-twin windowed agg, sessionization
     "skew_salted_agg" -> ((s, d) => Relational.skewSaltedAgg(s, d)),
@@ -2402,6 +2405,16 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "w8_distribution_ranks" ->
+      // tie-free order ⟹ all three are integer-position arithmetic;
+      // the doubles are exact integer ratios on both engines
+      """SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
     "w6_range_frame" ->
       // integer µs ordering key so the RANGE interval is exact; decimal

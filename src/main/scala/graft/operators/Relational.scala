@@ -676,6 +676,24 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution-rank window surface: ntile quartiles, percent_rank,
+    * cume_dist per customer over order dates — the family the TopKPerKey
+    * rewrite deliberately leaves on the stock plan (each value depends
+    * on the GROUP's total cardinality, so no row is provably prunable
+    * before the shuffle — SCALING.md "TopKPerKey"). Ordering is made
+    * tie-free with the unique order key, so the three rank functions are
+    * pure integer-position arithmetic — engine-exact doubles.
+    */
+  def w8DistributionRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** String-function surface: case mapping, trim, concat, substring,
     * length, replace, lpad — the everyday scalar layer.
     */
