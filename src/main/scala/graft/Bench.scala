@@ -87,7 +87,7 @@ object Bench {
       "emb_pca_component", "emb_pca_project", "emb_knn_graph",
       "graph_triangles", "graph_clustering_coeff", "dedup_jaccard_prefix",
       "sketch_heavy_hitters", "snapshot_scd2", "txt_pmi_collocations",
-      "emb_knn_refine", "w8_distribution_ranks",
+      "emb_knn_refine", "w8_distribution_ranks", "decontam_semantic",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =

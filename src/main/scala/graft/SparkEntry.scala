@@ -284,6 +284,9 @@ object SparkEntry {
     // the embedding member of the incremental family: batch vectors vs
     // the cell-indexed corpus, SemDeDup cell-bounded candidates
     "emb_incremental_neardup" -> ((s, d) => Similarity.incrementalSemanticNearDup(s, d)),
+    // embedding-space decontamination: paraphrase-resistant tier of the
+    // decontam family over the persisted cell index
+    "decontam_semantic" -> ((s, d) => Similarity.semanticContaminationReport(s, d)),
     "ann_topk_ivf_trained" -> ((s, d) => Similarity.ivfCosineTopKTrained(s, d)),
     // the production search path: consumes the PERSISTED codebook parquet
     // (self-priming on first use), never trains — row-identical to
@@ -1688,6 +1691,29 @@ object SparkEntry {
          SELECT vec_id, cid, sim, cell_rank,
                 CAST(cell_rank > floor(0.25 * cell_n) AS INT) AS keep
          FROM sp_rank ORDER BY vec_id""",
+    "decontam_semantic" ->
+      // the incremental-semantic replay with roles transposed: the
+      // verdict lands on the TRAIN side, contaminated rows only
+      s"""${kmeansCentroidsSql()},
+         iassign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         ie AS (SELECT vec_id AS eval_id, v AS ev, cid FROM iassign WHERE vec_id % 10 = 0),
+         it AS (SELECT vec_id, v, cid FROM iassign WHERE vec_id % 10 <> 0),
+         ih AS (
+           SELECT it.vec_id, ie.eval_id,
+                  list_cosine_similarity(it.v, ie.ev) AS cs
+           FROM it JOIN ie USING (cid)),
+         ipick AS (
+           SELECT vec_id, eval_id, CAST(cs AS FLOAT) AS cosf,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY CAST(cs AS FLOAT) DESC, eval_id) AS rn
+           FROM ih WHERE cs >= 0.35)
+         SELECT vec_id, eval_id AS worst_eval, cosf AS cos
+         FROM ipick WHERE rn = 1 ORDER BY vec_id""",
     "emb_incremental_neardup" ->
       // same Lloyd replay + rn=1 assignment for both slices; candidates
       // join within cid, threshold on the DOUBLE cosine, pick ranks the

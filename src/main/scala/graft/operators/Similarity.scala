@@ -1227,6 +1227,56 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * [[Decontaminate]] family (exact-gram, bloom, containment, and
+    * lexical-minhash all miss a paraphrased eval item; embedding cosine
+    * is the tier that catches it, the published recipe for rewrite-
+    * resistant benchmark decontamination). For every TRAIN vector (the
+    * persisted cell index's carve), report whether ANY eval vector
+    * (the held-out vec_id % 10 = 0 slice) sits at cosine ≥ tau, with
+    * the worst offender and its similarity — the contaminated rows
+    * only, the [[graft.operators.Decontaminate]] report shape.
+    *
+    * Scale shape: the TRAIN side is the persisted (vec_id, v, cid)
+    * cell index — one artifact scan, the corpus never re-assigns; the
+    * eval suite assigns map-side against the literal codebook and
+    * BROADCASTS (eval suites are bounded — the decontam family's
+    * standing asymmetry), so candidates are cell-bounded
+    * (Σ train_cell × eval_cell, the SemDeDup bound) and the only
+    * exchange is the per-train-vector argmax, map-combined via
+    * max(struct). Same-cell candidacy is the deliberate SemDeDup
+    * recall trade (shared with dedup_semantic), replayed exactly by
+    * the oracle — cross-engine parity, not approximation drift.
+    */
+  def semanticContaminationReport(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistCellIndex(spark, sfDir, k, iters)
+    val trainA = spark.read.parquet(path)
+    val evalA = assignToCodebook(
+      corpus(spark, sfDir).select("vec_id", "v")
+        .filter(col("vec_id") % 10 === 0),
+      kmeansCodebook(spark, sfDir, k, iters))
+    trainA
+      .join(broadcast(evalA.select(col("vec_id").as("eval_id"),
+        col("v").as("ev"), col("cid"))), "cid")
+      .withColumn("cos", expr("cosine_sim(v, ev)"))
+      // threshold on the DOUBLE, rank/report the FLOAT cast — the
+      // incrementalSemanticNearDup convention
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").cast("float").as("cos_f"),
+        (-col("eval_id")).as("neg_id"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg_id")).as("worst_eval"),
+        col("b.cos_f").as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** Streaming twin of [[incrementalSemanticNearDup]] — the vector-ingest
     * analogue of `Curate.ingestGateStream`: arriving (vec_id, embedding)
     * micro-batches get verdict rows against the SAME persisted cell

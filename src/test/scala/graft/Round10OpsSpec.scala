@@ -267,6 +267,31 @@ class Round10OpsSpec extends SparkTestBase {
     assert(r1 >= r0, s"refined recall $r1 must not drop below seed $r0")
   }
 
+  test("semantic decontam: reports exactly the same-cell train vectors over threshold") {
+    import graft.operators.Similarity
+    val got = Similarity.semanticContaminationReport(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    assert(got.nonEmpty, "testdata plants semantic contamination")
+    // every reported train id is from the train carve and its offender
+    // from the eval carve, above threshold
+    got.foreach { case (vid, (eid, cos)) =>
+      assert(vid % 10 != 0 && eid % 10 == 0)
+      assert(cos >= 0.35f)
+    }
+    // role-transposition cross-check: if train t reports eval e at cos c,
+    // then the incremental row (which scores the SAME cell-bounded pairs
+    // in the other direction) must see t at >= c for batch e — t is one
+    // of e's candidates, and e's pick is its max
+    val inc = Similarity.incrementalSemanticNearDup(spark, Sf)
+      .filter(!col("is_new"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(3)).toMap
+    got.foreach { case (_, (eid, cos)) =>
+      val best = inc.getOrElse(eid,
+        fail(s"eval $eid contaminates but has no incremental verdict"))
+      assert(best >= cos, s"eval $eid: pick $best < reported offender $cos")
+    }
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
