@@ -107,6 +107,8 @@ object SparkEntry {
     // == whole-corpus estimate, as a hashable boolean frame
     "sketch_merge_exact" -> (Relational.sketchMergeExact _),
     "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
+    // market-basket association lift over capped per-user item baskets
+    "events_assoc_lift" -> ((s, d) => Relational.itemAssociationLift(s, d)),
     // Misra-Gries heavy hitters: bounded per-partition summaries, then
     // exact counts of the candidate superset — exact output, no
     // full-vocabulary shuffle
@@ -2251,6 +2253,34 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS est_count FROM events
          WHERE event_type IS NOT NULL GROUP BY event_type
          ORDER BY event_type""",
+    "events_assoc_lift" ->
+      // exact counts over the SAME capped baskets (the cap is part of
+      // the contract); the lift division has exact-integer operands on
+      // both sides — no float wash needed
+      """WITH it AS (
+           SELECT DISTINCT user_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+         capped AS (
+           SELECT user_id, item FROM (
+             SELECT user_id, item,
+                    row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+             FROM it) WHERE rn <= 64),
+         ni AS (SELECT item, COUNT(*) AS n FROM capped GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT user_id) AS u FROM capped),
+         pr AS (
+           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+           FROM capped a JOIN capped b
+             ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT item_a, item_b, n_ab,
+                CAST(n_ab * u AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS lift
+         FROM pr
+           JOIN ni na ON pr.item_a = na.item
+           JOIN ni nb ON pr.item_b = nb.item
+           CROSS JOIN tot
+         ORDER BY lift DESC, item_a, item_b LIMIT 100""",
     "sketch_heavy_hitters" ->
       // the MG candidate pass is a guaranteed superset and the second
       // pass re-counts exactly, so the output is the plain GROUP BY /

@@ -827,6 +827,67 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** ITEM ASSOCIATION LIFT over per-user baskets — transactional
+    * co-occurrence mining (the market-basket / co-click analytics
+    * classic): for item pairs appearing together in ≥ minUsers baskets,
+    *   lift(i,j) = (n_ij · U) / (n_i · n_j)
+    * where a basket is a user's distinct item set (`props.$.k`), U is
+    * the basket count, n_i the baskets containing i. Lift > 1 means
+    * above-chance co-consumption — the complement to
+    * [[graft.functions.TextAnalysis.pmiCollocations]] (adjacency in
+    * text) and the label-prop communities (graph structure): same
+    * question, transactional evidence.
+    *
+    * Scale shape: baskets are DETERMINISTICALLY CAPPED at `maxBasket`
+    * items (lowest item ids kept — the standard market-basket guard:
+    * one crawler "user" touching everything would otherwise contribute
+    * |items|² pairs), so the per-user pair join is a co-partitioned
+    * self-join emitting ≤ maxBasket²/2 rows per user — linear in users.
+    * Item supports and the basket total are counted AFTER the cap, so
+    * every statistic refers to the same capped universe (the cap is
+    * part of the contract, replayed by the oracle, not a silent
+    * approximation). The final top-N is TakeOrdered.
+    *
+    * Determinism: all counts exact longs; n_ij·U and n_i·n_j stay below
+    * 2⁵³ at any realistic cardinality, so the single division is an
+    * IEEE-exact-operand op — bit-identical cross-engine, no float wash
+    * needed (no transcendental involved).
+    */
+  def itemAssociationLift(
+      spark: SparkSession,
+      sfDir: String,
+      minUsers: Int = 5,
+      maxBasket: Int = 64,
+      topN: Int = 100): DataFrame = {
+    val basket = t(spark, sfDir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= maxBasket)
+      .select("user_id", "item")
+    val ni = basket.groupBy("item").agg(count(lit(1)).as("n"))
+    val total = basket.select("user_id").distinct()
+      .agg(count(lit(1)).as("u"))
+    val pairs = basket.select(col("user_id"), col("item").as("item_a"))
+      .join(basket.select(col("user_id"), col("item").as("item_b")), "user_id")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minUsers)
+    pairs
+      .join(ni.select(col("item").as("item_a"), col("n").as("na")), "item_a")
+      .join(ni.select(col("item").as("item_b"), col("n").as("nb")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        ((col("n_ab") * col("u")).cast("double")
+          / (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
+      .limit(topN)
+  }
+
   /** MISRA-GRIES heavy hitters over the document token stream — the
     * deterministic-output frequency member of the sketch family: the
     * EXACT set of tokens with count·k > N (every token holding more than

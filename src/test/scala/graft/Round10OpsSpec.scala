@@ -292,6 +292,31 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("association lift: formula matches brute force over the capped baskets") {
+    import graft.operators.Relational
+    val got = Relational.itemAssociationLift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "testdata plants co-occurring items")
+    assert(got.forall { case ((a, b), _) => a < b })
+    // brute force from the raw events
+    val ev = graft.sources.IO.table(spark, Sf, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(64).toSet).toMap
+    val u = baskets.size.toLong
+    val ni = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    got.foreach { case ((a, b), (nab, lift)) =>
+      val truth = baskets.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(truth == nab, s"pair ($a,$b): n_ab $nab, brute $truth")
+      assert(nab >= 5)
+      val expect = (nab * u).toDouble / (ni(a) * ni(b)).toDouble
+      assert(lift == expect, s"pair ($a,$b): lift $lift, brute $expect")
+    }
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
