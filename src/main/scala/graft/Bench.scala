@@ -88,7 +88,7 @@ object Bench {
       "graph_triangles", "graph_clustering_coeff", "dedup_jaccard_prefix",
       "sketch_heavy_hitters", "snapshot_scd2", "txt_pmi_collocations",
       "emb_knn_refine", "w8_distribution_ranks", "decontam_semantic",
-      "events_assoc_lift",
+      "events_assoc_lift", "graph_label_prop_modularity",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =

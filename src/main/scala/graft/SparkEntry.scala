@@ -400,6 +400,9 @@ object SparkEntry {
     "graph_label_prop_joinloop" -> ((s, d) => LinkGraph.labelPropagationJoinLoop(s, d)),
     // the community-size profile a curation planner consumes
     "graph_label_prop_sizes" -> ((s, d) => LinkGraph.labelCommunitySizes(s, d)),
+    // Newman modularity profile of the converged partition — exact
+    // integer fix per community, one division
+    "graph_label_prop_modularity" -> ((s, d) => LinkGraph.labelPropModularity(s, d)),
     // per-node triangle counts via degree-ordered wedge orientation
     "graph_triangles" -> ((s, d) => LinkGraph.triangleCounts(s, d)),
     // local clustering coefficient over the same oriented-wedge counts
@@ -3675,6 +3678,31 @@ object SparkEntry {
       s"""${labelPropSql()}
          SELECT l AS community, COUNT(*) AS members
          FROM l3 GROUP BY 1 ORDER BY 1""",
+    "graph_label_prop_modularity" ->
+      // per-community Q contribution in exact integer arithmetic
+      // (w_in·m2 − w_tot²), one division of integer-valued doubles
+      s"""${labelPropSql()},
+         symq AS (
+           SELECT src AS u, dst AS v, weight FROM edges
+           UNION ALL SELECT dst AS u, src AS v, weight FROM edges),
+         tg AS (
+           SELECT s.u, s.v, s.weight, a.l AS cu, b.l AS cv
+           FROM symq s JOIN l3 a ON s.u = a.node JOIN l3 b ON s.v = b.node),
+         m2 AS (SELECT CAST(SUM(weight) AS BIGINT) AS m2 FROM tg),
+         pc AS (
+           SELECT cu AS community,
+                  CAST(SUM(CASE WHEN cu = cv THEN weight ELSE 0 END) AS BIGINT) AS w_in,
+                  CAST(SUM(weight) AS BIGINT) AS w_tot
+           FROM tg GROUP BY 1),
+         mem AS (SELECT l AS community, COUNT(*) AS members FROM l3 GROUP BY 1)
+         SELECT mem.community, mem.members,
+                COALESCE(pc.w_in, 0) AS w_in,
+                COALESCE(pc.w_tot, 0) AS w_tot,
+                CAST(COALESCE(pc.w_in, 0) * m2.m2
+                     - COALESCE(pc.w_tot, 0) * COALESCE(pc.w_tot, 0) AS DOUBLE)
+                  / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)) AS q_contrib
+         FROM mem LEFT JOIN pc ON mem.community = pc.community, m2
+         ORDER BY mem.community""",
     "graph_triangles" ->
       s"""$triangleBaseSql
          SELECT node, triangles FROM pn ORDER BY node""",

@@ -672,6 +672,56 @@ object LinkGraph {
     }
   }
 
+  /** MODULARITY profile of the label-propagation partition — the quality
+    * metric that tells a curation planner whether the communities are
+    * real structure or noise (Newman's Q: fraction of edge weight inside
+    * communities minus the expectation under the degree-preserving null
+    * model). Per community c over the symmetrized weighted graph:
+    *   q_c = w_in(c)/m2 − (w_tot(c)/m2)²,   Q = Σ_c q_c
+    * with m2 = Σ w (both directions — the usual 2m), w_in both-direction
+    * intra-community weight, w_tot the community's degree mass.
+    *
+    * Scale shape: one symmetrized-edge pass joined twice against the
+    * |nodes|-row label frame (broadcast below the usual ceiling, AQE's
+    * call — one-shot, not a loop), then a |communities|-row aggregation.
+    * Determinism: weights are exact longs, so w_in·m2 − w_tot² is an
+    * exact integer per community and q_contrib is one division of exact
+    * integer-valued doubles — bit-identical cross-engine. Headroom:
+    * exact while m2 < ~3·10⁹ (w_in·m2 in a long); a web-scale run lifts
+    * the fix to DECIMAL, the moment-sum convention.
+    */
+  def labelPropModularity(
+      spark: SparkSession,
+      sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val labels = labelsAfter(spark, sfDir, iters, BroadcastNodeCeiling)
+    val sym = edges
+      .select(col("src").as("u"), col("dst").as("v"), col("weight"))
+      .unionByName(
+        edges.select(col("dst").as("u"), col("src").as("v"), col("weight")))
+    val lu = labels.select(col("node").as("u"), col("l").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("l").as("cv"))
+    val tagged = sym.join(lu, "u").join(lv, "v").localCheckpoint()
+    val m2 = tagged.agg(sum("weight")).collect()(0).getLong(0)
+    tagged
+      .groupBy(col("cu").as("community"))
+      .agg(
+        sum(when(col("cu") === col("cv"), col("weight")).otherwise(0L))
+          .as("w_in"),
+        sum("weight").as("w_tot"))
+      .join(labels.groupBy(col("l").as("community"))
+        .agg(count(lit(1)).as("members")), Seq("community"), "right")
+      .select(col("community"), col("members"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"),
+        coalesce(col("w_tot"), lit(0L)).as("w_tot"),
+        ((coalesce(col("w_in"), lit(0L)) * lit(m2)
+          - coalesce(col("w_tot"), lit(0L)) * coalesce(col("w_tot"), lit(0L)))
+          .cast("double")
+          / (lit(m2).cast("double") * lit(m2).cast("double"))).as("q_contrib"))
+      .orderBy("community")
+  }
+
   /** Per-node TRIANGLE counts over the undirected click graph — the
     * cohesion signal community/curation audits read next to degree (a
     * high-degree node with zero triangles is a hub/spam pattern; dense

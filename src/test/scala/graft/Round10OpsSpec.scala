@@ -317,6 +317,43 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("modularity: per-community contributions replay brute force exactly") {
+    import graft.operators.LinkGraph
+    val rows = LinkGraph.labelPropModularity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val q = rows.map(_._5).sum
+    // Newman bound; the synthetic click graph has no planted community
+    // structure, so Q near (or slightly below) zero is the honest value
+    // — the metric EXISTS to report exactly that
+    assert(q > -1.0 && q <= 1.0, s"Q=$q out of range")
+    // identities: w_in <= w_tot per community, nonempty communities
+    rows.foreach { case (_, members, win, wtot, _) =>
+      assert(members >= 1 && win <= wtot)
+    }
+    // brute-force replay: collect the symmetrized weighted edges and the
+    // community map, recompute every per-community fix integer exactly
+    val g = LinkGraph.labelPropagation(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = LinkGraph.transitionEdges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val m2 = sym.map(_._3).sum
+    val winB = sym.filter { case (s, d, _) => g(s) == g(d) }
+      .groupBy { case (s, _, _) => g(s) }.view.mapValues(_.map(_._3).sum)
+    val wtotB = sym.groupBy { case (s, _, _) => g(s) }.view.mapValues(_.map(_._3).sum)
+    rows.foreach { case (c, _, win, wtot, qc) =>
+      assert(win == winB.getOrElse(c, 0L), s"community $c w_in")
+      assert(wtot == wtotB.getOrElse(c, 0L), s"community $c w_tot")
+      val expect = (win * m2 - wtot * wtot).toDouble / (m2.toDouble * m2.toDouble)
+      assert(qc == expect, s"community $c q_contrib $qc vs $expect")
+    }
+    // every community from the sizes row appears, with the same members
+    val sizes = LinkGraph.labelCommunitySizes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == sizes)
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
