@@ -42,6 +42,7 @@ object Bench {
     run(SparkEntry.queries("dedup_incremental_winnow")(spark, sfDir))
     run(SparkEntry.queries("dedup_winnow_pairs")(spark, sfDir))
     run(SparkEntry.queries("emb_incremental_neardup")(spark, sfDir))
+    run(SparkEntry.queries("snapshot_scd2_incremental")(spark, sfDir))
 
     // ---- timed cases ----
     val fromRegistry = Seq(
@@ -89,6 +90,7 @@ object Bench {
       "sketch_heavy_hitters", "snapshot_scd2", "txt_pmi_collocations",
       "emb_knn_refine", "w8_distribution_ranks", "decontam_semantic",
       "events_assoc_lift", "graph_label_prop_modularity",
+      "snapshot_scd2_incremental",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =

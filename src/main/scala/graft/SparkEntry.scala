@@ -536,6 +536,9 @@ object SparkEntry {
     // SCD type-2 history: consecutive distinct states -> validity spans,
     // one key-partitioned exchange for both window passes
     "snapshot_scd2" -> (Snapshot.eventsScd2History _),
+    // incremental SCD-2: extend the persisted span table with a batch,
+    // emitting exactly the delta (closed open-spans + new spans)
+    "snapshot_scd2_incremental" -> (Snapshot.eventsScd2Incremental _),
     "upsert_latest" -> (Snapshot.eventsUpsertLatest _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
@@ -1302,6 +1305,32 @@ object SparkEntry {
     }
     (head +: iterCtes).mkString(",\n")
   }
+
+  /** SCD-2 history CTE chain over an event source CTE `src`: run starts
+    * via null-safe lag compare, spans closed by the next run's start —
+    * ends in `${pfx}h` (user_id, valid_from, valid_to, is_current,
+    * event_type). Prefix-parameterized so an oracle can replay two
+    * slices (full vs base) side by side.
+    */
+  private def scd2HistSql(src: String, pfx: String): String =
+    s"""${pfx}f AS (
+           SELECT user_id, tus, event_id, event_type,
+                  lag(tus) OVER w IS NULL
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    AS is_start
+           FROM $src
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         ${pfx}s AS (SELECT * FROM ${pfx}f WHERE is_start),
+         ${pfx}o AS (
+           SELECT user_id, tus AS valid_from,
+                  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                    AS valid_to,
+                  event_type
+           FROM ${pfx}s),
+         ${pfx}h AS (
+           SELECT user_id, valid_from, valid_to,
+                  valid_to IS NULL AS is_current, event_type
+           FROM ${pfx}o)"""
 
   /** Degree-ordered triangle oracle: replays
     * graft.operators.LinkGraph.nodeTriangles verbatim — distinct
@@ -3342,6 +3371,22 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 10 <> 7
          ORDER BY o_orderkey""",
+    "snapshot_scd2_incremental" ->
+      // incremental ≡ from-scratch: replay the batch-inclusive history
+      // in full, subtract the stored base-slice history (EXCEPT) — the
+      // incremental-components oracle contract
+      s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+           FROM events),
+         ${scd2HistSql("ev", "f")},
+         bev AS (SELECT * FROM ev WHERE tus < 1706054400000000),
+         ${scd2HistSql("bev", "b")}
+         SELECT user_id, valid_from, valid_to, is_current, event_type
+         FROM fh
+         EXCEPT
+         SELECT user_id, valid_from, valid_to, is_current, event_type
+         FROM bh
+         ORDER BY user_id, valid_from""",
     "snapshot_scd2" ->
       // SCD-2 replay: run starts via null-safe lag compare, spans closed
       // by the next run's start version — pure copies and comparisons,

@@ -191,6 +191,102 @@ object Snapshot {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Stable artifact path for the persisted BASE span table
+    * ([[eventsScd2Incremental]]'s standing state) — the content-keyed
+    * convention: a regenerated events table misses the stale history.
+    */
+  private[graft] def scd2ArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/events.parquet",
+      "event_type", "scd2", s"scd2_v1|$sfDir|event_type|split1706054400") +
+      ".parquet"
+
+  /** Build the base-slice SCD-2 span table ONCE and persist it — the
+    * standing dimension history an arriving batch extends.
+    */
+  def persistScd2Base(spark: SparkSession, sfDir: String): String = {
+    val path = scd2ArtifactPath(spark, sfDir)
+    val raw = IO.table(spark, sfDir, "events")
+    val base = raw.filter(EventTime.tsBeforeUs(raw, Scd2SplitUs))
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select("user_id", "tus", "event_id", "event_type")
+    scd2History(base, "user_id", "tus", "event_id", Seq("event_type"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private[graft] val Scd2SplitUs = 1706054400000000L // 2024-01-24 UTC
+
+  /** INCREMENTAL SCD-2: extend the persisted span table with an arriving
+    * event batch WITHOUT recomputing history — the production CDC shape
+    * (the base history of a 100 TB dimension is immutable; per load only
+    * the delta is computed and merged). Emits EXACTLY the rows by which
+    * the batch-inclusive history differs from the stored one:
+    * still-open spans that CLOSE (the batch's first differing state
+    * timestamps their valid_to), plus every NEW span the batch opens.
+    * An open span whose state the batch merely continues is UNCHANGED
+    * and emits nothing.
+    *
+    * Soundness (append-only time): batch versions all sort after base
+    * versions, so closed base spans can never change; the entire diff
+    * lives in each affected user's open span + the batch's own runs,
+    * with the batch's first run MERGING into the open span when states
+    * match. The DuckDB oracle replays the batch-inclusive history in
+    * full and subtracts the stored one (EXCEPT) — a hash match proves
+    * incremental ≡ from-scratch on every changed row, the
+    * incremental-components contract.
+    *
+    * Scale shape: one scan of the span artifact (filtered to open spans
+    * — |users| rows — and semi-joined to the broadcast batch-user set);
+    * everything else is batch-bounded (the batch's own window pass plus
+    * |affected-users| joins). History volume never re-shuffles.
+    */
+  def eventsScd2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scd2ArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistScd2Base(spark, sfDir)
+    val stored = spark.read.parquet(path)
+    val raw = IO.table(spark, sfDir, "events")
+    val batch = raw.filter(EventTime.tsAtLeastUs(raw, Scd2SplitUs))
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select("user_id", "tus", "event_id", "event_type")
+    val bSpans = scd2History(batch, "user_id", "tus", "event_id",
+      Seq("event_type")).localCheckpoint()
+    val affected = bSpans.select("user_id").distinct()
+    val open = stored.filter(col("is_current"))
+      .join(broadcast(affected), "user_id")
+      .select(col("user_id"), col("valid_from").as("open_from"),
+        col("event_type").as("open_state"))
+    val firsts = bSpans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("valid_from")))
+      .localCheckpoint()
+    val first = firsts.filter(col("rn") === 1)
+      .select(col("user_id"), col("valid_from").as("b_from"),
+        col("valid_to").as("b_to"), col("event_type").as("b_state"))
+    // the stored open span's fate: closes at the first differing state
+    val joined = open.join(first, "user_id")
+    val closed = joined
+      .select(col("user_id"), col("open_from").as("valid_from"),
+        when(col("b_state") =!= col("open_state"), col("b_from"))
+          .otherwise(col("b_to")).as("valid_to"),
+        col("open_state").as("event_type"))
+      // merged-and-still-open (same state, single batch run): no change
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        lit(false).as("is_current"), col("event_type"))
+    // new span rows: every batch run EXCEPT a first run that merged
+    val newSpans = firsts
+      .join(broadcast(open.select(col("user_id"),
+        col("open_state"))), Seq("user_id"), "left")
+      .filter(col("rn") =!= 1 || col("open_state").isNull
+        || col("event_type") =!= col("open_state"))
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("event_type"))
+    closed.unionByName(newSpans).orderBy("user_id", "valid_from")
+  }
+
   /** Registered upsert: per-user latest state, where events in the final
     * week of the window arrive as the update batch against the base state
     * built from everything earlier. Ordering runs at µs (`tus`, via the

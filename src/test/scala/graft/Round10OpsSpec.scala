@@ -354,6 +354,24 @@ class Round10OpsSpec extends SparkTestBase {
     assert(rows.map(r => r._1 -> r._2).toMap == sizes)
   }
 
+  test("incremental scd2: stored + delta reconstructs the from-scratch history") {
+    import graft.operators.Snapshot
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getString(4))).toSet
+    val delta = rows(Snapshot.eventsScd2Incremental(spark, Sf))
+    assert(delta.nonEmpty, "the batch slice must change some spans")
+    val stored = rows(spark.read.parquet(Snapshot.scd2ArtifactPath(spark, Sf)))
+    // merge: delta rows replace same-(user, valid_from) stored rows
+    val deltaKeys = delta.map(r => (r._1, r._2))
+    val merged = stored.filterNot(r => deltaKeys.contains((r._1, r._2))) ++ delta
+    val full = rows(Snapshot.eventsScd2History(spark, Sf))
+    assert(merged == full, "apply(stored, delta) must equal the full recompute")
+    // and the delta is MINIMAL: no delta row already exists verbatim
+    assert(delta.intersect(stored).isEmpty, "delta must not restate unchanged rows")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
