@@ -791,6 +791,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("triangles: equi-joins only, no cartesian, text-free narrow rows") {
+    val df = graft.operators.LinkGraph.triangleCounts(spark, Sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"wedge + closing joins must stay equi-joins:\n$p")
+  }
+
+  test("heavy hitters: candidates filter map-side via a broadcast join") {
+    val df = graft.operators.Relational.sketchHeavyHitters(spark, Sf)
+    val p = plan(df)
+    // the candidate set joins map-side (broadcast): the only shuffle is
+    // the candidate-bounded count aggregation — a full-vocabulary
+    // shuffle would mean the MG pass bought nothing
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2 history: both window passes share ONE key exchange") {
     val df = graft.operators.Snapshot.eventsScd2History(spark, Sf)
     df.write.format("noop").mode("overwrite").save()
