@@ -243,14 +243,26 @@ object Snapshot {
     * |affected-users| joins). History volume never re-shuffles.
     */
   def eventsScd2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = scd2ArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistScd2Base(spark, sfDir)
-    val stored = spark.read.parquet(path)
     val raw = IO.table(spark, sfDir, "events")
     val batch = raw.filter(EventTime.tsAtLeastUs(raw, Scd2SplitUs))
       .withColumn("tus", EventTime.tsUs(raw))
       .select("user_id", "tus", "event_id", "event_type")
+    scd2IncrementalFrames(spark, sfDir, batch)
+  }
+
+  /** Delta core over an explicit batch (user_id, tus, event_id,
+    * event_type) frame — the production/streaming entry; consumes the
+    * PERSISTED base span table (self-priming, the stored-artifact
+    * convention).
+    */
+  private[graft] def scd2IncrementalFrames(
+      spark: SparkSession,
+      sfDir: String,
+      batch: DataFrame): DataFrame = {
+    val path = scd2ArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistScd2Base(spark, sfDir)
+    val stored = spark.read.parquet(path)
     val bSpans = scd2History(batch, "user_id", "tus", "event_id",
       Seq("event_type")).localCheckpoint()
     val affected = bSpans.select("user_id").distinct()
@@ -285,6 +297,36 @@ object Snapshot {
       .select(col("user_id"), col("valid_from"), col("valid_to"),
         col("is_current"), col("event_type"))
     closed.unionByName(newSpans).orderBy("user_id", "valid_from")
+  }
+
+  /** Streaming twin of [[eventsScd2Incremental]] — the dimension-history
+    * analogue of `Similarity.embIngestStream`: arriving
+    * (user_id, tus, event_id, event_type) micro-batches each get their
+    * exact history delta against the SAME persisted base span table,
+    * written idempotently per batch id (a replayed micro-batch
+    * overwrites its own directory). The base artifact primes EAGERLY
+    * before `.start()` so micro-batch 0 never pays the corpus-scale
+    * history build (the ingest-gate lesson).
+    */
+  def scd2IngestStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = scd2ArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistScd2Base(spark, sfDir)
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2IncrementalFrames(spark, sfDir,
+          batch.select("user_id", "tus", "event_id", "event_type"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/deltas/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** Registered upsert: per-user latest state, where events in the final

@@ -96,6 +96,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("scd2 ingest stream: per-batch deltas equal the batch twin against the same artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.sources.IO.table(spark, Sf, "events")
+    val batchRows = raw
+      .filter(graft.operators.EventTime.tsAtLeastUs(raw, graft.operators.Snapshot.Scd2SplitUs))
+      .withColumn("tus", graft.operators.EventTime.tsUs(raw))
+      .select("user_id", "tus", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val outDir = graft.sources.IO.scratchDir("scd2_stream")
+    val q = graft.operators.Snapshot.scd2IngestStream(spark, Sf,
+      mem.toDF().toDF("user_id", "tus", "event_id", "event_type"), outDir)
+    try {
+      mem.addData(batchRows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/deltas")
+      .select("user_id", "valid_from", "valid_to", "is_current", "event_type")
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Snapshot.eventsScd2Incremental(spark, Sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length && streamed.toSet == batch.toSet,
+      "stream deltas must equal the batch row")
+  }
+
   test("ingest gate replay: re-running a micro-batch overwrites, never duplicates") {
     import org.apache.spark.sql.functions.col
     val arrivals = spark.read.parquet(s"$Sf/documents.parquet")
