@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, HilbertIndexExpr, MinHashSigExpr, SimHash64Expr, SortedIntersectCountExpr}
 
 /** Config-installable packaging of the whole graft engine surface:
   *
@@ -56,6 +56,11 @@ object GraftExtensions {
       { children: Seq[Expression] =>
         require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCountExpr(children.head, children(1))
+      }),
+    ("hilbert_xy2d", "hilbert_xy2d(x, y) - order-16 Hilbert curve index of a BIGINT pair",
+      { children: Seq[Expression] =>
+        require(children.size == 2, "hilbert_xy2d takes exactly 2 arguments")
+        HilbertIndexExpr(children.head, children(1))
       }),
     ("simhash64", "simhash64(hashes) - 64-bit bit-majority simhash of a BIGINT array",
       { children: Seq[Expression] =>

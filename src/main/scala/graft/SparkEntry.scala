@@ -530,6 +530,9 @@ object SparkEntry {
     // Z-order layout: Morton codes over (partkey, suppkey) — the
     // projection the re-layout sorts on; pruning benefit is spec-measured
     "zorder_values" -> (Layout.zOrderValues _),
+    // Hilbert curve indices over the same 2-D key — the no-diagonal-jump
+    // clustering curve, 16 chained integer-exact projections
+    "hilbert_values" -> (Layout.hilbertValues _),
     // snapshot maintenance: CDC diff + latest-wins upsert (SCD-1 merge)
     "snapshot_diff" -> (Snapshot.ordersSnapshotDiff _),
     "snapshot_apply" -> (Snapshot.ordersSnapshotApply _),
@@ -3339,6 +3342,16 @@ object SparkEntry {
           SELECT l_orderkey, l_linenumber, zx, zy,
                  (${Layout.zValue16Sql("zx", "zy")}) AS z
           FROM b ORDER BY l_orderkey, l_linenumber""",
+    "hilbert_values" ->
+      // the same 16-level xy2d walk, replayed as chained CTEs — pure
+      // integer compares/adds/flips, bit-identical
+      s"""WITH b AS (
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_partkey % 65536 AS hx, l_suppkey % 65536 AS hy
+            FROM lineitem),
+          ${Layout.hilbertSql("b", "l_orderkey, l_linenumber")}
+          SELECT l_orderkey, l_linenumber, hx, hy, h
+          FROM hf ORDER BY l_orderkey, l_linenumber""",
     "snapshot_diff" ->
       // +1.0 on a double is exact IEEE in both engines; IS DISTINCT FROM
       // mirrors Spark's null-safe <=> negation

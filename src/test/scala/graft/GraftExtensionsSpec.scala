@@ -44,10 +44,13 @@ class GraftExtensionsSpec extends SparkTestBase {
                   dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                   simhash64(array(1L, 3L)) AS sh,
                   minhash_sig(array(5L, 9L), 4) AS mh,
-                  sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS sic""").collect()(0)
+                  sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS sic,
+                  hilbert_xy2d(3L, 4L) AS hb""").collect()(0)
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(r.getDouble(1) == 11.0)
       assert(r.getInt(4) == 2)
+      assert(r.getLong(5) == spark.sql("SELECT hilbert_xy2d(3L, 4L)")
+        .collect()(0).getLong(0))
       // values must agree with the session-registered versions
       val ref = spark.sql(
         "SELECT simhash64(array(1L, 3L)), minhash_sig(array(5L, 9L), 4)").collect()(0)

@@ -372,6 +372,51 @@ class Round10OpsSpec extends SparkTestBase {
     assert(delta.intersect(stored).isEmpty, "delta must not restate unchanged rows")
   }
 
+  test("hilbert index: matches the reference xy2d walk, injective, curve-adjacent") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // reference implementation (the classic xy2d)
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (Layout.ZBits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(400)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .distinct
+    val got = Layout.hilbertWithColumns(pts.toDF("hx", "hy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"hilbert($x,$y)")
+    }
+    assert(got.values.toSet.size == pts.size, "curve must be injective")
+    // the defining property: consecutive indices are ADJACENT cells —
+    // check on a full low-order walk (first 256 indices tile a 16x16
+    // corner region of the curve)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .map { case (x, y) => ref(x, y) -> (x, y) }.toMap
+    (0L until 255L).foreach { d =>
+      // indices 0..255 lie inside the 64x64 corner (4^4 cells per
+      // 16x16 block, walked block-contiguously)
+      (grid.get(d), grid.get(d + 1)) match {
+        case (Some((x1, y1)), Some((x2, y2))) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+            s"d=$d: ($x1,$y1) -> ($x2,$y2) not adjacent")
+        case _ => fail(s"index $d missing from the corner walk")
+      }
+    }
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
