@@ -358,6 +358,8 @@ object SparkEntry {
     // PMI collocations: above-chance co-occurrence (min-count guarded),
     // float-washed ln over a pinned exact-integer operand chain
     "txt_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    // per-source KL drift vs the corpus token distribution
+    "txt_source_kl" -> (TextAnalysis.sourceKlDivergence _),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // CCNet head/middle/tail cut over the bigram-LM score
@@ -2632,6 +2634,26 @@ object SparkEntry {
            FROM documents WHERE len(string_split(text, ' ')) >= 2)
          SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
          ORDER BY cnt DESC, bigram LIMIT 100""",
+    "txt_source_kl" ->
+      // integer-weighted fixed-point ln terms -> order-independent BIGINT
+      // sum per source; one exact final division
+      s"""WITH st AS (
+           SELECT source, t AS term, COUNT(*) AS cs FROM (
+             SELECT source, unnest(${wsToksSql("text")}) AS t FROM documents)
+           GROUP BY 1, 2),
+         ct AS (SELECT term, CAST(SUM(cs) AS BIGINT) AS c FROM st GROUP BY 1),
+         ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+         n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+         fx AS (
+           SELECT st.source, ns.ns,
+                  st.cs * CAST(round(CAST(CAST(ln(
+                    (CAST(st.cs AS DOUBLE) * CAST(n.n AS DOUBLE))
+                    / (CAST(ns.ns AS DOUBLE) * CAST(ct.c AS DOUBLE))
+                  ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS fix
+           FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n)
+         SELECT source, ns AS n_tokens,
+                CAST(SUM(fix) AS DOUBLE) / (CAST(ns AS DOUBLE) * 1000000.0) AS kl
+         FROM fx GROUP BY source, ns ORDER BY source""",
     "txt_pmi_collocations" ->
       // exact counts; the PMI operand chain (casts + association order)
       // mirrors the engine's, the one ln float-washed; bigram tiebreak

@@ -240,6 +240,51 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-source KL DIVERGENCE of token distributions against the whole
+    * corpus — the drift detector curation teams chart per source/crawl
+    * version: KL(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/q(t)).
+    * A source whose KL jumps between corpus versions changed its
+    * language (template rot, spam injection, encoding breakage) even if
+    * its volume and quality scores held steady. Always well-defined:
+    * every source term is a corpus term, so q(t) > 0 on the support.
+    *
+    * Scale shape: ONE token explode into the (source, term) count table
+    * (map-side combined, Zipf-small); corpus-wide term counts re-
+    * aggregate THAT table (the TF-IDF trick — never a second explode);
+    * totals are one-row broadcast frames. The only data-scale exchange
+    * is the first count's.
+    *
+    * Determinism: the per-term ratio (c_s·N)/(N_s·c) has exact-integer
+    * operands; its ln is float-washed and fixed-pointed to
+    * round(·×10⁶), then WEIGHTED BY THE INTEGER c_s — so the per-source
+    * sum is an exact BIGINT sum (order-independent) and the final
+    * division by N_s·10⁶ is one exact op. Cross-engine bit-identical.
+    */
+  def sourceKlDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = IO.table(spark, sfDir, "documents")
+      .select(col("source"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy("term").agg(sum("cs").as("c"))
+    val ns = st.groupBy("source").agg(sum("cs").as("ns"))
+    val n = ct.agg(sum("c").as("n"))
+    st.join(ct, "term")
+      .join(ns, "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"),
+        (col("cs")
+          * round(log((col("cs").cast("double") * col("n").cast("double"))
+              / (col("ns").cast("double") * col("c").cast("double")))
+              .cast("float").cast("double") * lit(1000000.0), 0).cast("long"))
+          .as("fix"))
+      .groupBy("source", "ns")
+      .agg(sum("fix").as("s"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        (col("s").cast("double")
+          / (col("ns").cast("double") * lit(1000000.0))).as("kl"))
+      .orderBy("source")
+  }
+
   /** TF-IDF top-3 terms per document. All inputs to the score are exact
     * integers, so the double score is bit-identical across engines:
     * (tf/dlen) * ln((N+1)/(df+1)). The raw token stream is exploded and

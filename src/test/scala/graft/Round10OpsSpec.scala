@@ -417,6 +417,36 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("source kl divergence: non-negative up to fix quantization, brute-force replay") {
+    import graft.functions.TextAnalysis
+    val got = TextAnalysis.sourceKlDivergence(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size >= 2, "testdata has several sources")
+    // KL >= 0 (Gibbs); the 1e-6 fixed-point rounding can dip epsilon below
+    got.foreach { case (s, (_, kl)) =>
+      assert(kl >= -1e-4, s"source $s: KL $kl")
+    }
+    // brute-force replay with the same fix arithmetic
+    val toks = graft.sources.IO.table(spark, Sf, "documents")
+      .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrcTerm = toks.groupBy(identity).view.mapValues(_.size.toLong)
+    val byTerm = toks.groupBy(_._2).view.mapValues(_.size.toLong)
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.size.toLong)
+    val n = toks.length.toLong
+    got.foreach { case (src, (nTok, kl)) =>
+      assert(nTok == bySrc(src))
+      val fixSum = bySrcTerm.collect { case ((s, t), cs) if s == src =>
+        cs * math.round(
+          math.log((cs.toDouble * n.toDouble)
+            / (bySrc(src).toDouble * byTerm(t).toDouble)).toFloat.toDouble
+            * 1000000.0)
+      }.sum
+      val expect = fixSum.toDouble / (bySrc(src).toDouble * 1000000.0)
+      assert(kl == expect, s"source $src: kl $kl vs $expect")
+    }
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
