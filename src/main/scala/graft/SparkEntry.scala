@@ -407,6 +407,9 @@ object SparkEntry {
     "graph_label_prop_modularity" -> ((s, d) => LinkGraph.labelPropModularity(s, d)),
     // per-node triangle counts via degree-ordered wedge orientation
     "graph_triangles" -> ((s, d) => LinkGraph.triangleCounts(s, d)),
+    // 3-core membership by iterative peeling (unique fixpoint; the
+    // oracle over-unrolls safely)
+    "graph_kcore" -> ((s, d) => LinkGraph.kCoreMembers(s, d)),
     // local clustering coefficient over the same oriented-wedge counts
     "graph_clustering_coeff" -> ((s, d) => LinkGraph.clusteringCoefficients(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
@@ -1336,6 +1339,44 @@ object SparkEntry {
            SELECT user_id, valid_from, valid_to,
                   valid_to IS NULL AS is_current, event_type
            FROM ${pfx}o)"""
+
+  /** K-core peeling oracle: `rounds` unrolled drop-below-k passes over
+    * the distinct undirected edge set. The fixpoint is unique and extra
+    * rounds are no-ops on a converged set, so over-unrolling is safe —
+    * the engine loop runs to ACTUAL convergence and the spec pins its
+    * round count under this unroll.
+    */
+  private def kCoreSql(k: Int = 3, rounds: Int = 12): String = {
+    // per-round CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references the previous one three times — an inlined
+    // chain expands to 3^rounds base scans (observed as an fd blowup)
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         u0 AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM edges)"""
+    val iter = (1 to rounds).map { i =>
+      s"""kk$i AS MATERIALIZED (
+           SELECT n FROM (
+             SELECT n, COUNT(*) AS d FROM (
+               SELECT u AS n FROM u${i - 1} UNION ALL SELECT v FROM u${i - 1})
+             GROUP BY 1) WHERE d >= $k),
+         u$i AS MATERIALIZED (
+           SELECT u, v FROM u${i - 1}
+           WHERE u IN (SELECT n FROM kk$i) AND v IN (SELECT n FROM kk$i))"""
+    }
+    (head +: iter).mkString(",\n")
+  }
 
   /** Degree-ordered triangle oracle: replays
     * graft.operators.LinkGraph.nodeTriangles verbatim — distinct
@@ -3786,6 +3827,11 @@ object SparkEntry {
     "graph_triangles" ->
       s"""$triangleBaseSql
          SELECT node, triangles FROM pn ORDER BY node""",
+    "graph_kcore" ->
+      s"""${kCoreSql()}
+         SELECT n AS node, COUNT(*) AS core_degree FROM (
+           SELECT u AS n FROM u12 UNION ALL SELECT v FROM u12)
+         GROUP BY 1 ORDER BY 1""",
     "graph_clustering_coeff" ->
       s"""$triangleBaseSql
          SELECT node, degree, triangles,

@@ -777,6 +777,76 @@ object LinkGraph {
       .orderBy("node")
   }
 
+  /** K-CORE membership (k = 3): the maximal subgraph in which every node
+    * keeps at least k neighbors — the classic link-spam/noise trim (a
+    * page farm's long tentacles peel away; the dense organic core
+    * survives), run by iterative peeling: drop all nodes below degree k,
+    * recompute degrees, repeat to fixpoint. Emits the surviving nodes
+    * with their WITHIN-CORE degree.
+    *
+    * Scale shape: the loop state is the (long, long) undirected edge
+    * list, which only ever SHRINKS; each round is one degree
+    * aggregation plus two semi-joins against the |nodes|-bounded keep
+    * set, checkpointed per round (the star-contraction materialization
+    * policy) with LoopWidth pinned to the edge estimate. Convergence is
+    * edge-count stability — one count job per round on checkpointed
+    * data; a 30-round cap fails loudly (peeling is monotone, so real
+    * graphs converge in a handful of rounds — the spec pins the bound
+    * the oracle's unroll relies on).
+    *
+    * Determinism: peeling is a pure set fixpoint — no tie-breaks, no
+    * arithmetic beyond integer degree counts; the fixpoint is unique
+    * regardless of round count, so the DuckDB oracle may safely
+    * OVER-unroll (extra rounds are no-ops on a converged set).
+    */
+  def kCoreMembers(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3): DataFrame = {
+    val (edges, _) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      kCoreOver(undirectedOf(edges), k)
+    }
+  }
+
+  /** Peeling core over an explicit distinct undirected (u, v) frame —
+    * the synthetic-graph test seam. Records (rounds, final edge count)
+    * in [[Cluster.lastRunStats]]-style telemetry via the return path
+    * of [[lastKCoreRounds]].
+    */
+  private[graft] def kCoreOver(und0: DataFrame, k: Int): DataFrame = {
+    var und = und0.localCheckpoint()
+    var prev = und.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val next = und
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val cnt = next.count()
+      converged = cnt == prev
+      prev = cnt
+      und = next
+      rounds += 1
+    }
+    require(converged, s"k-core peeling did not converge in 30 rounds")
+    lastKCoreRounds = Some(rounds)
+    und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** Rounds of the most recent [[kCoreOver]] call on this driver — the
+    * telemetry seam the oracle-unroll-bound spec reads.
+    */
+  @volatile private[graft] var lastKCoreRounds: Option[Int] = None
+
   /** Distinct undirected (u < v) edge set of the directed weighted edge
     * artifact — weights collapse (triangle structure is unweighted) and
     * reciprocal pairs merge.

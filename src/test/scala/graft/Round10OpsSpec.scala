@@ -447,6 +447,40 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("k-core: equals brute-force peeling on random graphs; rounds under the oracle unroll") {
+    import graft.operators.LinkGraph
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31)
+      val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = LinkGraph.kCoreOver(edges.toDF("u", "v"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force peel
+      var cur = edges.toSet
+      var changed = true
+      while (changed) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= 3).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next != cur
+        cur = next
+      }
+      val truth = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == truth, s"seed $seed: k-core drift")
+    }
+    // testdata row: peeling must converge well under the oracle's
+    // 12-round unroll (over-unrolling is a no-op, under-unrolling isn't)
+    LinkGraph.lastKCoreRounds = None
+    LinkGraph.kCoreMembers(spark, Sf).write.format("noop").mode("overwrite").save()
+    val r = LinkGraph.lastKCoreRounds.getOrElse(fail("no k-core telemetry"))
+    assert(r <= 12, s"k-core took $r rounds; raise the oracle unroll")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
