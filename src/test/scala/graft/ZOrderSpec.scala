@@ -82,4 +82,32 @@ class ZOrderSpec extends SparkTestBase {
     assert(xScanned > (zScanned * 2),
       s"z layout should scan well under half the rows: z=$zScanned linear=$xScanned")
   }
+
+  test("Hilbert layout prunes the secondary column at least as tightly as Morton") {
+    import spark.implicits._
+    val df = spark.range(200000).select(
+      pmod(col("id") * 2654435761L, lit(1024L)).as("x"),
+      pmod((col("id") + 7919L) * 2246822519L, lit(1024L)).as("y"),
+      col("id").as("payload"))
+    val hDir = graft.sources.IO.scratchDir("hilbert_h")
+    val zDir = graft.sources.IO.scratchDir("hilbert_zref")
+    val xDir = graft.sources.IO.scratchDir("hilbert_linear")
+    Layout.writeHilbertOrdered(df, "x", "y", hDir, numFiles = 32)
+    Layout.writeZOrdered(df, "x", "y", zDir, numFiles = 32)
+    Layout.writeLinear(df, "x", xDir, numFiles = 32)
+
+    def yScan(dir: String): DataFrame =
+      spark.read.parquet(dir).filter(col("y").between(100, 131))
+
+    assert(yScan(hDir).count() == yScan(xDir).count(), "layout must not change answers")
+    val hScanned = scanOutputRows(yScan(hDir))
+    val zScanned = scanOutputRows(yScan(zDir))
+    val xScanned = scanOutputRows(yScan(xDir))
+    assert(xScanned > hScanned * 2,
+      s"hilbert layout should scan well under half the rows: h=$hScanned linear=$xScanned")
+    // adjacency means no diagonal jumps inside a tile — Hilbert boxes
+    // are at least as tight as Morton's (allow a small tiling wobble)
+    assert(hScanned <= zScanned * 3 / 2,
+      s"hilbert tiles should match or beat Morton: h=$hScanned z=$zScanned")
+  }
 }
