@@ -98,7 +98,8 @@ object Layout {
       val ry = s"CASE WHEN (cy & $s) > 0 THEN 1 ELSE 0 END"
       s"""hl$level AS (
            SELECT $keyCols, hx, hy,
-                  d + ${s * s} * xor(3 * ($rx), ($ry)) AS d,
+                  d + CAST(${s * s} AS BIGINT)
+                      * CAST(xor(3 * ($rx), ($ry)) AS BIGINT) AS d,
                   CASE WHEN ($ry) = 0
                        THEN CASE WHEN ($rx) = 1 THEN ${s - 1} - cy ELSE cy END
                        ELSE cx END AS cx,
