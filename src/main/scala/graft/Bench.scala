@@ -91,7 +91,7 @@ object Bench {
       "emb_knn_refine", "w8_distribution_ranks", "decontam_semantic",
       "events_assoc_lift", "graph_label_prop_modularity",
       "snapshot_scd2_incremental", "hilbert_values", "txt_source_kl",
-      "graph_kcore",
+      "graph_kcore", "graph_bfs_distances",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")
     val allCases: Seq[(String, () => DataFrame)] =

@@ -410,6 +410,8 @@ object SparkEntry {
     // 3-core membership by iterative peeling (unique fixpoint; the
     // oracle over-unrolls safely)
     "graph_kcore" -> ((s, d) => LinkGraph.kCoreMembers(s, d)),
+    // 6-hop BFS distances from the pinned seed set (fixed-round contract)
+    "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
     // local clustering coefficient over the same oriented-wedge counts
     "graph_clustering_coeff" -> ((s, d) => LinkGraph.clusteringCoefficients(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
@@ -1374,6 +1376,43 @@ object SparkEntry {
          u$i AS MATERIALIZED (
            SELECT u, v FROM u${i - 1}
            WHERE u IN (SELECT n FROM kk$i) AND v IN (SELECT n FROM kk$i))"""
+    }
+    (head +: iter).mkString(",\n")
+  }
+
+  /** Bounded-hop BFS oracle: `maxHops` unrolled frontier expansions with
+    * integer min-relaxation — MATERIALIZED per round (each references
+    * the previous twice; the k-core inlining lesson).
+    */
+  private def bfsSql(maxHops: Int = 6): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         bsym AS MATERIALIZED (
+           SELECT DISTINCT u, v FROM (
+             SELECT src AS u, dst AS v FROM edges
+             UNION ALL SELECT dst AS u, src AS v FROM edges)),
+         b0 AS MATERIALIZED (
+           SELECT node, 0 AS dist FROM nodes WHERE node % 10 = 0)"""
+    val iter = (1 to maxHops).map { h =>
+      s"""b$h AS MATERIALIZED (
+           SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM b${h - 1}
+             UNION ALL
+             SELECT s.v AS node, $h AS dist
+             FROM bsym s JOIN b${h - 1} d ON s.u = d.node
+             WHERE d.dist = ${h - 1})
+           GROUP BY 1)"""
     }
     (head +: iter).mkString(",\n")
   }
@@ -3832,6 +3871,9 @@ object SparkEntry {
          SELECT n AS node, COUNT(*) AS core_degree FROM (
            SELECT u AS n FROM u12 UNION ALL SELECT v FROM u12)
          GROUP BY 1 ORDER BY 1""",
+    "graph_bfs_distances" ->
+      s"""${bfsSql()}
+         SELECT node, dist FROM b6 ORDER BY node""",
     "graph_clustering_coeff" ->
       s"""$triangleBaseSql
          SELECT node, degree, triangles,

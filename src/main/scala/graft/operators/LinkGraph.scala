@@ -777,6 +777,49 @@ object LinkGraph {
       .orderBy("node")
   }
 
+  /** BOUNDED-HOP BFS DISTANCES from the pinned seed set (node % 10 = 0,
+    * the PPR seed convention): every node's hop distance to the nearest
+    * seed over the UNDIRECTED click graph, up to `maxHops` — the
+    * reachability primitive under seed-proximity curation ("how many
+    * clicks from a trusted domain is this item?"), and the exact-
+    * distance complement to PPR's probability mass. The hop bound is
+    * part of the CONTRACT (rows stop at maxHops), so the result is
+    * well-defined with a fixed round count — no convergence test, no
+    * data-dependent unroll hazard for the oracle.
+    *
+    * Scale shape: the frontier loop is the standard distributed BFS —
+    * per round one frontier⋈edges equi-join plus a min-aggregation
+    * bounded by |reached nodes|, checkpointed per round with LoopWidth
+    * pinned to the symmetrized edge estimate; edges never carry more
+    * than (long, long) rows. Integer hop counts, min-relaxation —
+    * order-independent and engine-exact.
+    */
+  def bfsDistances(
+      spark: SparkSession,
+      sfDir: String,
+      maxHops: Int = 6): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, 2L * storedEdgeRows(spark, sfDir)) {
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+        .distinct()
+        .localCheckpoint()
+      var dist = nodes.filter(col("node") % 10 === 0)
+        .select(col("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      for (h <- 1 to maxHops) {
+        val frontier = dist.filter(col("dist") === h - 1)
+          .select(col("node").as("u"))
+        val reached = sym.join(frontier, "u")
+          .select(col("v").as("node"), lit(h).as("dist"))
+        dist = dist.unionByName(reached)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.orderBy("node")
+    }
+  }
+
   /** K-CORE membership (k = 3): the maximal subgraph in which every node
     * keeps at least k neighbors — the classic link-spam/noise trim (a
     * page farm's long tentacles peel away; the dense organic core

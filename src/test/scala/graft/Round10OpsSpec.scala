@@ -481,6 +481,31 @@ class Round10OpsSpec extends SparkTestBase {
     assert(r <= 12, s"k-core took $r rounds; raise the oracle unroll")
   }
 
+  test("bfs distances: equals driver-side BFS from the seed set, capped at 6 hops") {
+    import graft.operators.LinkGraph
+    val got = LinkGraph.bfsDistances(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    val edges = LinkGraph.transitionEdges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = graft.sources.IO.table(spark, Sf, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("i"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // driver BFS
+    var dist = nodes.filter(_ % 10 == 0).map(_ -> 0).toMap
+    (1 to 6).foreach { h =>
+      val frontier = dist.collect { case (n, d) if d == h - 1 => n }
+      frontier.foreach { n =>
+        adj.getOrElse(n, Set.empty).foreach { m =>
+          if (!dist.contains(m)) dist += m -> h
+        }
+      }
+    }
+    assert(got == dist, s"bfs drift: got ${got.size} rows, want ${dist.size}")
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
