@@ -90,7 +90,7 @@ object Bench {
       "sketch_heavy_hitters", "snapshot_scd2", "txt_pmi_collocations",
       "emb_knn_refine", "w8_distribution_ranks", "decontam_semantic",
       "events_assoc_lift", "graph_label_prop_modularity",
-      "snapshot_scd2_incremental", "hilbert_values", "txt_source_kl",
+      "snapshot_scd2_incremental", "hilbert_values", "txt_source_kl", "txt_source_zipf",
       "graph_kcore", "graph_bfs_distances",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize")

@@ -360,6 +360,8 @@ object SparkEntry {
     "txt_pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     // per-source KL drift vs the corpus token distribution
     "txt_source_kl" -> (TextAnalysis.sourceKlDivergence _),
+    // per-source Zipf exponent (fixed-point log-log least squares)
+    "txt_source_zipf" -> (TextAnalysis.sourceZipfFit _),
     "txt_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // CCNet head/middle/tail cut over the bigram-LM score
@@ -2734,6 +2736,36 @@ object SparkEntry {
          SELECT source, ns AS n_tokens,
                 CAST(SUM(fix) AS DOUBLE) / (CAST(ns AS DOUBLE) * 1000000.0) AS kl
          FROM fx GROUP BY source, ns ORDER BY source""",
+    "txt_source_zipf" ->
+      // exact BIGINT regression sums over float-washed fixed-point logs;
+      // the closing fold runs in DOUBLE space in the engine's pinned
+      // operand order (n*Sxy overflows BIGINT at a few hundred terms)
+      s"""WITH st AS (
+           SELECT source, t AS term, COUNT(*) AS cnt FROM (
+             SELECT source, unnest(${wsToksSql("text")}) AS t FROM documents)
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT source, cnt,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY cnt DESC, term) AS r
+           FROM st),
+         fx AS (
+           SELECT source,
+                  CAST(round(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+                  CAST(round(CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+           FROM rk),
+         ag AS (
+           SELECT source, COUNT(*) AS n_terms,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM fx GROUP BY 1)
+         SELECT source, n_terms,
+                (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+         FROM ag ORDER BY source""",
     "txt_pmi_collocations" ->
       // exact counts; the PMI operand chain (casts + association order)
       // mirrors the engine's, the one ln float-washed; bigram tiebreak

@@ -285,6 +285,60 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** ZIPF-EXPONENT fit per source: least-squares slope of
+    * ln(freq) vs ln(rank) over each source's term-frequency table — the
+    * vocabulary-health diagnostic next to [[sourceKlDivergence]]'s drift
+    * (natural text sits near s ≈ −1; template/boilerplate sources
+    * flatten toward 0 and their slope shifts before human review
+    * notices). Ranks are tie-broken by term, so the regression inputs
+    * are deterministic.
+    *
+    * Scale shape: one token explode into the Zipf-small (source, term)
+    * count table; the rank window partitions by source over that
+    * already-aggregated table; the regression reduces each source to
+    * FIVE integer sums. Nothing at token scale shuffles twice.
+    *
+    * Determinism: ln(rank) and ln(freq) are float-washed and
+    * fixed-pointed to round(·×10⁶) longs; Σx, Σy, Σxy, Σx² are exact
+    * BIGINT sums of exact products (order-independent), and the final
+    * slope/intercept fold those integers in pinned operation order —
+    * bit-identical cross-engine. Headroom: Σ(xy-fix) stays in a long
+    * through ~10⁴ ranked terms per source at 10⁶ scaling; a web-scale
+    * vocabulary lifts the sums to DECIMAL (the moment-sum convention).
+    */
+  def sourceZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = IO.table(spark, sfDir, "documents")
+      .select(col("source"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("term"))))
+    val fixed = ranked.select(col("source"),
+      round(log(col("r").cast("double")).cast("float").cast("double")
+        * lit(1000000.0), 0).cast("long").as("x"),
+      round(log(col("cnt").cast("double")).cast("float").cast("double")
+        * lit(1000000.0), 0).cast("long").as("y"))
+    fixed
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). The sums are exact
+        // integers (order-independent); the fold runs in DOUBLE space
+        // in pinned operand order because n·Σxy overflows a long at a
+        // few hundred terms (Σxy ~ n·(ln·10⁶)² ≈ 10¹⁶). The 10⁶ fix
+        // scales cancel in the ratio.
+        ((col("n_terms").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_terms").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
   /** TF-IDF top-3 terms per document. All inputs to the score are exact
     * integers, so the double score is bit-identical across engines:
     * (tf/dlen) * ln((N+1)/(df+1)). The raw token stream is exploded and

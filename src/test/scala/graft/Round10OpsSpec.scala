@@ -506,6 +506,37 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got == dist, s"bfs drift: got ${got.size} rows, want ${dist.size}")
   }
 
+  test("zipf fit: negative slopes, exact fixed-point regression replay") {
+    import graft.functions.TextAnalysis
+    val got = TextAnalysis.sourceZipfFit(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size >= 2)
+    got.foreach { case (s, (n, slope)) =>
+      assert(n > 10, s"source $s too small to fit")
+      assert(slope < 0.0, s"source $s: rank-frequency must decay, slope $slope")
+    }
+    // brute-force replay with the same fix arithmetic
+    val toks = graft.sources.IO.table(spark, Sf, "documents")
+      .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    toks.groupBy(_._1).foreach { case (src, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }
+      val fix = counts.zipWithIndex.map { case ((_, c), i) =>
+        val x = math.round(math.log((i + 1).toDouble).toFloat.toDouble * 1e6)
+        val y = math.round(math.log(c.toDouble).toFloat.toDouble * 1e6)
+        (x, y)
+      }
+      val n = fix.size.toLong
+      val (sx, sy) = (fix.map(_._1).sum, fix.map(_._2).sum)
+      val sxy = fix.map { case (x, y) => x * y }.sum
+      val sxx = fix.map { case (x, _) => x * x }.sum
+      val expect = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      assert(got(src)._2 == expect, s"source $src: slope ${got(src)._2} vs $expect")
+    }
+  }
+
   test("pca captures the dominant direction: pc1 variance ~ eigenvalue, >= any axis variance") {
     val t = Pca.topComponent(spark, Sf)
     val p = Pca.project(spark, Sf)
