@@ -354,4 +354,46 @@ object Snapshot {
       "user_id", "tus", "event_id")
       .orderBy("user_id")
   }
+
+  /** Pinned point-in-time instants for [[eventsScd2AsOf]], all inside the
+    * persisted base slice (< [[Scd2SplitUs]]): 2024-01-08 / -15 / -22 UTC.
+    */
+  private[graft] val AsOfLookupsUs =
+    Seq(1704672000000000L, 1705276800000000L, 1705881600000000L)
+
+  /** POINT-IN-TIME (as-of) lookup against the persisted SCD-2 span table:
+    * for each pinned instant, the state every user was in at that moment —
+    * the query a dimension history exists to answer (reproduce a
+    * training-data join exactly as it ran last Tuesday). A span is active
+    * at t when valid_from <= t < valid_to (open spans have no valid_to).
+    *
+    * This is the SERVE-path twin of [[eventsScd2History]]: it reads the
+    * stored artifact (self-priming, the stored-artifact convention) and
+    * never touches the event stream. The DuckDB oracle replays the base
+    * slice's history from raw events and applies the same interval
+    * predicate — a hash match proves artifact + predicate together
+    * reproduce the from-scratch answer.
+    *
+    * Scale shape: ONE distributed scan of the span table, probed by a
+    * broadcast 3-row literal frame (BroadcastNestedLoopJoin on the
+    * interval predicate — the small side is the lookup set, so the 100 TB
+    * history never moves). A history table laid out by valid_from range
+    * additionally prunes to the row groups straddling each instant. No
+    * shuffle: output order is the presentation sort of an
+    * output-sized frame.
+    */
+  def eventsScd2AsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scd2ArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      persistScd2Base(spark, sfDir)
+    val spans = spark.read.parquet(path)
+    import spark.implicits._
+    val lookups = AsOfLookupsUs.toDF("asof_us")
+    spans.join(broadcast(lookups),
+      col("valid_from") <= col("asof_us")
+        && (col("valid_to").isNull || col("valid_to") > col("asof_us")))
+      .select(col("asof_us"), col("user_id"), col("event_type"),
+        col("valid_from"))
+      .orderBy("asof_us", "user_id")
+  }
 }
