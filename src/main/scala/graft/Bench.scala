@@ -93,7 +93,8 @@ object Bench {
       "snapshot_scd2_incremental", "hilbert_values", "txt_source_kl", "txt_source_zipf",
       "graph_kcore", "graph_bfs_distances",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
-      "txt_normalize")
+      "txt_normalize",
+      "snapshot_scd2_asof", "events_retention", "events_cohort_volume")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

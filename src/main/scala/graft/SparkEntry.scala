@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, round, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Importance, Layout, LinkGraph, Multimodal, Pca, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Events, Importance, Layout, LinkGraph, Multimodal, Pca, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -551,7 +551,14 @@ object SparkEntry {
     // incremental SCD-2: extend the persisted span table with a batch,
     // emitting exactly the delta (closed open-spans + new spans)
     "snapshot_scd2_incremental" -> (Snapshot.eventsScd2Incremental _),
+    // point-in-time lookup against the persisted span table (serve path:
+    // broadcast 3-instant probe, the history never moves)
+    "snapshot_scd2_asof" -> (Snapshot.eventsScd2AsOf _),
     "upsert_latest" -> (Snapshot.eventsUpsertLatest _),
+    // cohort retention matrix + per-cohort volume contribution (one
+    // per-user exchange each; sizes/totals broadcast back)
+    "events_retention" -> (Events.retention _),
+    "events_cohort_volume" -> (Events.cohortVolume _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -3534,6 +3541,66 @@ object SparkEntry {
          SELECT user_id, valid_from, valid_to, is_current, event_type
          FROM bh
          ORDER BY user_id, valid_from""",
+    "snapshot_scd2_asof" ->
+      // replay the BASE slice's history from raw events and apply the
+      // same half-open interval predicate per pinned instant — a hash
+      // match proves the persisted artifact + predicate reproduce the
+      // from-scratch answer (the incremental-components oracle contract)
+      s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+           FROM events),
+         bev AS (SELECT * FROM ev WHERE tus < 1706054400000000),
+         ${scd2HistSql("bev", "b")},
+         lk AS (SELECT * FROM (VALUES (1704672000000000),
+                  (1705276800000000), (1705881600000000)) AS t(asof_us))
+         SELECT lk.asof_us, bh.user_id, bh.event_type, bh.valid_from
+         FROM bh JOIN lk
+           ON bh.valid_from <= lk.asof_us
+          AND (bh.valid_to IS NULL OR bh.valid_to > lk.asof_us)
+         ORDER BY asof_us, user_id""",
+    "events_retention" ->
+      // cohort = min active day per user at exact integer µs//day; the
+      // ratio is one double divide with exact-long operands — hash-stable
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         a AS (
+           SELECT user_id, day,
+                  min(day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM ev),
+         act AS (
+           SELECT cohort_day, day - cohort_day AS offset_days,
+                  COUNT(DISTINCT user_id) AS active_users
+           FROM a GROUP BY 1, 2),
+         sz AS (SELECT cohort_day, active_users AS cohort_users
+                FROM act WHERE offset_days = 0)
+         SELECT act.cohort_day, act.offset_days, act.active_users,
+                sz.cohort_users,
+                CAST(act.active_users AS DOUBLE)
+                  / CAST(sz.cohort_users AS DOUBLE) AS retention
+         FROM act JOIN sz USING (cohort_day)
+         ORDER BY cohort_day, offset_days""",
+    "events_cohort_volume" ->
+      // value mass under the LM fixed-point convention (Σ of
+      // round(v·10⁶) longs — order-independent); counts exact
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+           FROM events),
+         a AS (
+           SELECT user_id, day, value,
+                  min(day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM ev),
+         vol AS (
+           SELECT cohort_day, COUNT(*) AS events,
+                  COUNT(DISTINCT user_id) AS cohort_users,
+                  SUM(CAST(round(value * 1000000) AS BIGINT)) AS value_fx
+           FROM a GROUP BY 1),
+         tot AS (SELECT SUM(events) AS total_events FROM vol)
+         SELECT cohort_day, events, cohort_users,
+                CAST(value_fx AS DOUBLE) / 1000000.0 AS value_sum,
+                CAST(events AS DOUBLE) / CAST(total_events AS DOUBLE)
+                  AS event_share
+         FROM vol CROSS JOIN tot
+         ORDER BY cohort_day""",
     "snapshot_scd2" ->
       // SCD-2 replay: run starts via null-safe lag compare, spans closed
       // by the next run's start version — pure copies and comparisons,

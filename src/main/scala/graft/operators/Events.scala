@@ -32,9 +32,7 @@ object Events {
     * twice.
     */
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = IO.table(spark, sfDir, "events")
-    val ev = raw.select(col("user_id"),
-      (EventTime.tsUs(raw) / lit(86400000000L)).cast("long").as("day"))
+    val ev = eventDays(spark, sfDir)
     val firstDay = Window.partitionBy("user_id")
     val active = ev
       .withColumn("cohort_day", min("day").over(firstDay))
@@ -49,5 +47,54 @@ object Events {
         (col("active_users").cast("double") / col("cohort_users").cast("double"))
           .as("retention"))
       .orderBy("cohort_day", "offset_days")
+  }
+
+  /** (user_id, day) pairs at EXACT integer day resolution: `div` on the
+    * µs stamp, never a double divide — a double quotient rounds before
+    * the truncating cast and a stamp within half an ulp of a day
+    * boundary would land in the wrong cohort; `div` is exact at any
+    * epoch. DuckDB replays it as `epoch_us(ts) // 86400000000`
+    * (identical on the non-negative stamps this table holds).
+    */
+  private def eventDays(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    raw.withColumn("tus", EventTime.tsUs(raw))
+      .select(col("user_id"), expr("tus div 86400000000").as("day"),
+        col("value"))
+  }
+
+  /** PER-COHORT VOLUME CONTRIBUTION — the row a training-data pipeline
+    * reads next to the retention matrix: for each acquisition cohort,
+    * how much event volume (rows and summed `value` mass) it contributes
+    * to the corpus, and its share of the total. A data mix that
+    * over-weights one cohort shows up here before it skews a model.
+    *
+    * Determinism: event counts are exact longs; `value` mass follows the
+    * LM fixed-point convention (round(value·10⁶) summed as longs — a
+    * double Σ is partition-order-dependent, a long Σ is not) and the
+    * share is one exact-integer-operand double divide.
+    *
+    * Scale shape: the same single per-user exchange as [[retention]]
+    * (the window min), then one cohort-keyed aggregation whose partial
+    * pass collapses each partition map-side; the global total is a
+    * 1-row broadcast, never a second corpus scan.
+    */
+  def cohortVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventDays(spark, sfDir)
+    val firstDay = Window.partitionBy("user_id")
+    val vol = ev
+      .withColumn("cohort_day", min("day").over(firstDay))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("events"),
+        countDistinct("user_id").as("cohort_users"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_fx"))
+      .localCheckpoint() // two consumers: the total and the share rows
+    val total = vol.agg(sum("events").as("total_events"))
+    vol.crossJoin(broadcast(total))
+      .select(col("cohort_day"), col("events"), col("cohort_users"),
+        (col("value_fx").cast("double") / 1e6).as("value_sum"),
+        (col("events").cast("double") / col("total_events").cast("double"))
+          .as("event_share"))
+      .orderBy("cohort_day")
   }
 }

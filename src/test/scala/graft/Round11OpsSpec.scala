@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Snapshot}
+
+/** Behavior specs for the round-11 event-history operators: the cohort
+  * retention matrix, the per-cohort volume contribution, and the
+  * point-in-time (as-of) lookup against the persisted SCD-2 span table.
+  */
+class Round11OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("retention: offset-0 rows retain exactly 1.0 and pin cohort size") {
+    val m = Events.retention(spark, Sf)
+    val day0 = m.filter(col("offset_days") === 0)
+    assert(day0.count() > 0)
+    // every user is active on their own first day by construction
+    assert(day0.filter(col("active_users") =!= col("cohort_users")
+      || col("retention") =!= 1.0).isEmpty,
+      "offset 0 must be the cohort definition itself")
+    // retention never exceeds 1 and active_users never exceeds the cohort
+    assert(m.filter(col("active_users") > col("cohort_users")).isEmpty)
+    assert(m.filter(col("offset_days") < 0).isEmpty,
+      "no activity can precede the user's own first day")
+  }
+
+  test("retention: cohort_day is the min event day of each cohort member") {
+    val raw = sources.IO.table(spark, Sf, "events")
+    val ev = raw.withColumn("tus", operators.EventTime.tsUs(raw))
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+    val firsts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val wanted = firsts.groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_users"))
+    val got = Events.retention(spark, Sf)
+      .filter(col("offset_days") === 0)
+      .select("cohort_day", "cohort_users")
+    assert(got.exceptAll(wanted).isEmpty && wanted.exceptAll(got).isEmpty,
+      "offset-0 slice must equal the independently-computed cohort sizes")
+  }
+
+  test("cohortVolume: shares sum to 1 and events total matches the table") {
+    val v = Events.cohortVolume(spark, Sf).localCheckpoint()
+    val totalEvents = v.agg(sum("events")).as[Long].head()
+    assert(totalEvents ==
+      sources.IO.table(spark, Sf, "events").count(),
+      "every event lands in exactly one cohort")
+    val shareSum = v.agg(sum("event_share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // fixed-point value mass: recompute independently at corpus level
+    val raw = sources.IO.table(spark, Sf, "events")
+    val wanted = raw.agg(
+      sum(round(col("value") * 1e6).cast("long"))).as[Long].head()
+    val got = v.agg(sum((col("value_sum") * 1e6).cast("long")))
+      .as[Long].head()
+    assert(got == wanted, "cohort value masses must partition the corpus mass")
+  }
+
+  test("scd2 as-of: one state per (instant, user) and it matches history") {
+    val asof = Snapshot.eventsScd2AsOf(spark, Sf).localCheckpoint()
+    // at most one active span per user per instant (spans partition time)
+    assert(asof.groupBy("asof_us", "user_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "validity spans must be disjoint per user")
+    // cross-check against the from-scratch base-slice history: applying
+    // the same interval predicate to eventsScd2History's base slice
+    // must reproduce the artifact-served answer exactly
+    val raw = sources.IO.table(spark, Sf, "events")
+    val base = raw.filter(operators.EventTime.tsBeforeUs(raw, Snapshot.Scd2SplitUs))
+      .withColumn("tus", operators.EventTime.tsUs(raw))
+      .select("user_id", "tus", "event_id", "event_type")
+    val hist = Snapshot.scd2History(base, "user_id", "tus", "event_id",
+      Seq("event_type"))
+    val lookups = Snapshot.AsOfLookupsUs.toDF("asof_us")
+    val wanted = hist.join(broadcast(lookups),
+      col("valid_from") <= col("asof_us")
+        && (col("valid_to").isNull || col("valid_to") > col("asof_us")))
+      .select("asof_us", "user_id", "event_type", "valid_from")
+    assert(asof.exceptAll(wanted).isEmpty && wanted.exceptAll(asof).isEmpty,
+      "served artifact + predicate must equal the from-scratch replay")
+    // every pinned instant answers for at least one user
+    assert(asof.select("asof_us").distinct().count() == 3)
+  }
+}
