@@ -113,6 +113,9 @@ object Bench {
     // components report (rounds, final contracted edges) so round-count
     // regressions are visible in the bench payload without GRAFT_CC_DEBUG
     val ccStats = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    // pagerank build/loop split: rebuild rows report how much of their
+    // wall is edge construction vs power iteration
+    val prStats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
 
     // best-of-2: a single local-mode run still carries JIT/IO noise that a
     // second pass removes; min is the steady-state number the 2x gate means
@@ -143,6 +146,7 @@ object Bench {
           }
         }
         operators.Cluster.lastRunStats = None
+        operators.LinkGraph.lastBuildStats = None
         val r = (once(), once()) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Right(a), _) => Right(a)
@@ -150,6 +154,7 @@ object Bench {
           case (l, _) => l
         }
         operators.Cluster.lastRunStats.foreach(ccStats(name) = _)
+        operators.LinkGraph.lastBuildStats.foreach(prStats(name) = _)
         name -> r
     }
 
@@ -162,7 +167,11 @@ object Bench {
     val cc = ccStats
       .map { case (k, (r, e)) => s""""$k":{"cc_rounds":$r,"cc_edges":$e}""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"sf":"$sfDir"}"""
+    val pr = prStats
+      .map { case (k, (b, l)) =>
+        s""""$k":{"build_sec":${math.round(b * 1000) / 1000.0},"loop_sec":${math.round(l * 1000) / 1000.0}}""" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head
