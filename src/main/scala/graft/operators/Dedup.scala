@@ -796,7 +796,26 @@ object Dedup {
   def jaccardPrefixPairs(
       spark: SparkSession,
       sfDir: String,
-      minJaccard: Double = 0.9): DataFrame = {
+      minJaccard: Double = 0.9,
+      verifyBroadcastCeiling: Long = VerifySetBroadcastCeiling): DataFrame =
+    jaccardVerifiedSeam(spark, sfDir, minJaccard, verifyBroadcastCeiling)
+      // materialize the (near-dup-mass-bounded) verdicts BEFORE the
+      // presentation sort: the range partitioner samples its child to
+      // pick bounds, and sampling an un-materialized frame re-executes
+      // the whole candidate-verify stage a second time (measured ~2×)
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+
+  /** [[jaccardPrefixPairs]] minus the final checkpoint + presentation
+    * sort — the verify-join PLAN stays visible on the returned frame, so
+    * PlanAuditSpec can pin the strategy on BOTH sides of the broadcast
+    * ceiling (the hitsJoinLoopRoundSeam precedent).
+    */
+  private[graft] def jaccardVerifiedSeam(
+      spark: SparkSession,
+      sfDir: String,
+      minJaccard: Double = 0.9,
+      verifyBroadcastCeiling: Long = VerifySetBroadcastCeiling): DataFrame = {
     // t = 9/10 exactly (the AllPairs paper's own experimental setting);
     // all pruning runs in integer cross-multiplication
     require(minJaccard == 0.9, "threshold is pinned to the oracle's 9/10")
@@ -815,32 +834,52 @@ object Dedup {
       .localCheckpoint()
     val df = toks.select(explode(col("toks")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc shingles in global (df, hash) order; prefix length
-    // p = s − ceil(9s/10) + 1 (integer ceil via (9s+9) div 10)
-    val ordered = toks
+    // Prefix index with POSITIONS: rank each doc's shingles in the
+    // global (df, hash) order — one doc-keyed window, emitting ONLY the
+    // first p = s − ⌈9s/10⌉ + 1 rows per doc (integer ceil via
+    // (9s+9) div 10). row_number-then-filter beats the former
+    // collect_list → sort_array → slice → posexplode chain (~35% of the
+    // index wall): no per-doc array ever materializes and the ~90% of
+    // tokens outside the prefix die before the next exchange. The rank
+    // IS the PPJoin positional input (Xiao et al., WWW 2008): the
+    // prefix is a head slice of the full sorted set, so the rank equals
+    // the shingle's 1-based position in the doc's whole ordered set.
+    val wOrd = Window.partitionBy("doc_id").orderBy("df", "h")
+    val pre = toks
       .select(col("doc_id"), size(col("toks")).as("s"),
         explode(col("toks")).as("h"))
       .join(df, "h")
-      .groupBy("doc_id", "s")
-      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-        .as("ord"))
-      .select(col("doc_id"), col("s"),
-        slice(transform(col("ord"), x => x("h")), lit(1),
-          (col("s") - expr("(s * 9 + 9) div 10") + 1).cast("int"))
-          .as("prefix"))
-    val pre = ordered.select(col("doc_id"), col("s"),
-      explode(col("prefix")).as("h"))
+      .withColumn("p", row_number().over(wOrd))
+      .where(col("p") <= col("s") - expr("(s * 9 + 9) div 10") + 1)
+      .select("doc_id", "s", "p", "h")
+    // (no checkpoint here: the self-join's two sides share the window's
+    // exchanges via ReusedExchange — measured neutral-to-worse with one)
+    // POSITIONAL filter, applied PER MATCH ROW so it runs map-side
+    // before the distinct's exchange (no pair-level aggregation
+    // needed): a row matching a shingle at 1-based positions (pa, pb)
+    // bounds the true overlap by o <= 1 + min(sa − pa, sb − pb) — every
+    // shared shingle other than this one sorts strictly after it in
+    // BOTH docs when this is the pair's first shared shingle. Lossless
+    // at pair level: for a qualifying pair the FIRST shared shingle's
+    // row always passes (its bound is a true upper bound on o ≥ α), so
+    // the pair survives the distinct; later rows of the same pair may
+    // fail their own bound and drop, which only thins the duplicates.
+    // J ≥ 9/10 needs 19o ≥ 9(sa+sb) — exact integer
+    // cross-multiplication. At sf0.1 this kills ~60% of candidate rows
+    // before they shuffle.
     // eager checkpoint: the candidate frame feeds the verify join AND
     // (via candIds → the shingle-set rebuild) BOTH its build sides —
     // uncheckpointed, the whole prefix pipeline would replay once per
     // consumer inside the single action (measured 3-4× the wall). The
     // materialized frame is two longs per candidate.
     val cand = pre.select(col("h"), col("doc_id").as("doc_a"),
-        col("s").as("sa"))
+        col("s").as("sa"), col("p").as("pa"))
       .join(pre.select(col("h"), col("doc_id").as("doc_b"),
-        col("s").as("sb")), "h")
+        col("s").as("sb"), col("p").as("pb")), "h")
       .where(col("doc_a") < col("doc_b")
-        && least(col("sa"), col("sb")) * 10 >= greatest(col("sa"), col("sb")) * 9)
+        && least(col("sa"), col("sb")) * 10 >= greatest(col("sa"), col("sb")) * 9
+        && (lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb"))) * 19
+          >= (col("sa") + col("sb")) * 9)
       .select("doc_a", "doc_b")
       .distinct()
       .localCheckpoint()
@@ -871,7 +910,7 @@ object Dedup {
       .withColumnRenamed("tokset", "tok_a")
     val vb = vSets.withColumnRenamed("doc_id", "doc_b")
       .withColumnRenamed("tokset", "tok_b")
-    val smallSets = candIds.count() <= VerifySetBroadcastCeiling
+    val smallSets = candIds.count() <= verifyBroadcastCeiling
     val (ja, jb) =
       if (smallSets) (broadcast(va), broadcast(vb))
       else (va.hint("shuffle_hash"), vb.hint("shuffle_hash"))
@@ -888,12 +927,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("o").cast("double")
           / (col("na") + col("nb") - col("o")).cast("double")).as("jaccard"))
-      // materialize the (near-dup-mass-bounded) verdicts BEFORE the
-      // presentation sort: the range partitioner samples its child to
-      // pick bounds, and sampling an un-materialized frame re-executes
-      // the whole candidate-verify stage a second time (measured ~2×)
-      .localCheckpoint()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Distinct bigram-shingle set of a document — the [[ngramJaccardPairs]]

@@ -866,4 +866,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(copies == 2,
       s"expected exactly 2 token-hash transforms (one per branch), got $copies:\n${opt.take(4000)}")
   }
+
+  test("prefix-join verify: broadcast below the ceiling, shuffle-hash past it") {
+    def exec(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case q => q
+      }
+    // default ceiling: both set lookups broadcast — the candidate frame
+    // streams through one map-side stage, arrays never cross an exchange
+    val below = graft.operators.Dedup.jaccardVerifiedSeam(spark, Sf)
+    val bj = exec(below).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bj.size >= 2,
+      s"verify must broadcast both set sides below the ceiling:\n${plan(below)}")
+    // ceiling forced to 0: the in-plan fallback must pick SHUFFLE-HASH
+    // for the two array-carrying set lookups — never sort-merge, which
+    // would sort candidate rows twice for nothing
+    val past = graft.operators.Dedup.jaccardVerifiedSeam(spark, Sf,
+      verifyBroadcastCeiling = 0L)
+    val pe = exec(past)
+    val sh = pe.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(sh.size == 2,
+      s"past-ceiling verify must shuffle-hash both set lookups:\n${plan(past)}")
+    assert(pe.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty,
+      s"sort-merge must never serve the verify joins:\n${plan(past)}")
+    // strategy, not values: both sides of the ceiling emit the same pairs
+    val a = below.select("doc_a", "doc_b", "jaccard")
+    val b = past.select("doc_a", "doc_b", "jaccard")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "ceiling changes WHERE rows meet, never which rows qualify")
+  }
 }
