@@ -94,7 +94,8 @@ object Bench {
       "graph_kcore", "graph_bfs_distances",
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize",
-      "snapshot_scd2_asof", "events_retention", "events_cohort_volume")
+      "snapshot_scd2_asof", "events_retention", "events_cohort_volume",
+      "sketch_heavy_hitters_wide")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

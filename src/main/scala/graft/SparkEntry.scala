@@ -113,6 +113,11 @@ object SparkEntry {
     // exact counts of the candidate superset — exact output, no
     // full-vocabulary shuffle
     "sketch_heavy_hitters" -> ((s, d) => Relational.sketchHeavyHitters(s, d)),
+    // same MG->exact-recount path at a 1/4096 share threshold: wide
+    // enough that a x10 vocabulary (the SfScaler shifted-alphabet cut)
+    // still surfaces hitters -- the scale probe's non-degenerate twin
+    "sketch_heavy_hitters_wide" ->
+      ((s, d) => Relational.sketchHeavyHitters(s, d, k = 4096)),
     // DDSketch quantile buckets + extraction: the sketch family's
     // percentile member, hash-oracled end to end (bucket indices are
     // integer ceilings of bit-pinned doubles — see Relational.DdLnGamma)
@@ -2417,6 +2422,13 @@ object SparkEntry {
          c AS (SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1)
          SELECT token, freq FROM c, tot
          WHERE freq * 256 > tot.n ORDER BY token""",
+    "sketch_heavy_hitters_wide" ->
+      s"""WITH tk AS (
+           SELECT unnest(${wsToksSql("text")}) AS token FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM tk),
+         c AS (SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1)
+         SELECT token, freq FROM c, tot
+         WHERE freq * 4096 > tot.n ORDER BY token""",
     "sketch_merge_exact" ->
       // HLL union is lossless, so the engine-side merged-vs-direct
       // estimate comparison is deterministically true; the oracle pins

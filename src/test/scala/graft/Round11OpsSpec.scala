@@ -82,4 +82,23 @@ class Round11OpsSpec extends SparkTestBase {
     // every pinned instant answers for at least one user
     assert(asof.select("asof_us").distinct().count() == 3)
   }
+
+  test("heavy hitters wide: exact answer at 1/4096, superset of 1/256") {
+    val narrow = operators.Relational.sketchHeavyHitters(spark, Sf)
+      .localCheckpoint()
+    val wide = operators.Relational.sketchHeavyHitters(spark, Sf, k = 4096)
+      .localCheckpoint()
+    // a 1/256-share hitter is a fortiori a 1/4096-share hitter
+    assert(narrow.select("token").exceptAll(wide.select("token")).isEmpty,
+      "wide threshold must contain every narrow hitter")
+    // the wide output is the exact GROUP BY / HAVING answer
+    val toks = sources.IO.table(spark, Sf, "documents")
+      .select(explode(functions.TextAnalysis.wsTokens(col("text")))
+        .as("token")).localCheckpoint()
+    val n = toks.count()
+    val wanted = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .where(col("freq") * 4096 > lit(n))
+    assert(wide.exceptAll(wanted).isEmpty && wanted.exceptAll(wide).isEmpty,
+      "MG candidates + exact recount must equal the brute-force answer")
+  }
 }
