@@ -95,7 +95,9 @@ object Bench {
       "dedup_incremental_winnow", "dedup_winnow_pairs_rebuild",
       "txt_normalize",
       "snapshot_scd2_asof", "events_retention", "events_cohort_volume",
-      "sketch_heavy_hitters_wide")
+      "sketch_heavy_hitters_wide",
+      "ann_recall_report", "graph_walk_skipgrams", "dq_report",
+      "events_preference_pairs")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

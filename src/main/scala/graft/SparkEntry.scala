@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, lit, posexplode, round, sort_array, when}
 
 import graft.functions.{TextAnalysis, VectorCentroidAggregator}
-import graft.operators.{Cluster, CorpusPrep, Curate, Decontaminate, Dedup, Events, Importance, Layout, LinkGraph, Multimodal, Pca, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
+import graft.operators.{Cluster, CorpusPrep, Curate, DataQuality, Decontaminate, Dedup, Events, Importance, Layout, LinkGraph, Multimodal, Pca, PlayStore, QualityModel, Relational, Retrieval, Similarity, Snapshot, Tokenize}
 import graft.sources.IO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -278,6 +278,9 @@ object SparkEntry {
     "emb_knn_refine" -> ((s, d) => Similarity.knnGraphRefined(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
+    // recall@5 of the IVF ladder (nprobe 1/2/4) vs the brute ground
+    // truth -- the eval artifact an index-tuning job publishes
+    "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
     // k-means coarse-quantizer training (2 fixed Lloyd's iterations,
     // fixed-point centroid sums — the oracle replays both iterations in
     // SQL) and the IVF search over the trained codebook
@@ -423,6 +426,8 @@ object SparkEntry {
     "graph_clustering_coeff" -> ((s, d) => LinkGraph.clusteringCoefficients(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
     "graph_random_walks" -> ((s, d) => LinkGraph.randomWalks(s, d)),
+    // DeepWalk skip-gram co-occurrence pairs over the derandomized walks
+    "graph_walk_skipgrams" -> ((s, d) => LinkGraph.walkSkipgrams(s, d)),
     // contrastive hard-negative mining over the embedding corpus
     "retrieval_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(s, d)),
     // lexical (Jaccard) + dense (cosine) rankings fused with RRF
@@ -564,6 +569,11 @@ object SparkEntry {
     // per-user exchange each; sizes/totals broadcast back)
     "events_retention" -> (Events.retention _),
     "events_cohort_volume" -> (Events.cohortVolume _),
+    // data-quality expectation report: FK orphans, PK dups, null
+    // contracts, ranges, derived-column consistency -- one row per check
+    "dq_report" -> (DataQuality.dqReport _),
+    // RLHF-style (chosen, rejected) pair per user from event values
+    "events_preference_pairs" -> (Events.preferencePairs _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -3570,6 +3580,84 @@ object SparkEntry {
            ON bh.valid_from <= lk.asof_us
           AND (bh.valid_to IS NULL OR bh.valid_to > lk.asof_us)
          ORDER BY asof_us, user_id""",
+    "events_preference_pairs" ->
+      // same double ORDER BY with full tiebreaks; margin is one per-row
+      // IEEE subtraction -- exact cross-engine
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                  value
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+             AND value IS NOT NULL),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, tus ASC, event_id ASC) AS rn_hi,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value ASC, tus DESC, event_id DESC) AS rn_lo
+           FROM ev),
+         c AS (SELECT user_id, item AS chosen_item, value AS chosen_value
+               FROM r WHERE rn_hi = 1),
+         j AS (SELECT user_id, item AS rejected_item, value AS rejected_value
+               FROM r WHERE rn_lo = 1)
+         SELECT c.user_id, chosen_item, rejected_item,
+                chosen_value, rejected_value,
+                chosen_value - rejected_value AS margin
+         FROM c JOIN j ON c.user_id = j.user_id
+         WHERE chosen_value > rejected_value
+         ORDER BY c.user_id""",
+    "dq_report" ->
+      // each check replays as plain SQL; counts exact, rate one divide
+      """WITH checks AS (
+           SELECT 'orders_custkey_orphans' AS "check",
+                  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                     ON o.o_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL) AS violations,
+                  (SELECT COUNT(*) FROM orders) AS total
+           UNION ALL
+           SELECT 'lineitem_orderkey_orphans',
+                  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL),
+                  (SELECT COUNT(*) FROM lineitem)
+           UNION ALL
+           SELECT 'customer_pk_duplicates',
+                  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                     GROUP BY 1 HAVING COUNT(*) > 1)),
+                  (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+           UNION ALL
+           SELECT 'orders_pk_duplicates',
+                  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                     GROUP BY 1 HAVING COUNT(*) > 1)),
+                  (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+           UNION ALL
+           SELECT 'orders_totalprice_nulls',
+                  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+                  (SELECT COUNT(*) FROM orders)
+           UNION ALL
+           SELECT 'events_props_item_nulls',
+                  (SELECT COUNT(*) FROM events
+                   WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL),
+                  (SELECT COUNT(*) FROM events)
+           UNION ALL
+           SELECT 'documents_lang_nulls',
+                  (SELECT COUNT(*) FROM documents
+                   WHERE lang IS NULL OR lang = ''),
+                  (SELECT COUNT(*) FROM documents)
+           UNION ALL
+           SELECT 'lineitem_quantity_range',
+                  (SELECT COUNT(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50),
+                  (SELECT COUNT(*) FROM lineitem)
+           UNION ALL
+           SELECT 'documents_nchars_mismatch',
+                  (SELECT COUNT(*) FROM documents
+                   WHERE n_chars <> length(text)),
+                  (SELECT COUNT(*) FROM documents))
+         SELECT "check", violations, total,
+                CAST(violations AS DOUBLE) / CAST(total AS DOUBLE) AS rate
+         FROM checks ORDER BY "check"""",
     "events_retention" ->
       // cohort = min active day per user at exact integer µs//day; the
       // ratio is one double divide with exact-long operands — hash-stable
@@ -3994,6 +4082,18 @@ object SparkEntry {
                      ELSE CAST(0.0 AS DOUBLE) END AS lcc
          FROM pn ORDER BY node""",
     "graph_random_walks" -> walksSql(),
+    // the walks CTE replays the registered walks oracle verbatim; the
+    // pair extraction is a windowed self-join with exact-integer counts
+    "graph_walk_skipgrams" ->
+      s"""WITH walks AS (
+           ${walksSql()}
+         )
+         SELECT a.node AS center, b.node AS context, COUNT(*) AS cnt
+         FROM walks a JOIN walks b
+           ON a.walk_id = b.walk_id AND a.step <> b.step
+          AND abs(a.step - b.step) <= 2
+         GROUP BY 1, 2
+         ORDER BY center, context""",
     "retrieval_hard_negatives" ->
       // positives: nearest same-label neighbor; hard negatives: top-5
       // wrong-label neighbors — float-washed sims, vec_id tie-breaks
@@ -4075,6 +4175,81 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_urls,
                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM d GROUP BY domain ORDER BY domain""",
+    "ann_recall_report" ->
+      // both rankings replay their own registered oracles (brute +
+      // IVF per rung); hits are exact integers, recall one exact divide
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT v.vec_id, v.v, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY CAST(list_cosine_similarity(v.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v CROSS JOIN cent c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         bs AS (
+           SELECT qid, vec_id, CAST(list_cosine_similarity(qv, v) AS FLOAT) AS sim
+           FROM q CROSS JOIN v WHERE vec_id <> qid),
+         brute AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rnk
+             FROM bs) WHERE rnk <= 5),
+         pr AS (
+           SELECT q.qid, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY CAST(list_cosine_similarity(q.qv, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM q CROSS JOIN cent c),
+         p1 AS (SELECT qid, qv, cid FROM pr WHERE rn <= 1),
+         s1 AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+           FROM assign a JOIN p1 p USING (cid)
+           WHERE a.vec_id <> p.qid),
+         i1 AS (
+           SELECT 1 AS nprobe, qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rnk
+             FROM s1) WHERE rnk <= 5),
+         p2 AS (SELECT qid, qv, cid FROM pr WHERE rn <= 2),
+         s2 AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+           FROM assign a JOIN p2 p USING (cid)
+           WHERE a.vec_id <> p.qid),
+         i2 AS (
+           SELECT 2 AS nprobe, qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rnk
+             FROM s2) WHERE rnk <= 5),
+         p4 AS (SELECT qid, qv, cid FROM pr WHERE rn <= 4),
+         s4 AS (
+           SELECT p.qid, a.vec_id,
+                  CAST(list_cosine_similarity(p.qv, a.v) AS FLOAT) AS sim
+           FROM assign a JOIN p4 p USING (cid)
+           WHERE a.vec_id <> p.qid),
+         i4 AS (
+           SELECT 4 AS nprobe, qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rnk
+             FROM s4) WHERE rnk <= 5),
+         allp AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2
+                  UNION ALL SELECT * FROM i4),
+         lad AS (SELECT np.nprobe, q.qid
+                 FROM (VALUES (1), (2), (4)) np(nprobe) CROSS JOIN q),
+         h AS (SELECT nprobe, qid, COUNT(*) AS hits
+               FROM allp JOIN brute USING (qid, vec_id) GROUP BY 1, 2)
+         SELECT lad.nprobe, lad.qid,
+                CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+                CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         FROM lad LEFT JOIN h USING (nprobe, qid)
+         ORDER BY nprobe, qid""",
     "ann_topk_bruteforce" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

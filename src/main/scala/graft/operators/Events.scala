@@ -97,4 +97,51 @@ object Events {
           .as("event_share"))
       .orderBy("cohort_day")
   }
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the reward-model training-set
+    * builder: per user, the strongest and weakest item interaction by
+    * `value` become one (chosen, rejected) pair with its margin, the
+    * row shape an RLHF/DPO pipeline consumes. Only STRICT preferences
+    * emit (chosen value > rejected value) — an all-ties user carries no
+    * preference signal.
+    *
+    * Determinism: both extremes rank with full tiebreaks (value, then
+    * µs time, then event_id; the rejected side's time tiebreak runs
+    * DESCENDING so an equal-value pair still picks two distinct
+    * events); the margin is one per-row IEEE subtraction, exact
+    * cross-engine.
+    *
+    * Scale shape: ONE per-user exchange serves both window passes
+    * (same partition key), each user collapses to at most one output
+    * row map-side after the rank filters — the output is |users|-
+    * bounded, never event-scale.
+    */
+  def preferencePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    val ev = raw
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("value"))
+      .where(col("item").isNotNull && col("value").isNotNull)
+    val byUser = Window.partitionBy("user_id")
+    val ranked = ev
+      .withColumn("rn_hi", row_number().over(
+        byUser.orderBy(col("value").desc, col("tus").asc, col("event_id").asc)))
+      .withColumn("rn_lo", row_number().over(
+        byUser.orderBy(col("value").asc, col("tus").desc, col("event_id").desc)))
+      .localCheckpoint() // both extremes read the same ranked frame
+    val chosen = ranked.filter(col("rn_hi") === 1)
+      .select(col("user_id"), col("item").as("chosen_item"),
+        col("value").as("chosen_value"))
+    val rejected = ranked.filter(col("rn_lo") === 1)
+      .select(col("user_id"), col("item").as("rejected_item"),
+        col("value").as("rejected_value"))
+    chosen.join(rejected, "user_id")
+      .where(col("chosen_value") > col("rejected_value"))
+      .select(col("user_id"), col("chosen_item"), col("rejected_item"),
+        col("chosen_value"), col("rejected_value"),
+        (col("chosen_value") - col("rejected_value")).as("margin"))
+      .orderBy("user_id")
+  }
 }

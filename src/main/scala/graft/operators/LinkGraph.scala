@@ -550,6 +550,43 @@ object LinkGraph {
     }
   }
 
+  /** SKIP-GRAM PAIR EXTRACTION over the deterministic [[randomWalks]]
+    * corpus — the DeepWalk/node2vec training-set builder (Perozzi et al.
+    * KDD 2014): every ordered (center, context) node pair co-occurring
+    * within `window` steps of the same walk, with its exact multiplicity
+    * — the co-occurrence table a skip-gram embedding trains on.
+    *
+    * Scale shape: walks are |nodes|·(length+1) rows (they scale with the
+    * node universe, not corpus volume); the windowed self-join keys on
+    * walk_id, so each join group is one walk (≤ length+1 rows) and the
+    * output is ≤ 2·window·|walk rows| before the count aggregation —
+    * linear in the walk corpus with a constant factor, never quadratic.
+    * The pair table is what ships to the embedding trainer; at 100 TB of
+    * events the walk corpus is still node-scale.
+    *
+    * Determinism: walks are hash-derandomized (each step an exact
+    * integer draw), steps and counts are exact integers — the pair
+    * table is bit-stable across runs and engines.
+    */
+  def walkSkipgrams(
+      spark: SparkSession,
+      sfDir: String,
+      length: Int = 4,
+      window: Int = 2): DataFrame = {
+    // two consumers (both join sides): materialize the walk corpus once
+    val walks = randomWalks(spark, sfDir, length).localCheckpoint()
+    val a = walks.select(col("walk_id"), col("step").as("sa"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("sb"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .where(col("sa") =!= col("sb")
+        && abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("center", "context")
+  }
+
   /** One HITS half-step: pull `scores` across the edges from `from` to
     * `to`, fixed-point-sum per target node, L1-normalize by the exact
     * BIGINT total, null-fill unreached nodes with 0.

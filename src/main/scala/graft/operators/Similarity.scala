@@ -396,6 +396,87 @@ object Similarity {
     ivfTopKWithCodebook(spark, c, codebook, numQueries, k, nprobe)
   }
 
+  /** ANN RECALL REPORT — the evaluation row every approximate index needs
+    * before it replaces the exact scan: recall@k of [[ivfCosineTopK]]
+    * against the [[cosineTopK]] ground truth, across an nprobe ladder
+    * (1, 2, 4). One row per (nprobe, query): exact-integer hit count
+    * (|IVF top-k ∩ brute top-k|) and the hits/k recall — so the
+    * "raise nprobe until recall clears the bar" decision reads straight
+    * off the table.
+    *
+    * Scale shape: ground truth and each ladder rung are k-bounded
+    * per-query lists (numQueries·k rows), so the intersection join and
+    * the report aggregation are evaluation-sized, never corpus-sized;
+    * the corpus-scale work is the underlying scans, each of which keeps
+    * its own operator's plan (brute: one broadcast-query pass; IVF:
+    * codegen argmax + probe-bounded rank). At 100 TB the query set is a
+    * sampled eval suite and this report is exactly the artifact an
+    * offline tuning job publishes.
+    *
+    * Determinism: both rankings are the registered operators' own
+    * (float sims, vec_id tie-break — each independently hash-oracled);
+    * hits are exact integers and recall is one exact-operand double
+    * divide.
+    */
+  def annRecallReport(
+      spark: SparkSession,
+      sfDir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobeLadder: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import spark.implicits._
+    val brute = cosineTopK(spark, sfDir, numQueries, k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // numQueries*k rows; three consumers below
+    // one assignment pass and ONE widest-rung candidate scoring pass
+    // serve every ladder rung: each corpus vector lives in exactly one
+    // cell, so a scored row tagged with its cell's probe rank `rn`
+    // belongs to rung np iff rn <= np — running the full ivfCosineTopK
+    // per rung would re-assign and re-scan the corpus once per rung for
+    // byte-identical candidate rows (measured ~2.4x this plan's wall)
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val cent0 = c.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val codebook: Seq[(Long, Array[Double])] = cent0.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val assigned = assignToCodebook(c, codebook)
+    val cent = codebook.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val maxNp = nprobeLadder.max
+    val wP = Window.partitionBy("qid").orderBy(desc("psim"), asc("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("cosine_sim(qv, cv)").cast("float"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= maxNp)
+      .select(col("qid"), col("qv"), col("cid"), col("rn"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(qv, v)").cast("float"))
+      .select("qid", "vec_id", "sim", "rn")
+      .localCheckpoint() // probe-bounded candidates, one row per rung use
+    val wq = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val ladder = nprobeLadder.map { np =>
+      scored.filter(col("rn") <= np)
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= k)
+        .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val hits = ladder.join(brute, Seq("qid", "vec_id"))
+      .groupBy("nprobe", "qid").agg(count(lit(1)).as("hits"))
+    // scaffold every (nprobe, qid) cell so a zero-recall rung still rows
+    val cells = nprobeLadder
+      .map(np => brute.select(col("qid")).distinct()
+        .withColumn("nprobe", lit(np)))
+      .reduce(_ unionByName _)
+    cells.join(hits, Seq("nprobe", "qid"), "left")
+      .select(col("nprobe"), col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"))
+      .orderBy("nprobe", "qid")
+  }
+
   /** Nearest-centroid cell assignment against a LITERAL codebook: a
     * per-row codegen'd argmax over `codebook.size` fused dot products — no
     * shuffle, no join; first-max position = lowest cid among float ties

@@ -101,4 +101,57 @@ class Round11OpsSpec extends SparkTestBase {
     assert(wide.exceptAll(wanted).isEmpty && wanted.exceptAll(wide).isEmpty,
       "MG candidates + exact recount must equal the brute-force answer")
   }
+
+  test("ann recall report: monotone in nprobe, bounded, full scaffold") {
+    val r = operators.Similarity.annRecallReport(spark, Sf).localCheckpoint()
+    assert(r.count() == 30, "3 rungs x 10 queries, zero-recall cells kept")
+    assert(r.filter(col("hits") < 0 || col("hits") > 5
+      || col("recall") < 0.0 || col("recall") > 1.0).isEmpty)
+    // a wider probe set can only add candidates: recall@k is monotone
+    val byQ = r.groupBy("qid").pivot("nprobe", Seq(1, 2, 4)).sum("hits")
+    assert(byQ.filter(col("1") > col("2") || col("2") > col("4")).isEmpty,
+      "recall must be non-decreasing in nprobe")
+  }
+
+  test("walk skipgrams: symmetric pairs, mass matches the walk corpus") {
+    val sg = operators.LinkGraph.walkSkipgrams(spark, Sf).localCheckpoint()
+    // the window predicate is symmetric, so the pair table must be too
+    val flipped = sg.select(col("context").as("center"),
+      col("center").as("context"), col("cnt"))
+    assert(sg.exceptAll(flipped).isEmpty && flipped.exceptAll(sg).isEmpty,
+      "(a,b) and (b,a) co-occur identically under |step diff| <= w")
+    // total pair mass = sum over walks of ordered within-window pairs
+    val walks = operators.LinkGraph.randomWalks(spark, Sf).localCheckpoint()
+    val wanted = walks.as("a").join(walks.as("b"),
+      col("a.walk_id") === col("b.walk_id")
+        && col("a.step") =!= col("b.step")
+        && abs(col("a.step") - col("b.step")) <= 2).count()
+    assert(sg.agg(sum("cnt")).as[Long].head() == wanted)
+  }
+
+  test("dq report: clean slice reports zero violations, rates bounded") {
+    val dq = operators.DataQuality.dqReport(spark, Sf).localCheckpoint()
+    assert(dq.count() == 9)
+    assert(dq.filter(col("rate") < 0.0 || col("rate") > 1.0).isEmpty)
+    // the generated slice is referentially intact and PK-unique
+    assert(dq.filter(col("check").isin("orders_custkey_orphans",
+      "lineitem_orderkey_orphans", "customer_pk_duplicates",
+      "orders_pk_duplicates") && col("violations") =!= 0).isEmpty,
+      "generated testdata must pass integrity checks")
+    assert(dq.filter(col("total") <= 0).isEmpty)
+  }
+
+  test("preference pairs: chosen is the per-user max, margins positive") {
+    val pp = operators.Events.preferencePairs(spark, Sf).localCheckpoint()
+    assert(pp.filter(col("margin") <= 0.0).isEmpty,
+      "only strict preferences may emit")
+    assert(pp.groupBy("user_id").count().filter(col("count") > 1).isEmpty,
+      "at most one pair per user")
+    // chosen_value equals the user's max event value
+    val raw = sources.IO.table(spark, Sf, "events")
+    val mx = raw.select(col("user_id"), col("value"))
+      .groupBy("user_id").agg(max("value").as("mx"))
+    assert(pp.join(mx, "user_id")
+      .filter(col("chosen_value") =!= col("mx")).isEmpty)
+  }
 }
