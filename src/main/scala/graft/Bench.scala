@@ -43,6 +43,7 @@ object Bench {
     run(SparkEntry.queries("dedup_winnow_pairs")(spark, sfDir))
     run(SparkEntry.queries("emb_incremental_neardup")(spark, sfDir))
     run(SparkEntry.queries("snapshot_scd2_incremental")(spark, sfDir))
+    run(SparkEntry.queries("events_retention_incremental")(spark, sfDir))
 
     // ---- timed cases ----
     val fromRegistry = Seq(
@@ -97,7 +98,7 @@ object Bench {
       "snapshot_scd2_asof", "events_retention", "events_cohort_volume",
       "sketch_heavy_hitters_wide",
       "ann_recall_report", "graph_walk_skipgrams", "dq_report",
-      "events_preference_pairs")
+      "events_preference_pairs", "events_retention_incremental")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

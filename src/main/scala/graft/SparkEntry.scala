@@ -568,6 +568,9 @@ object SparkEntry {
     // cohort retention matrix + per-cohort volume contribution (one
     // per-user exchange each; sizes/totals broadcast back)
     "events_retention" -> (Events.retention _),
+    // incremental retention: persisted compact state (first-touch +
+    // distinct activity) extended by the batch, emitting changed cells
+    "events_retention_incremental" -> (Events.retentionIncremental _),
     "events_cohort_volume" -> (Events.cohortVolume _),
     // data-quality expectation report: FK orphans, PK dups, null
     // contracts, ranges, derived-column consistency -- one row per check
@@ -3658,6 +3661,30 @@ object SparkEntry {
          SELECT "check", violations, total,
                 CAST(violations AS DOUBLE) / CAST(total AS DOUBLE) AS rate
          FROM checks ORDER BY "check"""",
+    "events_retention_incremental" ->
+      // incremental ≡ from-scratch: replay the batch-inclusive matrix in
+      // full, subtract the base-only matrix (EXCEPT) -- the
+      // scd2-incremental oracle contract
+      """WITH ev AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         ft AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+         full_m AS (
+           SELECT cohort_day, day - cohort_day AS offset_days,
+                  COUNT(*) AS active_users
+           FROM ev JOIN ft USING (user_id) GROUP BY 1, 2),
+         bev AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE epoch_us(ts) < 1706054400000000),
+         bft AS (SELECT user_id, min(day) AS cohort_day FROM bev GROUP BY 1),
+         base_m AS (
+           SELECT cohort_day, day - cohort_day AS offset_days,
+                  COUNT(*) AS active_users
+           FROM bev JOIN bft USING (user_id) GROUP BY 1, 2)
+         SELECT cohort_day, offset_days, active_users FROM full_m
+         EXCEPT
+         SELECT cohort_day, offset_days, active_users FROM base_m
+         ORDER BY cohort_day, offset_days""",
     "events_retention" ->
       // cohort = min active day per user at exact integer µs//day; the
       // ratio is one double divide with exact-long operands — hash-stable

@@ -83,6 +83,29 @@ class Round11OpsSpec extends SparkTestBase {
     assert(asof.select("asof_us").distinct().count() == 3)
   }
 
+  test("incremental retention: delta + stored state equals from-scratch") {
+    val delta = operators.Events.retentionIncremental(spark, Sf)
+      .localCheckpoint()
+    // from-scratch matrix over ALL events
+    val full = operators.Events.retention(spark, Sf)
+      .select("cohort_day", "offset_days", "active_users")
+    // base-only matrix from the persisted compact state
+    val path = operators.Events.retentionArtifactPath(spark, Sf)
+    val seen = spark.read.parquet(s"$path/seen")
+    val ft = spark.read.parquet(s"$path/first_touch")
+    val base = seen.join(ft, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+    // changed cells replaced, untouched cells carried: must equal full
+    val merged = base.join(delta.select(col("cohort_day"),
+        col("offset_days")), Seq("cohort_day", "offset_days"), "left_anti")
+      .unionByName(delta)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "stored state + delta must reproduce the from-scratch matrix")
+    assert(delta.count() > 0, "the batch must actually change cells")
+  }
+
   test("heavy hitters wide: exact answer at 1/4096, superset of 1/256") {
     val narrow = operators.Relational.sketchHeavyHitters(spark, Sf)
       .localCheckpoint()
