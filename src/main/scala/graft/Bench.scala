@@ -98,7 +98,8 @@ object Bench {
       "snapshot_scd2_asof", "events_retention", "events_cohort_volume",
       "sketch_heavy_hitters_wide",
       "ann_recall_report", "graph_walk_skipgrams", "dq_report",
-      "events_preference_pairs", "events_retention_incremental")
+      "events_preference_pairs", "events_retention_incremental",
+      "graph_widest_path", "quality_calibration")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

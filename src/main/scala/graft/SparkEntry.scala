@@ -343,6 +343,9 @@ object SparkEntry {
     // (the weights row hash-matches DuckDB's unrolled-GD replay)
     "quality_lr_weights" -> (QualityModel.lrWeights _),
     "quality_lr_scores" -> (QualityModel.lrScores _),
+    // reliability table: per score decile, teacher-positive rate vs
+    // mean predicted score -- the gate-threshold eval artifact
+    "quality_calibration" -> (QualityModel.lrCalibration _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -422,6 +425,8 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => LinkGraph.kCoreMembers(s, d)),
     // 6-hop BFS distances from the pinned seed set (fixed-round contract)
     "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
+    // max-bottleneck capacities from the seed set, 6 relaxation rounds
+    "graph_widest_path" -> ((s, d) => LinkGraph.widestPaths(s, d)),
     // local clustering coefficient over the same oriented-wedge counts
     "graph_clustering_coeff" -> ((s, d) => LinkGraph.clusteringCoefficients(s, d)),
     // deterministic weighted random walks (hash-derandomized DeepWalk)
@@ -1411,6 +1416,35 @@ object SparkEntry {
     * integer min-relaxation — MATERIALIZED per round (each references
     * the previous twice; the k-core inlining lesson).
     */
+  private def widestSql(maxHops: Int = 6): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         edges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         w0 AS MATERIALIZED (
+           SELECT node, CAST(4611686018427387904 AS BIGINT) AS cap
+           FROM nodes WHERE node % 10 = 0)"""
+    val iter = (1 to maxHops).map { h =>
+      s"""w$h AS MATERIALIZED (
+           SELECT node, MAX(cap) AS cap FROM (
+             SELECT node, cap FROM w${h - 1}
+             UNION ALL
+             SELECT e.dst AS node, LEAST(d.cap, e.weight) AS cap
+             FROM edges e JOIN w${h - 1} d ON e.src = d.node)
+           GROUP BY 1)"""
+    }
+    (head +: iter).mkString(",\n")
+  }
+
   private def bfsSql(maxHops: Int = 6): String = {
     val head =
       """WITH ev AS (
@@ -3975,6 +4009,22 @@ object SparkEntry {
            UNION ALL SELECT 'stopword_ratio', wc FROM w3
            UNION ALL SELECT 'alpha_ratio', wd FROM w3)
          SELECT feature, weight FROM out ORDER BY feature""",
+    "quality_calibration" ->
+      s"""${lrGdSql()},
+         scored AS (
+           SELECT f.y,
+                  CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score
+           FROM f, w3 w),
+         b AS (
+           SELECT CAST(least(floor(CAST(score AS DOUBLE) * 100.0), 99.0) AS BIGINT) AS bucket,
+                  y, score
+           FROM scored)
+         SELECT bucket, COUNT(*) AS n,
+                SUM(CAST(y AS BIGINT)) AS positives,
+                CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+                CAST(SUM(CAST(round(CAST(score AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_score
+         FROM b GROUP BY 1 ORDER BY bucket""",
     "quality_lr_scores" ->
       s"""${lrGdSql()}
          SELECT doc_id,
@@ -4097,6 +4147,12 @@ object SparkEntry {
          SELECT n AS node, COUNT(*) AS core_degree FROM (
            SELECT u AS n FROM u12 UNION ALL SELECT v FROM u12)
          GROUP BY 1 ORDER BY 1""",
+    "graph_widest_path" ->
+      // 6 unrolled relaxation rounds, exact integer min/max throughout;
+      // MATERIALIZED per round (the kcore fd-blowup lesson)
+      s"""${widestSql()}
+         SELECT node, cap FROM w6
+         WHERE cap < 4611686018427387904 ORDER BY node""",
     "graph_bfs_distances" ->
       s"""${bfsSql()}
          SELECT node, dist FROM b6 ORDER BY node""",

@@ -864,6 +864,48 @@ object LinkGraph {
     * than (long, long) rows. Integer hop counts, min-relaxation —
     * order-independent and engine-exact.
     */
+  /** WIDEST-PATH (max-bottleneck) capacities from the pinned seed set
+    * (node %% 10 == 0) over the DIRECTED stored transition graph, bounded
+    * at `maxHops` relaxation rounds: cap(v) = max over <=maxHops-hop
+    * paths from any seed of the MINIMUM edge weight along the path — the
+    * "how much traffic can this route carry" rank of a click path, the
+    * weighted sibling of [[bfsDistances]].
+    *
+    * Scale shape: per round one join of the edge artifact against the
+    * node-bounded capacity frame and one node-keyed max — monotone state
+    * (caps only rise), no frontier blow-up; the edge table itself never
+    * shuffles (the capacity side is the small build side). Exactly
+    * `maxHops` rounds, matching the oracle's unrolled MATERIALIZED CTE
+    * chain round for round.
+    *
+    * Determinism: weights are exact counts; min/max relaxation is pure
+    * integer arithmetic; seeds start at a 2^62 sentinel so min(INF, w)
+    * is exact and unreached/seed rows filter out on the sentinel.
+    */
+  def widestPaths(
+      spark: SparkSession,
+      sfDir: String,
+      maxHops: Int = 6): DataFrame = {
+    val inf = 1L << 62
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      val e = edges.select(col("src").as("u"), col("dst").as("v"),
+        col("weight"))
+      var cap = nodes.filter(col("node") % 10 === 0)
+        .select(col("node"), lit(inf).as("cap"))
+        .localCheckpoint()
+      for (_ <- 1 to maxHops) {
+        val relax = e.join(cap.select(col("node").as("u"), col("cap")), "u")
+          .select(col("v").as("node"),
+            least(col("cap"), col("weight")).as("cap"))
+        cap = cap.unionByName(relax)
+          .groupBy("node").agg(max("cap").as("cap"))
+          .localCheckpoint()
+      }
+      cap.filter(col("cap") < inf).orderBy("node")
+    }
+  }
+
   def bfsDistances(
       spark: SparkSession,
       sfDir: String,

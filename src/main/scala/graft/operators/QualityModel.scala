@@ -178,4 +178,42 @@ object QualityModel {
       .withColumn("predicted", col("score") >= 0.5f)
       .orderBy("doc_id")
   }
+
+  /** CALIBRATION (reliability) TABLE for the distilled model — the eval
+    * row that decides whether the score can gate a corpus at a chosen
+    * threshold: per score PERCENT bin (fine enough to resolve the
+    * narrow margin band a few GD iterations produce), document count,
+    * teacher-positive count and rate, and the mean predicted score. A well-calibrated score has
+    * pos_rate tracking mean_score per bucket; a miscalibrated one needs
+    * re-thresholding before it filters anything.
+    *
+    * Scale shape: one map-side scoring pass (the whole point of the
+    * distilled linear model) into a 10-bucket aggregation — the report
+    * is at most 100 rows regardless of corpus volume.
+    *
+    * Determinism: the hard-sigmoid score replays bit-for-bit (see the
+    * object scaladoc); bucketing floors an exact double product; counts
+    * are exact longs and the mean score follows the fixed-point-sum
+    * convention.
+    */
+  def lrCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = trainWeights(spark, sfDir)
+    val scored = featureFrame(spark, sfDir)
+      .select(col("y"), sigmoid(w).cast("float").as("score"))
+    scored
+      .select(col("y"), col("score"),
+        least(floor(col("score").cast("double") * 100.0), lit(99L))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("positives"),
+        sum(round(col("score").cast("double") * 1000000.0, 0).cast("long"))
+          .as("sfx"))
+      .select(col("bucket"), col("n"), col("positives"),
+        (col("positives").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        (col("sfx").cast("double") / col("n").cast("double") / 1000000.0)
+          .as("mean_score"))
+      .orderBy("bucket")
+  }
 }

@@ -164,6 +164,37 @@ class Round11OpsSpec extends SparkTestBase {
     assert(dq.filter(col("total") <= 0).isEmpty)
   }
 
+  test("widest path: capacities bounded by incident weights, monotone in hops") {
+    val w6 = operators.LinkGraph.widestPaths(spark, Sf).localCheckpoint()
+    assert(w6.count() > 0)
+    // every capacity is a real edge weight somewhere (min over a path)
+    val weights = operators.LinkGraph.transitionEdges(spark, Sf)
+      .select(col("weight").as("cap")).distinct()
+    assert(w6.select("cap").distinct().exceptAll(weights).isEmpty,
+      "a bottleneck capacity must equal some edge weight")
+    // more hops can only raise capacities and reach more nodes
+    val w3 = operators.LinkGraph.widestPaths(spark, Sf, maxHops = 3)
+    assert(w3.join(w6, "node")
+      .filter(w3("cap") > w6("cap")).isEmpty,
+      "capacity is monotone non-decreasing in the hop bound")
+    assert(w3.count() <= w6.count())
+  }
+
+  test("quality calibration: exhaustive partition, rates and means bounded") {
+    val cal = operators.QualityModel.lrCalibration(spark, Sf).localCheckpoint()
+    val docs = sources.IO.table(spark, Sf, "documents").count()
+    assert(cal.agg(sum("n")).as[Long].head() == docs,
+      "every document lands in exactly one bin")
+    assert(cal.filter(col("pos_rate") < 0.0 || col("pos_rate") > 1.0
+      || col("mean_score") < 0.0 || col("mean_score") > 1.0
+      || col("positives") > col("n")).isEmpty)
+    // mean_score must sit inside its own bin's [lo, hi) band
+    assert(cal.filter(col("mean_score") * 100.0 < col("bucket") - 1e-6
+      || (col("bucket") < 99
+        && col("mean_score") * 100.0 >= col("bucket") + 1 + 1e-6)).isEmpty,
+      "bin means must lie inside their bins")
+  }
+
   test("preference pairs: chosen is the per-user max, margins positive") {
     val pp = operators.Events.preferencePairs(spark, Sf).localCheckpoint()
     assert(pp.filter(col("margin") <= 0.0).isEmpty,
