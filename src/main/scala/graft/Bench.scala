@@ -44,6 +44,7 @@ object Bench {
     run(SparkEntry.queries("emb_incremental_neardup")(spark, sfDir))
     run(SparkEntry.queries("snapshot_scd2_incremental")(spark, sfDir))
     run(SparkEntry.queries("events_retention_incremental")(spark, sfDir))
+    run(SparkEntry.queries("dedup_jaccard_stored")(spark, sfDir))
 
     // ---- timed cases ----
     val fromRegistry = Seq(
@@ -99,7 +100,7 @@ object Bench {
       "sketch_heavy_hitters_wide",
       "ann_recall_report", "graph_walk_skipgrams", "dq_report",
       "events_preference_pairs", "events_retention_incremental",
-      "graph_widest_path", "quality_calibration")
+      "graph_widest_path", "quality_calibration", "dedup_jaccard_stored")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -233,6 +233,8 @@ object SparkEntry {
     // prefix filtering (AllPairs); the oracle is the naive all-pairs
     // join, so a hash match also proves the filter dropped nothing
     "dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
+    // serve path over the persisted shingle sets + prefix index
+    "dedup_jaccard_stored" -> ((s, d) => Dedup.jaccardPrefixPairsStored(s, d)),
     // incremental dedup: the incoming batch (doc_id % 10 == 0) against the
     // standing corpus — exact fingerprint anti-join, then simhash verdicts
     "dedup_incremental_exact" -> (Dedup.incrementalExact _),
@@ -4584,6 +4586,26 @@ object SparkEntry {
                     / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
            FROM g a JOIN g b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""",
+    "dedup_jaccard_stored" ->
+      // row-identical to dedup_jaccard_prefix by construction (the
+      // artifact IS the index), so the stored row reuses the same
+      // naive all-pairs oracle
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS grams
+           FROM d),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.grams, b.grams)) AS o,
+                  len(a.grams) AS na, len(b.grams) AS nb
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(o AS DOUBLE) / CAST(na + nb - o AS DOUBLE) AS jaccard
+         FROM pr WHERE o * 19 >= (na + nb) * 9 AND na + nb > o
+         ORDER BY doc_a, doc_b""",
     "dedup_jaccard_prefix" ->
       // deliberately the NAIVE all-pairs join (no prefix-filter replay):
       // a hash match proves the engine's filter lossless on this corpus.

@@ -832,6 +832,14 @@ object Dedup {
       array_sort(transform(gramSet(col("text")), g => xxhash64(g)))
         .as("toks"))
       .localCheckpoint()
+    jaccardVerifiedFrom(toks, jaccardPrefixIndex(toks), verifyBroadcastCeiling)
+  }
+
+  /** The (doc_id, s, p, h) positional prefix index over hashed shingle
+    * sets — the build half of the operator, persisted by
+    * [[persistJaccardIndex]] for the stored serve path.
+    */
+  private def jaccardPrefixIndex(toks: DataFrame): DataFrame = {
     val df = toks.select(explode(col("toks")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     // Prefix index with POSITIONS: rank each doc's shingles in the
@@ -845,15 +853,26 @@ object Dedup {
     // prefix is a head slice of the full sorted set, so the rank equals
     // the shingle's 1-based position in the doc's whole ordered set.
     val wOrd = Window.partitionBy("doc_id").orderBy("df", "h")
-    val pre = toks
+    toks
       .select(col("doc_id"), size(col("toks")).as("s"),
         explode(col("toks")).as("h"))
       .join(df, "h")
       .withColumn("p", row_number().over(wOrd))
       .where(col("p") <= col("s") - expr("(s * 9 + 9) div 10") + 1)
       .select("doc_id", "s", "p", "h")
-    // (no checkpoint here: the self-join's two sides share the window's
-    // exchanges via ReusedExchange — measured neutral-to-worse with one)
+    // (no checkpoint: the candidate self-join's two sides share the
+    // window's exchanges via ReusedExchange — measured neutral-to-worse
+    // with one)
+  }
+
+  /** Candidate join + exact verify over a shingle-set frame and its
+    * positional prefix index — the serve half, shared by the fresh seam
+    * and the stored path (frames differ, plan and values do not).
+    */
+  private def jaccardVerifiedFrom(
+      toks: DataFrame,
+      pre: DataFrame,
+      verifyBroadcastCeiling: Long): DataFrame = {
     // POSITIONAL filter, applied PER MATCH ROW so it runs map-side
     // before the distinct's exchange (no pair-level aggregation
     // needed): a row matching a shingle at 1-based positions (pa, pb)
@@ -927,6 +946,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("o").cast("double")
           / (col("na") + col("nb") - col("o")).cast("double")).as("jaccard"))
+  }
+
+  /** Content-keyed artifact path for the persisted prefix-join index. */
+  private[graft] def jaccardArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet",
+      "text", "japrefix", s"japrefix_v1|$sfDir|t9of10|bigram")
+
+  /** Build the prefix-join artifact ONCE: the sorted-hash shingle sets
+    * and the positional prefix index — exactly what the scaladoc's
+    * "persisted vocab artifact" scale note prescribes (refreshed per
+    * corpus version, not per query).
+    */
+  def persistJaccardIndex(spark: SparkSession, sfDir: String): String = {
+    val path = jaccardArtifactPath(spark, sfDir)
+    val docs = IO.table(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      array_sort(transform(gramSet(col("text")), g => xxhash64(g)))
+        .as("toks"))
+      .localCheckpoint() // two artifact writers below
+    toks.write.mode("overwrite").parquet(s"$path/toks")
+    jaccardPrefixIndex(toks).write.mode("overwrite")
+      .parquet(s"$path/prefix")
+    path
+  }
+
+  /** [[jaccardPrefixPairs]] consuming the PERSISTED shingle sets and
+    * prefix index (self-priming): repeat invocations pay only the
+    * candidate join + verify — the production serve shape where the
+    * corpus-version index is a standing artifact. Row-identical to the
+    * fresh build by construction, so the registered row keeps the naive
+    * all-pairs oracle (which keeps proving the filter lossless).
+    */
+  def jaccardPrefixPairsStored(
+      spark: SparkSession,
+      sfDir: String,
+      verifyBroadcastCeiling: Long = VerifySetBroadcastCeiling): DataFrame = {
+    val path = jaccardArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "prefix")))
+      persistJaccardIndex(spark, sfDir)
+    jaccardVerifiedFrom(
+      spark.read.parquet(s"$path/toks"),
+      spark.read.parquet(s"$path/prefix"),
+      verifyBroadcastCeiling)
+      .localCheckpoint() // the presentation-sort sampling lesson
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Distinct bigram-shingle set of a document — the [[ngramJaccardPairs]]

@@ -164,6 +164,13 @@ class Round11OpsSpec extends SparkTestBase {
     assert(dq.filter(col("total") <= 0).isEmpty)
   }
 
+  test("stored jaccard index serves the exact fresh-build answer") {
+    val fresh = operators.Dedup.jaccardPrefixPairs(spark, Sf)
+    val stored = operators.Dedup.jaccardPrefixPairsStored(spark, Sf)
+    assert(fresh.exceptAll(stored).isEmpty && stored.exceptAll(fresh).isEmpty,
+      "the artifact IS the index: serve path must be row-identical")
+  }
+
   test("widest path: capacities bounded by incident weights, monotone in hops") {
     val w6 = operators.LinkGraph.widestPaths(spark, Sf).localCheckpoint()
     assert(w6.count() > 0)
