@@ -165,15 +165,27 @@ object Events {
     * event-scale moves, and history is never read at all.
     */
   def retentionIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    retentionIncrementalFrames(spark, sfDir,
+      raw.filter(EventTime.tsAtLeastUs(raw, RetentionSplitUs))
+        .withColumn("tus", EventTime.tsUs(raw))
+        .select(col("user_id"), expr("tus div 86400000000").as("day")))
+  }
+
+  /** Delta core over an explicit (user_id, day) activity batch — the
+    * production/streaming entry; consumes the PERSISTED retention state
+    * (self-priming, the stored-artifact convention).
+    */
+  private[graft] def retentionIncrementalFrames(
+      spark: SparkSession,
+      sfDir: String,
+      batch: DataFrame): DataFrame = {
     val path = retentionArtifactPath(spark, sfDir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "seen")))
       persistRetentionBase(spark, sfDir)
     val storedSeen = spark.read.parquet(s"$path/seen")
     val storedFt = spark.read.parquet(s"$path/first_touch")
-    val raw = IO.table(spark, sfDir, "events")
-    val batchDays = raw.filter(EventTime.tsAtLeastUs(raw, RetentionSplitUs))
-      .withColumn("tus", EventTime.tsUs(raw))
-      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+    val batchDays = batch.select("user_id", "day")
       .distinct()
       .localCheckpoint() // three consumers: new-user carve, novel set
     // cohorts: stored assignments + batch min-day for unseen users
@@ -194,6 +206,34 @@ object Events {
       .select(col("cohort_day"), col("offset_days"),
         (coalesce(col("base_users"), lit(0L)) + col("add")).as("active_users"))
       .orderBy("cohort_day", "offset_days")
+  }
+
+  /** Streaming twin of [[retentionIncremental]] — arriving (user_id,
+    * day) activity micro-batches each get their exact cell delta against
+    * the SAME persisted retention state, written idempotently per batch
+    * id (a replayed micro-batch overwrites its own directory). The state
+    * primes EAGERLY before `.start()` so micro-batch 0 never pays the
+    * history build (the ingest-gate lesson).
+    */
+  def retentionIngestStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = retentionArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "seen")))
+      persistRetentionBase(spark, sfDir)
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retentionIncrementalFrames(spark, sfDir,
+          batch.select("user_id", "day"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/deltas/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** PREFERENCE-PAIR CONSTRUCTION — the reward-model training-set

@@ -96,6 +96,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("retention ingest stream: per-batch deltas equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.sources.IO.table(spark, Sf, "events")
+    val batchRows = raw
+      .filter(graft.operators.EventTime.tsAtLeastUs(raw, graft.operators.Events.RetentionSplitUs))
+      .withColumn("tus", graft.operators.EventTime.tsUs(raw))
+      .selectExpr("user_id", "tus div 86400000000 as day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val outDir = graft.sources.IO.scratchDir("retention_stream")
+    val q = graft.operators.Events.retentionIngestStream(spark, Sf,
+      mem.toDF().toDF("user_id", "day"), outDir)
+    try {
+      mem.addData(batchRows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/deltas")
+      .select("cohort_day", "offset_days", "active_users")
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Events.retentionIncremental(spark, Sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length && streamed.toSet == batch.toSet,
+      "stream deltas must equal the batch row")
+  }
+
   test("scd2 ingest stream: per-batch deltas equal the batch twin against the same artifact") {
     implicit val sqlCtx = spark.sqlContext
     val raw = graft.sources.IO.table(spark, Sf, "events")
