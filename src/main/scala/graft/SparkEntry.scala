@@ -532,6 +532,9 @@ object SparkEntry {
     "txt_bpe_merges" -> ((s, d) => Tokenize.bpeTrainMerges(s, d)),
     "txt_bpe_segment" -> ((s, d) =>
       Tokenize.bpeSegmentCounts(s, d, PinnedBpeMerges)),
+    // per-source fertility (BPE tokens per word, chars per token)
+    "txt_tokenizer_fertility" -> ((s, d) =>
+      Tokenize.fertilityBySource(s, d, PinnedBpeMerges)),
     // embedding centroids (average pooling) via the typed vector
     // aggregator; registered exploded to (label, pos, val) rows
     "emb_centroids" -> (VectorCentroidAggregator.perLabelExploded _),
@@ -3326,6 +3329,21 @@ object SparkEntry {
            FROM w WHERE length(word) >= 2)
          SELECT lhs, rhs, CAST(SUM(wcnt) AS BIGINT) AS cnt
          FROM p GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 200""",
+    "txt_tokenizer_fertility" ->
+      // the segment oracle's per-doc counts aggregated per source;
+      // counts exact, ratios exact-operand divides
+      s"""WITH seg AS (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                    w -> length($bpeReplaceChainSql))) AS BIGINT) AS n_bpe_tokens
+           FROM documents)
+         SELECT source, COUNT(*) AS docs,
+                SUM(n_ws_tokens) AS ws_tokens,
+                SUM(n_bpe_tokens) AS bpe_tokens,
+                CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_ws_tokens) AS DOUBLE) AS fertility,
+                CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe_tokens) AS DOUBLE) AS chars_per_token
+         FROM seg GROUP BY source ORDER BY source""",
     "txt_bpe_segment" ->
       s"""SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -313,4 +313,37 @@ object Tokenize {
         size(flatten(segmented)).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** TOKENIZER FERTILITY report per source — the eval row that decides
+    * whether a vocabulary is economical on a corpus slice: BPE tokens
+    * per whitespace word (fertility) and characters per BPE token, from
+    * the same greedy segmentation [[bpeSegmentCounts]] oracles. A
+    * source whose fertility runs hot pays more sequence length for the
+    * same text — the number a tokenizer-budget review reads first.
+    *
+    * Scale shape: the segmentation is the map-side fold it always is;
+    * one source-keyed aggregation with map-side partials; |sources|
+    * output rows. Counts exact, the two ratios exact-operand divides.
+    */
+  def fertilityBySource(
+      spark: SparkSession,
+      sfDir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegmentCounts(spark, sfDir, merges)
+    val docs = IO.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    seg.join(docs, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_ws_tokens").as("ws_tokens"),
+        sum("n_bpe_tokens").as("bpe_tokens"),
+        sum(col("n_chars").cast("long")).as("chars"))
+      .select(col("source"), col("docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
 }

@@ -202,6 +202,20 @@ class Round11OpsSpec extends SparkTestBase {
       "bin means must lie inside their bins")
   }
 
+  test("tokenizer fertility: partitions the corpus, consistent with per-doc") {
+    val f = operators.Tokenize.fertilityBySource(spark, Sf,
+      Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r")).localCheckpoint()
+    val docs = sources.IO.table(spark, Sf, "documents")
+    assert(f.agg(sum("docs")).as[Long].head() == docs.count())
+    assert(f.filter(col("fertility") <= 0.0
+      || col("chars_per_token") <= 0.0).isEmpty)
+    // per-source sums must agree with the oracled per-doc counts
+    val perDoc = operators.Tokenize.bpeSegmentCounts(spark, Sf,
+      Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r"))
+    val wanted = perDoc.agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(f.agg(sum("bpe_tokens")).as[Long].head() == wanted)
+  }
+
   test("preference pairs: chosen is the per-user max, margins positive") {
     val pp = operators.Events.preferencePairs(spark, Sf).localCheckpoint()
     assert(pp.filter(col("margin") <= 0.0).isEmpty,
