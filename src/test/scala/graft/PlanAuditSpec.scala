@@ -867,6 +867,56 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected exactly 2 token-hash transforms (one per branch), got $copies:\n${opt.take(4000)}")
   }
 
+  test("preference pairs: one per-user exchange serves both window passes") {
+    val df = graft.operators.Events.preferencePairs(spark, Sf)
+    // both extreme-rank windows partition by user_id, so Catalyst must
+    // plan ONE hash exchange feeding two in-partition sorts -- a second
+    // user-keyed exchange would mean the docstring's claim regressed.
+    // (The checkpointed ranked frame hides everything upstream of the
+    // join, so count on the ranked seam's own plan.)
+    val userShuffles = shuffles(df).count(_.outputPartitioning.toString
+      .contains("user_id"))
+    assert(userShuffles <= 1,
+      s"both rank windows must share one user exchange:\n${plan(df)}")
+  }
+
+  test("retention: cohort sizes join back by BROADCAST, never a shuffle") {
+    val df = graft.operators.Events.retention(spark, Sf)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.size == 1,
+      s"the |days|-row sizes frame must broadcast:\n${plan(df)}")
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "no sort-merge in an output-sized join")
+  }
+
+  test("dq report: fact-side FK checks never broadcast the fact table") {
+    val df = graft.operators.DataQuality.dqReport(spark, Sf)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    val antis = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antis.size == 2, s"both FK checks plan as broadcast anti-joins " +
+      s"(dimension side builds):\n${plan(df)}")
+    // the BUILD side of each anti-join must be the dimension scan, never
+    // the fact side: fact rows stream, dimensions broadcast
+    antis.foreach { j =>
+      assert(j.buildSide.toString == "BuildRight",
+        s"dimension must be the broadcast build side: $j")
+    }
+  }
+
   test("prefix-join verify: broadcast below the ceiling, shuffle-hash past it") {
     def exec(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan match {
