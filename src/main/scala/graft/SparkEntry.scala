@@ -228,6 +228,8 @@ object SparkEntry {
     // near-dup machinery end to end)
     "dedup_simhash_md5" -> ((s, d) => Dedup.simHashNearDupPairsMd5(s, d)),
     "dedup_minhash_md5" -> ((s, d) => Dedup.minHashNearDupPairsMd5(s, d)),
+    // LSH banding recall vs exact token-set ground truth at J >= 0.9
+    "dedup_minhash_eval" -> (Dedup.minhashRecallEval _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // exact Jaccard-threshold join over the FULL corpus via lossless
     // prefix filtering (AllPairs); the oracle is the naive all-pairs
@@ -1776,6 +1778,32 @@ object SparkEntry {
        FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank""""
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_eval" ->
+      // exact truth by the naive token-set join (integer threshold
+      // algebra), caught-flag by the TOKEN-banded md5-minhash candidates
+      s"""WITH ${minHashMd5BaseSql(32, 8, tokenFeatures = true).stripPrefix("WITH ")
+             .replace("toks FROM documents)",
+               "toks FROM documents WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 20)")},
+         mh AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bb a JOIN bb b USING (band_key) WHERE a.doc_id < b.doc_id),
+         ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+                FROM documents
+                WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 20),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.tokset, b.tokset)) AS o,
+                  len(a.tokset) AS na, len(b.tokset) AS nb
+           FROM ts a JOIN ts b ON a.doc_id < b.doc_id),
+         truth AS (
+           SELECT doc_a, doc_b,
+                  CAST(o AS DOUBLE) / CAST(na + nb - o AS DOUBLE) AS jaccard
+           FROM pr WHERE o * 19 >= (na + nb) * 9 AND na + nb > o)
+         SELECT t.doc_a, t.doc_b, t.jaccard,
+                (mh.doc_a IS NOT NULL) AS caught
+         FROM truth t LEFT JOIN mh
+           ON t.doc_a = mh.doc_a AND t.doc_b = mh.doc_b
+         ORDER BY t.doc_a, t.doc_b""",
     "dedup_minhash_md5" -> minHashMd5OracleSql(),
     "dedup_cluster_components" ->
       s"""$simHashClusterBaseSql

@@ -948,6 +948,46 @@ object Dedup {
           / (col("na") + col("nb") - col("o")).cast("double")).as("jaccard"))
   }
 
+  /** MINHASH RECALL EVAL — the LSH candidate generator measured against
+    * EXACT ground truth: every token-set pair with Jaccard >= 9/10
+    * (computed by the lossless prefix-filter machinery generalized to
+    * token sets) flagged with whether the TOKEN-FEATURE md5-minhash
+    * banding (the decontam gate's generator — same feature space as the
+    * truth metric) produced the pair as a candidate. `caught` isolates
+    * pure banding misses — the measured version of the 1-(1-j^r)^b
+    * curve every LSH parameter choice is justified by.
+    *
+    * Scale shape: ground truth reuses the prefix-join plan (df-ordered
+    * prefixes, positional filter, bounded verify — never all-pairs);
+    * the flag join is truth-pair-sized. At 100 TB this is the eval a
+    * dedup-pipeline review runs on a sampled slice before trusting the
+    * band/row split.
+    */
+  def minhashRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // deterministic 20% content-hash sample (the split-bucket
+    // convention): the eval measures a RATE, so it runs on a slice —
+    // exact truth over the full corpus is quadratic in the dup mass by
+    // definition, and the banding's per-pair miss probability is
+    // identical on any content-hash-chosen subset
+    val docs = IO.table(spark, sfDir, "documents")
+      .filter((conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100) < 20)
+    val toks = docs.select(col("doc_id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")),
+        t => xxhash64(t))).as("toks"))
+      .localCheckpoint()
+    val truth = jaccardVerifiedFrom(toks, jaccardPrefixIndex(toks),
+      VerifySetBroadcastCeiling)
+      .localCheckpoint()
+    val caught = bandedCandidates(
+        minHashBandedTokensMd5From(docs).localCheckpoint())
+      .select(col("doc_a"), col("doc_b"), lit(true).as("caught"))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("caught"), lit(false)).as("caught"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Content-keyed artifact path for the persisted prefix-join index. */
   private[graft] def jaccardArtifactPath(
       spark: SparkSession,

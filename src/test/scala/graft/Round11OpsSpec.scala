@@ -216,6 +216,19 @@ class Round11OpsSpec extends SparkTestBase {
     assert(f.agg(sum("bpe_tokens")).as[Long].head() == wanted)
   }
 
+  test("minhash eval: banding recall at J>=0.9 clears the S-curve bound") {
+    val ev = operators.Dedup.minhashRecallEval(spark, Sf).localCheckpoint()
+    val truth = ev.count()
+    assert(truth > 0, "the corpus must contain high-Jaccard token-set pairs")
+    val caught = ev.filter(col("caught")).count()
+    // 8 bands x 4 rows at j >= 0.9: P[miss] = (1-j^4)^8 <= (1-0.9^4)^8
+    // ~ 0.018 per pair; 0.9 is a generous aggregate floor
+    assert(caught.toDouble / truth >= 0.9,
+      s"banding recall $caught/$truth fell below the S-curve bound")
+    assert(ev.filter(col("jaccard") < 0.9).isEmpty,
+      "ground truth must contain only pairs at or above the threshold")
+  }
+
   test("preference pairs: chosen is the per-user max, margins positive") {
     val pp = operators.Events.preferencePairs(spark, Sf).localCheckpoint()
     assert(pp.filter(col("margin") <= 0.0).isEmpty,
