@@ -101,7 +101,8 @@ object Bench {
       "ann_recall_report", "graph_walk_skipgrams", "dq_report",
       "events_preference_pairs", "events_retention_incremental",
       "graph_widest_path", "quality_calibration", "dedup_jaccard_stored",
-      "txt_tokenizer_fertility", "dedup_minhash_eval")
+      "txt_tokenizer_fertility", "dedup_minhash_eval",
+      "txt_langid_confusion")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -334,6 +334,8 @@ object SparkEntry {
     "corpus_stats" -> (graft.functions.CorpusStatsAggregator.perSource _),
     "txt_quality" -> (TextAnalysis.qualityScores _),
     "txt_lang_id" -> (TextAnalysis.languageId _),
+    // per (label, prediction) confusion cell with the label's share
+    "txt_langid_confusion" -> (TextAnalysis.langIdConfusion _),
     "txt_scrub" -> (TextAnalysis.scrub _),
     "txt_repetition" -> (TextAnalysis.repetitionScores _),
     // the published Gopher filter battery, per-rule signals + verdict
@@ -3939,6 +3941,41 @@ object SparkEntry {
                   (CAST(${stopHitsSql("toks")} AS DOUBLE) / len(toks)) * 2.0
                   + CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 0.5 ELSE 0.0 END) AS quality_score
          FROM t ORDER BY doc_id""",
+    "txt_langid_confusion" ->
+      // the lang-id oracle's per-doc predictions aggregated to cells;
+      // counts exact, shares exact-operand divides
+      """WITH t AS (
+           SELECT doc_id, lang AS labelled_lang,
+                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, labelled_lang, toks, unnest([
+             {'l': 'en', 'w': ['the','and','of','to','in','is','that','for']},
+             {'l': 'de', 'w': ['der','die','das','und','ist','nicht','ein','zu']},
+             {'l': 'fr', 'w': ['le','la','les','et','est','un','une','pour']},
+             {'l': 'es', 'w': ['el','la','los','y','es','un','una','para']},
+             {'l': 'zh', 'w': ['的','是','了','在','我','有','和','不']}]) AS cand
+           FROM t),
+         h AS (
+           SELECT doc_id, labelled_lang, cand.l AS cl,
+                  len(list_filter(toks, x -> list_contains(cand.w, x))) AS hits
+           FROM c),
+         p AS (
+           SELECT doc_id,
+                  CASE WHEN hits > 0 THEN cl ELSE 'und' END AS predicted_lang,
+                  labelled_lang
+           FROM h
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cl DESC) = 1),
+         cells AS (
+           SELECT labelled_lang, predicted_lang, COUNT(*) AS docs
+           FROM p GROUP BY 1, 2),
+         tot AS (
+           SELECT labelled_lang, SUM(docs) AS label_docs
+           FROM cells GROUP BY 1)
+         SELECT cells.labelled_lang, predicted_lang, docs,
+                CAST(docs AS DOUBLE) / CAST(label_docs AS DOUBLE) AS share
+         FROM cells JOIN tot USING (labelled_lang)
+         ORDER BY labelled_lang, predicted_lang""",
     "txt_lang_id" ->
       """WITH t AS (
            SELECT doc_id, lang AS labelled_lang,

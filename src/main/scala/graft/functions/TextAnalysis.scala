@@ -164,6 +164,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the eval row behind the n-gram
+    * heuristic: per (labelled, predicted) language pair, document count
+    * and the share of that label's documents — where the classifier's
+    * mass actually lands, read before anyone trusts a per-language
+    * corpus mix it produced. Exact counts; shares are exact-operand
+    * divides.
+    *
+    * Scale shape: [[languageId]]'s one map-side scoring pass into a
+    * (|langs|², tiny) aggregation; the label-total joins back by
+    * broadcast.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = languageId(spark, sfDir)
+      .select("labelled_lang", "predicted_lang")
+    val cells = pred.groupBy("labelled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("docs"))
+      .localCheckpoint() // two consumers: totals and share rows
+    val totals = cells.groupBy("labelled_lang")
+      .agg(sum("docs").as("label_docs"))
+    cells.join(broadcast(totals), "labelled_lang")
+      .select(col("labelled_lang"), col("predicted_lang"), col("docs"),
+        (col("docs").cast("double") / col("label_docs").cast("double"))
+          .as("share"))
+      .orderBy("labelled_lang", "predicted_lang")
+  }
+
   /** Corpus-level top bigrams: explode rolling 2-grams, count, keep the
     * top 100 under a deterministic total order. Partial aggregation
     * collapses per-partition counts before the shuffle; the final limit is

@@ -229,6 +229,20 @@ class Round11OpsSpec extends SparkTestBase {
       "ground truth must contain only pairs at or above the threshold")
   }
 
+  test("langid confusion: shares partition each label, counts match per-doc") {
+    val cm = functions.TextAnalysis.langIdConfusion(spark, Sf)
+      .localCheckpoint()
+    // per-label shares sum to 1
+    val bad = cm.groupBy("labelled_lang").agg(sum("share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9)
+    assert(bad.isEmpty, "shares must partition each label")
+    // cell counts re-aggregate the oracled per-doc predictions
+    val perDoc = functions.TextAnalysis.languageId(spark, Sf)
+      .groupBy("labelled_lang", "predicted_lang").count()
+    assert(cm.select(col("labelled_lang"), col("predicted_lang"),
+      col("docs").as("count")).exceptAll(perDoc).isEmpty)
+  }
+
   test("preference pairs: chosen is the per-user max, margins positive") {
     val pp = operators.Events.preferencePairs(spark, Sf).localCheckpoint()
     assert(pp.filter(col("margin") <= 0.0).isEmpty,
