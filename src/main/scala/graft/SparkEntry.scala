@@ -591,6 +591,9 @@ object SparkEntry {
     "dq_report" -> (DataQuality.dqReport _),
     // RLHF-style (chosen, rejected) pair per user from event values
     "events_preference_pairs" -> (Events.preferencePairs _),
+    // Bradley-Terry MM fit of item strengths over capped per-user
+    // preference comparisons -- fixed-point loop, hash-exact oracle
+    "events_bt_ratings" -> ((s, d) => Events.btRatings(s, d)),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -1218,6 +1221,79 @@ object SparkEntry {
     * one loop round of graft.operators.LinkGraph.pageRank bit for bit.
     * Ends at `r$iters` = (node, r).
     */
+  /** Unrolled Bradley-Terry MM oracle: replays
+    * [[graft.operators.Events.btRatings]] exactly — ×10⁶ fixed-point
+    * (user,item) value means, capped baskets with full tiebreaks, then
+    * `iters` MM rounds where the per-item denominator is a BIGINT sum
+    * of floor(·×10⁹) terms and the phantom-anchor update mirrors the
+    * engine's scalar op order. Per-round CTEs AS MATERIALIZED: round t
+    * reads round t−1 three times and DuckDB would otherwise inline the
+    * chain into 3^t base scans.
+    */
+  private def btSql(iters: Int = graft.operators.Events.BtIters): String = {
+    val cap = graft.operators.Events.BtBasketCap
+    val head =
+      s"""WITH bt_ev AS (
+           SELECT user_id,
+                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+                  value
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+             AND value IS NOT NULL),
+         bt_um AS (
+           SELECT user_id, item,
+                  (CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS mean
+           FROM bt_ev GROUP BY 1, 2),
+         bt_bk AS (
+           SELECT user_id, item, mean FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY mean DESC, item ASC) AS rn
+             FROM bt_um)
+           WHERE rn <= $cap),
+         bt_cmp AS (
+           SELECT a.item AS winner, b.item AS loser, COUNT(*) AS cnt
+           FROM bt_bk a JOIN bt_bk b
+             ON a.user_id = b.user_id AND a.mean > b.mean
+           GROUP BY 1, 2),
+         bt_dirn AS (
+           SELECT i, j, SUM(cnt) AS n_ij FROM (
+             SELECT winner AS i, loser AS j, cnt FROM bt_cmp
+             UNION ALL
+             SELECT loser AS i, winner AS j, cnt FROM bt_cmp)
+           GROUP BY 1, 2),
+         bt_items AS (SELECT DISTINCT i AS item FROM bt_dirn),
+         bt_stat AS (
+           SELECT it.item,
+                  COALESCE(w.wins, 0) AS wins,
+                  g.games,
+                  CAST(COALESCE(w.wins, 0) AS DOUBLE) + 0.5 AS wins05
+           FROM bt_items it
+           LEFT JOIN (SELECT winner AS item, SUM(cnt) AS wins
+                      FROM bt_cmp GROUP BY 1) w ON it.item = w.item
+           JOIN (SELECT i AS item, SUM(n_ij) AS games
+                 FROM bt_dirn GROUP BY 1) g ON it.item = g.item),
+         bt_r0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM bt_items)"""
+    val rounds = (1 to iters).map { t =>
+      s"""bt_d$t AS MATERIALIZED (
+           SELECT d.i AS item,
+                  SUM(CAST(floor(CAST(d.n_ij AS DOUBLE) / (pi.p + pj.p)
+                        * 1000000000.0) AS BIGINT)) AS dfix
+           FROM bt_dirn d
+           JOIN bt_r${t - 1} pi ON d.i = pi.item
+           JOIN bt_r${t - 1} pj ON d.j = pj.item
+           GROUP BY 1),
+         bt_r$t AS MATERIALIZED (
+           SELECT s.item,
+                  s.wins05 / ((CAST(d.dfix AS DOUBLE) / 1000000000.0)
+                              + (CAST(1.0 AS DOUBLE) / (r.p + CAST(1.0 AS DOUBLE)))) AS p
+           FROM bt_stat s
+           JOIN bt_d$t d ON s.item = d.item
+           JOIN bt_r${t - 1} r ON s.item = r.item)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   private def pageRankSql(iters: Int = 3): String = {
     val head =
       """WITH ev AS (
@@ -3694,6 +3770,13 @@ object SparkEntry {
          FROM c JOIN j ON c.user_id = j.user_id
          WHERE chosen_value > rejected_value
          ORDER BY c.user_id""",
+    "events_bt_ratings" ->
+      // unrolled MM rounds, fixed-point denominator sums — hash-exact
+      s"""${btSql()}
+         SELECT s.item, s.wins, s.games, r.p AS rating
+         FROM bt_stat s JOIN bt_r${graft.operators.Events.BtIters} r
+           ON s.item = r.item
+         ORDER BY s.item""",
     "dq_report" ->
       // each check replays as plain SQL; counts exact, rate one divide
       """WITH checks AS (

@@ -282,4 +282,124 @@ object Events {
         (col("chosen_value") - col("rejected_value")).as("margin"))
       .orderBy("user_id")
   }
+
+  /** BRADLEY-TERRY RATING FIT over per-user preference comparisons —
+    * the skill-model half of an RLHF data pipeline: [[preferencePairs]]
+    * builds the (chosen, rejected) rows a reward model trains on; this
+    * fits the latent item strengths those comparisons imply, via the
+    * minorize-maximize update (Hunter, Annals of Statistics 2004):
+    *
+    *   p_i ← (W_i + ½) / ( Σ_j n_ij/(p_i+p_j)  +  1/(p_i+1) )
+    *
+    * W_i = total wins of item i, n_ij = games between i and j; the two
+    * ½-terms are the standard phantom half-win/half-loss against a
+    * fixed opponent of strength 1, which (a) keeps zero-win items
+    * finite and (b) pins the scale invariance so no post-hoc
+    * normalization — with its order-dependent product/sum — is needed.
+    *
+    * Comparisons: per (user, item) the mean interaction `value` (the
+    * sum runs in ×10⁶ fixed point so it is order-independent, then ONE
+    * pinned divide sequence), the user's top-[[BtBasketCap]] items by
+    * that mean (row_number, full tiebreaks), and one directed
+    * comparison per in-basket pair with strictly distinct means — the
+    * capped-basket bound the association-lift op established: the
+    * quadratic is ≤ cap² per user, never |items|².
+    *
+    * Determinism: every cross-row sum in the loop is a BIGINT sum of
+    * floor(·×10⁹) terms (the pageRankSql convention) and every scalar
+    * op sequence is mirrored exactly in the DuckDB oracle, so the
+    * [[BtIters]]-round fit is hash-exact cross-engine.
+    *
+    * Scale shape: events collapse to (user, item) means under one
+    * map-side-combined exchange, baskets cap the pair blow-up, and the
+    * loop never touches event-scale data again — it runs on the
+    * directed pair-count frame (≤ Σ cap² rows) with the |items|-row
+    * rating vector BROADCAST both ends of the per-round join (items
+    * are a catalog, the score-vector-broadcast convention of
+    * LinkGraph; past a catalog-ceiling the same loop would flip to the
+    * shuffle-hash form). Each round's ratings localCheckpoint — the
+    * frame is |items| rows — so lineage stays flat; LoopWidth pins the
+    * exchange width for the loop body.
+    */
+  def btRatings(
+      spark: SparkSession,
+      sfDir: String,
+      basketCap: Int = BtBasketCap,
+      iters: Int = BtIters): DataFrame = {
+    val ev = IO.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("value"))
+      .where(col("item").isNotNull && col("value").isNotNull)
+    // per-(user,item) mean value: fixed-point sum, one pinned divide chain
+    val um = ev.groupBy("user_id", "item")
+      .agg(sum(floor(col("value") * lit(1000000.0)).cast("long")).as("vfix"),
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("item"),
+        ((col("vfix").cast("double") / lit(1000000.0))
+          / col("cnt").cast("double")).as("mean"))
+    val basket = um
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("mean").desc, col("item").asc)))
+      .filter(col("rn") <= basketCap)
+      .select("user_id", "item", "mean")
+    // one directed comparison per strict-preference in-basket pair
+    val cmp = basket.select(col("user_id"),
+        col("item").as("wi"), col("mean").as("wm"))
+      .join(basket.select(col("user_id"),
+        col("item").as("li"), col("mean").as("lm")), Seq("user_id"))
+      .where(col("wm") > col("lm"))
+      .groupBy(col("wi").as("winner"), col("li").as("loser"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers: dirn, wins, (via dirn) items
+    // directed game totals n_ij (both orientations), wins, items
+    val dirn = cmp.select(col("winner").as("i"), col("loser").as("j"), col("cnt"))
+      .unionAll(cmp.select(col("loser").as("i"), col("winner").as("j"), col("cnt")))
+      .groupBy("i", "j").agg(sum("cnt").as("n_ij"))
+      .localCheckpoint() // read every round
+    val items = dirn.select(col("i").as("item")).distinct()
+    val wins = cmp.groupBy(col("winner").as("item")).agg(sum("cnt").as("w"))
+    val stat = items
+      .join(wins, Seq("item"), "left")
+      .join(dirn.groupBy(col("i").as("item")).agg(sum("n_ij").as("games")),
+        Seq("item"))
+      .select(col("item"), coalesce(col("w"), lit(0L)).as("wins"), col("games"),
+        (coalesce(col("w"), lit(0L)).cast("double") + lit(0.5)).as("wins05"))
+      .localCheckpoint() // read every round
+    val nItems = stat.count()
+    LoopWidth.pinned(spark, nItems) {
+      var r = stat.select(col("item"), lit(1.0).as("p")).localCheckpoint()
+      for (_ <- 0 until iters)
+        r = btRound(dirn, stat, r).localCheckpoint()
+      stat.join(r, "item")
+        .select(col("item"), col("wins"), col("games"), col("p").as("rating"))
+        .orderBy("item")
+    }
+  }
+
+  /** One MM round: next-strength frame from the directed game counts,
+    * the static per-item frame, and the current ratings — exposed
+    * un-checkpointed so the plan audit can assert the broadcast shape
+    * of the loop body.
+    */
+  private[graft] def btRound(
+      dirn: DataFrame,
+      stat: DataFrame,
+      r: DataFrame): DataFrame = {
+    val d = dirn
+      .join(broadcast(r.select(col("item").as("i"), col("p").as("p_i"))), "i")
+      .join(broadcast(r.select(col("item").as("j"), col("p").as("p_j"))), "j")
+      .select(col("i").as("item"),
+        floor(col("n_ij").cast("double") / (col("p_i") + col("p_j"))
+          * lit(1000000000.0)).cast("long").as("tfix"))
+      .groupBy("item").agg(sum("tfix").as("dfix"))
+    stat.join(d, "item").join(broadcast(r), "item")
+      .select(col("item"),
+        (col("wins05") / ((col("dfix").cast("double") / lit(1000000000.0))
+          + (lit(1.0) / (col("p") + lit(1.0))))).as("p"))
+  }
+
+  private[graft] val BtBasketCap = 8
+  private[graft] val BtIters = 5
 }

@@ -256,4 +256,43 @@ class Round11OpsSpec extends SparkTestBase {
     assert(pp.join(mx, "user_id")
       .filter(col("chosen_value") =!= col("mx")).isEmpty)
   }
+
+  test("bt ratings: finite positive strengths, monotone with win rate") {
+    val r = Events.btRatings(spark, Sf).localCheckpoint()
+    assert(r.count() > 0)
+    assert(r.filter(col("rating") <= 0.0 || col("rating").isNull
+      || isnan(col("rating"))).isEmpty,
+      "the phantom anchor must keep every strength finite and positive")
+    // an undefeated item must outrate a winless one (MM preserves the
+    // dominance order at the extremes)
+    val best = r.filter(col("wins") === col("games"))
+      .agg(min("rating")).head.getDouble(0)
+    val worst = r.filter(col("wins") === 0)
+      .agg(max("rating")).head.getDouble(0)
+    if (!best.isNaN && !worst.isNaN)
+      assert(best > worst, s"undefeated $best must beat winless $worst")
+    // wins can never exceed games, and games sum to 2x total comparisons
+    assert(r.filter(col("wins") > col("games")).isEmpty)
+    // iteration count changes values, so the fit really iterates
+    val one = Events.btRatings(spark, Sf, iters = 1)
+      .select(col("item"), col("rating").as("r1"))
+    assert(r.join(one, "item").filter(col("rating") =!= col("r1")).count() > 0,
+      "5-round fit must differ from the 1-round fit")
+  }
+
+  test("bt ratings: rating vector broadcasts on every loop-body join") {
+    val dirn = Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("i", "j", "n_ij")
+    val stat = Seq((1L, 2L, 3L, 2.5), (2L, 1L, 3L, 1.5))
+      .toDF("item", "wins", "games", "wins05")
+    val r = Seq((1L, 1.0), (2L, 1.0)).toDF("item", "p")
+    val round = Events.btRound(dirn, stat, r)
+    round.collect() // finalize AQE
+    // string audit: the joins land inside nested AQE query stages, which
+    // SparkPlan.collect does not traverse
+    val plan = round.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"all three rating-vector joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the loop body must never sort-merge the rating vector:\n$plan")
+  }
 }
