@@ -102,7 +102,8 @@ object Bench {
       "events_preference_pairs", "events_retention_incremental",
       "graph_widest_path", "quality_calibration", "dedup_jaccard_stored",
       "txt_tokenizer_fertility", "dedup_minhash_eval",
-      "txt_langid_confusion", "events_bt_ratings")
+      "txt_langid_confusion", "events_bt_ratings",
+      "corpus_boilerplate_report", "corpus_boilerplate_scrub")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

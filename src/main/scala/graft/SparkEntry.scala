@@ -515,6 +515,9 @@ object SparkEntry {
     // C4-style cross-doc line dedup (corpus re-lined at 8 tokens/line) and
     // per-source document capping
     "corpus_line_dedup" -> (CorpusPrep.lineDedupRelined _),
+    // RefinedWeb-style domain-scoped boilerplate: report + hash-probe scrub
+    "corpus_boilerplate_report" -> ((s, d) => CorpusPrep.boilerplateReport(s, d)),
+    "corpus_boilerplate_scrub" -> ((s, d) => CorpusPrep.boilerplateScrub(s, d)),
     "corpus_cap_per_source" -> ((s, d) => CorpusPrep.capPerSource(s, d, cap = 10)),
     // fuzzy (edit-distance) near-dup pairs: exact-recall length blocking ×
     // prefix/suffix affix keys, Levenshtein verify
@@ -4725,6 +4728,59 @@ object SparkEntry {
            SELECT doc_id, list(line ORDER BY ord) AS kept
            FROM keptl GROUP BY doc_id)
          SELECT l.doc_id,
+                COALESCE(array_to_string(a.kept, chr(10)), '') AS text,
+                CAST(COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_kept,
+                CAST(len(l.lines) - COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_dropped
+         FROM lined l LEFT JOIN agg a USING (doc_id)
+         ORDER BY l.doc_id""",
+    "corpus_boilerplate_report" ->
+      // domain-scoped recurrence at 4-token lines; share is one divide
+      // of exact integer operands
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         lined AS (
+           SELECT doc_id, source,
+                  list_transform(range(0, (len(toks) - 1) // 4 + 1),
+                    i -> array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ')) AS lines
+           FROM t),
+         src_tot AS (SELECT source, COUNT(*) AS src_docs FROM lined GROUP BY 1),
+         per AS (
+           SELECT source, line, COUNT(*) AS n_docs FROM (
+             SELECT DISTINCT doc_id, source, unnest(lines) AS line FROM lined)
+           GROUP BY 1, 2)
+         SELECT p.source, p.line, p.n_docs, s.src_docs,
+                CAST(p.n_docs AS DOUBLE) / CAST(s.src_docs AS DOUBLE) AS share
+         FROM per p JOIN src_tot s USING (source)
+         WHERE p.n_docs > 1
+         ORDER BY p.source, p.n_docs DESC, p.line""",
+    "corpus_boilerplate_scrub" ->
+      // the line_dedup scrub replay, keyed by (source, line)
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         lined AS (
+           SELECT doc_id, source,
+                  list_transform(range(0, (len(toks) - 1) // 4 + 1),
+                    i -> array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ')) AS lines
+           FROM t),
+         common AS (
+           SELECT source, line FROM (
+             SELECT source, line, COUNT(*) AS n_docs FROM (
+               SELECT DISTINCT doc_id, source, unnest(lines) AS line FROM lined)
+             GROUP BY 1, 2)
+           WHERE n_docs > 1),
+         ex AS (
+           SELECT doc_id, source, unnest(lines) AS line,
+                  unnest(range(1, len(lines) + 1)) AS ord
+           FROM lined),
+         keptl AS (
+           SELECT e.doc_id, e.line, e.ord
+           FROM ex e LEFT JOIN common c
+             ON e.source = c.source AND e.line = c.line
+           WHERE c.line IS NULL),
+         agg AS (
+           SELECT doc_id, list(line ORDER BY ord) AS kept
+           FROM keptl GROUP BY doc_id)
+         SELECT l.doc_id, l.source,
                 COALESCE(array_to_string(a.kept, chr(10)), '') AS text,
                 CAST(COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_kept,
                 CAST(len(l.lines) - COALESCE(len(a.kept), 0) AS BIGINT) AS n_lines_dropped

@@ -433,7 +433,7 @@ object CorpusPrep {
       sfDir: String,
       lineTokens: Int = 8): DataFrame =
     IO.table(spark, sfDir, "documents")
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("source"), expr(
         s"""concat_ws('\\n', transform(
               sequence(0, (size(split(text, ' ')) - 1) div $lineTokens),
               i -> concat_ws(' ', slice(split(text, ' '), i * $lineTokens + 1, $lineTokens))))""")
@@ -444,6 +444,96 @@ object CorpusPrep {
     */
   def lineDedupRelined(spark: SparkSession, sfDir: String): DataFrame =
     lineDedupFrames(relined(spark, sfDir), maxDocs = 2)
+
+  /** SOURCE-SCOPED BOILERPLATE REPORT — the RefinedWeb/CCNet variant of
+    * [[lineDedup]]: a line is boilerplate for a SOURCE (domain) when it
+    * recurs across more than `maxDocs` distinct documents of that same
+    * source — nav bars, footers, cookie banners repeat within a domain
+    * long before they repeat across the whole corpus, so the
+    * domain-scoped count catches them at a far lower threshold than the
+    * corpus-global one. One row per (source, line) over the threshold,
+    * with the distinct-doc count, the source's doc total, and the share
+    * of the source's documents carrying the line.
+    *
+    * Scale shape: the aggregation key is (source, line) — boilerplate
+    * is a small per-domain vocabulary and the count is map-side
+    * combined, so carrying the line TEXT through the one exchange costs
+    * a bounded set of short strings, not the corpus (the report exists
+    * for humans; the scrub twin probes by hash only). Source doc totals
+    * are a |sources|-row aggregate joined back by BROADCAST.
+    * Duplicate lines within one document count once (array_distinct
+    * before the explode — a doc repeating its own footer is
+    * [[lineDedup]]'s repetition signal, not domain boilerplate).
+    */
+  def boilerplateReport(
+      spark: SparkSession,
+      sfDir: String,
+      lineTokens: Int = BoilerplateLineTokens,
+      maxDocs: Int = BoilerplateMaxDocs): DataFrame = {
+    val docs = relined(spark, sfDir, lineTokens)
+    val srcTotals = docs.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+    docs
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), "\\n"))).as("line"))
+      .groupBy("source", "line")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .join(broadcast(srcTotals), "source")
+      .select(col("source"), col("line"), col("n_docs"), col("src_docs"),
+        (col("n_docs").cast("double") / col("src_docs").cast("double"))
+          .as("share"))
+      .orderBy(col("source"), col("n_docs").desc, col("line"))
+  }
+
+  /** Scrub twin of [[boilerplateReport]]: every document with its
+    * source's boilerplate lines removed. The boilerplate set travels as
+    * xxhash64(source, line) fingerprints — 8 bytes per (domain, line),
+    * never the text — broadcast once and probed map-side by a codegen'd
+    * `filter` HOF, so documents are cleaned in place without any
+    * document-scale exchange (the [[lineDedup]] probe shape, keyed by
+    * domain+line instead of line alone).
+    */
+  def boilerplateScrub(
+      spark: SparkSession,
+      sfDir: String,
+      lineTokens: Int = BoilerplateLineTokens,
+      maxDocs: Int = BoilerplateMaxDocs): DataFrame = {
+    // the LINES ARRAY is the working form — building the joined text
+    // and re-splitting it per branch would pay the tokenize twice;
+    // checkpoint once, both consumers (common-set agg, probe) read it
+    val lined = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), expr(
+        s"""transform(
+              sequence(0, (size(split(text, ' ')) - 1) div $lineTokens),
+              i -> concat_ws(' ', slice(split(text, ' '), i * $lineTokens + 1, $lineTokens)))""")
+        .as("lines"))
+      .localCheckpoint()
+    val common = lined
+      .select(col("source"), explode(array_distinct(col("lines"))).as("line"))
+      .groupBy(xxhash64(col("source"), col("line")).as("bp_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("bp_fp")
+    lined
+      .join(broadcast(common.agg(collect_set("bp_fp").as("bp_set"))))
+      .withColumn("kept", expr(
+        "filter(lines, l -> NOT array_contains(bp_set, xxhash64(source, l)))"))
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", col("kept")).as("text"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        (size(col("lines")) - size(col("kept")))
+          .cast("long").as("n_lines_dropped"))
+      // presentation sort on a checkpointed frame: RangePartitioning
+      // samples its child, and un-checkpointed that replays the whole
+      // scrub ~2x (a 100 TB deployment writes the scrub UNSORTED —
+      // the sort exists for the deterministic local dump)
+      .localCheckpoint()
+      .orderBy("doc_id")
+  }
+
+  private[graft] val BoilerplateLineTokens = 4
+  private[graft] val BoilerplateMaxDocs = 1
 
   /** Per-source document cap (domain capping): keep at most `cap` docs per
     * source, chosen by content-hash order (ties to doc_id) — the standard

@@ -295,4 +295,28 @@ class Round11OpsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"the loop body must never sort-merge the rating vector:\n$plan")
   }
+
+  test("boilerplate: report and scrub agree on what was dropped") {
+    val report = operators.CorpusPrep.boilerplateReport(spark, Sf)
+      .localCheckpoint()
+    val scrub = operators.CorpusPrep.boilerplateScrub(spark, Sf)
+      .localCheckpoint()
+    assert(report.count() > 0, "the sf corpus must surface some repeats")
+    assert(report.filter(col("n_docs") <= 1).isEmpty)
+    assert(report.filter(col("share") > 1.0 || col("share") <= 0.0).isEmpty)
+    // scrub keeps every document exactly once
+    val docs = sources.IO.table(spark, Sf, "documents")
+    assert(scrub.count() == docs.count())
+    // each reported line drops at least once per document it recurs in
+    val reported = report.agg(sum("n_docs")).head.getLong(0)
+    val dropped = scrub.agg(sum("n_lines_dropped")).head.getLong(0)
+    assert(dropped >= reported,
+      s"scrub dropped $dropped lines but the report names $reported doc-hits")
+    // a domain with no reported boilerplate loses nothing
+    val cleanSources = scrub.groupBy("source")
+      .agg(sum("n_lines_dropped").as("d")).filter(col("d") > 0)
+      .select("source")
+    assert(cleanSources.exceptAll(report.select("source").distinct()).isEmpty,
+      "only sources named in the report may lose lines")
+  }
 }
