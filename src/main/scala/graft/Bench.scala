@@ -103,7 +103,8 @@ object Bench {
       "graph_widest_path", "quality_calibration", "dedup_jaccard_stored",
       "txt_tokenizer_fertility", "dedup_minhash_eval",
       "txt_langid_confusion", "events_bt_ratings",
-      "corpus_boilerplate_report", "corpus_boilerplate_scrub")
+      "corpus_boilerplate_report", "corpus_boilerplate_scrub",
+      "sketch_hll_intersect", "sketch_intersect_exact")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

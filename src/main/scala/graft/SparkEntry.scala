@@ -106,6 +106,10 @@ object SparkEntry {
     // oracled exactness anchor for the HLL rows: merged-halves estimate
     // == whole-corpus estimate, as a hashable boolean frame
     "sketch_merge_exact" -> (Relational.sketchMergeExact _),
+    // audience overlap from stored sketches: inclusion-exclusion over
+    // pairwise hll_union (estimate; exact twin is the oracled anchor)
+    "sketch_hll_intersect" -> (Relational.sketchHllIntersect _),
+    "sketch_intersect_exact" -> (Relational.sketchIntersectExact _),
     "sketch_cms_counts" -> (Relational.sketchCmsCounts _),
     // market-basket association lift over capped per-user item baskets
     "events_assoc_lift" -> ((s, d) => Relational.itemAssociationLift(s, d)),
@@ -2598,6 +2602,27 @@ object SparkEntry {
       """SELECT event_type, true AS merge_exact FROM events
          WHERE event_type IS NOT NULL GROUP BY event_type
          ORDER BY event_type""",
+    "sketch_intersect_exact" ->
+      // true pairwise distinct-user overlap; jaccard is one divide of
+      // exact integer operands
+      """WITH ut AS (
+           SELECT DISTINCT event_type, user_id FROM events
+           WHERE event_type IS NOT NULL),
+         per AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS exact_both
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b,
+                pa.n AS exact_a, pb.n AS exact_b, p.exact_both,
+                CAST(p.exact_both AS DOUBLE)
+                  / CAST(pa.n + pb.n - p.exact_both AS DOUBLE) AS exact_jaccard
+         FROM pairs p
+         JOIN per pa ON p.type_a = pa.event_type
+         JOIN per pb ON p.type_b = pb.event_type
+         ORDER BY p.type_a, p.type_b""",
     "sketch_quantile_buckets" ->
       s"""$ddBucketsSql
          SELECT event_type, sign, bucket, cnt FROM g

@@ -788,6 +788,76 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** SKETCH-SPACE SET ALGEBRA — audience-overlap estimation from STORED
+    * sketches, the query a 100 TB funnel analysis answers without
+    * rescanning raw events: per event-type pair, the distinct-user
+    * intersection by inclusion-exclusion over HLL sketches,
+    * |A∩B| ≈ est(A) + est(B) − est(A ⊔ B), where A ⊔ B is the lossless
+    * pairwise register union (`hll_union`) of the two stored sketches.
+    * Emits the two side estimates, the union estimate, the clamped
+    * intersection estimate, and the implied Jaccard.
+    *
+    * Scale shape: ONE pass builds the |types|-row sketch table (the
+    * mergeable-rollup artifact [[sketchMergeProfile]] already stores);
+    * the pair join is |types|² over kilobyte blobs — broadcast, never
+    * data-scale. Inclusion-exclusion amplifies relative error for small
+    * intersections (estimate-by-nature → no DuckDB oracle); the exact
+    * twin [[sketchIntersectExact]] is the oracled anchor and the spec
+    * pins the accuracy band against it.
+    */
+  def sketchHllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = t(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_union"))
+      .select(col("type_a"), col("type_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+      .withColumn("est_jaccard",
+        col("est_intersect").cast("double") / col("est_union").cast("double"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Exact twin of [[sketchHllIntersect]]: true distinct-user
+    * intersection per event-type pair — the DuckDB-oracled anchor the
+    * estimate row is adjudicated against. The (type, user) distinct
+    * frame is |types|·|users| bounded; the pair join fans each user's
+    * type set quadratically but |types| is a closed vocabulary, so the
+    * blow-up is ≤ |types|² per user — the capped-basket bound.
+    */
+  def sketchIntersectExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = t(spark, sfDir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint() // both sides of the pair join read it
+    val per = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_both"))
+      .join(broadcast(per.select(col("event_type").as("type_a"),
+        col("n").as("exact_a"))), "type_a")
+      .join(broadcast(per.select(col("event_type").as("type_b"),
+        col("n").as("exact_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        col("exact_both"),
+        (col("exact_both").cast("double")
+          / (col("exact_a") + col("exact_b") - col("exact_both")).cast("double"))
+          .as("exact_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** The event-type domain the pivot/sketch rows pin (the synthetic
     * events table's closed vocabulary).
     */

@@ -99,4 +99,25 @@ class RelationalSketchSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == exact, s"CMS estimates must be exact here: $est vs $exact")
   }
+
+  test("HLL intersection: inclusion-exclusion lands within 10% of exact") {
+    val est = Relational.sketchHllIntersect(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val exact = Relational.sketchIntersectExact(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(est.keySet == exact.keySet, "same pair domain")
+    exact.foreach { case (k, truth) =>
+      val rep = est(k)
+      // lgConfigK=12 HLL is ~1.6% per estimate; inclusion-exclusion
+      // stacks three of them, so 10% + a small-count floor
+      assert(math.abs(rep - truth).toDouble <= 0.10 * truth + 5.0,
+        s"$k: est $rep vs exact $truth outside the band")
+    }
+    // the union estimate can never undershoot either side (registers
+    // merge by max), so the clamped intersection never exceeds a side
+    val bad = Relational.sketchHllIntersect(spark, Sf)
+      .filter(col("est_intersect") > col("est_a")
+        || col("est_intersect") > col("est_b"))
+    assert(bad.isEmpty, "intersection estimate must not exceed a side")
+  }
 }
