@@ -104,7 +104,8 @@ object Bench {
       "txt_tokenizer_fertility", "dedup_minhash_eval",
       "txt_langid_confusion", "events_bt_ratings",
       "corpus_boilerplate_report", "corpus_boilerplate_scrub",
-      "sketch_hll_intersect", "sketch_intersect_exact")
+      "sketch_hll_intersect", "sketch_intersect_exact",
+      "emb_cluster_terms")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -293,6 +293,8 @@ object SparkEntry {
     // fixed-point centroid sums — the oracle replays both iterations in
     // SQL) and the IVF search over the trained codebook
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssignments(s, d)),
+    // topic labels: per k-means cell, top tf-idf terms of member docs
+    "emb_cluster_terms" -> ((s, d) => Similarity.clusterTopTerms(s, d)),
     // the materialized train-once artifact itself, hash-checked value
     // for value against the oracle's full Lloyd replay
     "kmeans_codebook" -> ((s, d) => Similarity.kmeansCodebookTable(s, d)),
@@ -1969,6 +1971,36 @@ object SparkEntry {
                     ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
            FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1
          ORDER BY vec_id""",
+    "emb_cluster_terms" ->
+      // same Lloyd replay; cluster-level tf-idf with the float-cast
+      // score convention (ranking on the float, term tiebreak)
+      s"""${kmeansCentroidsSql()},
+         ct_assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         ct_tf AS (
+           SELECT a.cid, unnest(string_split(d.text, ' ')) AS term
+           FROM ct_assign a JOIN documents d ON d.doc_id = a.vec_id),
+         ct_cnt AS (SELECT cid, term, COUNT(*) AS tfreq FROM ct_tf GROUP BY 1, 2),
+         ct_len AS (SELECT cid, SUM(tfreq) AS clen FROM ct_cnt GROUP BY 1),
+         ct_df AS (SELECT term, COUNT(*) AS cdf FROM ct_cnt GROUP BY 1),
+         ct_k AS (SELECT COUNT(*) AS kn FROM ct_len),
+         ct_scored AS (
+           SELECT f.cid, f.term, f.tfreq,
+                  CAST((CAST(f.tfreq AS DOUBLE) / l.clen)
+                    * ln((k.kn + 1.0) / (d.cdf + 1.0)) AS FLOAT) AS score
+           FROM ct_cnt f
+           JOIN ct_len l USING (cid)
+           JOIN ct_df d USING (term)
+           CROSS JOIN ct_k k)
+         SELECT cid, term, tfreq, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY cid
+                       ORDER BY score DESC, term) AS rn
+           FROM ct_scored)
+         WHERE rn <= 5 ORDER BY cid, term""",
     "emb_semantic_prune" ->
       // same Lloyd replay; own-centroid sim is the rn=1 row's float, the
       // per-cell ranking and floor() cut are exact-integer on both sides

@@ -674,6 +674,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** CLUSTER TOPIC LABELING — the human-readable face of the k-means
+    * partition: per trained cell, the top tf-idf terms of its member
+    * DOCUMENTS (embeddings join documents on vec_id = doc_id; the
+    * embedded subset is the labeled corpus). Each cluster is scored as
+    * one pseudo-document: tf = term share of the cluster's tokens, idf
+    * damps terms present in most clusters — the classic topic-label
+    * readout over any clustering (here the same Lloyd codebook every
+    * IVF/SemDeDup row trains).
+    *
+    * Determinism: the score is cast to FLOAT before ranking (the tf-idf
+    * convention — JVM log vs libm ln differ by 1 ulp on some inputs and
+    * the float rounding absorbs it; ranking on the float keeps top-k
+    * selection cross-engine stable, with a term tiebreak).
+    *
+    * Scale shape: ONE co-partitioned id join moves document text next
+    * to its assignment (the assignment side is map-side codegen'd
+    * argmax — embeddings never shuffle), tokens collapse map-side to
+    * (cid, term) counts, and everything after is vocabulary-scale. The
+    * rn ≤ topN filter rewrites to the two-phase TopKPerKey operator.
+    */
+  def clusterTopTerms(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 16,
+      iters: Int = 2,
+      topN: Int = 5): DataFrame = {
+    val assign = assignToCodebook(
+      corpus(spark, sfDir).select("vec_id", "v"),
+      kmeansCodebook(spark, sfDir, k, iters))
+      .select(col("vec_id"), col("cid"))
+    val docs = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("vec_id"), col("text"))
+    val tf = assign.join(docs, "vec_id")
+      .select(col("cid"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("cid", "term").agg(count(lit(1)).as("tfreq"))
+      .localCheckpoint() // three consumers: clen, cdf, the scored frame
+    val clen = tf.groupBy("cid").agg(sum("tfreq").as("clen"))
+    val cdf = tf.groupBy("term").agg(count(lit(1)).as("cdf"))
+    val kTotal = clen.agg(count(lit(1)).as("kn"))
+    val w = Window.partitionBy("cid").orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(clen), "cid")
+      .join(cdf, "term")
+      .crossJoin(broadcast(kTotal))
+      .withColumn("score",
+        ((col("tfreq").cast("double") / col("clen"))
+          * log((col("kn") + lit(1.0)) / (col("cdf") + lit(1.0))))
+          .cast("float"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select("cid", "term", "tfreq", "score")
+      .orderBy("cid", "term")
+  }
+
   /** The trained coarse codebook as a TABLE (cid, pos, centroid_val) —
     * the materialized form of the train-once contract: write this frame
     * as parquet beside the corpus and every later query loads it via

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Similarity
 
 /** Behavior specs for the k-means coarse-quantizer trainer and the
@@ -149,5 +151,24 @@ class KmeansSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact,
       "an exhaustive shortlist must reproduce exact top-k")
+  }
+
+  test("cluster topic terms: <= topN per cell, idf damps ubiquitous terms") {
+    val terms = Similarity.clusterTopTerms(spark, Sf).localCheckpoint()
+    val assign = Similarity.kmeansAssignments(spark, Sf)
+    // every populated cell gets labels, none more than topN
+    val perCell = terms.groupBy("cid").count()
+    assert(perCell.filter(col("count") > 5).isEmpty)
+    assert(perCell.count() == assign.select("cid").distinct().count(),
+      "every populated cell must surface labels")
+    // a term in EVERY cell has idf log((k+1)/(k+1)) = 0 — it can never
+    // outrank a cell-specific term with positive score
+    val k = assign.select("cid").distinct().count()
+    val ubiquitous = terms.groupBy("term").count().filter(col("count") === k)
+      .select("term")
+    val positive = terms.filter(col("score") > 0f)
+    assert(positive.join(ubiquitous, "term").isEmpty
+      || terms.filter(col("score") <= 0f).isEmpty,
+      "an everywhere-term may only appear when a cell has nothing better")
   }
 }
