@@ -89,6 +89,7 @@ object GraftSession {
     graft.functions.SimHash64Expr.register(spark)
     graft.functions.MinHashSigExpr.register(spark)
     graft.functions.SortedIntersectCountExpr.register(spark)
+    graft.functions.SortedContainsExpr.register(spark)
     graft.functions.HilbertIndexExpr.register(spark)
     spark
   }

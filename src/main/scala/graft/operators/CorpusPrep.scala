@@ -411,10 +411,15 @@ object CorpusPrep {
       .filter(col("n_docs") > maxDocs)
       .select("line_fp")
     docs
-      .join(broadcast(common.agg(collect_set("line_fp").as("common_set"))))
+      // sorted set + codegen'd binary-search probe (sorted_contains):
+      // the common-line vocabulary grows with the corpus, and
+      // array_contains' linear scan would make the per-line probe
+      // O(L×S) per document (the boilerplateScrub lesson)
+      .join(broadcast(common.agg(
+        array_sort(collect_set("line_fp")).as("common_set"))))
       .withColumn("kept", expr(
         """filter(split(text, '\\n'),
-             l -> NOT array_contains(common_set, xxhash64(l)))"""))
+             l -> NOT sorted_contains(common_set, xxhash64(l)))"""))
       .select(col("doc_id"),
         concat_ws("\n", col("kept")).as("text"),
         size(col("kept")).cast("long").as("n_lines_kept"),
@@ -515,10 +520,16 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
       .select("bp_fp")
+    // the probe set is SORTED once at aggregate time so the per-line
+    // membership test is a codegen'd binary search (sorted_contains),
+    // O(L log S) per document — array_contains' linear scan made the
+    // scrub O(L×S) and 16× superlinear at the ×10 cut, where the
+    // boilerplate vocabulary S grows with the corpus
     lined
-      .join(broadcast(common.agg(collect_set("bp_fp").as("bp_set"))))
+      .join(broadcast(common.agg(
+        array_sort(collect_set("bp_fp")).as("bp_set"))))
       .withColumn("kept", expr(
-        "filter(lines, l -> NOT array_contains(bp_set, xxhash64(source, l)))"))
+        "filter(lines, l -> NOT sorted_contains(bp_set, xxhash64(source, l)))"))
       .select(col("doc_id"), col("source"),
         concat_ws("\n", col("kept")).as("text"),
         size(col("kept")).cast("long").as("n_lines_kept"),

@@ -345,6 +345,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("sorted_contains equals Set membership on random long arrays") {
+    // random sets through the producer's canonicalization (array_sort ∘
+    // collect_set equivalent) probed with members AND non-members — the
+    // binary search must agree with plain Set membership every time,
+    // including at the array boundaries (min/max extremes included)
+    val arrGen: Gen[List[Long]] = Gen.listOfN(40,
+      Gen.oneOf(Gen.chooseNum(-20L, 20L), Gen.oneOf(Long.MinValue, Long.MaxValue, 0L)))
+    val probeGen: Gen[Long] =
+      Gen.oneOf(Gen.chooseNum(-25L, 25L), Gen.oneOf(Long.MinValue, Long.MaxValue))
+    samples(Gen.zip(arrGen, Gen.listOfN(6, probeGen)), n = 8).foreach {
+      case (xs, probes) =>
+        val df = probes.map(p => (xs, p)).toDF("x", "p")
+          .select(col("p"),
+            call_function("sorted_contains",
+              array_sort(array_distinct(col("x"))), col("p")).as("got"))
+        df.collect().foreach { r =>
+          val p = r.getLong(0)
+          assert(r.getBoolean(1) == xs.toSet.contains(p),
+            s"binary search drifted from Set membership probing $p in $xs")
+        }
+    }
+  }
+
   test("winnowing on random texts: selection is a gram subset and obeys the window bound") {
     import graft.functions.TextAnalysis
     val word: Gen[String] = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
