@@ -105,7 +105,8 @@ object Bench {
       "txt_langid_confusion", "events_bt_ratings",
       "corpus_boilerplate_report", "corpus_boilerplate_scrub",
       "sketch_hll_intersect", "sketch_intersect_exact",
-      "emb_cluster_terms")
+      "emb_cluster_terms", "emb_margin_pairs", "emb_margin_pairs_ivf",
+      "corpus_weighted_sample", "events_trending")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

@@ -284,6 +284,13 @@ object SparkEntry {
     // one NN-descent round: neighbors-of-neighbors candidates, monotone
     // per-rank improvement over the LSH seed graph
     "emb_knn_refine" -> ((s, d) => Similarity.knnGraphRefined(s, d)),
+    // margin-based bitext mining (ratio margin, forward top-1): en-side
+    // docs paired to their best non-en neighbor when the pair beats both
+    // endpoints' average k-NN neighborhoods
+    "emb_margin_pairs" -> ((s, d) => Similarity.marginBitextPairs(s, d)),
+    // the production CCMatrix shape: same margin algebra, candidates
+    // bounded to the src's nprobe trained-IVF cells
+    "emb_margin_pairs_ivf" -> ((s, d) => Similarity.marginBitextPairsIvf(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
     // recall@5 of the IVF ladder (nprobe 1/2/4) vs the brute ground
@@ -525,6 +532,9 @@ object SparkEntry {
     "corpus_boilerplate_report" -> ((s, d) => CorpusPrep.boilerplateReport(s, d)),
     "corpus_boilerplate_scrub" -> ((s, d) => CorpusPrep.boilerplateScrub(s, d)),
     "corpus_cap_per_source" -> ((s, d) => CorpusPrep.capPerSource(s, d, cap = 10)),
+    // per-source weighted sample without replacement (priority sampling:
+    // q = n_chars/u, deterministic u from disjoint md5 digits)
+    "corpus_weighted_sample" -> ((s, d) => CorpusPrep.weightedSample(s, d)),
     // fuzzy (edit-distance) near-dup pairs: exact-recall length blocking ×
     // prefix/suffix affix keys, Levenshtein verify
     "dedup_fuzzy_lev" -> ((s, d) => Dedup.fuzzyLevPairs(s, d)),
@@ -603,6 +613,9 @@ object SparkEntry {
     // Bradley-Terry MM fit of item strengths over capped per-user
     // preference comparisons -- fixed-point loop, hash-exact oracle
     "events_bt_ratings" -> ((s, d) => Events.btRatings(s, d)),
+    // exponentially-decayed item popularity (half-life quantized to
+    // whole periods: exact power-of-two fixed-point contributions)
+    "events_trending" -> ((s, d) => Events.trendingItems(s, d)),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -2382,6 +2395,95 @@ object SparkEntry {
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS "rank",
                 vec_id, sim
          FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank"""",
+    "emb_margin_pairs" ->
+      // ratio-margin bitext mining: float-washed cosines, fixed-point
+      // k-NN neighborhood averages, one pinned double op chain for the
+      // margin — mirrored verbatim from the Spark side
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sides AS (
+           SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
+           FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         a AS (SELECT vec_id AS src_id, v AS src_v FROM sides WHERE is_en),
+         b AS (SELECT vec_id AS tgt_id, v AS tgt_v FROM sides WHERE NOT is_en),
+         sims AS (
+           SELECT src_id, tgt_id,
+                  CAST(list_cosine_similarity(src_v, tgt_v) AS FLOAT) AS sim
+           FROM a CROSS JOIN b),
+         fwd AS (
+           SELECT src_id, tgt_id, sim,
+                  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+           FROM sims QUALIFY rn <= 4),
+         fwd_avg AS (
+           SELECT src_id,
+                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS x_avg_fp
+           FROM fwd GROUP BY src_id),
+         bwd_avg AS (
+           SELECT tgt_id,
+                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS y_avg_fp
+           FROM (SELECT src_id, tgt_id, sim,
+                        row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+                 FROM sims QUALIFY rn <= 4)
+           GROUP BY tgt_id)
+         SELECT src_id, tgt_id, sim, margin FROM (
+           SELECT f.src_id, f.tgt_id, f.sim,
+                  CAST(CAST(f.sim AS DOUBLE)
+                       / (((x_avg_fp + y_avg_fp) / 2.0) / 1000000.0) AS FLOAT) AS margin
+           FROM (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1) f
+           JOIN fwd_avg USING (src_id) JOIN bwd_avg USING (tgt_id))
+         WHERE margin >= 1.0 ORDER BY src_id""",
+    "emb_margin_pairs_ivf" ->
+      // same margin algebra over IVF-cell-bounded candidates: the
+      // trained-centroid CTEs replay the Lloyd iterations, assignment
+      // and probes use the float-washed argmax windows
+      s"""${kmeansCentroidsSql()},
+         sides AS (
+           SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
+           FROM v0 e JOIN documents d ON e.vec_id = d.doc_id),
+         assign AS (
+           SELECT vec_id, v, cid, is_en FROM (
+             SELECT s.vec_id, s.v, s.is_en, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM sides s CROSS JOIN cent2 c) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id, v, is_en, cid FROM (
+             SELECT s.vec_id, s.v, s.is_en, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM sides s CROSS JOIN cent2 c) WHERE rn <= 4),
+         sims AS (
+           SELECT DISTINCT p.vec_id AS src_id, a.vec_id AS tgt_id,
+                  CAST(list_cosine_similarity(p.v, a.v) AS FLOAT) AS sim
+           FROM probes p JOIN assign a USING (cid)
+           WHERE p.is_en AND NOT a.is_en),
+         fwd AS (
+           SELECT src_id, tgt_id, sim,
+                  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+           FROM sims QUALIFY rn <= 4),
+         fwd_avg AS (
+           SELECT src_id,
+                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS x_avg_fp
+           FROM fwd GROUP BY src_id),
+         bwd_avg AS (
+           SELECT tgt_id,
+                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS y_avg_fp
+           FROM (SELECT src_id, tgt_id, sim,
+                        row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+                 FROM sims QUALIFY rn <= 4)
+           GROUP BY tgt_id)
+         SELECT src_id, tgt_id, sim, margin FROM (
+           SELECT f.src_id, f.tgt_id, f.sim,
+                  CAST(CAST(f.sim AS DOUBLE)
+                       / (((x_avg_fp + y_avg_fp) / 2.0) / 1000000.0) AS FLOAT) AS margin
+           FROM (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1) f
+           JOIN fwd_avg USING (src_id) JOIN bwd_avg USING (tgt_id))
+         WHERE margin >= 1.0 ORDER BY src_id""",
     "emb_knn_refine" ->
       // one NN-descent round over the knn-graph CTE: undirected
       // neighborhood ∪ two-hop candidates, re-scored, per-node top-k —
@@ -3837,6 +3939,27 @@ object SparkEntry {
          FROM bt_stat s JOIN bt_r${graft.operators.Events.BtIters} r
            ON s.item = r.item
          ORDER BY s.item""",
+    "events_trending" ->
+      // quantized half-life decay: contributions are exact powers of two
+      // summed as BIGINTs at scale 2^40 — order-independent, no libm pow
+      """WITH ev AS (
+           SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+         anchored AS (
+           SELECT item, day, (SELECT max(day) FROM ev) AS max_day FROM ev),
+         wt AS (
+           SELECT item, day,
+                  CASE WHEN (max_day - day) // 7 <= 40
+                       THEN (CAST(1 AS BIGINT) << CAST(40 - (max_day - day) // 7 AS INT))
+                       ELSE CAST(0 AS BIGINT) END AS w_fx
+           FROM anchored)
+         SELECT item,
+                CAST(sum(w_fx) AS DOUBLE) / 1099511627776.0 AS decayed_score,
+                COUNT(*) AS n_events, max(day) AS last_day
+         FROM wt GROUP BY item
+         ORDER BY decayed_score DESC, item LIMIT 50""",
     "dq_report" ->
       // each check replays as plain SQL; counts exact, rate one divide
       """WITH checks AS (
@@ -4852,6 +4975,20 @@ object SparkEntry {
                     ORDER BY ('0x' || substr(md5(text), 17, 8))::BIGINT, doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+    "corpus_weighted_sample" ->
+      // priority sampling: q = w/u, u = (md5-hex[25..32] + 1)/2^32 —
+      // one IEEE division of exact operands, no transcendental
+      """SELECT source, rn, doc_id, n_chars, priority FROM (
+           SELECT source, doc_id, n_chars,
+                  CAST(n_chars AS DOUBLE)
+                    / (CAST(('0x' || substr(md5(text), 25, 8))::BIGINT + 1 AS DOUBLE)
+                       / 4294967296.0) AS priority,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY CAST(n_chars AS DOUBLE)
+                      / (CAST(('0x' || substr(md5(text), 25, 8))::BIGINT + 1 AS DOUBLE)
+                         / 4294967296.0) DESC, doc_id) AS rn
+           FROM documents WHERE n_chars > 0)
+         WHERE rn <= 20 ORDER BY source, rn""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),

@@ -575,6 +575,46 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT per source, by PRIORITY
+    * SAMPLING (Duffield, Lund & Thorup, JACM 2007): each document draws
+    * priority q = w/u with weight w = n_chars and u a deterministic
+    * uniform in (0,1]; the per-source top-`n` by q is a weighted sample
+    * — longer documents proportionally likelier — whose subset-sum
+    * estimates are provably near-optimal. The standard way to thin a
+    * mixture stratum toward its token target without the
+    * short-doc bias a uniform draw has (per-DOC uniform sampling
+    * under-serves token mass concentrated in long docs).
+    *
+    * Priority sampling over Efraimidis–Spirakis (u^(1/w)) is a
+    * DETERMINISM choice, not just taste: the E–S key needs a
+    * transcendental (pow/ln) whose last-ulp varies between libm
+    * implementations, putting rank order at cross-engine risk; q = w/u
+    * is ONE IEEE division of exactly-representable operands (w a small
+    * long; u = (h+1)/2^32 from md5 hex digits 25–32, disjoint from the
+    * cap/split/sample key digits) — bit-identical everywhere.
+    *
+    * Scale shape: the per-source cut is the TopKPerKey rn≤n rewrite
+    * (partial per-partition prune before the one exchange), keys and
+    * priorities are map-side projections — the capPerSource shape with
+    * a weighted key.
+    */
+  def weightedSample(
+      spark: SparkSession,
+      sfDir: String,
+      n: Int = 20): DataFrame = {
+    val u = (conv(substring(md5(col("text").cast("binary")), 25, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    IO.table(spark, sfDir, "documents")
+      .filter(col("n_chars") > 0)
+      .withColumn("priority", col("n_chars").cast("double") / u)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("source", "rn", "doc_id", "n_chars", "priority")
+      .orderBy("source", "rn")
+  }
+
   /** Deterministic global shuffle for training-data ordering: every
     * document gets a pseudo-random 60-bit key derived from (seed, doc_id),
     * a shuffle shard (`bucket`), and its position within the shard. The

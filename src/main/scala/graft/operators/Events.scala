@@ -402,4 +402,56 @@ object Events {
 
   private[graft] val BtBasketCap = 8
   private[graft] val BtIters = 5
+
+  /** TRENDING ITEMS UNDER EXPONENTIAL TIME DECAY — the freshness-aware
+    * popularity score every feed/mixture ranker starts from: each
+    * interaction contributes 2^(−age/halfLife), so an item's score is a
+    * decayed event count where activity `halfLifeDays` ago counts half
+    * as much as activity today. Age is measured from the table's max
+    * day (the "as of the data" convention — wall-clock `now` would make
+    * the answer non-reproducible).
+    *
+    * The half-life is QUANTIZED to whole periods (age div halfLife):
+    * each contribution is then an exact power of two, summed as exact
+    * BIGINTs scaled by 2^40 — order-independent and bit-identical
+    * cross-engine. The continuous form 2^(−age/h) would put an
+    * irrational `pow` inside a cross-row float sum: both
+    * partition-order-dependent and 1-ulp-libm-divergent, which is
+    * precisely the hash-mismatch trap the fixed-point convention
+    * exists to avoid. Contributions older than 40 half-lives underflow
+    * the scale and count zero (2⁻⁴⁰ of one event is noise, not signal).
+    *
+    * Scale shape: one map-side-combined aggregation on the item key —
+    * the word-count shape; the max-day anchor is a 1-row broadcast from
+    * the same scan's metadata-cheap aggregate, and the final top-k cut
+    * is the TopKPerKey single-partition form (rows are |items|-bounded
+    * long before the sort).
+    */
+  def trendingItems(
+      spark: SparkSession,
+      sfDir: String,
+      halfLifeDays: Int = 7,
+      topK: Int = 50): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    val ev = raw
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("tus div 86400000000").as("day"))
+      .where(col("item").isNotNull)
+    val maxDay = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(maxDay))
+      .withColumn("hl", expr(s"(max_day - day) div $halfLifeDays")) // exact
+      .withColumn("w_fx",
+        when(col("hl") <= 40, expr("shiftleft(1L, cast(40 - hl as int))"))
+          .otherwise(lit(0L)))
+      .groupBy("item")
+      .agg(sum("w_fx").as("score_fx"), count(lit(1)).as("n_events"),
+        max("day").as("last_day"))
+      .select(col("item"),
+        (col("score_fx").cast("double") / lit(1099511627776.0)) // 2^40: exact
+          .as("decayed_score"),
+        col("n_events"), col("last_day"))
+      .orderBy(desc("decayed_score"), asc("item"))
+      .limit(topK)
+  }
 }

@@ -1744,4 +1744,160 @@ object Similarity {
         .withColumn("sim", expr("cosine_sim(qv, v)").cast("float")),
       k)
   }
+
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL 2019; the
+    * CCMatrix/LASER alignment recipe): candidate translation pairs
+    * between an English side and a non-English side of the corpus,
+    * scored by the RATIO MARGIN — a pair's cosine divided by the mean
+    * of the two endpoints' average similarity to their k nearest
+    * cross-lingual neighbors:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖNN_B(x) + avgₖNN_A(y)) / 2)
+    *
+    * Absolute cosine is uncalibrated across embedding neighborhoods
+    * (hubness); the margin keeps a pair only when the two docs are
+    * closer to EACH OTHER than to their general neighborhoods, which is
+    * what makes mined bitext usable as training data. Emitted: each
+    * English doc's forward top-1 with margin ≥ `threshold`.
+    *
+    * Determinism: pair cosines are cut to FLOAT (the topKPerQuery
+    * rationale — absorbs ≤1-ulp libm drift), the k-NN averages are
+    * fixed-point BIGINT sums of round(sim×10⁶) (order-independent),
+    * and the margin is ONE pinned double op sequence over those exact
+    * inputs, mirrored in the oracle — hash-exact cross-engine.
+    *
+    * Scale shape: the all-pairs A×B scoring here is the sf-local EXACT
+    * baseline (the eval-suite convention of annRecallReport — mining
+    * quality is judged against exact margins). The 100 TB path swaps
+    * ONLY the candidate generator: both sides assign to the trained IVF
+    * cells ([[kmeansCells]]) and score within probed cells — the
+    * CCMatrix practice — leaving the margin algebra unchanged; the
+    * sides frame builds from ONE embeddings scan + a broadcast-joined
+    * doc-lang projection, and the scored frame localCheckpoints once
+    * because three consumers (forward top-k/avg, backward avg) would
+    * otherwise replay the scoring.
+    */
+  def marginBitextPairs(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    val langs = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("is_en"))
+    val sides = corpus(spark, sfDir).select("vec_id", "v")
+      .join(langs, col("vec_id") === col("doc_id"))
+    val a = sides.filter(col("is_en"))
+      .select(col("vec_id").as("src_id"), col("v").as("src_v"))
+    val b = sides.filter(!col("is_en"))
+      .select(col("vec_id").as("tgt_id"), col("v").as("tgt_v"))
+    val sims = a.crossJoin(broadcast(b))
+      .select(col("src_id"), col("tgt_id"),
+        expr("cosine_sim(src_v, tgt_v)").cast("float").as("sim"))
+    marginFromScoredPairs(sims, k, threshold)
+  }
+
+  /** The margin algebra over any scored (src_id, tgt_id, sim) candidate
+    * frame — shared by the exact all-pairs baseline and the IVF-bounded
+    * production path: forward/backward k-NN fixed-point averages, the
+    * forward top-1, and the gated ratio margin. Checkpoints the scored
+    * frame once (three consumers) and the forward cut once (two).
+    */
+  private def marginFromScoredPairs(
+      scored: DataFrame,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val sims = scored.localCheckpoint()
+    val fpSim = sum(round(col("sim").cast("double") * lit(1000000.0))
+      .cast("long")).as("fp")
+    val wF = Window.partitionBy("src_id").orderBy(desc("sim"), asc("tgt_id"))
+    val fwd = sims.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // read twice: the per-src average and the top-1
+    val fwdAvg = fwd.groupBy("src_id")
+      .agg(fpSim, count(lit(1)).as("n"))
+      .select(col("src_id"),
+        (col("fp").cast("double") / col("n").cast("double")).as("x_avg_fp"))
+    val top1 = fwd.filter(col("rn") === 1).select("src_id", "tgt_id", "sim")
+    val wB = Window.partitionBy("tgt_id").orderBy(desc("sim"), asc("src_id"))
+    val bwdAvg = sims.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k)
+      .groupBy("tgt_id")
+      .agg(fpSim, count(lit(1)).as("n"))
+      .select(col("tgt_id"),
+        (col("fp").cast("double") / col("n").cast("double")).as("y_avg_fp"))
+    top1
+      .join(fwdAvg, "src_id")
+      .join(bwdAvg, "tgt_id")
+      .withColumn("margin",
+        (col("sim").cast("double")
+          / (((col("x_avg_fp") + col("y_avg_fp")) / lit(2.0)) / lit(1000000.0)))
+          .cast("float"))
+      .filter(col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+      .orderBy("src_id")
+  }
+
+  /** [[marginBitextPairs]] with IVF-CELL-BOUNDED candidates — the
+    * production shape of CCMatrix mining (Schwenk et al., 2021: FAISS
+    * IVF indexes on both sides, margin scored within probed cells):
+    * train the coarse quantizer once over the whole embedding corpus
+    * ([[kmeansCodebook]] — both languages share the space, so one
+    * codebook serves both sides), assign each side to its nearest cell,
+    * and score a (src, tgt) pair only when tgt lies in one of the
+    * src's `nprobe` closest cells (and symmetrically for the backward
+    * neighborhood pass, which probes from the tgt side). The margin
+    * algebra is [[marginFromScoredPairs]], unchanged — only the
+    * candidate generator narrows.
+    *
+    * Both directions' k-NN averages are measured over the ONE
+    * forward-probed candidate frame (the backward pass reads the same
+    * scored pairs grouped by tgt) — the standard one-index
+    * simplification of the two-index FAISS recipe; what it costs in
+    * fidelity the spec measures directly as pair recall against the
+    * exact baseline.
+    *
+    * Scale shape: per src the candidate set is Σ(probed cell sizes) ≈
+    * nprobe×|B|/nlist — never |B|; the registered row pins nlist=16
+    * (the ann-ladder oracle convention). At 100 TB nlist grows ∝ √N
+    * (the FAISS sizing rule), holding per-query probe work ~constant;
+    * the one-off codebook training is the [[kmeansCodebook]] bounded
+    * artifact and assignment stays a map-side codegen argmax.
+    */
+  def marginBitextPairsIvf(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val langs = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("is_en"))
+    val sides = corpus(spark, sfDir).select("vec_id", "v")
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select("vec_id", "v", "is_en")
+    val codebook = kmeansCodebook(spark, sfDir, nlist, iters)
+    val cent = codebook.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    // each side: its own cell (map-side argmax) for the candidate index,
+    // and its nprobe closest cells for the probe list
+    val assigned = assignToCodebook(sides, codebook)
+      .join(sides.select(col("vec_id"), col("is_en")), "vec_id")
+    val wP = Window.partitionBy("vec_id").orderBy(desc("psim"), asc("cid"))
+    val probes = sides.crossJoin(broadcast(cent))
+      .withColumn("psim", expr("cosine_sim(v, cv)").cast("float"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("is_en"), col("cid"))
+    // forward candidates: en probes × non-en members of the probed cell
+    val sims = probes.filter(col("is_en"))
+      .select(col("vec_id").as("src_id"), col("v").as("src_v"), col("cid"))
+      .join(assigned.filter(!col("is_en"))
+        .select(col("vec_id").as("tgt_id"), col("v").as("tgt_v"), col("cid")),
+        Seq("cid"))
+      .select(col("src_id"), col("tgt_id"),
+        expr("cosine_sim(src_v, tgt_v)").cast("float").as("sim"))
+      .distinct() // a tgt can sit in several probed cells of the same src
+    marginFromScoredPairs(sims, k, threshold)
+  }
 }

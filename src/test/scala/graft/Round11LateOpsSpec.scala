@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPrep, Events, Similarity}
+
+/** Behavior specs for the late round-11 operators: margin-based bitext
+  * mining, priority-sampling weighted selection, and exponential-decay
+  * trending.
+  */
+class Round11LateOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("marginBitextPairs: forward top-1 across the language boundary, margin-gated") {
+    val pairs = Similarity.marginBitextPairs(spark, Sf).localCheckpoint()
+    val langs = sources.IO.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    // sides: src strictly English, tgt strictly non-English
+    assert(pairs.join(langs, pairs("src_id") === langs("doc_id"))
+      .filter(col("lang") =!= "en").isEmpty, "src side must be English")
+    assert(pairs.join(langs, pairs("tgt_id") === langs("doc_id"))
+      .filter(col("lang") === "en").isEmpty, "tgt side must be non-English")
+    // forward top-1: at most one pair per source doc
+    assert(pairs.groupBy("src_id").count().filter(col("count") > 1).isEmpty)
+    // the gate actually gates
+    assert(pairs.filter(col("margin") < 1.0f).isEmpty)
+    // the emitted tgt is the src's true argmax over the whole non-en side
+    val emb = sources.IO.table(spark, Sf, "embeddings")
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val en = emb.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("sv"))
+    val non = emb.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val best = en.crossJoin(broadcast(non))
+      .withColumn("s", expr("cosine_sim(sv, cv)").cast("float"))
+      .groupBy("src_id").agg(max("s").as("best_sim"))
+    assert(pairs.join(best, "src_id")
+      .filter(col("sim") =!= col("best_sim")).isEmpty,
+      "every emitted pair must carry the exact forward-best cosine")
+  }
+
+  test("marginBitextPairsIvf: cell-bounded mining recovers most exact pairs") {
+    val exact = Similarity.marginBitextPairs(spark, Sf)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.marginBitextPairsIvf(spark, Sf)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // nprobe=4 of nlist=16 cells scans ~25% of the corpus per query;
+    // the synthetic near-uniform embeddings are IVF's adversarial case
+    // (no cluster structure to exploit — measured ~0.62 here, where a
+    // clustered real corpus sits far higher), so the floor pins the
+    // MECHANISM working, not production tuning
+    assert(recall >= 0.5, s"IVF mining recall $recall collapsed vs exact")
+  }
+
+  test("weightedSample: exact per-source top-n by independently recomputed priority") {
+    val sampled = CorpusPrep.weightedSample(spark, Sf, n = 20).localCheckpoint()
+    // rn contiguous from 1, never beyond n or the stratum size
+    val bySrc = sampled.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rn").as("maxrn"), min("rn").as("minrn"))
+    assert(bySrc.filter(col("maxrn") =!= col("k") || col("minrn") =!= 1).isEmpty)
+    assert(sampled.filter(col("rn") > 20).isEmpty)
+    // reference: recompute q = w/u from the md5 hex digits in Scala
+    val docs = sources.IO.table(spark, Sf, "documents")
+      .filter(col("n_chars") > 0)
+      .select("doc_id", "source", "n_chars", "text")
+      .as[(Long, String, Long, String)].collect()
+    def priority(nChars: Long, text: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(24, 32), 16)
+      nChars.toDouble / ((h + 1).toDouble / 4294967296.0)
+    }
+    val wanted = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.toSeq.map(d => (d._1, d._2, priority(d._3, d._4)))
+        .sortBy { case (id, _, q) => (-q, id) }.take(20)
+    }.map(t => (t._1, t._2)).toSet
+    val got = sampled.select("doc_id", "source")
+      .as[(Long, String)].collect().toSet
+    assert(got == wanted, "selection must equal the reference top-n per source")
+  }
+
+  test("trendingItems: quantized-decay scores match a Scala reference") {
+    val top = Events.trendingItems(spark, Sf).localCheckpoint()
+    assert(top.count() <= 50 && top.count() > 0)
+    // each contribution is ≤ 1 event: score never exceeds the raw count
+    assert(top.filter(col("decayed_score") > col("n_events").cast("double"))
+      .isEmpty)
+    // reference: collect (item, day), replay the exact 2^-(age div 7) sum
+    val raw = sources.IO.table(spark, Sf, "events")
+    val ev = raw.withColumn("tus", operators.EventTime.tsUs(raw))
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("tus div 86400000000").as("day"))
+      .where(col("item").isNotNull)
+      .as[(Long, Long)].collect()
+    val maxDay = ev.map(_._2).max
+    val ref = ev.groupBy(_._1).map { case (item, rows) =>
+      val fx = rows.map { case (_, d) =>
+        val k = (maxDay - d) / 7
+        if (k <= 40) 1L << (40 - k) else 0L
+      }.sum
+      item -> fx.toDouble / 1099511627776.0
+    }
+    val got = top.select("item", "decayed_score")
+      .as[(Long, Double)].collect()
+    got.foreach { case (item, s) =>
+      assert(s == ref(item), s"score drifted for item $item")
+    }
+    // emitted in score-descending order (ties by item)
+    val scores = got.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
