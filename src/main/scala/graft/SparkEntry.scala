@@ -616,6 +616,9 @@ object SparkEntry {
     // exponentially-decayed item popularity (half-life quantized to
     // whole periods: exact power-of-two fixed-point contributions)
     "events_trending" -> ((s, d) => Events.trendingItems(s, d)),
+    // batch-extend the persisted (item, day) count state and re-rank --
+    // oracle is the FROM-SCRATCH query: hash match proves equivalence
+    "events_trending_incremental" -> ((s, d) => Events.trendingIncremental(s, d)),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -3942,6 +3945,27 @@ object SparkEntry {
     "events_trending" ->
       // quantized half-life decay: contributions are exact powers of two
       // summed as BIGINTs at scale 2^40 — order-independent, no libm pow
+      """WITH ev AS (
+           SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+         anchored AS (
+           SELECT item, day, (SELECT max(day) FROM ev) AS max_day FROM ev),
+         wt AS (
+           SELECT item, day,
+                  CASE WHEN (max_day - day) // 7 <= 40
+                       THEN (CAST(1 AS BIGINT) << CAST(40 - (max_day - day) // 7 AS INT))
+                       ELSE CAST(0 AS BIGINT) END AS w_fx
+           FROM anchored)
+         SELECT item,
+                CAST(sum(w_fx) AS DOUBLE) / 1099511627776.0 AS decayed_score,
+                COUNT(*) AS n_events, max(day) AS last_day
+         FROM wt GROUP BY item
+         ORDER BY decayed_score DESC, item LIMIT 50""",
+    "events_trending_incremental" ->
+      // deliberately the FROM-SCRATCH replay over the full table: a
+      // hash match proves the batch-extended count state reproduces it
       """WITH ev AS (
            SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
                   epoch_us(ts) // 86400000000 AS day

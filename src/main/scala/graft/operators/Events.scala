@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -431,21 +431,45 @@ object Events {
       spark: SparkSession,
       sfDir: String,
       halfLifeDays: Int = 7,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50): DataFrame =
+    trendingFromDayCounts(itemDayCounts(spark, sfDir), halfLifeDays, topK)
+
+  /** Per-(item, day) event counts — trending's COMPACT STATE: the score
+    * is a pure function of this |items|·|days|-bounded table, which is
+    * what makes the incremental path exact (the retention `seen`-set
+    * argument, keyed by item instead of user).
+    */
+  private def itemDayCounts(
+      spark: SparkSession,
+      sfDir: String,
+      slice: Option[DataFrame => Column] = None): DataFrame = {
     val raw = IO.table(spark, sfDir, "events")
-    val ev = raw
+    slice.map(p => raw.filter(p(raw))).getOrElse(raw)
       .withColumn("tus", EventTime.tsUs(raw))
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
         expr("tus div 86400000000").as("day"))
       .where(col("item").isNotNull)
-    val maxDay = ev.agg(max("day").as("max_day"))
-    ev.crossJoin(broadcast(maxDay))
+      .groupBy("item", "day").agg(count(lit(1)).as("n"))
+  }
+
+  /** The decay-and-rank core over an (item, day, n) counts frame: each
+    * (item, day) cell contributes n × 2^(40 − age div halfLife) exact
+    * BIGINTs (see [[trendingItems]] for why the half-life is quantized),
+    * anchored at the frame's max day via a 1-row broadcast.
+    */
+  private def trendingFromDayCounts(
+      counts: DataFrame,
+      halfLifeDays: Int,
+      topK: Int): DataFrame = {
+    val maxDay = counts.agg(max("day").as("max_day"))
+    counts.crossJoin(broadcast(maxDay))
       .withColumn("hl", expr(s"(max_day - day) div $halfLifeDays")) // exact
       .withColumn("w_fx",
-        when(col("hl") <= 40, expr("shiftleft(1L, cast(40 - hl as int))"))
+        when(col("hl") <= 40,
+          col("n") * expr("shiftleft(1L, cast(40 - hl as int))"))
           .otherwise(lit(0L)))
       .groupBy("item")
-      .agg(sum("w_fx").as("score_fx"), count(lit(1)).as("n_events"),
+      .agg(sum("w_fx").as("score_fx"), sum("n").as("n_events"),
         max("day").as("last_day"))
       .select(col("item"),
         (col("score_fx").cast("double") / lit(1099511627776.0)) // 2^40: exact
@@ -453,5 +477,56 @@ object Events {
         col("n_events"), col("last_day"))
       .orderBy(desc("decayed_score"), asc("item"))
       .limit(topK)
+  }
+
+  private[graft] def trendingArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/events.parquet",
+      "user_id", "trending", s"trending_v1|$sfDir|split1706054400")
+
+  /** Persist the trending state from the base slice: the per-(item,
+    * day) count table the score is a pure function of.
+    */
+  def persistTrendingBase(spark: SparkSession, sfDir: String): String = {
+    val path = trendingArtifactPath(spark, sfDir)
+    itemDayCounts(spark, sfDir,
+      Some(raw => EventTime.tsBeforeUs(raw, RetentionSplitUs)))
+      .write.mode("overwrite").parquet(s"$path/counts")
+    path
+  }
+
+  /** INCREMENTAL TRENDING — extend the persisted count state with the
+    * arriving batch and re-rank, WITHOUT re-scanning event history.
+    *
+    * Soundness: the score is a pure function of the (item, day, n)
+    * table and counts are mergeable by plain addition, so stored-plus-
+    * batch equals from-scratch EXACTLY — including the anchor shift:
+    * the decay weights are recomputed from the merged table's max day,
+    * never carried over (a carried score would need a lossy re-scale;
+    * the counts table is the right state precisely because it is
+    * decay-free). The oracle is the FROM-SCRATCH trending query over
+    * the whole table — a hash match proves incremental ≡ from-scratch,
+    * the retention/scd2-incremental contract.
+    *
+    * Scale shape: one read of the compact |items|·|days| state, one
+    * batch-bounded aggregation, one merged-counts union-aggregate —
+    * events never re-scan; everything downstream of the state is the
+    * same bounded-artifact arithmetic as the serve path.
+    */
+  def trendingIncremental(
+      spark: SparkSession,
+      sfDir: String,
+      halfLifeDays: Int = 7,
+      topK: Int = 50): DataFrame = {
+    val path = trendingArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "counts")))
+      persistTrendingBase(spark, sfDir)
+    val stored = spark.read.parquet(s"$path/counts")
+    val batch = itemDayCounts(spark, sfDir,
+      Some(raw => EventTime.tsAtLeastUs(raw, RetentionSplitUs)))
+    val merged = stored.unionByName(batch)
+      .groupBy("item", "day").agg(sum("n").as("n"))
+    trendingFromDayCounts(merged, halfLifeDays, topK)
   }
 }

@@ -84,6 +84,20 @@ class Round11LateOpsSpec extends SparkTestBase {
     assert(got == wanted, "selection must equal the reference top-n per source")
   }
 
+  test("trendingIncremental: batch-extended state equals from-scratch") {
+    // clear any stale artifact so the test exercises the prime+extend path
+    val path = Events.trendingArtifactPath(spark, Sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val inc = Events.trendingIncremental(spark, Sf).localCheckpoint()
+    val scratch = Events.trendingItems(spark, Sf)
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
+      "incremental must reproduce the from-scratch ranking exactly")
+    // the state artifact persisted and is consumed on the second call
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "counts")))
+    val again = Events.trendingIncremental(spark, Sf)
+    assert(again.exceptAll(scratch).isEmpty && scratch.exceptAll(again).isEmpty)
+  }
+
   test("trendingItems: quantized-decay scores match a Scala reference") {
     val top = Events.trendingItems(spark, Sf).localCheckpoint()
     assert(top.count() <= 50 && top.count() > 0)
