@@ -107,7 +107,7 @@ object Bench {
       "sketch_hll_intersect", "sketch_intersect_exact",
       "emb_cluster_terms", "emb_margin_pairs", "emb_margin_pairs_ivf",
       "corpus_weighted_sample", "events_trending",
-      "events_trending_incremental")
+      "events_trending_incremental", "emb_training_triplets")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

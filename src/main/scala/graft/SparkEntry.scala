@@ -291,6 +291,12 @@ object SparkEntry {
     // the production CCMatrix shape: same margin algebra, candidates
     // bounded to the src's nprobe trained-IVF cells
     "emb_margin_pairs_ivf" -> ((s, d) => Similarity.marginBitextPairsIvf(s, d)),
+    // contrastive (anchor, positive, hard-negative) triplets mined from
+    // the near-dup components + trained IVF cells the pipeline already
+    // has; serve row consumes both persisted artifacts, rebuild row
+    // derives them from scratch (row-identical, same oracle)
+    "emb_training_triplets" -> ((s, d) => Similarity.trainingTripletsStored(s, d)),
+    "emb_training_triplets_rebuild" -> ((s, d) => Similarity.trainingTriplets(s, d)),
     "ann_topk_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfCosineTopK(s, d)),
     // recall@5 of the IVF ladder (nprobe 1/2/4) vs the brute ground
@@ -1880,6 +1886,45 @@ object SparkEntry {
               vec_id, sim
        FROM scored QUALIFY "rank" <= 5 ORDER BY qid, "rank""""
 
+  /** Contrastive-triplet oracle: the simhash near-dup closure supplies
+    * the component map (`base`), the Lloyd replay supplies the trained
+    * centroids (`cent2`); positives argmax within the component,
+    * hard negatives argmax within the IVF cell minus the component —
+    * the same artifacts-joined shape as the Spark side. Shared by the
+    * stored and rebuild registrations (row-identical by construction).
+    */
+  private def tripletsOracleSql: String =
+    s"""$simHashClusterBaseSql,
+         ${kmeansCentroidsSql().stripPrefix("WITH ")},
+         asg AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY CAST(list_cosine_similarity(e.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+             FROM v0 e CROSS JOIN cent2 c) WHERE rn = 1),
+         j AS (
+           SELECT a.vec_id, a.v, a.cid, b.component_id
+           FROM asg a JOIN base b ON a.vec_id = b.doc_id),
+         pos AS (
+           SELECT x.vec_id AS anchor_id, y.vec_id AS positive_id,
+                  CAST(list_cosine_similarity(x.v, y.v) AS FLOAT) AS pos_sim,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY CAST(list_cosine_similarity(x.v, y.v) AS FLOAT) DESC, y.vec_id) AS rn
+           FROM j x JOIN j y
+             ON x.component_id = y.component_id AND x.vec_id <> y.vec_id),
+         neg AS (
+           SELECT x.vec_id AS anchor_id, y.vec_id AS negative_id,
+                  CAST(list_cosine_similarity(x.v, y.v) AS FLOAT) AS neg_sim,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY CAST(list_cosine_similarity(x.v, y.v) AS FLOAT) DESC, y.vec_id) AS rn
+           FROM j x JOIN j y
+             ON x.cid = y.cid AND x.component_id <> y.component_id)
+         SELECT p.anchor_id, p.positive_id, p.pos_sim, n.negative_id, n.neg_sim
+         FROM (SELECT anchor_id, positive_id, pos_sim FROM pos WHERE rn = 1) p
+         JOIN (SELECT anchor_id, negative_id, neg_sim FROM neg WHERE rn = 1) n
+           USING (anchor_id)
+         ORDER BY anchor_id"""
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_eval" ->
       // exact truth by the naive token-set join (integer threshold
@@ -2438,6 +2483,10 @@ object SparkEntry {
            FROM (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1) f
            JOIN fwd_avg USING (src_id) JOIN bwd_avg USING (tgt_id))
          WHERE margin >= 1.0 ORDER BY src_id""",
+    // serve and rebuild rows are row-identical by construction (the
+    // artifacts ARE the clustering and the codebook): one oracle
+    "emb_training_triplets" -> tripletsOracleSql,
+    "emb_training_triplets_rebuild" -> tripletsOracleSql,
     "emb_margin_pairs_ivf" ->
       // same margin algebra over IVF-cell-bounded candidates: the
       // trained-centroid CTEs replay the Lloyd iterations, assignment

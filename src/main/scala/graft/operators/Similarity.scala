@@ -1863,6 +1863,100 @@ object Similarity {
     * the one-off codebook training is the [[kmeansCodebook]] bounded
     * artifact and assignment stays a map-side codegen argmax.
     */
+  /** CONTRASTIVE TRAINING TRIPLETS mined from the pipeline's own
+    * artifacts — the (anchor, positive, hard-negative) rows an
+    * embedding-model trainer consumes (the SimCSE/SBERT data recipe,
+    * and the reason a curation pipeline keeps its near-dup clusters
+    * instead of just deleting duplicates):
+    *
+    *   - positive: the anchor's most-similar OTHER member of its
+    *     near-dup component ([[Cluster.nearDupComponentsMd5]] — docs
+    *     the dedup pipeline proved are the same content);
+    *   - hard negative: the anchor's most-similar doc from its own
+    *     trained IVF cell that is NOT in its component — close in
+    *     embedding space yet different content, exactly the
+    *     gradient-bearing negative (a random negative is trivially
+    *     separable and teaches nothing).
+    *
+    * Anchors with no component sibling (non-duplicated docs) or no
+    * same-cell non-sibling emit nothing. Ties break by float-washed
+    * cosine then id, the ann-ladder convention.
+    *
+    * Scale shape: positives join WITHIN components (Σ|comp|² — dup
+    * clusters are small by nature and the decision op spec-bounds
+    * them); negatives join WITHIN cells (Σ|cell|² — the SemDeDup
+    * candidate bound, nlist grows ∝ √N at scale). Embeddings cross
+    * each join once per side; both argmax cuts are the TopKPerKey
+    * rn=1 rewrite. The assigned frame checkpoints once for its four
+    * consumers.
+    */
+  def trainingTriplets(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      iters: Int = 2): DataFrame =
+    tripletsFromArtifacts(spark, sfDir,
+      Cluster.nearDupComponentsMd5Unsorted(spark, sfDir),
+      kmeansCodebook(spark, sfDir, nlist, iters))
+
+  /** [[trainingTriplets]] consuming the PERSISTED component map and IVF
+    * codebook — the production serve shape (both artifacts are
+    * train-once, refreshed per corpus version; the triplet miner pays
+    * only the within-component and within-cell joins). Row-identical by
+    * construction, so the registered row keeps the rebuild's oracle.
+    */
+  def trainingTripletsStored(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val path = ivfArtifactPath(spark, sfDir, nlist, iters)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "codebook")))
+      persistIvfIndex(spark, sfDir, nlist, iters)
+    tripletsFromArtifacts(spark, sfDir,
+      Cluster.componentMapStored(spark, sfDir),
+      codebookFromTable(spark.read.parquet(s"$path/codebook")))
+  }
+
+  private def tripletsFromArtifacts(
+      spark: SparkSession,
+      sfDir: String,
+      comp: DataFrame,
+      codebook: Seq[(Long, Array[Double])]): DataFrame = {
+    val c = corpus(spark, sfDir).select("vec_id", "v")
+    val assigned = assignToCodebook(c, codebook)
+      .join(comp, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("v"), col("cid"), col("component_id"))
+      .localCheckpoint()
+    val pos = assigned.select(col("vec_id").as("anchor_id"),
+        col("v").as("av"), col("component_id"))
+      .join(assigned.select(col("vec_id").as("positive_id"),
+        col("v").as("pv"), col("component_id")), Seq("component_id"))
+      .filter(col("anchor_id") =!= col("positive_id"))
+      .withColumn("pos_sim", expr("cosine_sim(av, pv)").cast("float"))
+    val wP = Window.partitionBy("anchor_id")
+      .orderBy(desc("pos_sim"), asc("positive_id"))
+    val bestPos = pos.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") === 1)
+      .select("anchor_id", "positive_id", "pos_sim")
+    val neg = assigned.select(col("vec_id").as("anchor_id"),
+        col("v").as("av"), col("cid"), col("component_id").as("acomp"))
+      .join(assigned.select(col("vec_id").as("negative_id"),
+        col("v").as("nv"), col("cid"), col("component_id").as("ncomp")),
+        Seq("cid"))
+      .filter(col("acomp") =!= col("ncomp"))
+      .withColumn("neg_sim", expr("cosine_sim(av, nv)").cast("float"))
+    val wN = Window.partitionBy("anchor_id")
+      .orderBy(desc("neg_sim"), asc("negative_id"))
+    val bestNeg = neg.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .select("anchor_id", "negative_id", "neg_sim")
+    bestPos.join(bestNeg, "anchor_id")
+      .select("anchor_id", "positive_id", "pos_sim", "negative_id", "neg_sim")
+      .orderBy("anchor_id")
+  }
+
   def marginBitextPairsIvf(
       spark: SparkSession,
       sfDir: String,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusPrep, Events, Similarity}
+import graft.operators.{Cluster, CorpusPrep, Events, Similarity}
 
 /** Behavior specs for the late round-11 operators: margin-based bitext
   * mining, priority-sampling weighted selection, and exponential-decay
@@ -82,6 +82,47 @@ class Round11LateOpsSpec extends SparkTestBase {
     val got = sampled.select("doc_id", "source")
       .as[(Long, String)].collect().toSet
     assert(got == wanted, "selection must equal the reference top-n per source")
+  }
+
+  test("trainingTriplets: positives share the component, negatives the cell only") {
+    val t = Similarity.trainingTriplets(spark, Sf).localCheckpoint()
+    assert(t.count() > 0)
+    val comp = Cluster.nearDupComponentsMd5(spark, Sf)
+    def compOf(idCol: String, as: String) = comp
+      .select(col("doc_id").as(idCol), col("component_id").as(as))
+    val cells = Similarity.kmeansAssignments(spark, Sf)
+    def cellOf(idCol: String, as: String) = cells
+      .select(col("vec_id").as(idCol), col("cid").as(as))
+    val enriched = t
+      .join(compOf("anchor_id", "ac"), "anchor_id")
+      .join(compOf("positive_id", "pc"), "positive_id")
+      .join(compOf("negative_id", "nc"), "negative_id")
+      .join(cellOf("anchor_id", "acell"), "anchor_id")
+      .join(cellOf("negative_id", "ncell"), "negative_id")
+      .localCheckpoint()
+    assert(enriched.filter(col("ac") =!= col("pc")).isEmpty,
+      "every positive must sit in the anchor's near-dup component")
+    assert(enriched.filter(col("ac") === col("nc")).isEmpty,
+      "a negative inside the component is a positive, not a negative")
+    assert(enriched.filter(col("acell") =!= col("ncell")).isEmpty,
+      "hard negatives come from the anchor's own IVF cell")
+    // the hard negative really is the argmax: no same-cell non-component
+    // doc scores strictly higher than the emitted one
+    val emb = sources.IO.table(spark, Sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val rival = enriched.select("anchor_id", "ac", "acell", "neg_sim")
+      .join(cells.select(col("vec_id").as("cand_id"), col("cid").as("acell")),
+        "acell")
+      .join(compOf("cand_id", "cand_comp"), "cand_id")
+      .filter(col("cand_comp") =!= col("ac"))
+      .join(emb.select(col("vec_id").as("anchor_id"), col("v").as("av")),
+        "anchor_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .withColumn("s", expr("cosine_sim(av, cv)").cast("float"))
+    assert(rival.filter(col("s") > col("neg_sim")).isEmpty,
+      "emitted negative must be the per-anchor similarity argmax")
   }
 
   test("trendingIncremental: batch-extended state equals from-scratch") {
