@@ -45,6 +45,7 @@ object Bench {
     run(SparkEntry.queries("snapshot_scd2_incremental")(spark, sfDir))
     run(SparkEntry.queries("events_retention_incremental")(spark, sfDir))
     run(SparkEntry.queries("dedup_jaccard_stored")(spark, sfDir))
+    run(SparkEntry.queries("graph_condensation")(spark, sfDir))
 
     // ---- timed cases ----
     val fromRegistry = Seq(
@@ -107,7 +108,8 @@ object Bench {
       "sketch_hll_intersect", "sketch_intersect_exact",
       "emb_cluster_terms", "emb_margin_pairs", "emb_margin_pairs_ivf",
       "corpus_weighted_sample", "events_trending",
-      "events_trending_incremental", "emb_training_triplets")
+      "events_trending_incremental", "emb_training_triplets",
+      "graph_scc", "graph_condensation")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(
@@ -129,6 +131,8 @@ object Bench {
     // pagerank build/loop split: rebuild rows report how much of their
     // wall is edge construction vs power iteration
     val prStats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // scc convergence telemetry: FW-BW sweep count per scc row
+    val sccStats = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
     // best-of-2: a single local-mode run still carries JIT/IO noise that a
     // second pass removes; min is the steady-state number the 2x gate means
@@ -160,6 +164,7 @@ object Bench {
         }
         operators.Cluster.lastRunStats = None
         operators.LinkGraph.lastBuildStats = None
+        operators.LinkGraph.lastSccSweeps = None
         val r = (once(), once()) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Right(a), _) => Right(a)
@@ -168,6 +173,7 @@ object Bench {
         }
         operators.Cluster.lastRunStats.foreach(ccStats(name) = _)
         operators.LinkGraph.lastBuildStats.foreach(prStats(name) = _)
+        operators.LinkGraph.lastSccSweeps.foreach(sccStats(name) = _)
         name -> r
     }
 
@@ -184,7 +190,9 @@ object Bench {
       .map { case (k, (b, l)) =>
         s""""$k":{"build_sec":${math.round(b * 1000) / 1000.0},"loop_sec":${math.round(l * 1000) / 1000.0}}""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"sf":"$sfDir"}"""
+    val sccJ = sccStats.map { case (k, n) => s""""$k":$n""" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head

@@ -448,6 +448,12 @@ object SparkEntry {
     // 3-core membership by iterative peeling (unique fixpoint; the
     // oracle over-unrolls safely)
     "graph_kcore" -> ((s, d) => LinkGraph.kCoreMembers(s, d)),
+    // directed strongly connected components (FW-BW label splitting,
+    // convergence-checked) + the condensation DAG between them; the
+    // oracle is the exact recursive-closure SCC — a hash match proves
+    // the distributed splitting loop exact
+    "graph_scc" -> ((s, d) => LinkGraph.sccComponents(s, d)),
+    "graph_condensation" -> ((s, d) => LinkGraph.sccCondensation(s, d)),
     // 6-hop BFS distances from the pinned seed set (fixed-round contract)
     "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
     // max-bottleneck capacities from the seed set, 6 relaxation rounds
@@ -1593,6 +1599,45 @@ object SparkEntry {
     }
     (head +: iter).mkString(",\n")
   }
+
+  /** Exact-closure SCC oracle base: the directed transition edges'
+    * recursive transitive closure (`reach`, UNION-deduped so the
+    * fixpoint is |items|²-bounded), mutual-reachability pairs (`mut`,
+    * the closure self-joined both ways), and per-node scc_id = min
+    * mutual partner with self included (`sid`). Ground truth for the
+    * Spark side's FW-BW label-splitting loop (LinkGraph.sccOver).
+    */
+  private def sccBaseSql: String =
+    """WITH RECURSIVE ev AS (
+         SELECT user_id, ts, event_id,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         FROM events),
+       tr AS (
+         SELECT item AS dst,
+                lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         FROM ev),
+       wedges AS (
+         SELECT src, dst, COUNT(*) AS weight FROM tr
+         WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       bb AS MATERIALIZED (
+         SELECT src, dst, weight FROM (
+           SELECT src, dst, weight,
+                  row_number() OVER (PARTITION BY src
+                    ORDER BY weight DESC, dst) AS rn
+           FROM wedges) WHERE rn <= 2),
+       dedges AS MATERIALIZED (SELECT src, dst FROM bb),
+       nodes AS (SELECT DISTINCT item AS node FROM ev),
+       reach(u, v) AS (
+         SELECT src, dst FROM dedges
+         UNION
+         SELECT r.u, e.dst FROM reach r JOIN dedges e ON r.v = e.src),
+       mut AS MATERIALIZED (
+         SELECT a.u AS x, a.v AS y
+         FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u),
+       sid AS MATERIALIZED (
+         SELECT n.node, LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS scc_id
+         FROM nodes n LEFT JOIN mut m ON n.node = m.x
+         GROUP BY n.node)"""
 
   /** Degree-ordered triangle oracle: replays
     * graft.operators.LinkGraph.nodeTriangles verbatim — distinct
@@ -4571,6 +4616,24 @@ object SparkEntry {
          SELECT n AS node, COUNT(*) AS core_degree FROM (
            SELECT u AS n FROM u12 UNION ALL SELECT v FROM u12)
          GROUP BY 1 ORDER BY 1""",
+    // exact-closure SCC: reach is the recursive transitive closure
+    // (UNION-deduped, |items|²-bounded), mutual pairs are its self-join,
+    // scc_id = min mutual partner (self included) — the ground truth the
+    // Spark FW-BW splitting loop must reproduce exactly
+    "graph_scc" ->
+      s"""$sccBaseSql
+         SELECT node, scc_id,
+                COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
+         FROM sid ORDER BY node""",
+    "graph_condensation" ->
+      s"""$sccBaseSql
+         SELECT s1.scc_id AS src_scc, s2.scc_id AS dst_scc,
+                CAST(SUM(e.weight) AS BIGINT) AS weight
+         FROM bb e
+           JOIN sid s1 ON e.src = s1.node
+           JOIN sid s2 ON e.dst = s2.node
+         WHERE s1.scc_id <> s2.scc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_widest_path" ->
       // 6 unrolled relaxation rounds, exact integer min/max throughout;
       // MATERIALIZED per round (the kcore fd-blowup lesson)

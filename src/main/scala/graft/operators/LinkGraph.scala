@@ -1059,6 +1059,267 @@ object LinkGraph {
         coalesce(col("t"), lit(0L)).as("triangles"))
   }
 
+  /** STRONGLY CONNECTED COMPONENTS of the dominant-transition backbone
+    * ([[backboneOf]], each node's top-2 out-edges) — the directed
+    * counterpart of the near-dup components: nodes mutually reachable
+    * through dominant transitions form one SCC (the "browsing loop"
+    * structure PageRank's stationary mass concentrates on; the
+    * condensation DAG below is what makes a directed graph tractable
+    * for topological batch scheduling).
+    *
+    * Algorithm: iterative FORWARD-BACKWARD label splitting (the
+    * distributed FW-BW decomposition, Fleischer/Hendrickson/Pinar,
+    * IRREGULAR 2000 — the same family GraphX's SCC uses). Each sweep,
+    * within the current class partition (class key = the (f, b) label
+    * pair, initially one class):
+    *
+    *   f(v) = min node id that reaches v within the class,
+    *   b(v) = min node id v reaches within the class,
+    *
+    * both by min-propagation join loops run to their fixpoint. An SCC
+    * never splits across classes (reachability into/out of an SCC is
+    * uniform over its members, and a whole SCC inside a class keeps its
+    * internal edges within the class), while any class holding ≥2 SCCs
+    * strictly splits every sweep (the upstream SCC's (f, b) differs
+    * from the downstream's in whichever order their minima fall) — so
+    * the sweep loop converges to exactly one class per SCC, at which
+    * point f = b = the SCC's min member id, the emitted `scc_id`.
+    *
+    * Scale shape: state frames are |nodes| rows of three longs — the
+    * rank-vector shape, never edge-volume; the distinct edge pairs
+    * checkpoint once and every propagation round is one edges⋈labels
+    * join + a min aggregation (map-side combinable, exact on longs —
+    * no float drift anywhere, which is why the exact-closure oracle
+    * hash-matches). Convergence checks are 1-row/isEmpty collects, and
+    * both loop depths are convergence-bounded with hard caps
+    * (spec-asserted on a known nesting chain, the star-contraction
+    * convention).
+    */
+  def sccComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      sccOver(backboneOf(edges).select("src", "dst"), nodes.select("node"))
+    }
+  }
+
+  /** CONDENSATION of the backbone: the DAG whose vertices are the SCCs
+    * and whose edge (a, b, weight) sums the backbone transition weight
+    * from SCC a into SCC b (a ≠ b) — where traffic funnels once loops
+    * collapse. |SCCs|²-bounded output. This is the SERVE row of the
+    * pair: it consumes the PERSISTED scc map (decompose once, consume
+    * many — the stored-artifact convention; `graph_scc` is the row that
+    * pays the FW-BW loop), joined onto the backbone edge list twice.
+    */
+  def sccCondensation(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, _) = transitionGraphStored(spark, sfDir)
+    val scc = sccMapStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      backboneOf(edges)
+        .join(scc.select(col("node").as("src"), col("scc_id").as("src_scc")),
+          "src")
+        .join(scc.select(col("node").as("dst"), col("scc_id").as("dst_scc")),
+          "dst")
+        .where(col("src_scc") =!= col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(sum("weight").as("weight"))
+        .orderBy("src_scc", "dst_scc")
+    }
+  }
+
+  private[graft] def sccArtifactPath(
+      spark: SparkSession,
+      sfDir: String): String =
+    IO.contentKeyedArtifactPath(spark, s"$sfDir/events.parquet", "props",
+      "sccmap", s"scc_v1|$sfDir|backbone2")
+
+  /** The (node, scc_id) map as a persisted artifact — built by the
+    * FW-BW loop once per corpus version, re-read for pennies by every
+    * consumer (condensation, per-SCC rollups).
+    */
+  private[graft] def sccMapStored(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = sccArtifactPath(spark, sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "map")))
+      sccComponents(spark, sfDir).select("node", "scc_id")
+        .write.mode("overwrite").parquet(s"$path/map")
+    spark.read.parquet(s"$path/map")
+  }
+
+  /** The DOMINANT-TRANSITION BACKBONE: each node's `k` strongest
+    * out-edges (weight desc, dst asc — deterministic under count ties).
+    * The raw transition graph of a large event log is trivially one
+    * giant SCC (every popular item eventually reaches every other);
+    * browsing STRUCTURE lives in the dominant outflows, and the
+    * backbone is where SCC/condensation analysis is informative. It is
+    * also the scale contract: the rn≤k cut is the TopKPerKey two-phase
+    * rewrite, so the backbone is ≤ k·|nodes| rows no matter the event
+    * volume — every loop frame downstream is node-bounded.
+    */
+  private[graft] def backboneOf(edges: DataFrame, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(desc("weight"), asc("dst"))
+    edges.select("src", "dst", "weight")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("src", "dst", "weight")
+  }
+
+  /** FW-BW splitting over explicit (src, dst) distinct directed edges —
+    * the synthetic-graph test seam. Label frames are |nodes|-row and
+    * broadcast onto the edge side below [[BroadcastNodeCeiling]] (the
+    * PageRank rank-vector convention — edges never shuffle inside the
+    * loop); past it the joins run unhinted on the co-partitioned frames.
+    */
+  private[graft] def sccOver(edges0: DataFrame, nodes0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val nodes = nodes0.localCheckpoint()
+    val bcast = nodes.count() <= BroadcastNodeCeiling
+    def bc(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var lab = nodes.select(col("node"), lit(0L).as("f"), lit(0L).as("b"))
+      .localCheckpoint()
+    var sweeps = 0
+    var done = false
+    while (!done && sweeps < 20) {
+      // a node with f == b is RESOLVED: f is its SCC's min member
+      // (f = b = x proves v ∈ SCC(x) with nothing smaller mutual, and
+      // f, b are uniform across an SCC within its class, so whole SCCs
+      // resolve atomically). Later sweeps run only over the open
+      // remainder — frames shrink with the unresolved frontier, and an
+      // open endpoint can never share its (f, b) class with a resolved
+      // one (f ≠ b vs f = b), so the within-class join below drops
+      // exactly the edges that no longer matter.
+      val open = if (sweeps == 0) lab
+        else lab.where(col("f") =!= col("b"))
+      val e2 = edges
+        .join(bc(open.select(col("node").as("src"),
+          col("f").as("sf"), col("b").as("sb"))), "src")
+        .join(bc(open.select(col("node").as("dst"),
+          col("f").as("tf"), col("b").as("tb"))), "dst")
+        .where(col("sf") === col("tf") && col("sb") === col("tb"))
+        .select("src", "dst")
+      val refreshed =
+        fbFixpoint(checkpointFreshStats(e2), open.select("node"), bc)
+      lab =
+        if (sweeps == 0) refreshed
+        else checkpointFreshStats(
+          lab.where(col("f") === col("b")).unionByName(refreshed))
+      done = lab.where(col("f") =!= col("b")).isEmpty
+      sweeps += 1
+    }
+    require(done, "SCC FW-BW splitting did not converge in 20 sweeps")
+    lastSccSweeps = Some(sweeps)
+    val w = Window.partitionBy("scc_id")
+    lab.select(col("node"), col("f").as("scc_id"))
+      .withColumn("scc_size", count(lit(1)).over(w))
+      .orderBy("node")
+  }
+
+  /** Joint forward/backward min-label fixpoint along `e`:
+    * f(v) = min id with a directed path to v, b(v) = min id v has a
+    * directed path to (both including v). The two labels are
+    * independent given the edge set, so they advance in LOCKSTEP — one
+    * action per round instead of two sequential fixpoints. Each round
+    * relaxes one edge hop AND pointer-jumps (f ← f(f(v)), valid because
+    * label values are themselves class members whose reach composes
+    * transitively), so convergence is O(log diameter) rounds, not
+    * O(diameter) — the difference between ~8 and ~40 driver round-trips
+    * on a deep cycle, and the standard shortcutting trick from parallel
+    * connectivity (Shiloach-Vishkin).
+    */
+  /** Materialize AND reset stats. `localCheckpoint` carries the child
+    * plan's ESTIMATED sizeInBytes into the LogicalRDD leaf; a join loop
+    * whose per-round plan joins the state frame k times then
+    * checkpoints compounds the estimate to ~S^(k^round) — a BigInt
+    * whose bit count grows exponentially with the round number. Past
+    * ~15 rounds the optimizer's stats products are million-bit ToomCook
+    * multiplies and PLANNING, not execution, dominates wall time
+    * (measured: sweep-2 rounds 0.4 → 4 → 17 → 78 s on a 200-edge
+    * graph). Rebuilding from the materialized RDD gives a leaf with the
+    * session-default size estimate — constant across rounds. The
+    * shallow-loop operators (PageRank ≤ 10 rounds, label-prop 3) stay
+    * on plain localCheckpoint: their compounding is thousands of bits,
+    * harmless — this matters once rounds × joins-per-round is deep.
+    */
+  private def checkpointFreshStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  private def fbFixpoint(
+      e: DataFrame,
+      nodes: DataFrame,
+      bc: DataFrame => DataFrame): DataFrame = {
+    // one relax+jump step. The label frame is node-bounded, so below
+    // the ceiling it broadcasts onto the edge side and the round's only
+    // exchange is the per-node min aggregation — edges never shuffle
+    // inside the loop (fresh-stats leaves default to "huge", so without
+    // the explicit hint every round would pay four shuffle joins).
+    def step(mdf: DataFrame): DataFrame = {
+      // both directions' edge relaxations in ONE exchange: forward
+      // contributions arrive keyed by dst, backward by src — union the
+      // two map-side-joined halves and take both mins per node in a
+      // single aggregation
+      val contrib = e
+        .join(bc(mdf.select(col("node").as("src"), col("f"))), "src")
+        .select(col("dst").as("node"), col("f").as("fc"),
+          lit(null).cast("long").as("bc"))
+        .unionByName(e
+          .join(bc(mdf.select(col("node").as("dst"), col("b"))), "dst")
+          .select(col("src").as("node"), lit(null).cast("long").as("fc"),
+            col("b").as("bc")))
+        .groupBy("node").agg(min("fc").as("fe"), min("bc").as("be"))
+      // two chained jump levels: f(f(v)) then f(f(f(v))) — label values
+      // compose transitively, so deeper jumps stay valid reachers and
+      // cut the round count further for the cost of one more broadcast
+      val fJump = mdf.select(col("node").as("fp"), col("f").as("fj"))
+      val fJump2 = mdf.select(col("node").as("fp2"), col("f").as("fj2"))
+      val bJump = mdf.select(col("node").as("bp"), col("b").as("bj"))
+      val bJump2 = mdf.select(col("node").as("bp2"), col("b").as("bj2"))
+      mdf
+        .join(bc(contrib), Seq("node"), "left")
+        .join(bc(fJump), col("f") === col("fp"))
+        .join(bc(fJump2), col("fj") === col("fp2"))
+        .join(bc(bJump), col("b") === col("bp"))
+        .join(bc(bJump2), col("bj") === col("bp2"))
+        .select(col("node"),
+          least(col("f"), coalesce(col("fe"), col("f")), col("fj2")).as("f"),
+          least(col("b"), coalesce(col("be"), col("b")), col("bj2")).as("b"))
+    }
+    // convergence certificate: labels are per-element monotone
+    // NON-INCREASING, so (Σf, Σb) as exact DECIMAL(38) sums — no long
+    // overflow at billions of nodes × 2⁶³ ids — strictly decreases
+    // until the fixpoint; an unchanged pair across a round proves no
+    // element moved. One 1-row aggregate per round instead of a
+    // change-detection join.
+    def certificate(mdf: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = mdf.agg(
+        sum(col("f").cast("decimal(38,0)")).as("sf"),
+        sum(col("b").cast("decimal(38,0)")).as("sb")).collect()(0)
+      (r.getDecimal(0), r.getDecimal(1))
+    }
+    var m = checkpointFreshStats(
+      nodes.select(col("node"), col("node").as("f"), col("node").as("b")))
+    var cert = certificate(m)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 25) {
+      m = checkpointFreshStats(step(m))
+      val next = certificate(m)
+      changed = next != cert
+      cert = next
+      rounds += 1
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        println(s"[scc] fb round $rounds changed=$changed " +
+          s"at ${System.nanoTime() / 1000000}ms")
+    }
+    require(!changed, "SCC min propagation did not converge in 25 rounds")
+    m
+  }
+
+  /** Sweeps of the most recent [[sccOver]] — the convergence-bound
+    * telemetry seam specs read. */
+  @volatile private[graft] var lastSccSweeps: Option[Int] = None
+
   /** First round's pre-argmax vote aggregation in FORCED join-loop mode —
     * plan-audit seam (per-round checkpoints hide iteration plans from
     * the returned label frame).

@@ -169,4 +169,49 @@ class Round11LateOpsSpec extends SparkTestBase {
     val scores = got.map(_._2)
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("sccOver: exact SCCs and bounded sweeps on a nested chain of cycles") {
+    // cycle A {1,2,3} → cycle B {10,11}; feeder 20 → A; isolated 30
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L),
+      (3L, 10L), (20L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L).toDF("node")
+    val got = operators.LinkGraph.sccOver(edges, nodes)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 1L), (30L, 30L, 1L))
+    assert(got == want)
+    assert(operators.LinkGraph.lastSccSweeps.exists(_ <= 5),
+      s"FW-BW should settle this chain fast, took ${operators.LinkGraph.lastSccSweeps}")
+  }
+
+  test("sccCondensation: a DAG (driver-checked acyclic) consistent with the scc map") {
+    val cond = operators.LinkGraph.sccCondensation(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(cond.nonEmpty, "the backbone must condense to a non-trivial DAG")
+    // acyclicity by Kahn's algorithm on the collected (≤|SCCs|²) edge list
+    val adj = cond.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList }
+    var indeg = cond.groupBy(_._2).map { case (k, v) => k -> v.length }
+    var frontier = cond.map(_._1).distinct.filterNot(indeg.contains).toList
+    var seen = 0
+    val nodesAll = (cond.map(_._1) ++ cond.map(_._2)).distinct.length
+    var visited = Set.empty[Long]
+    while (frontier.nonEmpty) {
+      val n = frontier.head
+      frontier = frontier.tail
+      if (!visited(n)) {
+        visited += n
+        seen += 1
+        for (m <- adj.getOrElse(n, Nil)) {
+          val d = indeg(m) - 1
+          indeg = indeg.updated(m, d)
+          if (d == 0) frontier = m :: frontier
+        }
+      }
+    }
+    assert(seen == nodesAll, s"condensation has a cycle: peeled $seen of $nodesAll")
+  }
 }
