@@ -454,6 +454,10 @@ object SparkEntry {
     // the distributed splitting loop exact
     "graph_scc" -> ((s, d) => LinkGraph.sccComponents(s, d)),
     "graph_condensation" -> ((s, d) => LinkGraph.sccCondensation(s, d)),
+    // exact neighborhood function (reach@1..3) over the backbone — the
+    // effective-diameter primitive; the top-k cut bounds the ball at
+    // k^t so the exact pair set replaces the HyperBall sketch
+    "graph_neighborhood" -> ((s, d) => LinkGraph.neighborhoodCounts(s, d)),
     // 6-hop BFS distances from the pinned seed set (fixed-round contract)
     "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
     // max-bottleneck capacities from the seed set, 6 relaxation rounds
@@ -1638,6 +1642,46 @@ object SparkEntry {
          SELECT n.node, LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS scc_id
          FROM nodes n LEFT JOIN mut m ON n.node = m.x
          GROUP BY n.node)"""
+
+  /** Hop-unrolled neighborhood-function oracle over the backbone:
+    * reach-pair sets p1..pH (self included, UNION-deduped,
+    * MATERIALIZED per hop — the kcore fd-blowup lesson), counted per
+    * node per hop. Mirrors LinkGraph.neighborhoodOver exactly.
+    */
+  private def neighborhoodSql(maxHops: Int = 3): String = {
+    val head =
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         tr AS (
+           SELECT item AS dst,
+                  lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM ev),
+         wedges AS (
+           SELECT src, dst, COUNT(*) AS weight FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         bb AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    row_number() OVER (PARTITION BY src
+                      ORDER BY weight DESC, dst) AS rn
+             FROM wedges) WHERE rn <= 2),
+         nodes AS (SELECT DISTINCT item AS node FROM ev),
+         p0 AS (SELECT node AS u, node AS v FROM nodes)"""
+    val hops = (1 to maxHops).map { h =>
+      s"""p$h AS MATERIALIZED (
+           SELECT DISTINCT u, v FROM (
+             SELECT u, v FROM p${h - 1}
+             UNION ALL
+             SELECT p.u, e.dst AS v FROM p${h - 1} p JOIN bb e ON p.v = e.src)),
+         c$h AS (SELECT u, COUNT(*) AS r$h FROM p$h GROUP BY 1)"""
+    }
+    val joins = (1 to maxHops).map(h => s"JOIN c$h ON n.node = c$h.u").mkString(" ")
+    val cols = (1 to maxHops).map(h => s"c$h.r$h").mkString(", ")
+    s"""${(head +: hops).mkString(",\n")}
+       SELECT n.node, $cols FROM nodes n $joins ORDER BY n.node"""
+  }
 
   /** Degree-ordered triangle oracle: replays
     * graft.operators.LinkGraph.nodeTriangles verbatim — distinct
@@ -4634,6 +4678,7 @@ object SparkEntry {
            JOIN sid s2 ON e.dst = s2.node
          WHERE s1.scc_id <> s2.scc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "graph_neighborhood" -> neighborhoodSql(),
     "graph_widest_path" ->
       // 6 unrolled relaxation rounds, exact integer min/max throughout;
       // MATERIALIZED per round (the kcore fd-blowup lesson)

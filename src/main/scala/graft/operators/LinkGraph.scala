@@ -1126,6 +1126,56 @@ object LinkGraph {
     }
   }
 
+  /** NEIGHBORHOOD FUNCTION over the dominant-transition backbone:
+    * N(v, t) = |{u : dist(v, u) ≤ t}| for t = 1..maxHops (self
+    * included) — the primitive behind effective-diameter and
+    * reach-centrality reporting (HyperBall/ANF compute exactly this
+    * with HLL registers when the ball outgrows memory; on a top-k
+    * backbone the ball is k^t-BOUNDED — ≤ 2³ out-neighbors here — so
+    * the exact pair set is ≤ Σk^t·|nodes| rows and the sketch is
+    * unnecessary at any corpus size: the sparsification IS the scale
+    * contract, same as [[sccComponents]]).
+    *
+    * Shape: maxHops unrolled frontier joins (pairs ⋈ edges, distinct),
+    * each materialized once; counts are one map-side-combinable
+    * aggregation per hop; no driver loop, no convergence check.
+    */
+  def neighborhoodCounts(
+      spark: SparkSession,
+      sfDir: String,
+      maxHops: Int = 3): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      neighborhoodOver(backboneOf(edges).select("src", "dst"),
+        nodes.select("node"), maxHops)
+    }
+  }
+
+  /** Hop-unrolled reach counts over explicit (src, dst) edges — the
+    * synthetic-graph test seam. */
+  private[graft] def neighborhoodOver(
+      edges0: DataFrame,
+      nodes0: DataFrame,
+      maxHops: Int): DataFrame = {
+    val bb = edges0.localCheckpoint()
+    val nodes = nodes0.localCheckpoint()
+    var pairs = nodes.select(col("node").as("u"), col("node").as("v"))
+      .localCheckpoint()
+    val counts = (1 to maxHops).map { h =>
+      pairs = pairs
+        .unionByName(pairs.join(bb, pairs("v") === bb("src"))
+          .select(col("u"), col("dst").as("v")))
+        .distinct()
+        .localCheckpoint()
+      pairs.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as(s"r$h"))
+    }
+    counts.foldLeft(nodes)((acc, c) => acc.join(c, Seq("node"), "left"))
+      .select(col("node") +:
+        (1 to maxHops).map(h => coalesce(col(s"r$h"), lit(1L)).as(s"r$h")): _*)
+      .orderBy("node")
+  }
+
   private[graft] def sccArtifactPath(
       spark: SparkSession,
       sfDir: String): String =

@@ -27,7 +27,11 @@ class RegistrySpec extends AnyFunSuite {
       "mm_features", "sketch_merge", "sketch_profile",
       "txt_bpe_merges", "txt_fingerprints",
       "ps_part1_sentiment", "ps_part2_best_apps", "ps_part3_standardize",
-      "ps_part4_cleaned", "ps_part5_metrics")
+      "ps_part4_cleaned", "ps_part5_metrics",
+      // HLL inclusion-exclusion overlap is an estimate by nature; its
+      // exact twin sketch_intersect_exact is the oracled anchor and
+      // RelationalSketchSpec pins the estimate against the exact twin
+      "sketch_hll_intersect")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expected,
       s"no-oracle set drifted: unexpected=${(actual -- expected).toSeq.sorted}, " +

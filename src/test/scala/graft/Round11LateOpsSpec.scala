@@ -188,6 +188,16 @@ class Round11LateOpsSpec extends SparkTestBase {
       s"FW-BW should settle this chain fast, took ${operators.LinkGraph.lastSccSweeps}")
   }
 
+  test("neighborhoodOver: exact reach counts on a directed path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = operators.LinkGraph.neighborhoodOver(edges, nodes, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 2L, 3L, 4L), (2L, 2L, 3L, 3L), (3L, 2L, 2L, 2L), (4L, 1L, 1L, 1L))
+    assert(got == want)
+  }
+
   test("sccCondensation: a DAG (driver-checked acyclic) consistent with the scc map") {
     val cond = operators.LinkGraph.sccCondensation(spark, Sf)
       .as[(Long, Long, Long)].collect()
