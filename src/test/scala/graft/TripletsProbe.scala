@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ×10-cut validation for the triplet miner (not a test — a main
+  * invoked manually; kept out of src/main so it never ships).
+  *
+  * The DuckDB oracle replay is impractical at the ×10 cut (the
+  * within-cell argmax CTE pushes ~25M list-cosine pairs through a
+  * window single-node), so the probe proves the same contract
+  * Spark-side with INDEPENDENT recomputation: every positive shares
+  * the anchor's near-dup component, every negative sits in the
+  * anchor's IVF cell outside its component, and no same-cell
+  * non-component candidate beats the emitted negative — the
+  * Round11LateOpsSpec assertions at probe scale.
+  */
+object TripletsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = GraftSession.build("triplets-probe")
+    import graft.operators.{Cluster, Similarity}
+
+    val t0 = System.nanoTime()
+    val t = Similarity.trainingTriplets(spark, sfDir).localCheckpoint()
+    val n = t.count()
+    println(f"ROWS $n  build ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val comp = Cluster.nearDupComponentsMd5(spark, sfDir)
+    def compOf(idCol: String, as: String) = comp
+      .select(col("doc_id").as(idCol), col("component_id").as(as))
+    val cells = Similarity.kmeansAssignments(spark, sfDir)
+    def cellOf(idCol: String, as: String) = cells
+      .select(col("vec_id").as(idCol), col("cid").as(as))
+    val enriched = t
+      .join(compOf("anchor_id", "ac"), "anchor_id")
+      .join(compOf("positive_id", "pc"), "positive_id")
+      .join(compOf("negative_id", "nc"), "negative_id")
+      .join(cellOf("anchor_id", "acell"), "anchor_id")
+      .join(cellOf("negative_id", "ncell"), "negative_id")
+      .localCheckpoint()
+    val badPos = enriched.filter(col("ac") =!= col("pc")).count()
+    val negInComp = enriched.filter(col("ac") === col("nc")).count()
+    val negOffCell = enriched.filter(col("acell") =!= col("ncell")).count()
+    println(s"CHECK pos_outside_component=$badPos " +
+      s"neg_inside_component=$negInComp neg_outside_cell=$negOffCell")
+
+    val emb = sources.IO.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val rivals = enriched.select("anchor_id", "ac", "acell", "neg_sim")
+      .join(cells.select(col("vec_id").as("cand_id"), col("cid").as("acell")),
+        "acell")
+      .join(compOf("cand_id", "cand_comp"), "cand_id")
+      .filter(col("cand_comp") =!= col("ac"))
+      .join(emb.select(col("vec_id").as("anchor_id"), col("v").as("av")),
+        "anchor_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .withColumn("s", expr("cosine_sim(av, cv)").cast("float"))
+      .filter(col("s") > col("neg_sim"))
+      .count()
+    println(s"CHECK argmax_rivals=$rivals")
+    println(if (badPos + negInComp + negOffCell + rivals == 0)
+      "PROBE_RESULT pass" else "PROBE_RESULT FAIL")
+    spark.stop()
+  }
+}
