@@ -1295,46 +1295,67 @@ object LinkGraph {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** One FW-BW relax+jump round as a PLAN transform — also the
+    * plan-audit seam ([[sccStepSeam]]). The label frame is
+    * node-bounded, so below the ceiling it broadcasts onto the edge
+    * side and the round's only exchanges are the contribution union's
+    * per-node min aggregation — edges never shuffle inside the loop
+    * (fresh-stats leaves default to "huge", so without the explicit
+    * hint every round would pay shuffle joins).
+    */
+  private[graft] def sccStep(
+      e: DataFrame,
+      bc: DataFrame => DataFrame)(mdf: DataFrame): DataFrame = {
+    // both directions' edge relaxations in ONE exchange: forward
+    // contributions arrive keyed by dst, backward by src — union the
+    // two map-side-joined halves and take both mins per node in a
+    // single aggregation
+    val contrib = e
+      .join(bc(mdf.select(col("node").as("src"), col("f"))), "src")
+      .select(col("dst").as("node"), col("f").as("fc"),
+        lit(null).cast("long").as("bc"))
+      .unionByName(e
+        .join(bc(mdf.select(col("node").as("dst"), col("b"))), "dst")
+        .select(col("src").as("node"), lit(null).cast("long").as("fc"),
+          col("b").as("bc")))
+      .groupBy("node").agg(min("fc").as("fe"), min("bc").as("be"))
+    // two chained jump levels: f(f(v)) then f(f(f(v))) — label values
+    // compose transitively, so deeper jumps stay valid reachers and
+    // cut the round count further for the cost of one more broadcast
+    val fJump = mdf.select(col("node").as("fp"), col("f").as("fj"))
+    val fJump2 = mdf.select(col("node").as("fp2"), col("f").as("fj2"))
+    val bJump = mdf.select(col("node").as("bp"), col("b").as("bj"))
+    val bJump2 = mdf.select(col("node").as("bp2"), col("b").as("bj2"))
+    mdf
+      .join(bc(contrib), Seq("node"), "left")
+      .join(bc(fJump), col("f") === col("fp"))
+      .join(bc(fJump2), col("fj") === col("fp2"))
+      .join(bc(bJump), col("b") === col("bp"))
+      .join(bc(bJump2), col("bj") === col("bp2"))
+      .select(col("node"),
+        least(col("f"), coalesce(col("fe"), col("f")), col("fj2")).as("f"),
+        least(col("b"), coalesce(col("be"), col("b")), col("bj2")).as("b"))
+  }
+
+  /** The first sweep's first round step over the stored backbone with
+    * identity labels, UN-materialized — the plan-audit seam: asserts
+    * run against exactly the per-round plan the loop executes.
+    */
+  private[graft] def sccStepSeam(
+      spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (edges, nodes) = transitionGraphStored(spark, sfDir)
+    val bb = checkpointFreshStats(backboneOf(edges).select("src", "dst"))
+    val m = checkpointFreshStats(nodes.select(col("node"),
+      col("node").as("f"), col("node").as("b")))
+    sccStep(bb, broadcast)(m)
+  }
+
   private def fbFixpoint(
       e: DataFrame,
       nodes: DataFrame,
       bc: DataFrame => DataFrame): DataFrame = {
-    // one relax+jump step. The label frame is node-bounded, so below
-    // the ceiling it broadcasts onto the edge side and the round's only
-    // exchange is the per-node min aggregation — edges never shuffle
-    // inside the loop (fresh-stats leaves default to "huge", so without
-    // the explicit hint every round would pay four shuffle joins).
-    def step(mdf: DataFrame): DataFrame = {
-      // both directions' edge relaxations in ONE exchange: forward
-      // contributions arrive keyed by dst, backward by src — union the
-      // two map-side-joined halves and take both mins per node in a
-      // single aggregation
-      val contrib = e
-        .join(bc(mdf.select(col("node").as("src"), col("f"))), "src")
-        .select(col("dst").as("node"), col("f").as("fc"),
-          lit(null).cast("long").as("bc"))
-        .unionByName(e
-          .join(bc(mdf.select(col("node").as("dst"), col("b"))), "dst")
-          .select(col("src").as("node"), lit(null).cast("long").as("fc"),
-            col("b").as("bc")))
-        .groupBy("node").agg(min("fc").as("fe"), min("bc").as("be"))
-      // two chained jump levels: f(f(v)) then f(f(f(v))) — label values
-      // compose transitively, so deeper jumps stay valid reachers and
-      // cut the round count further for the cost of one more broadcast
-      val fJump = mdf.select(col("node").as("fp"), col("f").as("fj"))
-      val fJump2 = mdf.select(col("node").as("fp2"), col("f").as("fj2"))
-      val bJump = mdf.select(col("node").as("bp"), col("b").as("bj"))
-      val bJump2 = mdf.select(col("node").as("bp2"), col("b").as("bj2"))
-      mdf
-        .join(bc(contrib), Seq("node"), "left")
-        .join(bc(fJump), col("f") === col("fp"))
-        .join(bc(fJump2), col("fj") === col("fp2"))
-        .join(bc(bJump), col("b") === col("bp"))
-        .join(bc(bJump2), col("bj") === col("bp2"))
-        .select(col("node"),
-          least(col("f"), coalesce(col("fe"), col("f")), col("fj2")).as("f"),
-          least(col("b"), coalesce(col("be"), col("b")), col("bj2")).as("b"))
-    }
+    val step = sccStep(e, bc) _
     // convergence certificate: labels are per-element monotone
     // NON-INCREASING, so (Σf, Σb) as exact DECIMAL(38) sums — no long
     // overflow at billions of nodes × 2⁶³ ids — strictly decreases

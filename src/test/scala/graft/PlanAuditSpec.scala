@@ -953,4 +953,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "ceiling changes WHERE rows meet, never which rows qualify")
   }
+
+  test("scc round step: label frames broadcast, edges never shuffle") {
+    val df = operators.LinkGraph.sccStepSeam(spark, Sf)
+    val root = df.queryExecution.executedPlan
+    val exec0 = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bhj = exec0.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 6,
+      s"below the node ceiling every label-side join must broadcast " +
+        s"(2 contribution relaxations + contrib merge + 4 jumps):\n$exec0")
+    assert(exec0.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty,
+      s"no shuffle join may appear in a below-ceiling round:\n$exec0")
+    // the round's only exchanges serve the per-node min aggregation of
+    // the unioned contributions — edge rows are never exchange input
+    // (their joins are all broadcast probes)
+    val shuffles = exec0.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"a round pays at most the contribution aggregation exchanges:\n$exec0")
+  }
+
+  test("scc backbone: the top-2 cut is the two-phase TopKPerKey prune") {
+    val (edges, _) = operators.LinkGraph.transitionGraphStored(spark, Sf)
+    val p = plan(operators.LinkGraph.backboneOf(edges))
+    assert(p.contains("TopKPartial"),
+      s"the rn<=k cut must prune before the exchange:\n$p")
+  }
 }

@@ -391,4 +391,75 @@ class PropertySpec extends SparkTestBase {
         s"doc $id selected $n fps from $nWindows windows (distinct can only shrink)")
     }
   }
+
+  test("sccOver equals driver-side Tarjan on random digraphs") {
+    // an independent reference implementation (iterative Tarjan with
+    // min-id canonical labels) checked against the distributed FW-BW
+    // splitting loop on adversarially random edge sets
+    def tarjanSccMin(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var counter = 0
+      val index = scala.collection.mutable.Map.empty[Long, Int]
+      val low = scala.collection.mutable.Map.empty[Long, Int]
+      val onStack = scala.collection.mutable.Set.empty[Long]
+      val stack = scala.collection.mutable.Stack.empty[Long]
+      val out = scala.collection.mutable.Map.empty[Long, Long]
+      def strong(v0: Long): Unit = {
+        var work = List((v0, 0))
+        while (work.nonEmpty) {
+          val (v, pi) = work.head
+          if (pi == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stack.push(v); onStack += v
+          }
+          val succ = adj.getOrElse(v, Seq.empty)
+          var advanced = false
+          var i = pi
+          while (i < succ.length && !advanced) {
+            val w = succ(i)
+            if (!index.contains(w)) {
+              work = (w, 0) :: (v, i + 1) :: work.tail
+              advanced = true
+            } else {
+              if (onStack(w)) low(v) = math.min(low(v), index(w))
+              i += 1
+            }
+          }
+          if (!advanced) {
+            if (low(v) == index(v)) {
+              var comp = List.empty[Long]
+              var w = 0L
+              do { w = stack.pop(); onStack -= w; comp ::= w } while (w != v)
+              val m = comp.min
+              comp.foreach(out(_) = m)
+            }
+            work = work.tail
+            work.headOption.foreach { case (u, _) =>
+              low(u) = math.min(low(u), low(v))
+            }
+          }
+        }
+      }
+      nodes.foreach(v => if (!index.contains(v)) strong(v))
+      out.toMap
+    }
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(10)
+      val ids = (0 until n).map(_ => rnd.nextInt(1000).toLong).distinct
+      val es = (for {
+        u <- ids; v <- ids
+        if u != v && rnd.nextDouble() < 0.12
+      } yield (u, v)).distinct
+      val got = operators.LinkGraph.sccOver(
+          es.toDF("src", "dst"), ids.toDF("node"))
+        .select("node", "scc_id").as[(Long, Long)].collect().toMap
+      val want = tarjanSccMin(ids, es) ++
+        ids.filterNot(tarjanSccMin(ids, es).contains).map(v => v -> v)
+      val wantFull = ids.map(v => v -> want.getOrElse(v, v)).toMap
+      assert(got == wantFull,
+        s"trial $trial (n=$n, e=${es.size}): FW-BW disagrees with Tarjan\n" +
+          s"diff=${got.toSet.diff(wantFull.toSet).take(5)}")
+    }
+  }
 }
