@@ -109,7 +109,8 @@ object Bench {
       "emb_cluster_terms", "emb_margin_pairs", "emb_margin_pairs_ivf",
       "corpus_weighted_sample", "events_trending",
       "events_trending_incremental", "emb_training_triplets",
-      "graph_scc", "graph_condensation", "graph_neighborhood")
+      "graph_scc", "graph_condensation", "graph_neighborhood",
+      "graph_scc_profile")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

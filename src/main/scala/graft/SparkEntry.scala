@@ -458,6 +458,8 @@ object SparkEntry {
     // effective-diameter primitive; the top-k cut bounds the ball at
     // k^t so the exact pair set replaces the HyperBall sketch
     "graph_neighborhood" -> ((s, d) => LinkGraph.neighborhoodCounts(s, d)),
+    // per-SCC rollup from the stored map: size + internal/in/out weight
+    "graph_scc_profile" -> ((s, d) => LinkGraph.sccProfile(s, d)),
     // 6-hop BFS distances from the pinned seed set (fixed-round contract)
     "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
     // max-bottleneck capacities from the seed set, 6 relaxation rounds
@@ -4679,6 +4681,24 @@ object SparkEntry {
          WHERE s1.scc_id <> s2.scc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_neighborhood" -> neighborhoodSql(),
+    "graph_scc_profile" ->
+      s"""$sccBaseSql,
+         j AS (
+           SELECT s1.scc_id AS a, s2.scc_id AS b, e.weight
+           FROM bb e JOIN sid s1 ON e.src = s1.node
+                     JOIN sid s2 ON e.dst = s2.node)
+         SELECT g.scc_id, g.scc_size,
+                CAST(COALESCE(i.iw, 0) AS BIGINT) AS internal_weight,
+                CAST(COALESCE(n.nw, 0) AS BIGINT) AS in_weight,
+                CAST(COALESCE(o.ow, 0) AS BIGINT) AS out_weight
+         FROM (SELECT scc_id, COUNT(*) AS scc_size FROM sid GROUP BY 1) g
+         LEFT JOIN (SELECT a AS scc_id, SUM(weight) AS iw FROM j
+                    WHERE a = b GROUP BY 1) i USING (scc_id)
+         LEFT JOIN (SELECT b AS scc_id, SUM(weight) AS nw FROM j
+                    WHERE a <> b GROUP BY 1) n USING (scc_id)
+         LEFT JOIN (SELECT a AS scc_id, SUM(weight) AS ow FROM j
+                    WHERE a <> b GROUP BY 1) o USING (scc_id)
+         ORDER BY g.scc_id""",
     "graph_widest_path" ->
       // 6 unrolled relaxation rounds, exact integer min/max throughout;
       // MATERIALIZED per round (the kcore fd-blowup lesson)

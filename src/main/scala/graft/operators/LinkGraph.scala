@@ -1176,6 +1176,43 @@ object LinkGraph {
       .orderBy("node")
   }
 
+  /** PER-SCC PROFILE — the rollup a condensation consumer reads next:
+    * member count, internal (loop) weight, and cross-SCC in/out weight
+    * per component. One pass over the backbone (the union trick: each
+    * edge emits a src-keyed and a dst-keyed contribution, one
+    * map-side-combinable aggregation), sizes from the |nodes|-row
+    * stored map; output is |SCCs|-bounded.
+    */
+  def sccProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val (edges, _) = transitionGraphStored(spark, sfDir)
+    val scc = sccMapStored(spark, sfDir)
+    LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
+      val bb = backboneOf(edges)
+        .join(broadcast(scc.select(col("node").as("src"),
+          col("scc_id").as("s1"))), "src")
+        .join(broadcast(scc.select(col("node").as("dst"),
+          col("scc_id").as("s2"))), "dst")
+      val cross = col("s1") =!= col("s2")
+      val flows = bb.select(col("s1").as("scc_id"),
+          when(!cross, col("weight")).otherwise(lit(0L)).as("iw"),
+          when(cross, col("weight")).otherwise(lit(0L)).as("ow"),
+          lit(0L).as("inw"))
+        .unionByName(bb.select(col("s2").as("scc_id"), lit(0L).as("iw"),
+          lit(0L).as("ow"),
+          when(cross, col("weight")).otherwise(lit(0L)).as("inw")))
+        .groupBy("scc_id")
+        .agg(sum("iw").as("internal_weight"), sum("inw").as("in_weight"),
+          sum("ow").as("out_weight"))
+      scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+        .join(flows, Seq("scc_id"), "left")
+        .select(col("scc_id"), col("scc_size"),
+          coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
+          coalesce(col("in_weight"), lit(0L)).as("in_weight"),
+          coalesce(col("out_weight"), lit(0L)).as("out_weight"))
+        .orderBy("scc_id")
+    }
+  }
+
   private[graft] def sccArtifactPath(
       spark: SparkSession,
       sfDir: String): String =

@@ -198,6 +198,20 @@ class Round11LateOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("sccProfile: flow conservation against the raw backbone") {
+    val prof = operators.LinkGraph.sccProfile(spark, Sf).localCheckpoint()
+    val (edges, nodes) = operators.LinkGraph.transitionGraphStored(spark, Sf)
+    val bbW = operators.LinkGraph.backboneOf(edges)
+      .agg(sum("weight")).as[Long].collect()(0)
+    val (ints, ins, outs, sizes) = prof
+      .agg(sum("internal_weight"), sum("in_weight"), sum("out_weight"),
+        sum("scc_size"))
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(ins == outs, "every cross-SCC unit of weight leaves one SCC and enters another")
+    assert(ints + outs == bbW, "internal + cross outflow must account for all backbone weight")
+    assert(sizes == nodes.count(), "scc sizes partition the node universe")
+  }
+
   test("sccCondensation: a DAG (driver-checked acyclic) consistent with the scc map") {
     val cond = operators.LinkGraph.sccCondensation(spark, Sf)
       .as[(Long, Long, Long)].collect()
