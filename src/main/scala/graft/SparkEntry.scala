@@ -460,6 +460,9 @@ object SparkEntry {
     "graph_neighborhood" -> ((s, d) => LinkGraph.neighborhoodCounts(s, d)),
     // per-SCC rollup from the stored map: size + internal/in/out weight
     "graph_scc_profile" -> ((s, d) => LinkGraph.sccProfile(s, d)),
+    // analytic LSH banding S-curve table — no data touched; the
+    // unrolled-multiplication determinism contract is the whole point
+    "dedup_lsh_design" -> ((s, _) => Dedup.lshDesignTable(s)),
     // 6-hop BFS distances from the pinned seed set (fixed-round contract)
     "graph_bfs_distances" -> ((s, d) => LinkGraph.bfsDistances(s, d)),
     // max-bottleneck capacities from the seed set, 6 relaxation rounds
@@ -1644,6 +1647,26 @@ object SparkEntry {
          SELECT n.node, LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS scc_id
          FROM nodes n LEFT JOIN mut m ON n.node = m.x
          GROUP BY n.node)"""
+
+  /** Unrolled-multiplication LSH S-curve oracle: mirrors
+    * Dedup.lshDesignTable's pinned op order — s^r and (1-x)^b as
+    * left-associated multiply chains, never `pow`.
+    */
+  private def lshDesignSql(threshold: Double = 0.9): String = {
+    def chain(base: String, n: Int): String =
+      if (n == 1) base else "(" + List.fill(n)(base).mkString(" * ") + ")"
+    val designs = Seq(32 -> 1, 16 -> 2, 8 -> 4, 4 -> 8, 2 -> 16, 1 -> 32)
+    val selects = designs.map { case (b, r) =>
+      val sr = chain("s", r)
+      val p = s"(1.0 - ${chain(s"(1.0 - $sr)", b)})"
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+                s, $p AS collision_p,
+                CASE WHEN s < $threshold THEN $p / 20.0 ELSE 0.0 END AS fp_term,
+                CASE WHEN s >= $threshold THEN (1.0 - $p) / 20.0 ELSE 0.0 END AS fn_term
+         FROM (SELECT CAST(i AS DOUBLE) / 20.0 AS s FROM range(1, 20) t(i))"""
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY rows_per_band, s"
+  }
 
   /** Hop-unrolled neighborhood-function oracle over the backbone:
     * reach-pair sets p1..pH (self included, UNION-deduped,
@@ -4681,6 +4704,7 @@ object SparkEntry {
          WHERE s1.scc_id <> s2.scc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_neighborhood" -> neighborhoodSql(),
+    "dedup_lsh_design" -> lshDesignSql(),
     "graph_scc_profile" ->
       s"""$sccBaseSql,
          j AS (

@@ -1516,4 +1516,50 @@ object Dedup {
       sorted = false)
       .select(col("doc_a"), col("doc_b"),
         col("n_shared_windows").as("n_shared_fps"))
+
+  /** LSH BANDING DESIGN TABLE — the S-curve every (bands, rows) split
+    * of a P-permutation minhash signature induces:
+    *
+    *   P(candidate | jaccard = s) = 1 − (1 − s^r)^b
+    *
+    * evaluated on a 19-point jaccard grid, with per-point false-
+    * positive mass (collision below the target threshold) and false-
+    * negative mass (miss at/above it) as grid-cell Riemann terms — the
+    * table a pipeline owner reads to pick (b, r) for a dedup campaign
+    * before paying a corpus-scale banding run (Leskovec/Rajaraman/
+    * Ullman, MMDS ch. 3; this engine's own 8×4 default for the md5
+    * family sits where the curve's knee crosses t = 0.9).
+    *
+    * Determinism: NO `pow` anywhere — s^r and (1−x)^b are UNROLLED
+    * left-associated multiplication chains over s = i/20.0 grid values
+    * (each design's exponents are compile-time constants), so every
+    * double op is one IEEE multiply in a pinned order and the DuckDB
+    * oracle replays it bit-exactly; libm's 1-ulp `pow` drift is the
+    * hash-mismatch trap the fixed-point convention exists to avoid.
+    *
+    * Scale: a |designs|·|grid|-row analytic table — no data touched;
+    * map-side codegen over a range, the cheapest row on the board by
+    * construction.
+    */
+  def lshDesignTable(
+      spark: SparkSession,
+      perms: Int = 32,
+      threshold: Double = 0.9): DataFrame = {
+    def chain(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((acc, _) => acc * base)
+    val designs = Seq(32 -> 1, 16 -> 2, 8 -> 4, 4 -> 8, 2 -> 16, 1 -> 32)
+      .filter { case (b, r) => b * r == perms }
+    val grid = spark.range(1, 20)
+      .select((col("id").cast("double") / lit(20.0)).as("s"))
+    designs.map { case (b, r) =>
+      val p = lit(1.0) - chain(lit(1.0) - chain(col("s"), r), b)
+      grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"), col("s"),
+        p.as("collision_p"),
+        when(col("s") < threshold, p / lit(20.0)).otherwise(lit(0.0))
+          .as("fp_term"),
+        when(col("s") >= threshold, (lit(1.0) - p) / lit(20.0))
+          .otherwise(lit(0.0)).as("fn_term"))
+    }.reduce(_ unionByName _)
+      .orderBy("rows_per_band", "s")
+  }
 }

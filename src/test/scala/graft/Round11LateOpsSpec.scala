@@ -198,6 +198,26 @@ class Round11LateOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("lshDesignTable: S-curve shape and a Scala-replayed closed form") {
+    val t = operators.Dedup.lshDesignTable(spark)
+      .as[(Int, Int, Double, Double, Double, Double)].collect()
+    assert(t.length == 6 * 19)
+    assert(t.forall { case (_, _, _, p, _, _) => p >= 0.0 && p <= 1.0 })
+    // monotone non-decreasing in s within each design
+    t.groupBy(r => (r._1, r._2)).values.foreach { rows =>
+      val ps = rows.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+    // closed form replayed with the same unrolled multiplication chain
+    def chain(x: Double, n: Int): Double = (2 to n).foldLeft(x)((a, _) => a * x)
+    t.foreach { case (b, r, s, p, fp, fn) =>
+      val want = 1.0 - chain(1.0 - chain(s, r), b)
+      assert(p == want, s"(b=$b,r=$r,s=$s): $p != $want")
+      assert((if (s < 0.9) p / 20.0 else 0.0) == fp)
+      assert((if (s >= 0.9) (1.0 - p) / 20.0 else 0.0) == fn)
+    }
+  }
+
   test("sccProfile: flow conservation against the raw backbone") {
     val prof = operators.LinkGraph.sccProfile(spark, Sf).localCheckpoint()
     val (edges, nodes) = operators.LinkGraph.transitionGraphStored(spark, Sf)
