@@ -3773,10 +3773,10 @@ object SparkEntry {
                     w -> length($bpeReplaceChainSql))) AS BIGINT) AS n_bpe_tokens
            FROM documents)
          SELECT source, COUNT(*) AS docs,
-                SUM(n_ws_tokens) AS ws_tokens,
-                SUM(n_bpe_tokens) AS bpe_tokens,
-                CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_ws_tokens) AS DOUBLE) AS fertility,
-                CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe_tokens) AS DOUBLE) AS chars_per_token
+                CAST(SUM(n_ws_tokens) AS BIGINT) AS ws_tokens,
+                CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+                CAST(CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_ws_tokens) AS DOUBLE) AS FLOAT) AS fertility,
+                CAST(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe_tokens) AS DOUBLE) AS FLOAT) AS chars_per_token
          FROM seg GROUP BY source ORDER BY source""",
     "txt_bpe_segment" ->
       s"""SELECT doc_id,
@@ -4101,7 +4101,8 @@ object SparkEntry {
     "events_bt_ratings" ->
       // unrolled MM rounds, fixed-point denominator sums — hash-exact
       s"""${btSql()}
-         SELECT s.item, s.wins, s.games, r.p AS rating
+         SELECT s.item, CAST(s.wins AS BIGINT) AS wins,
+                CAST(s.games AS BIGINT) AS games, CAST(r.p AS FLOAT) AS rating
          FROM bt_stat s JOIN bt_r${graft.operators.Events.BtIters} r
            ON s.item = r.item
          ORDER BY s.item""",
@@ -4558,10 +4559,10 @@ object SparkEntry {
                   y, score
            FROM scored)
          SELECT bucket, COUNT(*) AS n,
-                SUM(CAST(y AS BIGINT)) AS positives,
-                CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
-                CAST(SUM(CAST(round(CAST(score AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                  / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_score
+                CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS positives,
+                CAST(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS pos_rate,
+                CAST(CAST(SUM(CAST(round(CAST(score AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS mean_score
          FROM b GROUP BY 1 ORDER BY bucket""",
     "quality_lr_scores" ->
       s"""${lrGdSql()}

@@ -373,7 +373,12 @@ object Events {
       for (_ <- 0 until iters)
         r = btRound(dirn, stat, r).localCheckpoint()
       stat.join(r, "item")
-        .select(col("item"), col("wins"), col("games"), col("p").as("rating"))
+        .select(col("item"), col("wins"), col("games"),
+          // EMITTED-DOUBLE CONVENTION (SCALING.md): the final
+          // loop-derived scalar is cut to FLOAT so cross-engine /
+          // cross-version canonicalization of the last divide chain
+          // can never flip the driver's hash (the topKPerQuery rule).
+          col("p").cast("float").as("rating"))
         .orderBy("item")
     }
   }

@@ -210,10 +210,12 @@ object QualityModel {
         sum(round(col("score").cast("double") * 1000000.0, 0).cast("long"))
           .as("sfx"))
       .select(col("bucket"), col("n"), col("positives"),
+        // EMITTED-DOUBLE CONVENTION (SCALING.md): final GD-derived
+        // ratios cut to FLOAT — see Events.btRatings.
         (col("positives").cast("double") / col("n").cast("double"))
-          .as("pos_rate"),
+          .cast("float").as("pos_rate"),
         (col("sfx").cast("double") / col("n").cast("double") / 1000000.0)
-          .as("mean_score"))
+          .cast("float").as("mean_score"))
       .orderBy("bucket")
   }
 }

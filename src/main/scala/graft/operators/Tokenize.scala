@@ -352,10 +352,12 @@ object Tokenize {
         sum("n_chars").as("chars"))
       .select(col("source"), col("docs"), col("ws_tokens"),
         col("bpe_tokens"),
+        // EMITTED-DOUBLE CONVENTION (SCALING.md): final ratios cut to
+        // FLOAT — see Events.btRatings.
         (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
-          .as("fertility"),
+          .cast("float").as("fertility"),
         (col("chars").cast("double") / col("bpe_tokens").cast("double"))
-          .as("chars_per_token"))
+          .cast("float").as("chars_per_token"))
       .orderBy("source")
   }
 }

@@ -266,9 +266,9 @@ class Round11OpsSpec extends SparkTestBase {
     // an undefeated item must outrate a winless one (MM preserves the
     // dominance order at the extremes)
     val best = r.filter(col("wins") === col("games"))
-      .agg(min("rating")).head.getDouble(0)
+      .agg(min("rating").cast("double")).head.getDouble(0)
     val worst = r.filter(col("wins") === 0)
-      .agg(max("rating")).head.getDouble(0)
+      .agg(max("rating").cast("double")).head.getDouble(0)
     if (!best.isNaN && !worst.isNaN)
       assert(best > worst, s"undefeated $best must beat winless $worst")
     // wins can never exceed games, and games sum to 2x total comparisons

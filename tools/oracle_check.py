@@ -58,6 +58,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_bad += 1
             continue
+        # EMITTED-TYPE GUARD (round 12): a bare SUM() in an oracle's
+        # final SELECT is HUGEINT (INT128) in DuckDB. fetchall() hides
+        # that (Python ints repr the same), but the driver's own compare
+        # path maps HUGEINT differently across DuckDB/pandas versions —
+        # the round-11 red-row class. Fail loudly here so the exposure
+        # never reaches the driver again.
+        exotic = [(c, str(t)) for c, t in
+                  zip(oracle_rel.columns, oracle_rel.types)
+                  if "HUGEINT" in str(t) or str(t).startswith("DECIMAL")
+                  or str(t).startswith("U")]
+        if exotic:
+            print(f"FAIL {name}: oracle emits non-portable types {exotic}"
+                  " — CAST the final column (AS BIGINT / AS DOUBLE)")
+            n_bad += 1
+            continue
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: cols spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
             n_bad += 1
