@@ -30,13 +30,19 @@ case class SortedContainsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull = false is REQUIRED, not just documented: both
+    // producers emit array_sort ∘ collect_set over non-null hashes
+    // (containsNull = false), and a null element would make the binary
+    // search's getLong undefined. Rejecting nullable element types here
+    // turns one whole misuse class into an analysis-time error.
     val okArr = left.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (okArr && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_contains requires (ARRAY<BIGINT>, BIGINT), got " +
+      s"sorted_contains requires (ARRAY<BIGINT> with non-null elements," +
+        s" BIGINT), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 

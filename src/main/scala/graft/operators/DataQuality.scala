@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.IO
@@ -12,15 +12,17 @@ import graft.sources.IO
   * derived-column consistency, one row per check with exact violation
   * counts and the violation rate.
   *
-  * Scale shape: each FK check is one left-anti join (the dimension side
-  * broadcasts when small; past that it is the same shuffle any FK join
-  * pays) collapsed map-side to a 1-row count; PK checks are one
-  * key-keyed aggregation emitting only keys with multiplicity > 1; null/
-  * range/consistency checks are single-scan conditional counts that
-  * fuse into one pass per table. The report itself is |checks| rows —
-  * at 100 TB the cost is a handful of column-pruned scans, and the
-  * violation-rate trend across snapshots is the artifact a data-quality
-  * dashboard stores.
+  * Scale shape: the checks FUSE — each table is scanned ONCE at row
+  * grain with every conditional count it owns (null contracts, value
+  * ranges, derived-column consistency, and the FK-orphan flag folded in
+  * as one left join against the referenced key set) collapsing
+  * map-side into a single 1-row aggregate, plus ONE key-grain pass per
+  * PK-checked table whose groupBy serves double duty: it yields the
+  * duplicate-key count AND the distinct key set the fact-side join
+  * probes. Six scans total for nine checks (orders pays two: row grain
+  * and key grain) — at 100 TB the cost is a handful of column-pruned
+  * scans, and the violation-rate trend across snapshots is the artifact
+  * a data-quality dashboard stores.
   *
   * Determinism: counts are exact longs; each rate is one double divide
   * with exact-integer operands.
@@ -34,47 +36,74 @@ object DataQuality {
     val events = IO.table(spark, sfDir, "events")
     val documents = IO.table(spark, sfDir, "documents")
 
-    def check(name: String, violations: DataFrame, total: DataFrame): DataFrame =
-      violations.agg(count(lit(1)).as("violations"))
-        .crossJoin(total.agg(count(lit(1)).as("total")))
-        .select(lit(name).as("check"), col("violations"), col("total"),
-          (col("violations").cast("double") / col("total").cast("double"))
+    // unpivot a 1-row fused aggregate into report rows; each (name,
+    // violations, total) triple shares the frame's single computation
+    def rows(agg1: DataFrame, checks: (String, Column, Column)*): DataFrame =
+      agg1.select(explode(array(checks.map { case (n, v, t) =>
+          struct(lit(n).as("check"), v.as("violations"), t.as("total"))
+        }: _*)).as("c"))
+        .select(col("c.check").as("check"), col("c.violations"),
+          col("c.total"),
+          (col("c.violations").cast("double") / col("c.total").cast("double"))
             .as("rate"))
 
-    def dupKeys(df: DataFrame, key: String): DataFrame =
-      df.groupBy(key).agg(count(lit(1)).as("n")).where(col("n") > 1)
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
-    val checks = Seq(
-      // referential integrity: facts must resolve their dimensions
-      check("orders_custkey_orphans",
-        orders.join(customer,
-          orders("o_custkey") === customer("c_custkey"), "left_anti"),
-        orders),
-      check("lineitem_orderkey_orphans",
-        lineitem.join(orders,
-          lineitem("l_orderkey") === orders("o_orderkey"), "left_anti"),
-        lineitem),
-      // primary-key uniqueness (violations counted in KEYS, so the rate
-      // reads as "share of keys that collide")
-      check("customer_pk_duplicates", dupKeys(customer, "c_custkey"),
-        customer.select("c_custkey").distinct()),
-      check("orders_pk_duplicates", dupKeys(orders, "o_orderkey"),
-        orders.select("o_orderkey").distinct()),
-      // null contracts on load-bearing columns
-      check("orders_totalprice_nulls",
-        orders.where(col("o_totalprice").isNull), orders),
-      check("events_props_item_nulls",
-        events.where(get_json_object(col("props"), "$.k")
-          .cast("long").isNull), events),
-      check("documents_lang_nulls",
-        documents.where(col("lang").isNull || col("lang") === ""), documents),
-      // value-range and derived-column consistency
-      check("lineitem_quantity_range",
-        lineitem.where(col("l_quantity") < 1 || col("l_quantity") > 50),
-        lineitem),
-      check("documents_nchars_mismatch",
-        documents.where(col("n_chars") =!= length(col("text"))), documents))
+    // key-grain pass, computed once per PK table: duplicate stats AND
+    // the distinct key set the fact side probes (two consumers, so the
+    // |keys|-row frame materializes once)
+    def keyPass(df: DataFrame, key: String): DataFrame =
+      df.groupBy(key).agg(count(lit(1)).as("n")).localCheckpoint()
 
-    checks.reduce(_ unionByName _).orderBy("check")
+    val custKeys = keyPass(customer, "c_custkey")
+    val ordKeys = keyPass(orders, "o_orderkey")
+
+    // row-grain passes: every row-level check a table owns in ONE
+    // conditional-sum aggregate; the FK-orphan flag rides the same scan
+    // as a left join against the (distinct) key set
+    val ordersRow = rows(
+      orders.select(col("o_custkey"), col("o_totalprice"))
+        .join(custKeys.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(col("c_custkey").isNull).as("v_orphan"),
+          cnt(col("o_totalprice").isNull).as("v_nullprice")),
+      ("orders_custkey_orphans", col("v_orphan"), col("n_rows")),
+      ("orders_totalprice_nulls", col("v_nullprice"), col("n_rows")))
+
+    val lineitemRow = rows(
+      lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(ordKeys.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(col("o_orderkey").isNull).as("v_orphan"),
+          cnt(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_range")),
+      ("lineitem_orderkey_orphans", col("v_orphan"), col("n_rows")),
+      ("lineitem_quantity_range", col("v_range"), col("n_rows")))
+
+    val eventsRow = rows(
+      events.agg(count(lit(1)).as("n_rows"),
+        cnt(get_json_object(col("props"), "$.k").cast("long").isNull)
+          .as("v_item")),
+      ("events_props_item_nulls", col("v_item"), col("n_rows")))
+
+    val documentsRow = rows(
+      documents.agg(count(lit(1)).as("n_rows"),
+        cnt(col("lang").isNull || col("lang") === "").as("v_lang"),
+        cnt(col("n_chars") =!= length(col("text"))).as("v_nchars")),
+      ("documents_lang_nulls", col("v_lang"), col("n_rows")),
+      ("documents_nchars_mismatch", col("v_nchars"), col("n_rows")))
+
+    // primary-key uniqueness from the shared key-grain frames
+    // (violations counted in KEYS, so the rate reads as "share of keys
+    // that collide")
+    def pkRow(name: String, keys: DataFrame): DataFrame = rows(
+      keys.agg(cnt(col("n") > 1).as("v_dup"), count(lit(1)).as("n_keys")),
+      (name, col("v_dup"), col("n_keys")))
+
+    Seq(ordersRow, lineitemRow, eventsRow, documentsRow,
+        pkRow("customer_pk_duplicates", custKeys),
+        pkRow("orders_pk_duplicates", ordKeys))
+      .reduce(_ unionByName _).orderBy("check")
   }
 }

@@ -214,6 +214,24 @@ object Events {
     * id (a replayed micro-batch overwrites its own directory). The state
     * primes EAGERLY before `.start()` so micro-batch 0 never pays the
     * history build (the ingest-gate lesson).
+    *
+    * CONTRACT (cohort immutability): the delta algebra assumes no batch
+    * activity precedes the persisted base — otherwise a known user's
+    * min-day could move, or a pre-base day would emit a negative
+    * offset. The stream ENFORCES it in-plan: batch rows are clamped to
+    * `day >= splitDay` (the base covers exactly the days before the
+    * split, so post-split days can never precede a stored cohort). No
+    * per-batch action, just a filter.
+    *
+    * CONTRACT (delta composition): each batch's delta directory is
+    * computed against the ORIGINAL base artifact — the state is
+    * deliberately not folded forward (the oracle proves one delta ≡
+    * from-scratch; folding would make replayed batch ids non-
+    * idempotent). Two batches touching the same cell, or re-cohorting
+    * the same brand-new user, therefore emit OVERLAPPING
+    * `active_users` values: a consumer takes the LATEST batch's value
+    * per cell, never a sum, and re-bases (persistRetentionBase) before
+    * treating deltas from different epochs as one series.
     */
   def retentionIngestStream(
       spark: SparkSession,
@@ -228,7 +246,8 @@ object Events {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         retentionIncrementalFrames(spark, sfDir,
-          batch.select("user_id", "day"))
+          batch.select("user_id", "day")
+            .filter(col("day") >= lit(RetentionSplitUs / 86400000000L)))
           .write.mode("overwrite")
           .parquet(s"$outDir/deltas/batch_id=$batchId")
         ()

@@ -1257,16 +1257,29 @@ object LinkGraph {
     * PageRank rank-vector convention — edges never shuffle inside the
     * loop); past it the joins run unhinted on the co-partitioned frames.
     */
-  private[graft] def sccOver(edges0: DataFrame, nodes0: DataFrame): DataFrame = {
+  private[graft] def sccOver(
+      edges0: DataFrame,
+      nodes0: DataFrame,
+      maxSweeps: Int = 0,
+      strict: Boolean = true): DataFrame = {
     val edges = edges0.localCheckpoint()
     val nodes = nodes0.localCheckpoint()
-    val bcast = nodes.count() <= BroadcastNodeCeiling
+    val nNodes = nodes.count()
+    // Sweep/round budgets SCALE with the graph instead of being magic
+    // constants (ADVICE r11): FW-BW sweep depth follows the SCC-DAG
+    // structure and the inner fixpoint is O(log diameter) with two
+    // pointer-jump levels, so a log2(n) term covers any real corpus
+    // (log2(10^12) ≈ 40) while keeping small graphs tightly bounded.
+    // Callers can still widen explicitly via maxSweeps.
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nNodes))
+    val sweepCap = if (maxSweeps > 0) maxSweeps else 20 + log2n
+    val bcast = nNodes <= BroadcastNodeCeiling
     def bc(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var lab = nodes.select(col("node"), lit(0L).as("f"), lit(0L).as("b"))
       .localCheckpoint()
     var sweeps = 0
     var done = false
-    while (!done && sweeps < 20) {
+    while (!done && sweeps < sweepCap) {
       // a node with f == b is RESOLVED: f is its SCC's min member
       // (f = b = x proves v ∈ SCC(x) with nothing smaller mutual, and
       // f, b are uniform across an SCC within its class, so whole SCCs
@@ -1285,7 +1298,8 @@ object LinkGraph {
         .where(col("sf") === col("tf") && col("sb") === col("tb"))
         .select("src", "dst")
       val refreshed =
-        fbFixpoint(checkpointFreshStats(e2), open.select("node"), bc)
+        fbFixpoint(checkpointFreshStats(e2), open.select("node"), bc,
+          maxRounds = 25 + log2n)
       lab =
         if (sweeps == 0) refreshed
         else checkpointFreshStats(
@@ -1293,10 +1307,32 @@ object LinkGraph {
       done = lab.where(col("f") =!= col("b")).isEmpty
       sweeps += 1
     }
-    require(done, "SCC FW-BW splitting did not converge in 20 sweeps")
+    // strict (the oracled exact operator): an unconverged run must be a
+    // loud failure, never silently-wrong scc_ids flowing into rollups.
+    // Non-strict (exploratory/huge-corpus callers): degrade instead of
+    // crash — unresolved nodes keep their current (f, b) REFINEMENT
+    // class as a provisional component id (classes only ever split
+    // toward true SCCs, so provisional groups are unions of real SCCs,
+    // an over-grouping never a mis-mixing across resolved components),
+    // and the remainder count is exposed via [[lastSccUnresolved]].
+    if (strict)
+      require(done,
+        s"SCC FW-BW splitting did not converge in $sweepCap sweeps " +
+          s"(n=$nNodes); widen maxSweeps or run strict = false")
+    else if (!done)
+      System.err.println(s"[graft] sccOver: $sweepCap sweeps hit with " +
+        "unresolved remainder; emitting provisional (f,b)-class ids")
+    lastSccUnresolved = Some(
+      if (done) 0L else lab.where(col("f") =!= col("b")).count())
     lastSccSweeps = Some(sweeps)
+    // provisional ids live in the negative range so they can never
+    // collide with a resolved min-member id (node ids are non-negative)
+    val labeled = lab.select(col("node"),
+      when(col("f") === col("b"), col("f"))
+        .otherwise(lit(-1L) - xxhash64(col("f"), col("b"))
+          .bitwiseAND(lit(Long.MaxValue))).as("scc_id"))
     val w = Window.partitionBy("scc_id")
-    lab.select(col("node"), col("f").as("scc_id"))
+    labeled
       .withColumn("scc_size", count(lit(1)).over(w))
       .orderBy("node")
   }
@@ -1391,7 +1427,8 @@ object LinkGraph {
   private def fbFixpoint(
       e: DataFrame,
       nodes: DataFrame,
-      bc: DataFrame => DataFrame): DataFrame = {
+      bc: DataFrame => DataFrame,
+      maxRounds: Int = 25): DataFrame = {
     val step = sccStep(e, bc) _
     // convergence certificate: labels are per-element monotone
     // NON-INCREASING, so (Σf, Σb) as exact DECIMAL(38) sums — no long
@@ -1410,7 +1447,7 @@ object LinkGraph {
     var cert = certificate(m)
     var rounds = 0
     var changed = true
-    while (changed && rounds < 25) {
+    while (changed && rounds < maxRounds) {
       m = checkpointFreshStats(step(m))
       val next = certificate(m)
       changed = next != cert
@@ -1420,13 +1457,19 @@ object LinkGraph {
         println(s"[scc] fb round $rounds changed=$changed " +
           s"at ${System.nanoTime() / 1000000}ms")
     }
-    require(!changed, "SCC min propagation did not converge in 25 rounds")
+    require(!changed,
+      s"SCC min propagation did not converge in $maxRounds rounds")
     m
   }
 
   /** Sweeps of the most recent [[sccOver]] — the convergence-bound
     * telemetry seam specs read. */
   @volatile private[graft] var lastSccSweeps: Option[Int] = None
+
+  /** Unresolved-node count of the most recent [[sccOver]] — 0 on every
+    * converged (strict-eligible) run; > 0 only when a non-strict run
+    * hit its sweep budget and emitted provisional class ids. */
+  @volatile private[graft] var lastSccUnresolved: Option[Long] = None
 
   /** First round's pre-argmax vote aggregation in FORCED join-loop mode —
     * plan-audit seam (per-round checkpoints hide iteration plans from

@@ -188,8 +188,9 @@ object QualityModel {
     * re-thresholding before it filters anything.
     *
     * Scale shape: one map-side scoring pass (the whole point of the
-    * distilled linear model) into a 10-bucket aggregation — the report
-    * is at most 100 rows regardless of corpus volume.
+    * distilled linear model) into a 100-percent-bin aggregation
+    * (floor(score·100) capped at 99) — the report is at most 100 rows
+    * regardless of corpus volume.
     *
     * Determinism: the hard-sigmoid score replays bit-for-bit (see the
     * object scaladoc); bucketing floors an exact double product; counts

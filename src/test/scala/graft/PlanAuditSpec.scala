@@ -896,25 +896,38 @@ class PlanAuditSpec extends SparkTestBase {
     }.isEmpty, "no sort-merge in an output-sized join")
   }
 
-  test("dq report: fact-side FK checks never broadcast the fact table") {
+  test("dq report: fused one-pass-per-table, dims broadcast, facts stream") {
     val df = graft.operators.DataQuality.dqReport(spark, Sf)
+    df.collect() // finalize AQE
     val exec = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case q => q
     }
-    val antis = exec.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-        if j.joinType.toString == "LeftAnti" => j
-    }
-    assert(antis.size == 2, s"both FK checks plan as broadcast anti-joins " +
-      s"(dimension side builds):\n${plan(df)}")
-    // the BUILD side of each anti-join must be the dimension scan, never
-    // the fact side: fact rows stream, dimensions broadcast
-    antis.foreach { j =>
-      assert(j.buildSide.toString == "BuildRight",
-        s"dimension must be the broadcast build side: $j")
-    }
+    val s = exec.toString
+    // the FK-orphan flags ride the row-grain scans as broadcast LEFT
+    // OUTER joins whose BUILD side is the dimension key set — fact rows
+    // stream, dimensions broadcast (AQE nests the joins inside query
+    // stages, so audit the plan string like the bt-ratings audit)
+    val outer = raw"BroadcastHashJoin .*LeftOuter, BuildRight".r
+      .findAllIn(s).size
+    assert(outer == 2, s"both FK checks must be broadcast left-outer " +
+      s"joins with the dimension as build side:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no FK check may sort-merge the fact table:\n$s")
+    // the FUSION contract: nine checks cost six table scans — orders at
+    // row and key grain, every other table exactly once (lineitem and
+    // documents are the 100 TB-scale scans that must not repeat)
+    def scans(table: String): Int =
+      raw"FileScan parquet .*$table\.parquet".r.findAllIn(s).size
+    assert(scans("lineitem") == 1, s"lineitem must scan once:\n$s")
+    assert(scans("documents") == 1, s"documents must scan once:\n$s")
+    assert(scans("events") == 1, s"events must scan once:\n$s")
+    // key-grain passes materialize via localCheckpoint (shared by the
+    // PK check and the FK probe side), so orders/customer parquet scans
+    // appear once each in the final plan
+    assert(scans("orders") <= 1 && scans("customer") <= 1,
+      s"key-grain frames must be shared, not re-scanned:\n$s")
   }
 
   test("prefix-join verify: broadcast below the ceiling, shuffle-hash past it") {
