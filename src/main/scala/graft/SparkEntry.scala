@@ -990,7 +990,23 @@ object SparkEntry {
     * doubles), assignment ties break toward the lowest cid on FLOAT-cast
     * cosine in both engines. Ends with `cent$iters` = (cid, cv).
     */
-  private def kmeansCentroidsSql(k: Int = 16, iters: Int = 2): String = {
+  /** GREATEST(16, ceil(sqrt(N))) over the embedding corpus — the SQL
+    * twin of Similarity.adaptiveNlist (both engines compute nlist from
+    * the same count, so the adaptive rows stay hash-green by
+    * construction).
+    */
+  private val adaptiveNlistSql: String =
+    "(SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM v0)"
+
+  /** max(4, nlist / 8) — the SQL twin of Similarity.adaptiveNprobe. */
+  private val adaptiveNprobeSql: String =
+    "(SELECT GREATEST(4, GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 8) FROM v0)"
+
+  private def kmeansCentroidsSql(
+      k: Int = 16,
+      iters: Int = 2,
+      kExpr: String = ""): String = {
+    val kSql = if (kExpr.nonEmpty) kExpr else k.toString
     val iterCtes = (1 to iters).map { i =>
       s"""assign$i AS (
            SELECT vec_id, v, cid FROM (
@@ -1010,7 +1026,7 @@ object SparkEntry {
     s"""WITH v0 AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-        cent0 AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < $k),
+        cent0 AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < $kSql),
         $iterCtes"""
   }
 
@@ -2009,7 +2025,7 @@ object SparkEntry {
     */
   private def tripletsOracleSql: String =
     s"""$simHashClusterBaseSql,
-         ${kmeansCentroidsSql().stripPrefix("WITH ")},
+         ${kmeansCentroidsSql(kExpr = adaptiveNlistSql).stripPrefix("WITH ")},
          asg AS (
            SELECT vec_id, v, cid FROM (
              SELECT e.vec_id, e.v, c.cid,
@@ -2567,8 +2583,19 @@ object SparkEntry {
          sides AS (
            SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
            FROM e JOIN documents d ON e.vec_id = d.doc_id),
-         a AS (SELECT vec_id AS src_id, v AS src_v FROM sides WHERE is_en),
+         a0 AS (SELECT vec_id AS src_id, v AS src_v FROM sides WHERE is_en),
          b AS (SELECT vec_id AS tgt_id, v AS tgt_v FROM sides WHERE NOT is_en),
+         -- pair budget: past 16M pairs the src side thins by the same
+         -- deterministic md5 split the Spark side applies (cut = budget
+         -- / (nA*nB) * 2^32, identical double op order)
+         a AS (
+           SELECT a0.* FROM a0,
+                (SELECT COUNT(*) AS na FROM a0) x,
+                (SELECT COUNT(*) AS nb FROM b) y
+           WHERE CAST(na AS BIGINT) * CAST(nb AS BIGINT) <= 16000000
+              OR ('0x' || substr(md5(CAST(src_id AS VARCHAR) || '|margin_cap'), 1, 8))::BIGINT
+                 < CAST(floor(16000000.0 / CAST(CAST(na AS BIGINT) * CAST(nb AS BIGINT) AS DOUBLE)
+                              * 4294967296.0) AS BIGINT)),
          sims AS (
            SELECT src_id, tgt_id,
                   CAST(list_cosine_similarity(src_v, tgt_v) AS FLOAT) AS sim
@@ -2603,9 +2630,10 @@ object SparkEntry {
     "emb_training_triplets_rebuild" -> tripletsOracleSql,
     "emb_margin_pairs_ivf" ->
       // same margin algebra over IVF-cell-bounded candidates: the
-      // trained-centroid CTEs replay the Lloyd iterations, assignment
-      // and probes use the float-washed argmax windows
-      s"""${kmeansCentroidsSql()},
+      // trained-centroid CTEs replay the Lloyd iterations (nlist and
+      // nprobe computed from COUNT(*) exactly as the Scala adaptive
+      // rule), assignment and probes use the float-washed argmax windows
+      s"""${kmeansCentroidsSql(iters = 2, kExpr = adaptiveNlistSql)},
          sides AS (
            SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
            FROM v0 e JOIN documents d ON e.vec_id = d.doc_id),
@@ -2620,7 +2648,7 @@ object SparkEntry {
              SELECT s.vec_id, s.v, s.is_en, c.cid,
                     row_number() OVER (PARTITION BY s.vec_id
                       ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
-             FROM sides s CROSS JOIN cent2 c) WHERE rn <= 4),
+             FROM sides s CROSS JOIN cent2 c) WHERE rn <= $adaptiveNprobeSql),
          sims AS (
            SELECT DISTINCT p.vec_id AS src_id, a.vec_id AS tgt_id,
                   CAST(list_cosine_similarity(p.v, a.v) AS FLOAT) AS sim

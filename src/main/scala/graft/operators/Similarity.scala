@@ -503,10 +503,16 @@ object Similarity {
   private def simsAgainst(
       v: Column,
       centroids: Seq[Array[Double]]): Column =
-    array(centroids.map { cv =>
-      call_function("cosine_sim", v,
-        array(cv.toIndexedSeq.map(lit(_)): _*)).cast("float")
-    }: _*)
+    // one transform LOOP over a typedLit constant, not nlist unrolled
+    // calls (the pqSims codegen-size lesson): unrolled literal arrays
+    // made codegen compile time grow ~linearly in nlist x dim, which is
+    // what capped practical nlist at ~16-32 (round-12 measurement:
+    // margin IVF at 20k vectors went 48 s at nlist=128 from codegen
+    // alone). The loop form keeps the codebook a constant OBJECT in the
+    // generated code, so assignment cost is pure arithmetic at any
+    // nlist — the prerequisite for the sqrt(N)-adaptive sizing rule.
+    transform(typedLit(centroids.map(_.toSeq)),
+      cv => call_function("cosine_sim", v, cv).cast("float"))
 
   /** IVF search against an explicit codebook (see [[ivfCosineTopK]] for the
     * shape rationale). The codebook is a bounded model artifact (nlist
@@ -1777,19 +1783,46 @@ object Similarity {
     * because three consumers (forward top-k/avg, backward avg) would
     * otherwise replay the scoring.
     */
+  /** Pair budget of the EXACT margin baseline: past it the src side is
+    * thinned by a deterministic md5 split so the eval anchor stays
+    * runnable at any registered scale instead of going quadratic
+    * unbounded (the r11 flag: 135 s at the ×10 cut). 16M pairs keeps
+    * every driver sf uncapped (sf0.1 is ~0.9M) while bounding probe
+    * cuts; the sampled anchor is still an EXACT margin eval — over a
+    * uniformly-sampled query side, the standard recall-eval shape.
+    */
+  private[graft] val MarginExactPairBudget = 16000000L
+
   def marginBitextPairs(
       spark: SparkSession,
       sfDir: String,
       k: Int = 4,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0,
+      maxPairs: Long = MarginExactPairBudget): DataFrame = {
     val langs = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), (col("lang") === "en").as("is_en"))
     val sides = corpus(spark, sfDir).select("vec_id", "v")
       .join(langs, col("vec_id") === col("doc_id"))
-    val a = sides.filter(col("is_en"))
+      .localCheckpoint() // counted for the cap, then read by both sides
+    val a0 = sides.filter(col("is_en"))
       .select(col("vec_id").as("src_id"), col("v").as("src_v"))
     val b = sides.filter(!col("is_en"))
       .select(col("vec_id").as("tgt_id"), col("v").as("tgt_v"))
+    val nA = a0.count()
+    val nB = b.count()
+    val a =
+      if (nA * nB <= maxPairs) a0
+      else {
+        // deterministic md5-split src sample (the corpus-split span
+        // convention), threshold from the same double op order the
+        // oracle computes: maxPairs / (nA*nB) * 2^32
+        val cut = math.floor(
+          maxPairs.toDouble / (nA * nB).toDouble * 4294967296.0).toLong
+        a0.filter(
+          conv(substring(md5(concat(col("src_id").cast("string"),
+            lit("|margin_cap")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") < lit(cut))
+      }
     val sims = a.crossJoin(broadcast(b))
       .select(col("src_id"), col("tgt_id"),
         expr("cosine_sim(src_v, tgt_v)").cast("float").as("sim"))
@@ -1893,11 +1926,25 @@ object Similarity {
   def trainingTriplets(
       spark: SparkSession,
       sfDir: String,
-      nlist: Int = 16,
-      iters: Int = 2): DataFrame =
+      nlist: Int = 0, // 0 = corpus-size-adaptive (see adaptiveNlist)
+      iters: Int = 2): DataFrame = {
+    val nl = resolveNlist(spark, sfDir, nlist)
     tripletsFromArtifacts(spark, sfDir,
       Cluster.nearDupComponentsMd5Unsorted(spark, sfDir),
-      kmeansCodebook(spark, sfDir, nlist, iters))
+      kmeansCodebook(spark, sfDir, nl, iters))
+  }
+
+  /** nlist = 0 resolves to the corpus-size-adaptive rule over the full
+    * embedding table (the count the oracle's `COUNT(*) FROM v0`
+    * mirrors); explicit values pass through for the fixed-geometry
+    * ANN-ladder rows.
+    */
+  private def resolveNlist(
+      spark: SparkSession,
+      sfDir: String,
+      nlist: Int): Int =
+    if (nlist > 0) nlist
+    else adaptiveNlist(IO.table(spark, sfDir, "embeddings").count())
 
   /** [[trainingTriplets]] consuming the PERSISTED component map and IVF
     * codebook — the production serve shape (both artifacts are
@@ -1908,12 +1955,13 @@ object Similarity {
   def trainingTripletsStored(
       spark: SparkSession,
       sfDir: String,
-      nlist: Int = 16,
+      nlist: Int = 0, // 0 = corpus-size-adaptive (see adaptiveNlist)
       iters: Int = 2): DataFrame = {
-    val path = ivfArtifactPath(spark, sfDir, nlist, iters)
+    val nl = resolveNlist(spark, sfDir, nlist)
+    val path = ivfArtifactPath(spark, sfDir, nl, iters)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "codebook")))
-      persistIvfIndex(spark, sfDir, nlist, iters)
+      persistIvfIndex(spark, sfDir, nl, iters)
     tripletsFromArtifacts(spark, sfDir,
       Cluster.componentMapStored(spark, sfDir),
       codebookFromTable(spark.read.parquet(s"$path/codebook")))
@@ -1957,13 +2005,31 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  /** Corpus-size-adaptive IVF geometry (the FAISS sizing rule, now that
+    * [[simsAgainst]]'s loop form makes assignment cost nlist-flat):
+    * nlist = max(16, ceil(√N)) and nprobe = max(4, nlist/8), so the
+    * probed fraction shrinks ~1/√N and candidate volume grows ~N^1.5
+    * instead of the fixed-nlist N²/16. Round-12 measurement at the ×10
+    * cut (20k vectors): (142, 18) mines FASTER than the old fixed
+    * (16, 4) — 14.1 s vs 20.3 s — at HIGHER pair recall vs the exact
+    * margin baseline (1700/2570 vs 1300/2570); at sf0.1 (2k vectors,
+    * (45, 6)) it is also faster at parity recall. The oracle computes
+    * the same rule from COUNT(*) over the same frame, so greenness is
+    * preserved by construction.
+    */
+  private[graft] def adaptiveNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private[graft] def adaptiveNprobe(nlist: Int): Int =
+    math.max(4, nlist / 8)
+
   def marginBitextPairsIvf(
       spark: SparkSession,
       sfDir: String,
       k: Int = 4,
       threshold: Double = 1.0,
-      nlist: Int = 16,
-      nprobe: Int = 4,
+      nlist: Int = 0, // 0 = corpus-size-adaptive (see adaptiveNlist)
+      nprobe: Int = 0, // 0 = nlist/8-adaptive (see adaptiveNprobe)
       iters: Int = 2): DataFrame = {
     import spark.implicits._
     val langs = IO.table(spark, sfDir, "documents")
@@ -1971,7 +2037,11 @@ object Similarity {
     val sides = corpus(spark, sfDir).select("vec_id", "v")
       .join(langs, col("vec_id") === col("doc_id"))
       .select("vec_id", "v", "is_en")
-    val codebook = kmeansCodebook(spark, sfDir, nlist, iters)
+      .localCheckpoint() // counted for sizing, then read by three plans
+    val nSides = sides.count()
+    val nl = resolveNlist(spark, sfDir, nlist)
+    val np = if (nprobe > 0) nprobe else adaptiveNprobe(nl)
+    val codebook = kmeansCodebook(spark, sfDir, nl, iters)
     val cent = codebook.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
     // each side: its own cell (map-side argmax) for the candidate index,
@@ -1981,17 +2051,33 @@ object Similarity {
     val wP = Window.partitionBy("vec_id").orderBy(desc("psim"), asc("cid"))
     val probes = sides.crossJoin(broadcast(cent))
       .withColumn("psim", expr("cosine_sim(v, cv)").cast("float"))
-      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("v"), col("is_en"), col("cid"))
-    // forward candidates: en probes × non-en members of the probed cell
-    val sims = probes.filter(col("is_en"))
-      .select(col("vec_id").as("src_id"), col("v").as("src_v"), col("cid"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= np)
+      .select(col("vec_id"), col("is_en"), col("cid"))
+    // forward candidates as THIN (src, tgt) pairs: dedup (a tgt can sit
+    // in several probed cells of the same src) BEFORE the vectors join
+    // in, so the distinct's exchange carries 16-byte pairs instead of
+    // two 64-dim embeddings per row — the vectors then ride one
+    // ceiling-gated broadcast lookup each (the verify-join convention:
+    // past the ceiling the same joins run shuffle-hash, keeping the
+    // fat embedding rows out of any sort) and cosine runs once per
+    // UNIQUE pair
+    val emb = sides.select(col("vec_id"), col("v"))
+    val embSmall = nSides <= Dedup.VerifySetBroadcastCeiling
+    def gate(df: DataFrame): DataFrame =
+      if (embSmall) broadcast(df) else df.hint("shuffle_hash")
+    val pairs = probes.filter(col("is_en"))
+      .select(col("vec_id").as("src_id"), col("cid"))
       .join(assigned.filter(!col("is_en"))
-        .select(col("vec_id").as("tgt_id"), col("v").as("tgt_v"), col("cid")),
-        Seq("cid"))
+        .select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
+      .select("src_id", "tgt_id")
+      .distinct()
+    val sims = pairs
+      .join(gate(emb.select(col("vec_id").as("src_id"),
+        col("v").as("src_v"))), "src_id")
+      .join(gate(emb.select(col("vec_id").as("tgt_id"),
+        col("v").as("tgt_v"))), "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         expr("cosine_sim(src_v, tgt_v)").cast("float").as("sim"))
-      .distinct() // a tgt can sit in several probed cells of the same src
     marginFromScoredPairs(sims, k, threshold)
   }
 }

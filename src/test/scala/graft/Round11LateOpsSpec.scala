@@ -90,7 +90,11 @@ class Round11LateOpsSpec extends SparkTestBase {
     val comp = Cluster.nearDupComponentsMd5(spark, Sf)
     def compOf(idCol: String, as: String) = comp
       .select(col("doc_id").as(idCol), col("component_id").as(as))
-    val cells = Similarity.kmeansAssignments(spark, Sf)
+    // the triplets default is corpus-size-adaptive; probe the SAME
+    // geometry (kmeansAssignments' own default stays the oracled 16)
+    val nl = Similarity.adaptiveNlist(
+      sources.IO.table(spark, Sf, "embeddings").count())
+    val cells = Similarity.kmeansAssignments(spark, Sf, k = nl)
     def cellOf(idCol: String, as: String) = cells
       .select(col("vec_id").as(idCol), col("cid").as(as))
     val enriched = t
