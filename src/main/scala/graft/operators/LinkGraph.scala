@@ -1096,9 +1096,26 @@ object LinkGraph {
     * convention).
     */
   def sccComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val (edges, nodes) = transitionGraphStored(spark, sfDir)
     LoopWidth.pinned(spark, storedEdgeRows(spark, sfDir)) {
-      sccOver(backboneOf(edges).select("src", "dst"), nodes.select("node"))
+      // build/loop telemetry (the pr_split convention): materialize the
+      // two graph inputs HERE — inside the pinned loop width, so the
+      // checkpointed frames carry the loop's exchange width — and the
+      // wall divides into "checkpointed graph builds" vs "the nested
+      // FW-BW fixpoint", the split the bench payload reports for the
+      // board's slowest graph row
+      val tBuild = System.nanoTime()
+      val (edges, nodes) = transitionGraphStored(spark, sfDir)
+      val bb = backboneOf(edges).select("src", "dst").localCheckpoint()
+      val nn = nodes.select("node").localCheckpoint()
+      val buildSec = (System.nanoTime() - tBuild) / 1e9
+      val tLoop = System.nanoTime()
+      // sccOver's FW-BW loop is internally eager (every sweep ends in
+      // actions), so by return time the loop work is done — only the
+      // |nodes|-row presentation window/sort stays lazy, attributed to
+      // neither half. No extra materialization for the telemetry.
+      val out = sccOver(bb, nn, preMaterialized = true)
+      lastBuildStats = Some((buildSec, (System.nanoTime() - tLoop) / 1e9))
+      out
     }
   }
 
@@ -1261,9 +1278,12 @@ object LinkGraph {
       edges0: DataFrame,
       nodes0: DataFrame,
       maxSweeps: Int = 0,
-      strict: Boolean = true): DataFrame = {
-    val edges = edges0.localCheckpoint()
-    val nodes = nodes0.localCheckpoint()
+      strict: Boolean = true,
+      preMaterialized: Boolean = false): DataFrame = {
+    // preMaterialized: the caller already checkpointed both frames (the
+    // build/loop telemetry split) — re-checkpointing would copy blocks
+    val edges = if (preMaterialized) edges0 else edges0.localCheckpoint()
+    val nodes = if (preMaterialized) nodes0 else nodes0.localCheckpoint()
     val nNodes = nodes.count()
     // Sweep/round budgets SCALE with the graph instead of being magic
     // constants (ADVICE r11): FW-BW sweep depth follows the SCC-DAG
