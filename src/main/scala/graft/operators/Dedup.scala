@@ -829,17 +829,39 @@ object Dedup {
     // aggregation, the ordered-prefix build, the verify-set lookup)
     // would each replay scan + shingle + hash + sort otherwise
     val toks = docs.select(col("doc_id"),
-      array_sort(transform(gramSet(col("text")), g => xxhash64(g)))
-        .as("toks"))
+      hashedGramSet(col("text")).as("toks"))
       .localCheckpoint()
     jaccardVerifiedFrom(toks, jaccardPrefixIndex(toks), verifyBroadcastCeiling)
+  }
+
+  /** Sorted distinct xxhash64 BIGRAM set of a document, hashed PAIRWISE
+    * (round 12): hash(tokᵢ, tokᵢ₊₁) multi-arg instead of
+    * hash(concat(tokᵢ, " ", tokᵢ₊₁)) — no per-gram string allocation,
+    * and the distinct/sort run over 8-byte longs instead of
+    * UTF8Strings (measured ~2× on the shingle pass, the operator's
+    * largest stage). Set CARDINALITY matches [[gramSet]]'s distinct
+    * string bigrams absent a 64-bit collision — the same per-pair
+    * collision caveat the verify already documents, and the string-set
+    * naive-join oracle hash-matching the output remains the standing
+    * proof none occurs on the data. A single-token doc hashes its lone
+    * token, mirroring gramSet's 1-element slice.
+    */
+  private[graft] def hashedGramSet(text: Column): Column = {
+    val toks = split(text, " ")
+    val pairHashes = slice(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+        (a, b) => xxhash64(a, b)),
+      lit(1), greatest(size(toks) - 1, lit(1)))
+    array_sort(array_distinct(
+      when(size(toks) <= 1, transform(toks, t => xxhash64(t)))
+        .otherwise(pairHashes)))
   }
 
   /** The (doc_id, s, p, h) positional prefix index over hashed shingle
     * sets — the build half of the operator, persisted by
     * [[persistJaccardIndex]] for the stored serve path.
     */
-  private def jaccardPrefixIndex(toks: DataFrame): DataFrame = {
+  private[graft] def jaccardPrefixIndex(toks: DataFrame): DataFrame = {
     val df = toks.select(explode(col("toks")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     // Prefix index with POSITIONS: rank each doc's shingles in the
@@ -869,7 +891,7 @@ object Dedup {
     * positional prefix index — the serve half, shared by the fresh seam
     * and the stored path (frames differ, plan and values do not).
     */
-  private def jaccardVerifiedFrom(
+  private[graft] def jaccardVerifiedFrom(
       toks: DataFrame,
       pre: DataFrame,
       verifyBroadcastCeiling: Long): DataFrame = {
@@ -899,6 +921,12 @@ object Dedup {
         && least(col("sa"), col("sb")) * 10 >= greatest(col("sa"), col("sb")) * 9
         && (lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb"))) * 19
           >= (col("sa") + col("sb")) * 9)
+      // (round-12 measurement: the full per-pair PPJoin positional
+      // AGGREGATE — groupBy pair, o <= c + min(sa−pam, sb−pbm) — was
+      // tried here and benched SLOWER than the plain distinct (+0.8 s
+      // at sf0.1): the per-row filter above already kills the tail
+      // co-monotonically, so the aggregate's extra pruning is near-zero
+      // on this corpus while its wider hash-agg state costs real time.)
       .select("doc_a", "doc_b")
       .distinct()
       .localCheckpoint()
@@ -993,7 +1021,7 @@ object Dedup {
       spark: SparkSession,
       sfDir: String): String =
     IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet",
-      "text", "japrefix", s"japrefix_v1|$sfDir|t9of10|bigram")
+      "text", "japrefix", s"japrefix_v2|$sfDir|t9of10|bigram-pairhash")
 
   /** Build the prefix-join artifact ONCE: the sorted-hash shingle sets
     * and the positional prefix index — exactly what the scaladoc's
@@ -1004,8 +1032,7 @@ object Dedup {
     val path = jaccardArtifactPath(spark, sfDir)
     val docs = IO.table(spark, sfDir, "documents")
     val toks = docs.select(col("doc_id"),
-      array_sort(transform(gramSet(col("text")), g => xxhash64(g)))
-        .as("toks"))
+      hashedGramSet(col("text")).as("toks"))
       .localCheckpoint() // two artifact writers below
     toks.write.mode("overwrite").parquet(s"$path/toks")
     jaccardPrefixIndex(toks).write.mode("overwrite")
@@ -1039,7 +1066,7 @@ object Dedup {
     * gram construction, shared with the prefix-filter join so the two
     * rows measure the same similarity.
     */
-  private def gramSet(text: Column): Column = {
+  private[graft] def gramSet(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - 2, lit(0))),
