@@ -110,7 +110,8 @@ object Bench {
       "corpus_weighted_sample", "events_trending",
       "events_trending_incremental", "emb_training_triplets",
       "graph_scc", "graph_condensation", "graph_neighborhood",
-      "graph_scc_profile", "dedup_lsh_design")
+      "graph_scc_profile", "dedup_lsh_design",
+      "quality_auc", "quality_pr_table", "events_ab_test", "events_cusum")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

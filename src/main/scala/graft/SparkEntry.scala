@@ -371,6 +371,10 @@ object SparkEntry {
     // reliability table: per score decile, teacher-positive rate vs
     // mean predicted score -- the gate-threshold eval artifact
     "quality_calibration" -> (QualityModel.lrCalibration _),
+    // threshold-free model evals: exact rank-statistic ROC AUC and the
+    // percent-threshold precision/recall/F1 sweep
+    "quality_auc" -> (QualityModel.lrAuc _),
+    "quality_pr_table" -> (QualityModel.lrPrTable _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -640,6 +644,12 @@ object SparkEntry {
     // batch-extend the persisted (item, day) count state and re-rank --
     // oracle is the FROM-SCRATCH query: hash match proves equivalence
     "events_trending_incremental" -> ((s, d) => Events.trendingIncremental(s, d)),
+    // two-sample experiment readout (parity assignment stand-in): exact
+    // sufficient statistics, one pinned z/t chain, FLOAT emits
+    "events_ab_test" -> (Events.abTestReport _),
+    // CUSUM change-point scan on daily volume: day-count-scaled integer
+    // deviations, argmax flag (earliest day on ties)
+    "events_cusum" -> (Events.cusumDailyVolume _),
     // semantic dedup (SemDeDup shape: k-means cells, then within-cell
     // cosine) and JL random projection over the embedding corpus
     "dedup_semantic" -> ((s, d) => Similarity.semDedupDecisions(s, d)),
@@ -4176,6 +4186,69 @@ object SparkEntry {
                 COUNT(*) AS n_events, max(day) AS last_day
          FROM wt GROUP BY item
          ORDER BY decayed_score DESC, item LIMIT 50""",
+    "events_ab_test" ->
+      // per-user collapse, conditional-sum sufficient statistics, then
+      // the identical pinned z/t double chain cut to FLOAT
+      """WITH pu AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+                  SUM(CAST(floor(value * 100.0) AS BIGINT)) AS uv
+           FROM events GROUP BY user_id),
+         s AS (
+           SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE converted END) AS BIGINT) AS c0,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE uv END) AS BIGINT) AS s0,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN uv ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE uv * uv END) AS BIGINT) AS q0,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN uv * uv ELSE 0 END) AS BIGINT) AS q1
+           FROM pu)
+         SELECT n0 AS n_control, n1 AS n_treatment,
+                c0 AS conv_control, c1 AS conv_treatment,
+                CAST(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS FLOAT) AS rate_control,
+                CAST(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS FLOAT) AS rate_treatment,
+                CAST(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS FLOAT) AS lift_abs,
+                CAST(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                     (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                     / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+                     ELSE NULL END AS FLOAT) AS z_conversion,
+                CAST(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS FLOAT) AS mean_value_control,
+                CAST(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS FLOAT) AS mean_value_treatment,
+                CAST(CASE WHEN n0 > 1 AND n1 > 1
+                          AND (n0 * q0 > s0 * s0 OR n1 * q1 > s1 * s1) THEN
+                     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+                      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0)
+                     / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                               / (CAST(n0 AS DOUBLE) - 1.0) / 10000.0) / CAST(n0 AS DOUBLE)
+                            + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE) - 1.0) / 10000.0) / CAST(n1 AS DOUBLE))
+                     ELSE NULL END AS FLOAT) AS t_value
+         FROM s""",
+    "events_cusum" ->
+      // day-count-scaled integer CUSUM: s·days = days·cum − idx·total,
+      // all BIGINTs; change-point = max |s| (earliest day on ties)
+      """WITH ev AS (
+           SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+         d AS (SELECT day, COUNT(*) AS n FROM ev GROUP BY day),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                      COUNT(*) AS days FROM d),
+         sc AS (SELECT day, CAST(n AS BIGINT) AS n,
+                       CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+                       CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+                FROM d),
+         s2 AS (SELECT sc.day, sc.n, sc.cum,
+                       t.days * sc.cum - sc.idx * t.total AS s_scaled
+                FROM sc, t),
+         pk AS (SELECT day AS peak_day FROM s2
+                ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1)
+         SELECT s2.day, s2.n, s2.cum, s2.s_scaled,
+                s2.day = pk.peak_day AS is_changepoint
+         FROM s2, pk ORDER BY s2.day""",
     "dq_report" ->
       // each check replays as plain SQL; counts exact, rate one divide
       """WITH checks AS (
@@ -4592,6 +4665,52 @@ object SparkEntry {
                 CAST(CAST(SUM(CAST(round(CAST(score AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS mean_score
          FROM b GROUP BY 1 ORDER BY bucket""",
+    "quality_auc" ->
+      // rank-statistic AUC with average ranks for ties: everything up
+      // to the final divide is exact BIGINTs (r2 = doubled avg rank)
+      s"""${lrGdSql()},
+         scored AS (
+           SELECT CAST(f.y AS BIGINT) AS y,
+                  CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score
+           FROM f, w3 w),
+         g AS (SELECT score, COUNT(*) AS cnt, SUM(y) AS pos
+               FROM scored GROUP BY score),
+         r AS (SELECT *, SUM(cnt) OVER (ORDER BY score) AS cumall FROM g),
+         a AS (SELECT CAST(SUM(pos * ((cumall - cnt) * 2 + cnt + 1)) AS BIGINT) AS posr2,
+                      CAST(SUM(pos) AS BIGINT) AS npos,
+                      CAST(SUM(cnt - pos) AS BIGINT) AS nneg
+               FROM r)
+         SELECT npos + nneg AS n, npos AS n_pos, nneg AS n_neg,
+                posr2 - npos * (npos + 1) AS u2,
+                CAST(CAST(posr2 - npos * (npos + 1) AS DOUBLE)
+                     / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS FLOAT) AS auc
+         FROM a""",
+    "quality_pr_table" ->
+      // percent-threshold confusion sweep: descending cumulative sums
+      // give tp/fp; fn from the total; ratios are single exact-operand
+      // divides cut to FLOAT
+      s"""${lrGdSql()},
+         scored AS (
+           SELECT CAST(f.y AS BIGINT) AS y,
+                  CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score
+           FROM f, w3 w),
+         b AS (SELECT CAST(least(floor(CAST(score AS DOUBLE) * 100.0), 99.0) AS BIGINT) AS bucket,
+                      COUNT(*) AS n, SUM(y) AS pos
+               FROM scored GROUP BY 1),
+         c AS (SELECT bucket, n, pos,
+                      SUM(pos) OVER (ORDER BY bucket DESC) AS tp,
+                      SUM(n) OVER (ORDER BY bucket DESC) AS cumn,
+                      (SELECT SUM(pos) FROM b) AS tot_pos
+               FROM b)
+         SELECT bucket AS threshold_bucket,
+                CAST(tp AS BIGINT) AS tp,
+                CAST(cumn - tp AS BIGINT) AS fp,
+                CAST(tot_pos - tp AS BIGINT) AS fn,
+                CAST(CAST(tp AS DOUBLE) / CAST(tp + (cumn - tp) AS DOUBLE) AS FLOAT) AS "precision",
+                CAST(CAST(tp AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS FLOAT) AS recall,
+                CAST((2.0 * CAST(tp AS DOUBLE))
+                     / CAST(tp * 2 + (cumn - tp) + (tot_pos - tp) AS DOUBLE) AS FLOAT) AS f1
+         FROM c ORDER BY threshold_bucket""",
     "quality_lr_scores" ->
       s"""${lrGdSql()}
          SELECT doc_id,

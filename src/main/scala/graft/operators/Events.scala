@@ -553,4 +553,127 @@ object Events {
       .groupBy("item", "day").agg(sum("n").as("n"))
     trendingFromDayCounts(merged, halfLifeDays, topK)
   }
+
+  /** A/B EXPERIMENT READOUT — the two-sample report every product
+    * experiment ends in: per-user conversion (any `purchase` event) and
+    * total interaction value, split into control/treatment by the
+    * deterministic user-id parity (the assignment stand-in — a real
+    * experiment supplies its own assignment column; everything
+    * downstream is the general two-sample machinery), then the
+    * two-proportion z statistic on conversion and the Welch t statistic
+    * on value-per-user, from exact sufficient statistics.
+    *
+    * Determinism: per-user value totals are fixed-point BIGINT sums of
+    * floor(value·100) (order-independent); all eight sufficient
+    * statistics (n/conversions/Σx/Σx² per arm) are exact BIGINTs; the
+    * z/t/rate columns are ONE pinned double op chain over those exact
+    * operands (sqrt is correctly rounded everywhere — the winnowing
+    * argument), emitted FLOAT per the SCALING.md convention.
+    *
+    * Scale shape: one per-user exchange (the retention convention), one
+    * conditional-sum 1-row aggregate — the report is a single row no
+    * matter the event volume. Σx² headroom: fixed-point cents squared
+    * sum as BIGINT to ~10⁹ users at this value scale; past that the
+    * same chain runs in DECIMAL(38).
+    */
+  def abTestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    val perUser = raw
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0).cast("long").as("vfix"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        sum("vfix").as("uv"))
+      .select((col("user_id") % 2 === 1).as("treat"),
+        col("converted"), col("uv"))
+    val s = perUser.agg(
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
+      sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("treat"), col("converted")).otherwise(0L)).as("c0"),
+      sum(when(col("treat"), col("converted")).otherwise(0L)).as("c1"),
+      sum(when(!col("treat"), col("uv")).otherwise(0L)).as("s0"),
+      sum(when(col("treat"), col("uv")).otherwise(0L)).as("s1"),
+      sum(when(!col("treat"), col("uv") * col("uv")).otherwise(0L)).as("q0"),
+      sum(when(col("treat"), col("uv") * col("uv")).otherwise(0L)).as("q1"))
+    // pinned double chain over the exact integers — mirrored verbatim
+    // in the oracle SQL
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val p0 = col("c0").cast("double") / n0d
+    val p1 = col("c1").cast("double") / n1d
+    val pool = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val zDen = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / n0d + lit(1.0) / n1d))
+    val m0 = col("s0").cast("double") / n0d / lit(100.0)
+    val m1 = col("s1").cast("double") / n1d / lit(100.0)
+    val v0 = (col("q0").cast("double")
+      - col("s0").cast("double") * col("s0").cast("double") / n0d) /
+      (n0d - lit(1.0)) / lit(10000.0)
+    val v1 = (col("q1").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / n1d) /
+      (n1d - lit(1.0)) / lit(10000.0)
+    val tDen = sqrt(v0 / n0d + v1 / n1d)
+    // degenerate-case pinning (the NULL-vs-NaN cross-engine hazard —
+    // Spark's non-ANSI x/0 is NULL, DuckDB's float division changed
+    // across versions): z/t emit NULL exactly when their denominators
+    // are zero, decided by EXACT INTEGER conditions both engines
+    // evaluate identically — z needs 0 < c0+c1 < n0+n1; t needs both
+    // arms sized >1 and at least one nonzero variance
+    // (n·Σx² > (Σx)² in BIGINTs).
+    val zDefined = (col("c0") + col("c1")) > 0 &&
+      (col("c0") + col("c1")) < (col("n0") + col("n1"))
+    val tDefined = col("n0") > 1 && col("n1") > 1 &&
+      (col("n0") * col("q0") > col("s0") * col("s0") ||
+        col("n1") * col("q1") > col("s1") * col("s1"))
+    s.select(
+      col("n0").as("n_control"), col("n1").as("n_treatment"),
+      col("c0").as("conv_control"), col("c1").as("conv_treatment"),
+      p0.cast("float").as("rate_control"),
+      p1.cast("float").as("rate_treatment"),
+      (p1 - p0).cast("float").as("lift_abs"),
+      when(zDefined, (p1 - p0) / zDen).cast("float").as("z_conversion"),
+      m0.cast("float").as("mean_value_control"),
+      m1.cast("float").as("mean_value_treatment"),
+      when(tDefined, (m1 - m0) / tDen).cast("float").as("t_value"))
+  }
+
+  /** CUSUM CHANGE-POINT SCAN over daily event volume — the drift
+    * detector a pipeline dashboard runs on ingest rates: per day, the
+    * cumulative deviation from the whole-period mean rate, held EXACT by
+    * scaling with the day count (S·days = days·cum − idx·total, all
+    * BIGINTs — no fractional mean ever materializes), and the
+    * change-point flag on the max |S| day (earliest day wins ties).
+    * A level shift in the rate makes |S| peak exactly at the shift.
+    *
+    * Scale shape: one map-side day aggregation (|days| rows), a
+    * cumulative window and a 1-row argmax broadcast back — everything
+    * after the first aggregation is calendar-bounded.
+    */
+  def cusumDailyVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = IO.table(spark, sfDir, "events")
+    val daily = raw
+      .withColumn("tus", EventTime.tsUs(raw))
+      .select(expr("tus div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |days| rows; window chain + argmax share it
+    val wOrd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum("n").as("total"), count(lit(1)).as("days"))
+    val scanned = daily
+      .withColumn("cum", sum("n").over(wOrd))
+      .withColumn("idx", row_number().over(Window.orderBy("day")))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("cum"),
+        (col("days") * col("cum") - col("idx") * col("total"))
+          .as("s_scaled"))
+      .localCheckpoint() // argmax + flag join both read it
+    val peak = scanned
+      .orderBy(abs(col("s_scaled")).desc, col("day").asc).limit(1)
+      .select(col("day").as("peak_day"))
+    scanned.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("cum"), col("s_scaled"),
+        (col("day") === col("peak_day")).as("is_changepoint"))
+      .orderBy("day")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.IO
@@ -218,5 +219,93 @@ object QualityModel {
         (col("sfx").cast("double") / col("n").cast("double") / 1000000.0)
           .cast("float").as("mean_score"))
       .orderBy("bucket")
+  }
+
+  /** (y, score) pairs under the trained model — the shared input of the
+    * two threshold-free eval rows below.
+    */
+  private def scoredFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = trainWeights(spark, sfDir)
+    featureFrame(spark, sfDir)
+      .select(col("y").cast("long").as("y"),
+        sigmoid(w).cast("float").as("score"))
+  }
+
+  /** EXACT ROC AUC of the distilled score against the teacher labels —
+    * the rank-statistic (Mann-Whitney U) form with average ranks for
+    * ties, the number a model gate quotes before any threshold is
+    * chosen. Everything until the last divide is exact integers:
+    * scores aggregate to (score, cnt, pos) groups, a cumulative count
+    * gives each group's DOUBLED average rank r2 = 2·cum_before + cnt +
+    * 1 (doubling keeps the half-rank integral), and
+    * U2 = Σ pos·r2 − nPos·(nPos+1) is twice the U statistic, so
+    * AUC = U2 / (2·nPos·nNeg) — one divide of exact BIGINTs, emitted
+    * FLOAT (the SCALING.md convention) next to its integer numerator.
+    *
+    * Scale shape: one map-side scoring pass collapses to ≤ |distinct
+    * scores| rows BEFORE the rank window (the hard sigmoid saturates
+    * most of a real corpus onto few values), so the single-partition
+    * cumulative window runs on the tie-collapsed frame, not the corpus.
+    * A corpus whose distinct-score count is itself data-scale takes the
+    * binned [[lrPrTable]] instead — exact AUC requires a total order by
+    * definition.
+    */
+  def lrAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = scoredFrame(spark, sfDir)
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val wOrd = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("cumall", sum("cnt").over(wOrd))
+      .withColumn("r2", (col("cumall") - col("cnt")) * 2 + col("cnt") + 1)
+    ranked
+      .agg(sum(col("pos") * col("r2")).as("posr2"),
+        sum("pos").as("npos"),
+        sum(col("cnt") - col("pos")).as("nneg"))
+      .select(
+        (col("npos") + col("nneg")).as("n"),
+        col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        (col("posr2") - col("npos") * (col("npos") + 1)).as("u2"),
+        ((col("posr2") - col("npos") * (col("npos") + 1)).cast("double")
+          / (lit(2.0) * col("npos").cast("double")
+            * col("nneg").cast("double"))).cast("float").as("auc"))
+  }
+
+  /** PRECISION/RECALL/F1 SWEEP at percent thresholds — the bounded
+    * (≤100-row) companion of [[lrAuc]] and the table a gating decision
+    * actually reads: per occupied score bucket b, the exact confusion
+    * counts of the rule "keep iff score ≥ b/100" (tp/fp/fn from
+    * descending cumulative sums) and the float-cut ratios. Counts are
+    * exact BIGINTs; each ratio is one divide of exact integers (f1 =
+    * 2tp/(2tp+fp+fn), the harmonic form with no intermediate ratio).
+    *
+    * Scale shape: the same one-pass percent-bin aggregation as
+    * [[lrCalibration]]; the cumulative window runs on ≤100 rows.
+    */
+  def lrPrTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = scoredFrame(spark, sfDir)
+      .select(col("y"),
+        least(floor(col("score").cast("double") * 100.0), lit(99L))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint() // ≤100 rows; window + total read it twice
+    val wD = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum("pos").as("tot_pos"))
+    b.withColumn("tp", sum("pos").over(wD))
+      .withColumn("fp", sum("n").over(wD) - col("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket").as("threshold_bucket"),
+        col("tp"), col("fp"),
+        (col("tot_pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .cast("float").as("precision"),
+        (col("tp").cast("double") / col("tot_pos").cast("double"))
+          .cast("float").as("recall"),
+        ((lit(2.0) * col("tp").cast("double"))
+          / (col("tp") * 2 + col("fp") + col("tot_pos") - col("tp"))
+            .cast("double")).cast("float").as("f1"))
+      .orderBy("threshold_bucket")
   }
 }

@@ -85,6 +85,89 @@ class Round12OpsSpec extends SparkTestBase {
     assert(Similarity.adaptiveNprobe(1000) == 125)
   }
 
+  test("quality AUC: matches the direct pairwise win-rate definition") {
+    import graft.operators.QualityModel
+    val row = QualityModel.lrAuc(spark, Sf).head()
+    val auc = row.getAs[Float]("auc").toDouble
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(row.getAs[Long]("n")
+      == row.getAs[Long]("n_pos") + row.getAs[Long]("n_neg"))
+    // direct definition: P(score+ > score−) + ½·P(tie), exact integers
+    // over the pos × neg cross join (eval-sized at this sf)
+    val scored = QualityModel.lrScores(spark, Sf)
+      .select(col("doc_id"), col("score"))
+      .join(sources.IO.table(spark, Sf, "documents").select("doc_id"),
+        "doc_id")
+    val y = graft.functions.TextAnalysis.gopherRules(spark, Sf)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    val sy = scored.join(y, "doc_id").localCheckpoint()
+    val pos = sy.filter(col("y") === 1).select(col("score").as("ps"))
+    val neg = sy.filter(col("y") === 0).select(col("score").as("ns"))
+    val w = pos.crossJoin(neg)
+      .agg(sum(when(col("ps") > col("ns"), 2L)
+        .when(col("ps") === col("ns"), 1L).otherwise(0L)).as("w2"),
+        count(lit(1)).as("pairs"))
+      .head()
+    val direct = w.getAs[Long]("w2").toDouble / (2.0 * w.getAs[Long]("pairs"))
+    assert(math.abs(auc - direct) < 1e-6,
+      s"rank AUC $auc must equal pairwise AUC $direct")
+  }
+
+  test("quality PR table: confusion identities and monotone recall") {
+    val pr = graft.operators.QualityModel.lrPrTable(spark, Sf)
+      .localCheckpoint()
+    assert(pr.count() > 0)
+    // tp + fn is the same total positives on every row
+    assert(pr.select((col("tp") + col("fn")).as("p")).distinct().count() == 1)
+    assert(pr.filter(col("precision") < 0.0f || col("precision") > 1.0f
+      || col("recall") < 0.0f || col("recall") > 1.0f
+      || col("f1") < 0.0f || col("f1") > 1.0f).isEmpty)
+    // raising the threshold can only shrink tp (recall non-increasing)
+    val rows = pr.orderBy("threshold_bucket")
+      .select("tp").collect().map(_.getLong(0))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b },
+      "tp must be non-increasing in the threshold")
+  }
+
+  test("ab test: arm partition, bounded rates, z recomputes") {
+    val r = graft.operators.Events.abTestReport(spark, Sf).head()
+    val users = sources.IO.table(spark, Sf, "events")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_control") + r.getAs[Long]("n_treatment") == users)
+    assert(r.getAs[Long]("conv_control") <= r.getAs[Long]("n_control"))
+    assert(r.getAs[Long]("conv_treatment") <= r.getAs[Long]("n_treatment"))
+    val (n0, n1) = (r.getAs[Long]("n_control").toDouble,
+      r.getAs[Long]("n_treatment").toDouble)
+    val (c0, c1) = (r.getAs[Long]("conv_control").toDouble,
+      r.getAs[Long]("conv_treatment").toDouble)
+    val pool = (c0 + c1) / (n0 + n1)
+    val z = (c1 / n1 - c0 / n0) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1))
+    // degenerate pool (every user converted, or none) must pin to NULL
+    // — the integer-condition guard both engines evaluate identically
+    if (z.isNaN) assert(r.isNullAt(r.fieldIndex("z_conversion")),
+      "degenerate pooled rate must emit NULL, identically cross-engine")
+    else assert(math.abs(r.getAs[Float]("z_conversion") - z) < 1e-5,
+      "z statistic must recompute from the emitted exact counts")
+  }
+
+  test("cusum: exact telescoping and a single change-point flag") {
+    val cs = graft.operators.Events.cusumDailyVolume(spark, Sf)
+      .localCheckpoint()
+    val total = sources.IO.table(spark, Sf, "events").count()
+    assert(cs.agg(sum("n")).as[Long].head() == total,
+      "daily counts must partition the event log")
+    // telescoping: S on the last day is identically zero
+    val last = cs.orderBy(desc("day")).select("s_scaled").head().getLong(0)
+    assert(last == 0L, s"final scaled CUSUM must telescope to 0, got $last")
+    assert(cs.filter(col("is_changepoint")).count() == 1,
+      "exactly one change-point flag")
+    // the flag sits on the max |s| (earliest day on ties)
+    val mx = cs.agg(max(abs(col("s_scaled")))).as[Long].head()
+    val flagged = cs.filter(col("is_changepoint")).head()
+    assert(math.abs(flagged.getAs[Long]("s_scaled")) == mx)
+  }
+
   test("sorted_contains: rejects nullable-element arrays at analysis") {
     // the producers emit array_sort(collect_set(...)) over non-null
     // hashes => containsNull = false; a nullable-element array would
