@@ -406,6 +406,11 @@ object SparkEntry {
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // CCNet head/middle/tail cut over the bigram-LM score
     "txt_perplexity_buckets" -> (TextAnalysis.perplexityBuckets _),
+    // Flesch reading-ease: exact word/sentence/vowel-group counts, one
+    // pinned double chain cut to FLOAT
+    "txt_readability" -> (TextAnalysis.readabilityScores _),
+    // exact phrase search over positional postings (adjacency joins)
+    "retrieval_phrase" -> (graft.operators.Retrieval.phraseSearch _),
     "txt_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfIdfTopTerms(s, d)),
     // BM25 ranked retrieval (fixed-point scores; index = postings + dlen)
     "retrieval_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
@@ -1220,6 +1225,30 @@ object SparkEntry {
          SELECT doc_id, eval_id, jaccard,
                 CAST(n_eval_matches AS BIGINT) AS n_eval_matches
          FROM r WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Oracle for the positional phrase search: the identical adjacency
+    * join per pinned phrase over 0-based token positions, unioned.
+    */
+  private def phraseOracleSql: String = {
+    val per = graft.operators.Retrieval.Phrases.map { case (qid, terms) =>
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '$t'" +
+          s" AND p$i.pos = p0.pos + $i"
+      }.mkString(" ")
+      s"""SELECT $qid AS qid, p0.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+          FROM p p0 $joins
+          WHERE p0.term = '${terms.head}'
+          GROUP BY p0.doc_id"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+         SELECT doc_id,
+                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                unnest(string_split(text, ' ')) AS term
+         FROM documents)
+       SELECT * FROM ($per) ORDER BY qid, doc_id"""
+  }
 
   private def bm25OracleSql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -4717,6 +4746,23 @@ object SparkEntry {
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score,
                 CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) >= 0.5 AS predicted
          FROM f, w3 w ORDER BY doc_id""",
+    "txt_readability" ->
+      // exact regex-derived counts in a CTE, one pinned double chain
+      """WITH r AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  GREATEST(CAST(1 AS BIGINT),
+                    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                      s -> trim(s) <> '')) AS BIGINT)) AS n_sentences,
+                  CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                    w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CAST(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS FLOAT) AS flesch
+         FROM r ORDER BY doc_id""",
+    "retrieval_phrase" -> phraseOracleSql,
     "retrieval_bm25_topk" -> bm25OracleSql,
     "retrieval_bm25_stored" -> bm25OracleSql,
     "dsir_logratios" ->

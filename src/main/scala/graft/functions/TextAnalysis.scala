@@ -809,4 +809,39 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
       .orderBy("doc_id")
   }
+
+  /** FLESCH READING-EASE per document — the readability score a
+    * data-mix report buckets corpora by (Flesch 1948; the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * formula): whitespace words, sentence count from [.!?]+ runs
+    * (floored at 1 — punctuation-free synthetic docs are one
+    * "sentence"), and the standard vowel-group syllable heuristic
+    * (runs of [aeiouy] per lowercased word, floored at 1).
+    *
+    * Determinism: the three counts are exact integers from identical
+    * regex semantics on both engines; the score is ONE pinned double
+    * chain over exact-integer divides, cut to FLOAT.
+    *
+    * Scale shape: pure map-side projection — one corpus scan, no
+    * exchange at all before the presentation sort.
+    */
+  def readabilityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val sentences = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"), s => trim(s) =!= ""))
+        .cast("long"))
+    val syllables = expr(
+      "aggregate(transform(split(lower(text), ' '), " +
+        "w -> greatest(1L, CAST(size(regexp_extract_all(w, '[aeiouy]+', 0)) AS BIGINT))), " +
+        "0L, (a, x) -> a + x)")
+    IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+          - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+          .cast("float").as("flesch"))
+      .orderBy("doc_id")
+  }
 }

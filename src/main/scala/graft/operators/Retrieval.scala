@@ -41,6 +41,62 @@ object Retrieval {
     2 -> Seq("customer", "order", "line"),
     3 -> Seq("window", "filter", "group"))
 
+  /** Pinned phrase workload for [[phraseSearch]] — consecutive-token
+    * phrases over the fixture vocabulary, mixed lengths.
+    */
+  private[graft] val Phrases: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("fast", "sort"),
+    1 -> Seq("customer", "order"),
+    2 -> Seq("table", "table"),
+    3 -> Seq("window", "filter", "group"))
+
+  /** EXACT PHRASE SEARCH over positional postings — the IR primitive
+    * BM25's bag-of-words scoring cannot express: a document matches a
+    * phrase iff its tokens appear CONSECUTIVELY. Per (phrase, doc):
+    * the token-level match count (overlaps included — "table table
+    * table" matches the "table table" phrase twice) and the first
+    * match position.
+    *
+    * Mechanics: one posexplode builds the (doc_id, pos, term)
+    * positional posting list; each phrase term is FILTERED to its own
+    * posting slice BEFORE any join (term selectivity does the pruning,
+    * the inverted-index property), then adjacency is a chain of
+    * doc-keyed equi-joins with the position offset folded into the
+    * join condition (p_i = p_0 + i). All joins share the doc_id key,
+    * so after the first exchange the chain is co-partitioned — one
+    * shuffle per term slice, never a re-shuffle of the full posting
+    * list. At 100 TB the posting list is the persisted term-bucketed
+    * artifact (the bm25 postings convention) and each phrase touches
+    * only its terms' buckets.
+    *
+    * Determinism: positions and counts are exact integers; the oracle
+    * replays the same positional join in SQL.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .localCheckpoint() // one posting build serves every phrase slice
+    val perPhrase = Phrases.map { case (qid, terms) =>
+      val base = pos.filter(col("term") === terms.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val matched = terms.zipWithIndex.drop(1).foldLeft(base) {
+        case (acc, (t, i)) =>
+          acc.join(pos.filter(col("term") === t)
+              .select(col("doc_id"), col("pos").as(s"p$i")),
+            Seq("doc_id"))
+            .where(col(s"p$i") === col("p0") + i)
+            .select(col("doc_id"), col("p0"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min("p0").cast("long").as("first_pos"))
+        .select(lit(qid).as("qid"), col("doc_id"),
+          col("n_matches"), col("first_pos"))
+    }
+    perPhrase.reduce(_ unionByName _).orderBy("qid", "doc_id")
+  }
+
   /** Top-k documents per query under BM25(k1, b). Output:
     * (qid, doc_id, score) — score is the fixed-point sum scaled back.
     */

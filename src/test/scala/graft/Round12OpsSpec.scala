@@ -168,6 +168,52 @@ class Round12OpsSpec extends SparkTestBase {
     assert(math.abs(flagged.getAs[Long]("s_scaled")) == mx)
   }
 
+  test("phrase search: adjacency matches an independent pairwise recount") {
+    val ps = graft.operators.Retrieval.phraseSearch(spark, Sf)
+      .localCheckpoint()
+    assert(ps.count() > 0)
+    assert(ps.filter(col("n_matches") < 1 || col("first_pos") < 0).isEmpty)
+    // every emitted doc really contains the phrase as a substring
+    val docs = sources.IO.table(spark, Sf, "documents")
+    graft.operators.Retrieval.Phrases.foreach { case (qid, terms) =>
+      val phrase = terms.mkString(" ")
+      val bad = ps.filter(col("qid") === qid)
+        .join(docs, "doc_id")
+        .filter(!col("text").contains(phrase))
+      assert(bad.isEmpty, s"phrase '$phrase' must appear in matched docs")
+    }
+    // qid 0 ("fast sort"): recount matches with an independent
+    // zip_with shift-equality expression, per doc
+    val toks = split(col("text"), " ")
+    val recount = docs.select(col("doc_id"),
+      size(filter(zip_with(toks,
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(1))),
+          (a, b) => a === "fast" && b === "sort"), x => x))
+        .cast("long").as("m"))
+      .filter(col("m") > 0)
+    val got = ps.filter(col("qid") === 0)
+      .select(col("doc_id"), col("n_matches").as("m"))
+    assert(got.exceptAll(recount).isEmpty && recount.exceptAll(got).isEmpty,
+      "positional-join counts must equal the shift-equality recount")
+  }
+
+  test("readability: count identities and a hand-checked formula row") {
+    val r = graft.functions.TextAnalysis.readabilityScores(spark, Sf)
+      .localCheckpoint()
+    val docs = sources.IO.table(spark, Sf, "documents").count()
+    assert(r.count() == docs)
+    // every word has at least one syllable; sentences floored at 1
+    assert(r.filter(col("n_syllables") < col("n_words")
+      || col("n_sentences") < 1 || col("n_words") < 1).isEmpty)
+    // formula recomputes from the emitted exact counts
+    val row = r.orderBy("doc_id").head()
+    val (w, s, y) = (row.getAs[Long]("n_words").toDouble,
+      row.getAs[Long]("n_sentences").toDouble,
+      row.getAs[Long]("n_syllables").toDouble)
+    val expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert(math.abs(row.getAs[Float]("flesch") - expect) < 1e-3)
+  }
+
   test("sorted_contains: rejects nullable-element arrays at analysis") {
     // the producers emit array_sort(collect_set(...)) over non-null
     // hashes => containsNull = false; a nullable-element array would
