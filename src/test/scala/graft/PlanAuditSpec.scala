@@ -1002,4 +1002,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TopKPartial"),
       s"the rn<=k cut must prune before the exchange:\n$p")
   }
+
+  test("ab test: one per-user exchange, then a 1-row aggregate — no join") {
+    val df = operators.Events.abTestReport(spark, Sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case q => q
+    }
+    val s = exec.toString
+    assert(!s.contains("Join"), s"the readout must never join:\n$s")
+    // exchanges: the user_id hash aggregation and the SinglePartition
+    // collapse of the sufficient statistics — nothing else
+    val n = "Exchange".r.findAllIn(s).size
+    assert(n <= 2, s"one wide exchange + the 1-row collapse, got $n:\n$s")
+    // partial aggregation runs map-side before the user exchange
+    assert(s.contains("partial_"), s"per-user collapse must map-side combine:\n$s")
+  }
+
+  test("phrase search: one posting build serves every phrase slice") {
+    val df = operators.Retrieval.phraseSearch(spark, Sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the posexplode posting build is checkpointed ONCE: the executed
+    // plan reads the materialized RDD per slice and contains no
+    // Generate (re-tokenization) at all
+    assert(!s.contains("Generate"),
+      s"posting list must come from the one checkpointed build:\n$s")
+    // adjacency joins never sort-merge (doc-keyed slices are small
+    // after the term filters; broadcast or shuffle-hash are both fine)
+    assert(!s.contains("SortMergeJoin"),
+      s"adjacency must not pay posting sorts:\n$s")
+  }
 }
