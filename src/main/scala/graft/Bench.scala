@@ -107,6 +107,7 @@ object Bench {
       "corpus_boilerplate_report", "corpus_boilerplate_scrub",
       "sketch_hll_intersect", "sketch_intersect_exact",
       "emb_cluster_terms", "emb_margin_pairs", "emb_margin_pairs_ivf",
+      "emb_margin_pairs_ivf_capped",
       "corpus_weighted_sample", "events_trending",
       "events_trending_incremental", "emb_training_triplets",
       "graph_scc", "graph_condensation", "graph_neighborhood",

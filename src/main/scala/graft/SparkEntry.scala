@@ -289,8 +289,14 @@ object SparkEntry {
     // endpoints' average k-NN neighborhoods
     "emb_margin_pairs" -> ((s, d) => Similarity.marginBitextPairs(s, d)),
     // the production CCMatrix shape: same margin algebra, candidates
-    // bounded to the src's nprobe trained-IVF cells
+    // bounded to the src's nprobe trained-IVF cells (and past the 16M
+    // pair budget, thinned by the deterministic md5 src split)
     "emb_margin_pairs_ivf" -> ((s, d) => Similarity.marginBitextPairsIvf(s, d)),
+    // the SAME row with a deliberately tiny budget so the md5-split
+    // thinning ENGAGES at every driver sf — the cross-engine proof the
+    // production cap degrades deterministically instead of by luck
+    "emb_margin_pairs_ivf_capped" ->
+      ((s, d) => Similarity.marginBitextPairsIvf(s, d, maxPairs = 2000L)),
     // contrastive (anchor, positive, hard-negative) triplets mined from
     // the near-dup components + trained IVF cells the pipeline already
     // has; serve row consumes both persisted artifacts, rebuild row
@@ -1044,6 +1050,75 @@ object SparkEntry {
         cent0 AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < $kSql),
         $iterCtes"""
   }
+
+  /** Oracle for the IVF margin rows at a given pair `budget` — same
+    * margin algebra over IVF-cell-bounded candidates: the
+    * trained-centroid CTEs replay the Lloyd iterations (nlist and nprobe
+    * computed from COUNT(*) exactly as the Scala adaptive rule),
+    * assignment and probes use the float-washed argmax windows, and past
+    * the budget the THIN candidate pairs thin by the same deterministic
+    * md5 src split as the Spark side (identical salt and double op
+    * order). `cand`/`sims` are MATERIALIZED: each is referenced more
+    * than once and carries the whole kmeans lineage — inlined, DuckDB
+    * would replay the Lloyd iterations per reference.
+    */
+  private def marginIvfOracleSql(budget: Long): String =
+    s"""${kmeansCentroidsSql(iters = 2, kExpr = adaptiveNlistSql)},
+       sides AS (
+         SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
+         FROM v0 e JOIN documents d ON e.vec_id = d.doc_id),
+       assign AS (
+         SELECT vec_id, v, cid, is_en FROM (
+           SELECT s.vec_id, s.v, s.is_en, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM sides s CROSS JOIN cent2 c) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id, v, is_en, cid FROM (
+           SELECT s.vec_id, s.v, s.is_en, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
+           FROM sides s CROSS JOIN cent2 c) WHERE rn <= $adaptiveNprobeSql),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT p.vec_id AS src_id, a.vec_id AS tgt_id
+         FROM probes p JOIN assign a USING (cid)
+         WHERE p.is_en AND NOT a.is_en),
+       capped AS (
+         SELECT cand.src_id, cand.tgt_id
+         FROM cand, (SELECT COUNT(*) AS np FROM cand) x
+         WHERE np <= $budget
+            OR ('0x' || substr(md5(CAST(src_id AS VARCHAR) || '|margin_cap'), 1, 8))::BIGINT
+               < CAST(floor(CAST($budget AS DOUBLE) / CAST(np AS DOUBLE)
+                            * 4294967296.0) AS BIGINT)),
+       sims AS MATERIALIZED (
+         SELECT c.src_id, c.tgt_id,
+                CAST(list_cosine_similarity(sv.v, tv.v) AS FLOAT) AS sim
+         FROM capped c JOIN v0 sv ON c.src_id = sv.vec_id
+                       JOIN v0 tv ON c.tgt_id = tv.vec_id),
+       fwd AS (
+         SELECT src_id, tgt_id, sim,
+                row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+         FROM sims QUALIFY rn <= 4),
+       fwd_avg AS (
+         SELECT src_id,
+                CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS x_avg_fp
+         FROM fwd GROUP BY src_id),
+       bwd_avg AS (
+         SELECT tgt_id,
+                CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS y_avg_fp
+         FROM (SELECT src_id, tgt_id, sim,
+                      row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+               FROM sims QUALIFY rn <= 4)
+         GROUP BY tgt_id)
+       SELECT src_id, tgt_id, sim, margin FROM (
+         SELECT f.src_id, f.tgt_id, f.sim,
+                CAST(CAST(f.sim AS DOUBLE)
+                     / (((x_avg_fp + y_avg_fp) / 2.0) / 1000000.0) AS FLOAT) AS margin
+         FROM (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1) f
+         JOIN fwd_avg USING (src_id) JOIN bwd_avg USING (tgt_id))
+       WHERE margin >= 1.0 ORDER BY src_id"""
 
   /** Oracle prefix replaying the PQ trainer per subvector slice: the same
     * fixed-point Lloyd iteration as [[kmeansCentroidsSql]] but over
@@ -2667,56 +2742,8 @@ object SparkEntry {
     // artifacts ARE the clustering and the codebook): one oracle
     "emb_training_triplets" -> tripletsOracleSql,
     "emb_training_triplets_rebuild" -> tripletsOracleSql,
-    "emb_margin_pairs_ivf" ->
-      // same margin algebra over IVF-cell-bounded candidates: the
-      // trained-centroid CTEs replay the Lloyd iterations (nlist and
-      // nprobe computed from COUNT(*) exactly as the Scala adaptive
-      // rule), assignment and probes use the float-washed argmax windows
-      s"""${kmeansCentroidsSql(iters = 2, kExpr = adaptiveNlistSql)},
-         sides AS (
-           SELECT e.vec_id, e.v, d.lang = 'en' AS is_en
-           FROM v0 e JOIN documents d ON e.vec_id = d.doc_id),
-         assign AS (
-           SELECT vec_id, v, cid, is_en FROM (
-             SELECT s.vec_id, s.v, s.is_en, c.cid,
-                    row_number() OVER (PARTITION BY s.vec_id
-                      ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
-             FROM sides s CROSS JOIN cent2 c) WHERE rn = 1),
-         probes AS (
-           SELECT vec_id, v, is_en, cid FROM (
-             SELECT s.vec_id, s.v, s.is_en, c.cid,
-                    row_number() OVER (PARTITION BY s.vec_id
-                      ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
-             FROM sides s CROSS JOIN cent2 c) WHERE rn <= $adaptiveNprobeSql),
-         sims AS (
-           SELECT DISTINCT p.vec_id AS src_id, a.vec_id AS tgt_id,
-                  CAST(list_cosine_similarity(p.v, a.v) AS FLOAT) AS sim
-           FROM probes p JOIN assign a USING (cid)
-           WHERE p.is_en AND NOT a.is_en),
-         fwd AS (
-           SELECT src_id, tgt_id, sim,
-                  row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
-           FROM sims QUALIFY rn <= 4),
-         fwd_avg AS (
-           SELECT src_id,
-                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-                    / CAST(count(*) AS DOUBLE) AS x_avg_fp
-           FROM fwd GROUP BY src_id),
-         bwd_avg AS (
-           SELECT tgt_id,
-                  CAST(sum(CAST(round(CAST(sim AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-                    / CAST(count(*) AS DOUBLE) AS y_avg_fp
-           FROM (SELECT src_id, tgt_id, sim,
-                        row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
-                 FROM sims QUALIFY rn <= 4)
-           GROUP BY tgt_id)
-         SELECT src_id, tgt_id, sim, margin FROM (
-           SELECT f.src_id, f.tgt_id, f.sim,
-                  CAST(CAST(f.sim AS DOUBLE)
-                       / (((x_avg_fp + y_avg_fp) / 2.0) / 1000000.0) AS FLOAT) AS margin
-           FROM (SELECT src_id, tgt_id, sim FROM fwd WHERE rn = 1) f
-           JOIN fwd_avg USING (src_id) JOIN bwd_avg USING (tgt_id))
-         WHERE margin >= 1.0 ORDER BY src_id""",
+    "emb_margin_pairs_ivf" -> marginIvfOracleSql(16000000L),
+    "emb_margin_pairs_ivf_capped" -> marginIvfOracleSql(2000L),
     "emb_knn_refine" ->
       // one NN-descent round over the knn-graph CTE: undirected
       // neighborhood ∪ two-hop candidates, re-scored, per-node top-k —

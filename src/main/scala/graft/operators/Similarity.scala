@@ -2010,7 +2010,7 @@ object Similarity {
     * nlist = max(16, ceil(√N)) and nprobe = max(4, nlist/8), so the
     * probed fraction shrinks ~1/√N and candidate volume grows ~N^1.5
     * instead of the fixed-nlist N²/16. Round-12 measurement at the ×10
-    * cut (20k vectors): (142, 18) mines FASTER than the old fixed
+    * cut (20k vectors): (142, 17) mines FASTER than the old fixed
     * (16, 4) — 14.1 s vs 20.3 s — at HIGHER pair recall vs the exact
     * margin baseline (1700/2570 vs 1300/2570); at sf0.1 (2k vectors,
     * (45, 6)) it is also faster at parity recall. The oracle computes
@@ -2023,6 +2023,26 @@ object Similarity {
   private[graft] def adaptiveNprobe(nlist: Int): Int =
     math.max(4, nlist / 8)
 
+  /** Pair budget of the IVF (production) margin row. The adaptive √N
+    * geometry shrinks the probed FRACTION, but absolute candidate volume
+    * still grows ~N^1.5 — the round-12 ×100 probe (200k vectors, ~1.25B
+    * candidates) saturated a single node and had to be killed. Past the
+    * budget the candidate frame thins BY SRC (a surviving src keeps its
+    * entire probed neighborhood, so its forward margin stays the
+    * IVF-exact value) with the SAME deterministic md5 split and salt as
+    * [[MarginExactPairBudget]]: the exact row's cut is always tighter
+    * (its denominator nA·nB ≥ the IVF candidate count), so every src the
+    * exact baseline samples survives here too and pair recall between
+    * the two rows stays well-defined under both caps.
+    */
+  private[graft] val MarginIvfPairBudget = 16000000L
+
+  /** Telemetry: the last IVF margin run's candidate-pair count (pre-cap)
+    * — read by Bench and the budget spec (the LinkGraph.lastSccSweeps
+    * convention).
+    */
+  @volatile var lastMarginIvfCandidates: Option[Long] = None
+
   def marginBitextPairsIvf(
       spark: SparkSession,
       sfDir: String,
@@ -2030,7 +2050,8 @@ object Similarity {
       threshold: Double = 1.0,
       nlist: Int = 0, // 0 = corpus-size-adaptive (see adaptiveNlist)
       nprobe: Int = 0, // 0 = nlist/8-adaptive (see adaptiveNprobe)
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      maxPairs: Long = MarginIvfPairBudget): DataFrame = {
     import spark.implicits._
     val langs = IO.table(spark, sfDir, "documents")
       .select(col("doc_id"), (col("lang") === "en").as("is_en"))
@@ -2065,12 +2086,28 @@ object Similarity {
     val embSmall = nSides <= Dedup.VerifySetBroadcastCeiling
     def gate(df: DataFrame): DataFrame =
       if (embSmall) broadcast(df) else df.hint("shuffle_hash")
-    val pairs = probes.filter(col("is_en"))
+    val pairs0 = probes.filter(col("is_en"))
       .select(col("vec_id").as("src_id"), col("cid"))
       .join(assigned.filter(!col("is_en"))
         .select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
       .select("src_id", "tgt_id")
       .distinct()
+      .localCheckpoint() // counted for the budget, then scored
+    val nPairs = pairs0.count()
+    lastMarginIvfCandidates = Some(nPairs)
+    val pairs =
+      if (nPairs <= maxPairs) pairs0
+      else {
+        // the exact row's deterministic md5-split src thinning (same
+        // salt; see MarginIvfPairBudget), cut from the same double op
+        // order the oracle computes: maxPairs / nPairs * 2^32
+        val cut = math.floor(
+          maxPairs.toDouble / nPairs.toDouble * 4294967296.0).toLong
+        pairs0.filter(
+          conv(substring(md5(concat(col("src_id").cast("string"),
+            lit("|margin_cap")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") < lit(cut))
+      }
     val sims = pairs
       .join(gate(emb.select(col("vec_id").as("src_id"),
         col("v").as("src_v"))), "src_id")

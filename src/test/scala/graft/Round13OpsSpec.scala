@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Behavior specs for the round-13 hardening: the IVF margin row's pair
+  * budget (deterministic md5-split degradation instead of unbounded
+  * candidate growth).
+  */
+class Round13OpsSpec extends SparkTestBase {
+
+  test("marginBitextPairsIvf: pair budget engages via the md5 src split") {
+    val budget = 2000L
+    val full = Similarity.marginBitextPairsIvf(spark, Sf).localCheckpoint()
+    val capped = Similarity.marginBitextPairsIvf(spark, Sf, maxPairs = budget)
+      .localCheckpoint()
+    val nPairs = Similarity.lastMarginIvfCandidates.get
+    assert(nPairs > budget,
+      s"sf0.001 must exceed the test budget or nothing is proven ($nPairs)")
+    val nFull = full.count()
+    val nCapped = capped.count()
+    assert(nCapped > 0, "the capped row must degrade, not go empty")
+    assert(nCapped < nFull,
+      s"a $budget-pair budget must engage at sf0.001 ($nCapped vs $nFull)")
+    // the surviving src set is the documented md5 split (exact-row salt,
+    // same double op order for the cut) — necessary condition: every
+    // emitted src hashes under the cut
+    val cut = math.floor(
+      budget.toDouble / nPairs.toDouble * 4294967296.0).toLong
+    val hash = conv(substring(md5(concat(col("src_id").cast("string"),
+      lit("|margin_cap")).cast("binary")), 1, 8), 16, 10).cast("long")
+    val overCut = capped.filter(hash >= lit(cut)).count()
+    assert(overCut == 0,
+      s"every capped-output src must hash under the cut ($overCut over)")
+    // engagement direction: the uncapped run emits srcs the split drops
+    val fullOver = full.filter(hash >= lit(cut)).count()
+    assert(fullOver > 0,
+      "the uncapped run must contain srcs the split would drop")
+    // the forward top-1 CHOICE of a surviving src is cap-invariant (its
+    // probed neighborhood is intact; only the cross-src backward
+    // averages move) — capped (src, tgt, sim) never contradicts full's
+    // top-1 for the same src
+    val contra = capped.select(col("src_id"), col("tgt_id").as("ct"))
+      .join(full.select(col("src_id"), col("tgt_id").as("ft")), "src_id")
+      .filter(col("ct") =!= col("ft"))
+    assert(contra.isEmpty,
+      "a surviving src's forward top-1 must not change under the cap")
+  }
+}
