@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.IO
@@ -221,6 +220,8 @@ object QualityModel {
       .orderBy("bucket")
   }
 
+  import graft.plans.DistributedRank.rangeCumsum
+
   /** (y, score) pairs under the trained model — the shared input of the
     * two threshold-free eval rows below.
     */
@@ -243,20 +244,27 @@ object QualityModel {
     * FLOAT (the SCALING.md convention) next to its integer numerator.
     *
     * Scale shape: one map-side scoring pass collapses to ≤ |distinct
-    * scores| rows BEFORE the rank window (the hard sigmoid saturates
-    * most of a real corpus onto few values), so the single-partition
-    * cumulative window runs on the tie-collapsed frame, not the corpus.
-    * A corpus whose distinct-score count is itself data-scale takes the
-    * binned [[lrPrTable]] instead — exact AUC requires a total order by
-    * definition.
+    * scores| rows, then the global cumulative count is the TWO-PHASE
+    * DISTRIBUTED RANK (the classic parallel prefix-sum shape): the
+    * tie-collapsed groups range-partition by score, each range computes
+    * its LOCAL cumulative inside an ordinary partitioned window, and a
+    * per-range total — at most `spark.sql.shuffle.partitions` rows, a
+    * bounded driver artifact like the k-means codebook — prefix-sums
+    * into broadcast offsets added back per row. No single-partition
+    * WindowExec anywhere in the plan (PlanAuditSpec pins this); range
+    * boundary placement cannot move the result because local-cum +
+    * earlier-range totals telescopes to the same global cumulative
+    * wherever the cuts fall.
+    *
+    * Degenerate corpus (one class absent): nPos·nNeg = 0 makes AUC
+    * undefined — pinned to NULL via the exact integer condition both
+    * engines evaluate identically (the events_ab_test z/t convention).
     */
   def lrAuc(spark: SparkSession, sfDir: String): DataFrame = {
     val g = scoredFrame(spark, sfDir)
       .groupBy("score")
       .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
-    val wOrd = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = g.withColumn("cumall", sum("cnt").over(wOrd))
+    val ranked = rangeCumsum(g, col("score"), Seq("cnt" -> "cumall"))
       .withColumn("r2", (col("cumall") - col("cnt")) * 2 + col("cnt") + 1)
     ranked
       .agg(sum(col("pos") * col("r2")).as("posr2"),
@@ -266,9 +274,10 @@ object QualityModel {
         (col("npos") + col("nneg")).as("n"),
         col("npos").as("n_pos"), col("nneg").as("n_neg"),
         (col("posr2") - col("npos") * (col("npos") + 1)).as("u2"),
-        ((col("posr2") - col("npos") * (col("npos") + 1)).cast("double")
-          / (lit(2.0) * col("npos").cast("double")
-            * col("nneg").cast("double"))).cast("float").as("auc"))
+        when(col("npos") > 0 && col("nneg") > 0,
+          ((col("posr2") - col("npos") * (col("npos") + 1)).cast("double")
+            / (lit(2.0) * col("npos").cast("double")
+              * col("nneg").cast("double"))).cast("float")).as("auc"))
   }
 
   /** PRECISION/RECALL/F1 SWEEP at percent thresholds — the bounded
@@ -280,7 +289,13 @@ object QualityModel {
     * 2tp/(2tp+fp+fn), the harmonic form with no intermediate ratio).
     *
     * Scale shape: the same one-pass percent-bin aggregation as
-    * [[lrCalibration]]; the cumulative window runs on ≤100 rows.
+    * [[lrCalibration]]; the descending cumulative runs through
+    * [[rangeCumsum]] (≤100 rows, but no single-partition WindowExec
+    * regardless). Degenerate corpus (no positives): recall is 0/0 —
+    * pinned to NULL via the exact integer condition both engines
+    * evaluate identically; precision (tp+fp = cum n ≥ 1 per occupied
+    * bucket) and f1 (denominator = cum n + tot_pos ≥ 1) cannot
+    * degenerate.
     */
   def lrPrTable(spark: SparkSession, sfDir: String): DataFrame = {
     val b = scoredFrame(spark, sfDir)
@@ -289,20 +304,19 @@ object QualityModel {
           .as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-      .localCheckpoint() // ≤100 rows; window + total read it twice
-    val wD = Window.orderBy(desc("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint() // ≤100 rows; cumsum + total read it twice
     val tot = b.agg(sum("pos").as("tot_pos"))
-    b.withColumn("tp", sum("pos").over(wD))
-      .withColumn("fp", sum("n").over(wD) - col("tp"))
+    rangeCumsum(b, col("bucket").desc, Seq("pos" -> "tp", "n" -> "cumn"))
+      .withColumn("fp", col("cumn") - col("tp"))
       .crossJoin(broadcast(tot))
       .select(col("bucket").as("threshold_bucket"),
         col("tp"), col("fp"),
         (col("tot_pos") - col("tp")).as("fn"),
         (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
           .cast("float").as("precision"),
-        (col("tp").cast("double") / col("tot_pos").cast("double"))
-          .cast("float").as("recall"),
+        when(col("tot_pos") > 0,
+          (col("tp").cast("double") / col("tot_pos").cast("double"))
+            .cast("float")).as("recall"),
         ((lit(2.0) * col("tp").cast("double"))
           / (col("tp") * 2 + col("fp") + col("tot_pos") - col("tp"))
             .cast("double")).cast("float").as("f1"))

@@ -1021,6 +1021,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(s.contains("partial_"), s"per-user collapse must map-side combine:\n$s")
   }
 
+  test("auc + pr table: global cumulatives pay no single-partition window") {
+    for (df <- Seq(operators.QualityModel.lrAuc(spark, Sf),
+        operators.QualityModel.lrPrTable(spark, Sf))) {
+      df.collect()
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case q => q
+      }
+      val unpart = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        s"the rank must be the two-phase rangeCumsum, not a global window:\n$exec")
+    }
+  }
+
   test("phrase search: one posting build serves every phrase slice") {
     val df = operators.Retrieval.phraseSearch(spark, Sf)
     df.collect()
