@@ -4246,10 +4246,13 @@ object SparkEntry {
       // per-user collapse, conditional-sum sufficient statistics, then
       // the identical pinned z/t double chain cut to FLOAT
       """WITH pu AS (
+           -- NULL user_id belongs to NO arm: filtered explicitly on
+           -- both sides (the Spark side's parity predicate would drop
+           -- NULLs while CASE ... ELSE would bucket them into control)
            SELECT user_id,
                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
                   SUM(CAST(floor(value * 100.0) AS BIGINT)) AS uv
-           FROM events GROUP BY user_id),
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
          s AS (
            SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n0,
                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -4354,7 +4357,9 @@ object SparkEntry {
                    WHERE n_chars <> length(text)),
                   (SELECT COUNT(*) FROM documents))
          SELECT "check", violations, total,
-                CAST(violations AS DOUBLE) / CAST(total AS DOUBLE) AS rate
+                CASE WHEN total > 0 THEN
+                  CAST(violations AS DOUBLE) / CAST(total AS DOUBLE)
+                END AS rate
          FROM checks ORDER BY "check"""",
     "events_retention_incremental" ->
       // incremental ≡ from-scratch: replay the batch-inclusive matrix in
@@ -4738,8 +4743,10 @@ object SparkEntry {
                FROM r)
          SELECT npos + nneg AS n, npos AS n_pos, nneg AS n_neg,
                 posr2 - npos * (npos + 1) AS u2,
-                CAST(CAST(posr2 - npos * (npos + 1) AS DOUBLE)
-                     / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS FLOAT) AS auc
+                CASE WHEN npos > 0 AND nneg > 0 THEN
+                  CAST(CAST(posr2 - npos * (npos + 1) AS DOUBLE)
+                       / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS FLOAT)
+                END AS auc
          FROM a""",
     "quality_pr_table" ->
       // percent-threshold confusion sweep: descending cumulative sums
@@ -4763,7 +4770,9 @@ object SparkEntry {
                 CAST(cumn - tp AS BIGINT) AS fp,
                 CAST(tot_pos - tp AS BIGINT) AS fn,
                 CAST(CAST(tp AS DOUBLE) / CAST(tp + (cumn - tp) AS DOUBLE) AS FLOAT) AS "precision",
-                CAST(CAST(tp AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS FLOAT) AS recall,
+                CASE WHEN tot_pos > 0 THEN
+                  CAST(CAST(tp AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS FLOAT)
+                END AS recall,
                 CAST((2.0 * CAST(tp AS DOUBLE))
                      / CAST(tp * 2 + (cumn - tp) + (tot_pos - tp) AS DOUBLE) AS FLOAT) AS f1
          FROM c ORDER BY threshold_bucket""",

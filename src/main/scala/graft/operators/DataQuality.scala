@@ -44,10 +44,18 @@ object DataQuality {
         }: _*)).as("c"))
         .select(col("c.check").as("check"), col("c.violations"),
           col("c.total"),
-          (col("c.violations").cast("double") / col("c.total").cast("double"))
+          // 0-row table: pin the 0/0 rate to NULL via the exact integer
+          // condition (the z/t convention) — double 0/0 is the one op
+          // whose NULL-vs-NaN outcome is engine-version-dependent
+          when(col("c.total") > 0,
+            col("c.violations").cast("double") / col("c.total").cast("double"))
             .as("rate"))
 
-    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    // coalesce: a conditional SUM over an EMPTY table is NULL, but the
+    // oracle's scalar COUNT(*) subqueries report 0 violations there —
+    // an empty snapshot must read as "0 violations", not "unknown"
+    def cnt(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
 
     // key-grain pass, computed once per PK table: duplicate stats AND
     // the distinct key set the fact side probes (two consumers, so the

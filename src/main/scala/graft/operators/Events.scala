@@ -579,6 +579,12 @@ object Events {
   def abTestReport(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = IO.table(spark, sfDir, "events")
     val perUser = raw
+      // a NULL user_id belongs to NO arm (parity of NULL is NULL, and a
+      // real experiment cannot assign an anonymous user) — filtered
+      // EXPLICITLY on both sides so the engines cannot disagree on
+      // where NULLs land (the oracle's CASE ELSE would have bucketed
+      // them into control while when/otherwise(0) dropped them)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"),
         floor(col("value") * 100.0).cast("long").as("vfix"))
       .groupBy("user_id")
@@ -646,9 +652,12 @@ object Events {
     * change-point flag on the max |S| day (earliest day wins ties).
     * A level shift in the rate makes |S| peak exactly at the shift.
     *
-    * Scale shape: one map-side day aggregation (|days| rows), a
-    * cumulative window and a 1-row argmax broadcast back — everything
-    * after the first aggregation is calendar-bounded.
+    * Scale shape: one map-side day aggregation (|days| rows — already
+    * calendar-bounded), then the running sum and day index through the
+    * two-phase [[graft.plans.DistributedRank.rangeCumsum]] (the index is
+    * the running count of a ones column), so even the bounded frame
+    * never funnels through a single-partition WindowExec; a 1-row
+    * argmax broadcasts back.
     */
   def cusumDailyVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = IO.table(spark, sfDir, "events")
@@ -656,13 +665,11 @@ object Events {
       .withColumn("tus", EventTime.tsUs(raw))
       .select(expr("tus div 86400000000").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |days| rows; window chain + argmax share it
-    val wOrd = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .withColumn("one", lit(1L))
+      .localCheckpoint() // |days| rows; cumsum chain + totals share it
     val tot = daily.agg(sum("n").as("total"), count(lit(1)).as("days"))
-    val scanned = daily
-      .withColumn("cum", sum("n").over(wOrd))
-      .withColumn("idx", row_number().over(Window.orderBy("day")))
+    val scanned = graft.plans.DistributedRank
+      .rangeCumsum(daily, col("day"), Seq("n" -> "cum", "one" -> "idx"))
       .crossJoin(broadcast(tot))
       .select(col("day"), col("n"), col("cum"),
         (col("days") * col("cum") - col("idx") * col("total"))

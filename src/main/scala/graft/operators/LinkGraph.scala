@@ -1346,11 +1346,21 @@ object LinkGraph {
       if (done) 0L else lab.where(col("f") =!= col("b")).count())
     lastSccSweeps = Some(sweeps)
     // provisional ids live in the negative range so they can never
-    // collide with a resolved min-member id (node ids are non-negative)
-    val labeled = lab.select(col("node"),
-      when(col("f") === col("b"), col("f"))
-        .otherwise(lit(-1L) - xxhash64(col("f"), col("b"))
-          .bitwiseAND(lit(Long.MaxValue))).as("scc_id"))
+    // collide with a resolved min-member id (node ids are non-negative),
+    // and derive INJECTIVELY from the (f,b) class — its min member, the
+    // same convention resolved ids use — so two distinct unresolved
+    // classes can never merge (a 63-bit hash could, astronomically
+    // rarely, and would silently violate the refinement property)
+    val labeled =
+      if (done) lab.select(col("node"), col("f").as("scc_id"))
+      else {
+        val prov = lab.where(col("f") =!= col("b"))
+          .groupBy("f", "b").agg(min("node").as("prov"))
+        lab.join(prov, Seq("f", "b"), "left")
+          .select(col("node"),
+            when(col("f") === col("b"), col("f"))
+              .otherwise(lit(-1L) - col("prov")).as("scc_id"))
+      }
     val w = Window.partitionBy("scc_id")
     labeled
       .withColumn("scc_size", count(lit(1)).over(w))
