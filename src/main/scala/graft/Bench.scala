@@ -135,13 +135,15 @@ object Bench {
     // pagerank build/loop split: rebuild rows report how much of their
     // wall is edge construction vs power iteration
     val prStats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    // scc convergence telemetry: FW-BW sweep count per scc row
+    // scc convergence telemetry: FW-BW sweep count per scc row, plus
+    // the Spark-action count (the driver-roundtrip currency of the
+    // loop floor) so sweeps and their per-sweep cost read together
     val sccStats = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val sccActs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
     // best-of-2: a single local-mode run still carries JIT/IO noise that a
     // second pass removes; min is the steady-state number the 2x gate means
-    val results: Seq[(String, Either[String, Double])] = cases.map {
-      case (name, mk) =>
+    def timeCase(name: String, mk: () => DataFrame): (String, Either[String, Double]) = {
         def once(): Either[String, Double] = {
           // start each timing from a cache-free session so no query's
           // number depends on what ran before it (r3's minhash swing was
@@ -169,6 +171,7 @@ object Bench {
         operators.Cluster.lastRunStats = None
         operators.LinkGraph.lastBuildStats = None
         operators.LinkGraph.lastSccSweeps = None
+        operators.LinkGraph.lastSccActions = None
         val r = (once(), once()) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
           case (Right(a), _) => Right(a)
@@ -178,8 +181,30 @@ object Bench {
         operators.Cluster.lastRunStats.foreach(ccStats(name) = _)
         operators.LinkGraph.lastBuildStats.foreach(prStats(name) = _)
         operators.LinkGraph.lastSccSweeps.foreach(sccStats(name) = _)
+        operators.LinkGraph.lastSccActions.foreach(sccActs(name) = _)
         name -> r
     }
+
+    // DRIFT CANARY: the same fixed reference row re-timed at the start,
+    // middle, and end of the run (identical best-of-2 protocol). Three
+    // rounds of phantom-regression adjudication (r10-r12) traced to
+    // whole-machine drift between the builder-close and driver re-run
+    // of IDENTICAL code; the canary triple puts the run's own drift in
+    // the payload so ratio comparisons can normalize by it instead of
+    // re-running history.
+    def canary(): Double =
+      timeCase("q1_pricing_summary",
+        () => SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+        ._2.getOrElse(Double.NaN)
+    val driftStart = canary()
+    val (casesA, casesB) = cases.splitAt(cases.length / 2)
+    val resultsA = casesA.map { case (n, mk) => timeCase(n, mk) }
+    val driftMid = canary()
+    val resultsB = casesB.map { case (n, mk) => timeCase(n, mk) }
+    val driftEnd = canary()
+    val results: Seq[(String, Either[String, Double])] = resultsA ++ resultsB
+    def ms(d: Double): Double = math.round(d * 1000) / 1000.0
+    val driftJ = s"""{"start":${ms(driftStart)},"mid":${ms(driftMid)},"end":${ms(driftEnd)}}"""
 
     val qs = results.map {
       case (k, Right(sec)) => s""""$k":$sec"""
@@ -196,7 +221,9 @@ object Bench {
       .mkString("{", ",", "}")
     val sccJ = sccStats.map { case (k, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"sf":"$sfDir"}"""
+    val sccA = sccActs.map { case (k, n) => s""""$k":$n""" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head
@@ -232,6 +259,6 @@ object Bench {
     // lands after the JSON line and any tail-line parser reads noise
     // instead of the payload (BENCH_r3..r6 all parsed to null this way)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$errors,"err_names":$errNames,"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$errors,"err_names":$errNames,"drift":$driftJ,"full":"bench_full.json","sf":"$sfDir"}""")
   }
 }

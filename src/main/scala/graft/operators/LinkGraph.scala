@@ -1299,6 +1299,12 @@ object LinkGraph {
       .localCheckpoint()
     var sweeps = 0
     var done = false
+    var openCnt = 0L
+    // action telemetry: every driver roundtrip the loop pays, in the
+    // currency the local-mode floor is measured in (~200 ms/action) —
+    // emitted via lastSccActions so the bench payload shows whether a
+    // slow scc row is data or roundtrip-bound
+    var actions = (if (preMaterialized) 0 else 2) + 2 // count + lab ckpt
     while (!done && sweeps < sweepCap) {
       // a node with f == b is RESOLVED: f is its SCC's min member
       // (f = b = x proves v ∈ SCC(x) with nothing smaller mutual, and
@@ -1317,14 +1323,23 @@ object LinkGraph {
           col("f").as("tf"), col("b").as("tb"))), "dst")
         .where(col("sf") === col("tf") && col("sb") === col("tb"))
         .select("src", "dst")
-      val refreshed =
+      val (refreshed, fbActs, fbOpen) =
         fbFixpoint(checkpointFreshStats(e2), open.select("node"), bc,
           maxRounds = 25 + log2n)
+      actions += 1 + fbActs
       lab =
         if (sweeps == 0) refreshed
-        else checkpointFreshStats(
-          lab.where(col("f") === col("b")).unionByName(refreshed))
-      done = lab.where(col("f") =!= col("b")).isEmpty
+        else {
+          actions += 1
+          checkpointFreshStats(
+            lab.where(col("f") === col("b")).unionByName(refreshed))
+        }
+      // every still-open row lives in the refreshed frame (resolved
+      // rows have f = b by construction), so the fixpoint's fused
+      // open-count IS lab's — the old standalone isEmpty/count reads
+      // (2 actions per run) are gone
+      openCnt = fbOpen
+      done = openCnt == 0
       sweeps += 1
     }
     // strict (the oracled exact operator): an unconverged run must be a
@@ -1342,9 +1357,9 @@ object LinkGraph {
     else if (!done)
       System.err.println(s"[graft] sccOver: $sweepCap sweeps hit with " +
         "unresolved remainder; emitting provisional (f,b)-class ids")
-    lastSccUnresolved = Some(
-      if (done) 0L else lab.where(col("f") =!= col("b")).count())
+    lastSccUnresolved = Some(if (done) 0L else openCnt)
     lastSccSweeps = Some(sweeps)
+    lastSccActions = Some(actions)
     // provisional ids live in the negative range so they can never
     // collide with a resolved min-member id (node ids are non-negative),
     // and derive INJECTIVELY from the (f,b) class — its min member, the
@@ -1454,33 +1469,47 @@ object LinkGraph {
     sccStep(bb, broadcast)(m)
   }
 
+  /** Returns the converged label frame, the number of Spark ACTIONS it
+    * ran (the driver-roundtrip currency the sweep telemetry reports),
+    * and the final count of OPEN (f ≠ b) rows — ridden on the same
+    * 1-row certificate aggregate so the caller's convergence check and
+    * unresolved-remainder telemetry cost zero extra actions.
+    */
   private def fbFixpoint(
       e: DataFrame,
       nodes: DataFrame,
       bc: DataFrame => DataFrame,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): (DataFrame, Int, Long) = {
     val step = sccStep(e, bc) _
     // convergence certificate: labels are per-element monotone
     // NON-INCREASING, so (Σf, Σb) as exact DECIMAL(38) sums — no long
     // overflow at billions of nodes × 2⁶³ ids — strictly decreases
     // until the fixpoint; an unchanged pair across a round proves no
     // element moved. One 1-row aggregate per round instead of a
-    // change-detection join.
-    def certificate(mdf: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+    // change-detection join; the open-row count rides the same row.
+    def certificate(mdf: DataFrame)
+        : (java.math.BigDecimal, java.math.BigDecimal, Long) = {
       val r = mdf.agg(
         sum(col("f").cast("decimal(38,0)")).as("sf"),
-        sum(col("b").cast("decimal(38,0)")).as("sb")).collect()(0)
-      (r.getDecimal(0), r.getDecimal(1))
+        sum(col("b").cast("decimal(38,0)")).as("sb"),
+        sum(when(col("f") =!= col("b"), 1L).otherwise(0L)).as("open"))
+        .collect()(0)
+      (r.getDecimal(0), r.getDecimal(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    var actions = 0
     var m = checkpointFreshStats(
       nodes.select(col("node"), col("node").as("f"), col("node").as("b")))
+    actions += 1
     var cert = certificate(m)
+    actions += 1
     var rounds = 0
     var changed = true
     while (changed && rounds < maxRounds) {
       m = checkpointFreshStats(step(m))
       val next = certificate(m)
-      changed = next != cert
+      actions += 2
+      changed = (next._1, next._2) != ((cert._1, cert._2))
       cert = next
       rounds += 1
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
@@ -1489,7 +1518,7 @@ object LinkGraph {
     }
     require(!changed,
       s"SCC min propagation did not converge in $maxRounds rounds")
-    m
+    (m, actions, cert._3)
   }
 
   /** Sweeps of the most recent [[sccOver]] — the convergence-bound
@@ -1500,6 +1529,13 @@ object LinkGraph {
     * converged (strict-eligible) run; > 0 only when a non-strict run
     * hit its sweep budget and emitted provisional class ids. */
   @volatile private[graft] var lastSccUnresolved: Option[Long] = None
+
+  /** Spark-action count of the most recent [[sccOver]] — the
+    * driver-roundtrip currency of the loop floor (~200 ms/action in
+    * local mode). Emitted next to scc_sweeps in the bench payload so a
+    * slow scc row is attributable to data or to roundtrips by reading
+    * the artifact alone. */
+  @volatile private[graft] var lastSccActions: Option[Int] = None
 
   /** First round's pre-argmax vote aggregation in FORCED join-loop mode —
     * plan-audit seam (per-round checkpoints hide iteration plans from
