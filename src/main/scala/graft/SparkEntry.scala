@@ -681,6 +681,11 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
     "mm_features_hist" -> (Multimodal.featureHistQuery _),
+    // banded near-dup over the media face: same byte size up to a small
+    // window AND fixed-point histogram L1 within threshold; the oracle
+    // is the NAIVE all-pairs definition, so the hash match re-proves
+    // the q/q+1 blocking lossless every round
+    "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     // the float feature VECTOR itself, fixed-pointed (ratio is an exact
     // single-precision divide of two small ints on both engines): closes
     // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
@@ -3720,6 +3725,43 @@ object SparkEntry {
                 CAST(round(CAST(CAST(cnt AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
                      * 1000000.0) AS BIGINT) AS ffix
          FROM h ORDER BY media_id, bin""",
+    "mm_neardup_pairs" ->
+      // the NAIVE definition — every ordered pair, the length window
+      // and the exact fixed-point L1 applied directly (no banding), so
+      // a hash match proves the Spark side's q/q+1 blocking lossless;
+      // hf replays the mm_features_fix chain (hex byte walk, FLOAT
+      // ratio, doubled, x1e6, round)
+      """WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, n,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+           FROM b, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, bin,
+                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, bin, n),
+         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id AS a, x.n AS la, y.media_id AS b, y.n AS lb
+           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           WHERE abs(x.n - y.n) <= 32),
+         pb AS (
+           SELECT c.a, c.b, c.la, c.lb, bins.bin,
+                  COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+           FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
+           LEFT JOIN hf ha ON ha.media_id = c.a AND ha.bin = bins.bin
+           LEFT JOIN hf hb ON hb.media_id = c.b AND hb.bin = bins.bin)
+         SELECT a AS media_a, b AS media_b,
+                CAST(abs(la - lb) AS BIGINT) AS len_delta,
+                CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+         FROM pb GROUP BY a, b, la, lb
+         HAVING SUM(ABS(fa - fb)) <= 2000
+         ORDER BY media_a, media_b""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

@@ -297,6 +297,101 @@ object Multimodal {
     sampleFrames(mediaFromDocuments(spark, sfDir))
       .orderBy("media_id", "frame_idx")
 
+  /** The fixed-point feature face plus payload length — the shared
+    * input of the near-dup operator: one decode pass emitting
+    * (media_id, n_bytes, ffix[8]) where ffix is the mm_features_fix
+    * convention (single-precision bin ratio, doubled, ×10⁶, HALF_UP —
+    * the exact chain the oracled row pins, applied through the same
+    * Catalyst `round` so the fix values are bit-identical to that row's).
+    */
+  private[graft] def featureFace(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < r.payload.length) {
+            hist((r.payload(i) & 0xFF) >> 5) += 1f
+            i += 1
+          }
+          val n = math.max(r.payload.length, 1).toFloat
+          (r.media_id, r.payload.length.toLong, hist.map(_ / n))
+        }
+      }
+      .toDF("media_id", "n_bytes", "features")
+      .select(col("media_id"), col("n_bytes"),
+        transform(col("features"),
+          f => round(f.cast("double") * lit(1000000.0), 0).cast("long"))
+          .as("ffix"))
+  }
+
+  /** MULTIMODAL NEAR-DUP PAIRS — the dedup operator the text side has
+    * had since round 4, over the media face: two payloads are near-dups
+    * when they are the same SIZE up to `lenWindow` bytes (a re-encode /
+    * re-container of the same media lands within a small byte delta)
+    * AND their fixed-point feature histograms are within `threshold`
+    * L1 distance (0.2% total variation at the default — the
+    * distribution face of the decode stub; a real deployment swaps the
+    * histogram for perceptual-hash / embedding features and keeps every
+    * join below unchanged).
+    *
+    * Candidates come from a LOSSLESS 2-D blocking, never all pairs:
+    * quantize n_bytes at width `lenWindow` and one histogram coordinate
+    * at width `threshold`, each media emitting cell q AND q+1 per
+    * dimension (the dedup_fuzzy_lev length×affix convention). A
+    * qualifying pair differs by ≤ window in BOTH coordinates (|Δbin|
+    * ≤ L1 ≤ threshold), so its quantized cells differ by ≤ 1 per
+    * dimension and the q/q+1 emissions must intersect on the joint key
+    * — the all-pairs DuckDB oracle re-proves exactly this losslessness
+    * every round (the dedup_jaccard_prefix adjudication convention).
+    *
+    * Scale shape: 4 thin keys per media; candidates are Σ cell² over
+    * the joint (size, density) grid — the corpus' own diversity bounds
+    * cell occupancy, and a pathologically uniform corpus degrades to
+    * the same place every banded near-dup (minhash included) does.
+    * Feature arrays never ride the candidate exchange: the verify joins
+    * are ceiling-gated broadcasts (shuffle-hash past it — the
+    * verify-join convention), and the L1 is one codegen'd
+    * zip_with/aggregate over 8 longs per UNIQUE candidate.
+    */
+  def nearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = 32L,
+      threshold: Long = 2000L): DataFrame = {
+    val face = featureFace(spark, sfDir)
+      .localCheckpoint() // blocking keys + both verify sides read it
+    val nFace = face.count()
+    val keys = face.select(col("media_id"),
+        expr(s"n_bytes div ${lenWindow}L").as("lq"),
+        expr(s"element_at(ffix, 4) div ${threshold}L").as("hq"))
+      .withColumn("dl", explode(array(lit(0L), lit(1L))))
+      .withColumn("dh", explode(array(lit(0L), lit(1L))))
+      .select(col("media_id"), (col("lq") + col("dl")).as("k_len"),
+        (col("hq") + col("dh")).as("k_hist"))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.k_len") === col("y.k_len") &&
+          col("x.k_hist") === col("y.k_hist") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    def gate(df: DataFrame): DataFrame =
+      if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
+      else df.hint("shuffle_hash")
+    cand
+      .join(gate(face.select(col("media_id").as("media_a"),
+        col("n_bytes").as("la"), col("ffix").as("fa"))), "media_a")
+      .join(gate(face.select(col("media_id").as("media_b"),
+        col("n_bytes").as("lb"), col("ffix").as("fb"))), "media_b")
+      .select(col("media_a"), col("media_b"),
+        abs(col("la") - col("lb")).as("len_delta"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
+      .orderBy("media_a", "media_b")
+  }
+
   case class HistBin(media_id: Long, kind: String, bin: Int, cnt: Long, n_bytes: Long)
 
   /** The byte-histogram feature extraction with an ORACLE-EXACT face:

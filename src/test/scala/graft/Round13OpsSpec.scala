@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Multimodal, Similarity}
 
 /** Behavior specs for the round-13 hardening: the IVF margin row's pair
   * budget (deterministic md5-split degradation instead of unbounded
@@ -46,5 +46,28 @@ class Round13OpsSpec extends SparkTestBase {
       .filter(col("ct") =!= col("ft"))
     assert(contra.isEmpty,
       "a surviving src's forward top-1 must not change under the cap")
+  }
+
+  test("mm near-dup: the q/q+1 blocking is lossless against naive all-pairs") {
+    val banded = Multimodal.nearDupPairs(spark, Sf).localCheckpoint()
+    // naive truth: every ordered pair, both bounds applied directly
+    val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
+    val naive = face.select(col("media_id").as("media_a"),
+        col("n_bytes").as("la"), col("ffix").as("fa"))
+      .crossJoin(face.select(col("media_id").as("media_b"),
+        col("n_bytes").as("lb"), col("ffix").as("fb")))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        abs(col("la") - col("lb")).as("len_delta"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("len_delta") <= 32L && col("l1_fix") <= 2000L)
+      .localCheckpoint()
+    assert(banded.count() > 0, "sf0.001 must contain media near-dups")
+    assert(banded.count() === naive.count())
+    val missed = naive.join(banded, Seq("media_a", "media_b"), "left_anti")
+    val extra = banded.join(naive, Seq("media_a", "media_b"), "left_anti")
+    assert(missed.isEmpty, "blocking must never drop a qualifying pair")
+    assert(extra.isEmpty, "verify must reject every non-qualifying candidate")
   }
 }
