@@ -1061,11 +1061,13 @@ object SparkEntry {
     * trained-centroid CTEs replay the Lloyd iterations (nlist and nprobe
     * computed from COUNT(*) exactly as the Scala adaptive rule),
     * assignment and probes use the float-washed argmax windows, and past
-    * the budget the THIN candidate pairs thin by the same deterministic
-    * md5 src split as the Spark side (identical salt and double op
-    * order). `cand`/`sims` are MATERIALIZED: each is referenced more
-    * than once and carries the whole kmeans lineage — inlined, DuckDB
-    * would replay the Lloyd iterations per reference.
+    * the budget the PROBE SRC side thins by the same deterministic md5
+    * split as the Spark side (identical salt and double op order) with
+    * the volume measured as the per-cell product sum — before any pair
+    * materializes, exactly as the Spark plan does. `srcp`/`tgtc`/`sims`
+    * are MATERIALIZED: each is referenced more than once and carries
+    * the whole kmeans lineage — inlined, DuckDB would replay the Lloyd
+    * iterations per reference.
     */
   private def marginIvfOracleSql(budget: Long): String =
     s"""${kmeansCentroidsSql(iters = 2, kExpr = adaptiveNlistSql)},
@@ -1084,13 +1086,16 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY s.vec_id
                     ORDER BY CAST(list_cosine_similarity(s.v, c.cv) AS FLOAT) DESC, c.cid) AS rn
            FROM sides s CROSS JOIN cent2 c) WHERE rn <= $adaptiveNprobeSql),
-       cand AS MATERIALIZED (
-         SELECT DISTINCT p.vec_id AS src_id, a.vec_id AS tgt_id
-         FROM probes p JOIN assign a USING (cid)
-         WHERE p.is_en AND NOT a.is_en),
-       capped AS (
-         SELECT cand.src_id, cand.tgt_id
-         FROM cand, (SELECT COUNT(*) AS np FROM cand) x
+       srcp AS MATERIALIZED (
+         SELECT vec_id AS src_id, cid FROM probes WHERE is_en),
+       tgtc AS MATERIALIZED (
+         SELECT vec_id AS tgt_id, cid FROM assign WHERE NOT is_en),
+       vol AS (
+         SELECT CAST(COALESCE(SUM(ns * nt), 0) AS BIGINT) AS np
+         FROM (SELECT cid, COUNT(*) AS ns FROM srcp GROUP BY cid) s
+         JOIN (SELECT cid, COUNT(*) AS nt FROM tgtc GROUP BY cid) t USING (cid)),
+       capped_src AS (
+         SELECT srcp.src_id, srcp.cid FROM srcp, vol
          WHERE np <= $budget
             OR ('0x' || substr(md5(CAST(src_id AS VARCHAR) || '|margin_cap'), 1, 8))::BIGINT
                < CAST(floor(CAST($budget AS DOUBLE) / CAST(np AS DOUBLE)
@@ -1098,8 +1103,10 @@ object SparkEntry {
        sims AS MATERIALIZED (
          SELECT c.src_id, c.tgt_id,
                 CAST(list_cosine_similarity(sv.v, tv.v) AS FLOAT) AS sim
-         FROM capped c JOIN v0 sv ON c.src_id = sv.vec_id
-                       JOIN v0 tv ON c.tgt_id = tv.vec_id),
+         FROM (SELECT DISTINCT p.src_id, a.tgt_id
+               FROM capped_src p JOIN tgtc a USING (cid)) c
+         JOIN v0 sv ON c.src_id = sv.vec_id
+         JOIN v0 tv ON c.tgt_id = tv.vec_id),
        fwd AS (
          SELECT src_id, tgt_id, sim,
                 row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn

@@ -2026,20 +2026,27 @@ object Similarity {
   /** Pair budget of the IVF (production) margin row. The adaptive √N
     * geometry shrinks the probed FRACTION, but absolute candidate volume
     * still grows ~N^1.5 — the round-12 ×100 probe (200k vectors, ~1.25B
-    * candidates) saturated a single node and had to be killed. Past the
-    * budget the candidate frame thins BY SRC (a surviving src keeps its
-    * entire probed neighborhood, so its forward margin stays the
-    * IVF-exact value) with the SAME deterministic md5 split and salt as
-    * [[MarginExactPairBudget]]: the exact row's cut is always tighter
-    * (its denominator nA·nB ≥ the IVF candidate count), so every src the
-    * exact baseline samples survives here too and pair recall between
-    * the two rows stays well-defined under both caps.
+    * candidates) saturated a single node and had to be killed. The
+    * budget is measured on the EXACT per-cell product volume
+    * Σ_cells |en probes in cell| × |non-en assigned in cell| — two thin
+    * counts and one ≤nlist-row aggregate, known BEFORE any pairs
+    * materialize, so past the budget the SRC side thins BEFORE the
+    * candidate join and the over-budget frame never rides an exchange
+    * at all (budgeting after a 1.25B-row distinct would have paid the
+    * very shuffle the budget exists to avoid). Thinning is BY SRC (a
+    * surviving src keeps its entire probed neighborhood, so its forward
+    * margin stays the IVF-exact value) with the SAME deterministic md5
+    * split and salt as [[MarginExactPairBudget]]: the exact row's cut
+    * is always tighter (its denominator nA·nB ≥ the cell-product
+    * volume), so every src the exact baseline samples survives here too
+    * and pair recall between the two rows stays well-defined under both
+    * caps.
     */
   private[graft] val MarginIvfPairBudget = 16000000L
 
-  /** Telemetry: the last IVF margin run's candidate-pair count (pre-cap)
-    * — read by Bench and the budget spec (the LinkGraph.lastSccSweeps
-    * convention).
+  /** Telemetry: the last IVF margin run's pre-cap candidate VOLUME (the
+    * per-cell product sum the budget is measured on) — read by the
+    * budget spec (the LinkGraph.lastSccSweeps convention).
     */
   @volatile var lastMarginIvfCandidates: Option[Long] = None
 
@@ -2086,28 +2093,38 @@ object Similarity {
     val embSmall = nSides <= Dedup.VerifySetBroadcastCeiling
     def gate(df: DataFrame): DataFrame =
       if (embSmall) broadcast(df) else df.hint("shuffle_hash")
-    val pairs0 = probes.filter(col("is_en"))
+    val srcProbes0 = probes.filter(col("is_en"))
       .select(col("vec_id").as("src_id"), col("cid"))
-      .join(assigned.filter(!col("is_en"))
-        .select(col("vec_id").as("tgt_id"), col("cid")), Seq("cid"))
-      .select("src_id", "tgt_id")
-      .distinct()
-      .localCheckpoint() // counted for the budget, then scored
-    val nPairs = pairs0.count()
+      .localCheckpoint() // volume count + (possibly thinned) join side
+    val tgtCells = assigned.filter(!col("is_en"))
+      .select(col("vec_id").as("tgt_id"), col("cid"))
+      .localCheckpoint() // volume count + join side
+    // exact pre-materialization candidate volume: Σ per-cell products
+    // over two thin (id, cid) frames — known before any pair exists
+    val nPairs = srcProbes0.groupBy("cid").agg(count(lit(1)).as("ns"))
+      .join(tgtCells.groupBy("cid").agg(count(lit(1)).as("nt")), "cid")
+      .agg(coalesce(sum(col("ns") * col("nt")), lit(0L)))
+      .head.getLong(0)
     lastMarginIvfCandidates = Some(nPairs)
-    val pairs =
-      if (nPairs <= maxPairs) pairs0
+    val srcProbes =
+      if (nPairs <= maxPairs) srcProbes0
       else {
         // the exact row's deterministic md5-split src thinning (same
         // salt; see MarginIvfPairBudget), cut from the same double op
-        // order the oracle computes: maxPairs / nPairs * 2^32
+        // order the oracle computes: maxPairs / nPairs * 2^32 — applied
+        // BEFORE the candidate join so the over-budget frame never
+        // materializes
         val cut = math.floor(
           maxPairs.toDouble / nPairs.toDouble * 4294967296.0).toLong
-        pairs0.filter(
+        srcProbes0.filter(
           conv(substring(md5(concat(col("src_id").cast("string"),
             lit("|margin_cap")).cast("binary")), 1, 8), 16, 10)
             .cast("long") < lit(cut))
       }
+    val pairs = srcProbes
+      .join(tgtCells, Seq("cid"))
+      .select("src_id", "tgt_id")
+      .distinct()
     val sims = pairs
       .join(gate(emb.select(col("vec_id").as("src_id"),
         col("v").as("src_v"))), "src_id")
