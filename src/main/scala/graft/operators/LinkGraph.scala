@@ -1413,6 +1413,23 @@ object LinkGraph {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** [[checkpointFreshStats]] with a LAZY checkpoint: the caller's very
+    * next action (the fixpoint's 1-row certificate) materializes and
+    * persists the blocks inside ITS job, so a loop round pays ONE
+    * driver roundtrip instead of two. Measured at sf0.1 (round 13):
+    * graph_scc actions 43 → 26, wall 4.7 → 4.5 s — local-mode job
+    * scheduling is cheap, so the win here is within noise; the fused
+    * jobs matter on a real cluster where per-job latency is tens of
+    * ms, and the honest action count is now in the bench payload
+    * either way. Only safe where an action DOES follow immediately —
+    * a lazily checkpointed frame handed to a multi-consumer plan would
+    * re-compute its lineage once per consumer racing to persist it.
+    */
+  private def checkpointLazyFreshStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = false)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** One FW-BW relax+jump round as a PLAN transform — also the
     * plan-audit seam ([[sccStepSeam]]). The label frame is
     * node-bounded, so below the ceiling it broadcasts onto the edge
@@ -1498,17 +1515,18 @@ object LinkGraph {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var actions = 0
-    var m = checkpointFreshStats(
+    // LAZY checkpoints: the certificate that follows each is the action
+    // that materializes it — one roundtrip per round, not two
+    var m = checkpointLazyFreshStats(
       nodes.select(col("node"), col("node").as("f"), col("node").as("b")))
-    actions += 1
     var cert = certificate(m)
     actions += 1
     var rounds = 0
     var changed = true
     while (changed && rounds < maxRounds) {
-      m = checkpointFreshStats(step(m))
+      m = checkpointLazyFreshStats(step(m))
       val next = certificate(m)
-      actions += 2
+      actions += 1
       changed = (next._1, next._2) != ((cert._1, cert._2))
       cert = next
       rounds += 1

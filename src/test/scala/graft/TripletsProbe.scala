@@ -2,12 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** ×10-cut validation for the triplet miner (not a test — a main
+/** ×N-cut validation for the triplet miner (not a test — a main
   * invoked manually; kept out of src/main so it never ships).
   *
-  * The DuckDB oracle replay is impractical at the ×10 cut (the
-  * within-cell argmax CTE pushes ~25M list-cosine pairs through a
-  * window single-node), so the probe proves the same contract
+  * The DuckDB oracle replay is impractical at ANY cut above sf0.1 —
+  * the within-cell argmax CTE pushes the pairwise list-cosine work
+  * through single-node windows. Measured: ×10 exceeded 15 min in r11
+  * AND r12; round 13 tried the minimal ×2 cut (4k vectors, adaptive
+  * nlist 64) and it still exceeded 15 min (killed at 900 s). The
+  * exception is therefore PERMANENT: `emb_training_triplets` is
+  * oracled (hash-exact) at the driver's sf0.01 gate, and every scaled
+  * cut is validated by this probe instead — the same contract proved
   * Spark-side with INDEPENDENT recomputation: every positive shares
   * the anchor's near-dup component, every negative sits in the
   * anchor's IVF cell outside its component, and no same-cell
