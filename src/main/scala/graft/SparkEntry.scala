@@ -3756,7 +3756,7 @@ object SparkEntry {
          cand AS (
            SELECT x.media_id AS a, x.n AS la, y.media_id AS b, y.n AS lb
            FROM ids x JOIN ids y ON x.media_id < y.media_id
-           WHERE abs(x.n - y.n) <= 32),
+           WHERE abs(x.n - y.n) <= 16),
          pb AS (
            SELECT c.a, c.b, c.la, c.lb, bins.bin,
                   COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
@@ -3767,7 +3767,7 @@ object SparkEntry {
                 CAST(abs(la - lb) AS BIGINT) AS len_delta,
                 CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
          FROM pb GROUP BY a, b, la, lb
-         HAVING SUM(ABS(fa - fb)) <= 2000
+         HAVING SUM(ABS(fa - fb)) <= 500
          ORDER BY media_a, media_b""",
     "mm_frames" ->
       """WITH d AS (

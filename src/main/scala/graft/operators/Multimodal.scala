@@ -331,7 +331,7 @@ object Multimodal {
     * when they are the same SIZE up to `lenWindow` bytes (a re-encode /
     * re-container of the same media lands within a small byte delta)
     * AND their fixed-point feature histograms are within `threshold`
-    * L1 distance (0.2% total variation at the default — the
+    * L1 distance (0.05% total variation at the default — the
     * distribution face of the decode stub; a real deployment swaps the
     * histogram for perceptual-hash / embedding features and keeps every
     * join below unchanged).
@@ -358,8 +358,8 @@ object Multimodal {
   def nearDupPairs(
       spark: SparkSession,
       sfDir: String,
-      lenWindow: Long = 32L,
-      threshold: Long = 2000L): DataFrame = {
+      lenWindow: Long = 16L,
+      threshold: Long = 500L): DataFrame = {
     val face = featureFace(spark, sfDir)
       .localCheckpoint() // blocking keys + both verify sides read it
     val nFace = face.count()

@@ -61,7 +61,7 @@ class Round13OpsSpec extends SparkTestBase {
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
-      .filter(col("len_delta") <= 32L && col("l1_fix") <= 2000L)
+      .filter(col("len_delta") <= 16L && col("l1_fix") <= 500L)
       .localCheckpoint()
     assert(banded.count() > 0, "sf0.001 must contain media near-dups")
     assert(banded.count() === naive.count())

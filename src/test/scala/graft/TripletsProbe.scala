@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 /** ×N-cut validation for the triplet miner (not a test — a main
   * invoked manually; kept out of src/main so it never ships).
   *
-  * The DuckDB oracle replay is impractical at ANY cut above sf0.1 —
-  * the within-cell argmax CTE pushes the pairwise list-cosine work
-  * through single-node windows. Measured: ×10 exceeded 15 min in r11
-  * AND r12; round 13 tried the minimal ×2 cut (4k vectors, adaptive
-  * nlist 64) and it still exceeded 15 min (killed at 900 s). The
-  * exception is therefore PERMANENT: `emb_training_triplets` is
-  * oracled (hash-exact) at the driver's sf0.01 gate, and every scaled
-  * cut is validated by this probe instead — the same contract proved
+  * The DuckDB oracle replay is slow at ANY cut above sf0.1 — the
+  * within-cell argmax CTE pushes the pairwise list-cosine work through
+  * single-node windows. Measured: ×10 exceeded 15 min in r11 AND r12;
+  * round 13 ran the minimal ×2 cut (4k vectors, adaptive nlist 64) to
+  * completion: HASH-EXACT in 1179 s (CORRECTNESS_sf1_r13.json) — the
+  * first full cross-engine replay of the triplet miner above the
+  * driver gate. 19.7 min still exceeds the driver's 15-min budget, so
+  * the per-round ×N exception STANDS for budget reasons (not
+  * correctness): `emb_training_triplets` is oracled (hash-exact) at
+  * the driver's sf0.01 gate and at the committed ×2 evidence cut, and
+  * larger cuts are validated by this probe — the same contract proved
   * Spark-side with INDEPENDENT recomputation: every positive shares
   * the anchor's near-dup component, every negative sits in the
   * anchor's IVF cell outside its component, and no same-cell
