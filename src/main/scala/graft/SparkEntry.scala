@@ -686,6 +686,10 @@ object SparkEntry {
     // is the NAIVE all-pairs definition, so the hash match re-proves
     // the q/q+1 blocking lossless every round
     "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
+    // components over the media pair graph + the media-specific keep
+    // rule (highest fidelity = largest payload, ties to lowest id);
+    // oracle = naive pairs into a recursive-CTE closure
+    "mm_dedup_decision" -> ((s, d) => Multimodal.nearDupDecision(s, d)),
     // the float feature VECTOR itself, fixed-pointed (ratio is an exact
     // single-precision divide of two small ints on both engines): closes
     // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
@@ -3769,6 +3773,55 @@ object SparkEntry {
          FROM pb GROUP BY a, b, la, lb
          HAVING SUM(ABS(fa - fb)) <= 500
          ORDER BY media_a, media_b""",
+    "mm_dedup_decision" ->
+      // the same naive pair definition feeding a recursive-CTE
+      // transitive closure (the dedup_cluster oracle convention),
+      // singletons self-rooted, keep = largest payload then lowest id
+      """WITH RECURSIVE b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, n,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+           FROM b, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, bin,
+                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, bin, n),
+         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id AS a, y.media_id AS bb
+           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           WHERE abs(x.n - y.n) <= 16),
+         prs AS (
+           SELECT a, bb FROM (
+             SELECT c.a, c.bb, bins.bin,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
+             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.bin = bins.bin
+             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.bin = bins.bin)
+           GROUP BY a, bb HAVING SUM(ABS(fa - fb)) <= 500),
+         edges AS (
+           SELECT a AS u, bb AS v FROM prs
+           UNION ALL SELECT bb AS u, a AS v FROM prs),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
+         base AS (
+           SELECT d.media_id, d.n,
+                  COALESCE(c.root, d.media_id) AS component_id
+           FROM ids d LEFT JOIN comp c ON d.media_id = c.node)
+         SELECT media_id, component_id,
+                COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
+                CAST(n AS BIGINT) AS n_bytes,
+                (ROW_NUMBER() OVER (PARTITION BY component_id
+                   ORDER BY n DESC, media_id) = 1) AS keep
+         FROM base ORDER BY media_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

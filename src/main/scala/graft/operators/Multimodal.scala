@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque BINARY columns with
@@ -359,9 +360,19 @@ object Multimodal {
       spark: SparkSession,
       sfDir: String,
       lenWindow: Long = 16L,
-      threshold: Long = 500L): DataFrame = {
-    val face = featureFace(spark, sfDir)
-      .localCheckpoint() // blocking keys + both verify sides read it
+      threshold: Long = 500L): DataFrame =
+    nearDupPairsOver(
+      featureFace(spark, sfDir).localCheckpoint(), lenWindow, threshold)
+      .orderBy("media_a", "media_b")
+
+  /** The pair core over an already-checkpointed face — shared by the
+    * pairs row (sorted presentation) and the decision row (feeds the
+    * component contraction unsorted).
+    */
+  private def nearDupPairsOver(
+      face: DataFrame,
+      lenWindow: Long,
+      threshold: Long): DataFrame = {
     val nFace = face.count()
     val keys = face.select(col("media_id"),
         expr(s"n_bytes div ${lenWindow}L").as("lq"),
@@ -389,7 +400,45 @@ object Multimodal {
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
       .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
-      .orderBy("media_a", "media_b")
+  }
+
+  /** The media DEDUP DECISION: connected components over the near-dup
+    * pair graph (the Cluster star-contraction — singletons self-rooted,
+    * component id = smallest member), cluster size, and the keep flag.
+    * Unlike text dedup (which keeps the lowest id / best quality
+    * score), media dedup keeps the HIGHEST-FIDELITY copy — the stand-in
+    * fidelity signal is payload size (a real pipeline reads
+    * width×height or bitrate off [[dimsQuery]]'s parsed headers), ties
+    * to the lowest id. `filter(keep)` is the deduplicated media corpus;
+    * the drop list stays auditable, the text-dedup convention.
+    *
+    * Scale shape: the pair core above (lossless blocking, never
+    * all-pairs) feeds the same star-contraction loop the text
+    * components use ((long, long) edges only); the decision windows
+    * partition BY COMPONENT — never single-partition.
+    */
+  def nearDupDecision(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = 16L,
+      threshold: Long = 500L): DataFrame = {
+    val face = featureFace(spark, sfDir).localCheckpoint()
+    val pairs = nearDupPairsOver(face, lenWindow, threshold)
+    val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
+      .withColumnRenamed("node", "media_id")
+    val base = face.select("media_id", "n_bytes")
+      .join(comp, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("component_id"),
+        col("n_bytes"))
+    val wC = Window.partitionBy("component_id")
+    val wK = Window.partitionBy("component_id")
+      .orderBy(desc("n_bytes"), asc("media_id"))
+    base
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .withColumn("keep", row_number().over(wK) === 1)
+      .select("media_id", "component_id", "cluster_size", "n_bytes", "keep")
+      .orderBy("media_id")
   }
 
   case class HistBin(media_id: Long, kind: String, bin: Int, cnt: Long, n_bytes: Long)

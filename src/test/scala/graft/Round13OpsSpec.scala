@@ -70,4 +70,23 @@ class Round13OpsSpec extends SparkTestBase {
     assert(missed.isEmpty, "blocking must never drop a qualifying pair")
     assert(extra.isEmpty, "verify must reject every non-qualifying candidate")
   }
+
+  test("mm dedup decision: one keeper per component, highest fidelity wins") {
+    val d = Multimodal.nearDupDecision(spark, Sf).localCheckpoint()
+    val perComp = d.groupBy("component_id")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+        count(lit(1)).as("n"),
+        max(col("cluster_size")).as("sz"),
+        max(when(col("keep"), col("n_bytes"))).as("kept_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .localCheckpoint()
+    assert(perComp.filter(col("keepers") =!= 1L).isEmpty,
+      "every component keeps exactly one representative")
+    assert(perComp.filter(col("n") =!= col("sz")).isEmpty,
+      "cluster_size must equal the component's row count")
+    assert(perComp.filter(col("kept_bytes") =!= col("max_bytes")).isEmpty,
+      "the keeper must carry the component's largest payload")
+    assert(d.filter(!col("keep")).count() > 0,
+      "sf0.001 must contain droppable media duplicates")
+  }
 }
