@@ -690,6 +690,9 @@ object SparkEntry {
     // rule (highest fidelity = largest payload, ties to lowest id);
     // oracle = naive pairs into a recursive-CTE closure
     "mm_dedup_decision" -> ((s, d) => Multimodal.nearDupDecision(s, d)),
+    // the %10 batch carve vs the corpus slice: best corpus match within
+    // both windows (smallest L1, lowest id) or is_new
+    "mm_incremental_neardup" -> ((s, d) => Multimodal.incrementalNearDup(s, d)),
     // the float feature VECTOR itself, fixed-pointed (ratio is an exact
     // single-precision divide of two small ints on both engines): closes
     // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
@@ -3822,6 +3825,48 @@ object SparkEntry {
                 (ROW_NUMBER() OVER (PARTITION BY component_id
                    ORDER BY n DESC, media_id) = 1) AS keep
          FROM base ORDER BY media_id""",
+    "mm_incremental_neardup" ->
+      // naive batch x corpus under both windows, best match by (L1,
+      // corpus id), every batch id emitted (is_new when unmatched)
+      """WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, n,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+           FROM b, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, bin,
+                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, bin, n),
+         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id, y.media_id AS corpus_id
+           FROM ids x JOIN ids y
+             ON x.media_id % 10 = 0 AND y.media_id % 10 <> 0
+            AND abs(x.n - y.n) <= 16),
+         scored AS (
+           SELECT media_id, corpus_id, CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.corpus_id, bins.bin,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.bin = bins.bin
+             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.bin = bins.bin)
+           GROUP BY media_id, corpus_id HAVING SUM(ABS(fa - fb)) <= 500),
+         best AS (
+           SELECT media_id, corpus_id, l1_fix FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY l1_fix, corpus_id) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT i.media_id, p.corpus_id IS NULL AS is_new,
+                p.corpus_id AS dup_of, p.l1_fix
+         FROM (SELECT media_id FROM ids WHERE media_id % 10 = 0) i
+           LEFT JOIN best p USING (media_id)
+         ORDER BY media_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

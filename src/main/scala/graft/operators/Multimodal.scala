@@ -369,18 +369,28 @@ object Multimodal {
     * pairs row (sorted presentation) and the decision row (feeds the
     * component contraction unsorted).
     */
-  private def nearDupPairsOver(
+  /** The lossless q/q+1 blocking keys of a face slice: 4 thin rows per
+    * media over the (size, density) grid. Two media within BOTH windows
+    * always share a joint key when each side emits its q and q+1.
+    */
+  private def blockKeys(
       face: DataFrame,
       lenWindow: Long,
-      threshold: Long): DataFrame = {
-    val nFace = face.count()
-    val keys = face.select(col("media_id"),
+      threshold: Long): DataFrame =
+    face.select(col("media_id"),
         expr(s"n_bytes div ${lenWindow}L").as("lq"),
         expr(s"element_at(ffix, 4) div ${threshold}L").as("hq"))
       .withColumn("dl", explode(array(lit(0L), lit(1L))))
       .withColumn("dh", explode(array(lit(0L), lit(1L))))
       .select(col("media_id"), (col("lq") + col("dl")).as("k_len"),
         (col("hq") + col("dh")).as("k_hist"))
+
+  private def nearDupPairsOver(
+      face: DataFrame,
+      lenWindow: Long,
+      threshold: Long): DataFrame = {
+    val nFace = face.count()
+    val keys = blockKeys(face, lenWindow, threshold)
     val cand = keys.as("x").join(keys.as("y"),
         col("x.k_len") === col("y.k_len") &&
           col("x.k_hist") === col("y.k_hist") &&
@@ -438,6 +448,57 @@ object Multimodal {
       .withColumn("cluster_size", count(lit(1)).over(wC))
       .withColumn("keep", row_number().over(wK) === 1)
       .select("media_id", "component_id", "cluster_size", "n_bytes", "keep")
+      .orderBy("media_id")
+  }
+
+  /** INCREMENTAL media near-dup — the per-batch serve shape every other
+    * dedup family already has (the %10 carve convention): each batch
+    * media (media_id % 10 == 0) is checked against the CORPUS slice
+    * only, emitting its best corpus match (smallest L1, ties to the
+    * lowest corpus id) or is_new when nothing sits within both windows.
+    * Candidates come from the same lossless q/q+1 blocking, asymmetric:
+    * batch keys join corpus keys, so the batch pays ~|batch| × cell
+    * occupancy, never |batch| × |corpus|.
+    */
+  def incrementalNearDup(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = 16L,
+      threshold: Long = 500L): DataFrame = {
+    val face = featureFace(spark, sfDir).localCheckpoint()
+    val nFace = face.count()
+    val batch = face.filter(col("media_id") % 10 === 0)
+    val corpus = face.filter(col("media_id") % 10 =!= 0)
+    val cand = blockKeys(batch, lenWindow, threshold)
+      .withColumnRenamed("media_id", "media_id_b")
+      .join(blockKeys(corpus, lenWindow, threshold)
+        .withColumnRenamed("media_id", "corpus_id"),
+        Seq("k_len", "k_hist"))
+      .select("media_id_b", "corpus_id")
+      .distinct()
+      .withColumnRenamed("media_id_b", "media_id")
+    def gate(df: DataFrame): DataFrame =
+      if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
+      else df.hint("shuffle_hash")
+    val scored = cand
+      .join(gate(face.select(col("media_id"),
+        col("n_bytes").as("la"), col("ffix").as("fa"))), "media_id")
+      .join(gate(face.select(col("media_id").as("corpus_id"),
+        col("n_bytes").as("lb"), col("ffix").as("fb"))), "corpus_id")
+      .select(col("media_id"), col("corpus_id"),
+        abs(col("la") - col("lb")).as("len_delta"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
+    val wB = Window.partitionBy("media_id")
+      .orderBy(asc("l1_fix"), asc("corpus_id"))
+    val best = scored.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("corpus_id"), col("l1_fix"))
+    batch.select("media_id")
+      .join(best, Seq("media_id"), "left")
+      .select(col("media_id"), col("corpus_id").isNull.as("is_new"),
+        col("corpus_id").as("dup_of"), col("l1_fix"))
       .orderBy("media_id")
   }
 

@@ -89,4 +89,33 @@ class Round13OpsSpec extends SparkTestBase {
     assert(d.filter(!col("keep")).count() > 0,
       "sf0.001 must contain droppable media duplicates")
   }
+
+  test("mm incremental: asymmetric blocking is lossless vs naive batch x corpus") {
+    val inc = Multimodal.incrementalNearDup(spark, Sf).localCheckpoint()
+    val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
+    val naive = face.filter(col("media_id") % 10 === 0)
+      .select(col("media_id"), col("n_bytes").as("la"), col("ffix").as("fa"))
+      .crossJoin(face.filter(col("media_id") % 10 =!= 0)
+        .select(col("media_id").as("corpus_id"),
+          col("n_bytes").as("lb"), col("ffix").as("fb")))
+      .select(col("media_id"), col("corpus_id"),
+        abs(col("la") - col("lb")).as("len_delta"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("len_delta") <= 16L && col("l1_fix") <= 500L)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(asc("l1_fix"), asc("corpus_id"))
+    val naiveBest = naive.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("corpus_id").as("nd"), col("l1_fix").as("nl"))
+    val joined = inc.join(naiveBest, Seq("media_id"), "full_outer")
+      .localCheckpoint()
+    assert(joined.filter(col("is_new") && col("nd").isNotNull).isEmpty,
+      "an is_new batch item must have no naive corpus match")
+    assert(joined.filter(!col("is_new") &&
+        (col("dup_of") =!= col("nd") || col("l1_fix") =!= col("nl"))).isEmpty,
+      "every matched batch item must carry the naive best match")
+    assert(inc.filter(!col("is_new")).count() > 0,
+      "sf0.001 must contain batch items with corpus near-dups")
+  }
 }
