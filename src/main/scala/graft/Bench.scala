@@ -113,7 +113,8 @@ object Bench {
       "events_trending_incremental", "emb_training_triplets",
       "graph_scc", "graph_condensation", "graph_neighborhood",
       "graph_scc_profile", "dedup_lsh_design",
-      "quality_auc", "quality_pr_table", "events_ab_test", "events_cusum",
+      "quality_auc", "quality_pr_table", "quality_ece",
+      "events_ab_test", "events_cusum",
       "txt_readability", "retrieval_phrase")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+

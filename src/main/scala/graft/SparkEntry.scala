@@ -381,6 +381,9 @@ object SparkEntry {
     // percent-threshold precision/recall/F1 sweep
     "quality_auc" -> (QualityModel.lrAuc _),
     "quality_pr_table" -> (QualityModel.lrPrTable _),
+    // one-number calibration summary over the percent-bin reliability
+    // table: weighted |pos_rate - mean_score| plus the worst bucket gap
+    "quality_ece" -> (QualityModel.lrEce _),
     "txt_fingerprints" -> (TextAnalysis.fingerprints _),
     // md5-only projection: the full fingerprint row keeps xxhash64 columns
     // DuckDB cannot reproduce; this twin gives the content-id path an oracle
@@ -3758,22 +3761,28 @@ object SparkEntry {
                   CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
                        * 1000000.0) AS BIGINT) AS ffix
            FROM by GROUP BY media_id, bin, n),
-         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
                  FROM documents),
          cand AS (
-           SELECT x.media_id AS a, x.n AS la, y.media_id AS b, y.n AS lb
-           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           SELECT x.media_id AS a, x.n AS la, y.media_id AS b, y.n AS lb,
+                  x.kind
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind AND x.media_id < y.media_id
            WHERE abs(x.n - y.n) <= 16),
          pb AS (
-           SELECT c.a, c.b, c.la, c.lb, bins.bin,
+           SELECT c.a, c.b, c.la, c.lb, c.kind, bins.bin,
                   COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
            FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
            LEFT JOIN hf ha ON ha.media_id = c.a AND ha.bin = bins.bin
            LEFT JOIN hf hb ON hb.media_id = c.b AND hb.bin = bins.bin)
-         SELECT a AS media_a, b AS media_b,
+         SELECT a AS media_a, b AS media_b, kind,
                 CAST(abs(la - lb) AS BIGINT) AS len_delta,
                 CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-         FROM pb GROUP BY a, b, la, lb
+         FROM pb GROUP BY a, b, la, lb, kind
          HAVING SUM(ABS(fa - fb)) <= 500
          ORDER BY media_a, media_b""",
     "mm_dedup_decision" ->
@@ -3793,11 +3802,16 @@ object SparkEntry {
                   CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
                        * 1000000.0) AS BIGINT) AS ffix
            FROM by GROUP BY media_id, bin, n),
-         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
                  FROM documents),
          cand AS (
            SELECT x.media_id AS a, y.media_id AS bb
-           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind AND x.media_id < y.media_id
            WHERE abs(x.n - y.n) <= 16),
          prs AS (
            SELECT a, bb FROM (
@@ -3841,12 +3855,17 @@ object SparkEntry {
                   CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
                        * 1000000.0) AS BIGINT) AS ffix
            FROM by GROUP BY media_id, bin, n),
-         ids AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
                  FROM documents),
          cand AS (
            SELECT x.media_id, y.media_id AS corpus_id
            FROM ids x JOIN ids y
-             ON x.media_id % 10 = 0 AND y.media_id % 10 <> 0
+             ON x.kind = y.kind
+            AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
             AND abs(x.n - y.n) <= 16),
          scored AS (
            SELECT media_id, corpus_id, CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
@@ -4895,6 +4914,34 @@ object SparkEntry {
                        / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS FLOAT)
                 END AS auc
          FROM a""",
+    "quality_ece" ->
+      // the calibration CTE chain re-derives the float-cut
+      // pos_rate/mean_score per bucket, then the same fixed-point
+      // weighted-gap sum and pinned final divides
+      s"""${lrGdSql()},
+         scored AS (
+           SELECT f.y,
+                  CAST(least(1.0, greatest(0.0, 0.25 * (w.wa * x0 + w.wb * x1 + w.wc * x2 + w.wd * x3) + 0.5)) AS FLOAT) AS score
+           FROM f, w3 w),
+         bkt AS (
+           SELECT CAST(least(floor(CAST(score AS DOUBLE) * 100.0), 99.0) AS BIGINT) AS bucket,
+                  y, score
+           FROM scored),
+         cal AS (
+           SELECT bucket, COUNT(*) AS n,
+                  CAST(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS pos_rate,
+                  CAST(CAST(SUM(CAST(round(CAST(score AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS FLOAT) AS mean_score
+           FROM bkt GROUP BY bucket)
+         SELECT CAST(SUM(n) AS BIGINT) AS n,
+                CASE WHEN SUM(n) > 0 THEN
+                  CAST(CAST(SUM(CAST(round(CAST(n AS DOUBLE)
+                         * ABS(CAST(pos_rate AS DOUBLE) - CAST(mean_score AS DOUBLE))
+                         * 1000000.0) AS BIGINT)) AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE) / 1000000.0 AS FLOAT)
+                END AS ece,
+                CAST(MAX(CAST(ABS(CAST(pos_rate AS DOUBLE) - CAST(mean_score AS DOUBLE)) AS FLOAT)) AS FLOAT) AS max_ce
+         FROM cal""",
     "quality_pr_table" ->
       // percent-threshold confusion sweep: descending cumulative sums
       // give tp/fp; fn from the total; ratios are single exact-operand

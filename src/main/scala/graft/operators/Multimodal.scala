@@ -317,11 +317,11 @@ object Multimodal {
             i += 1
           }
           val n = math.max(r.payload.length, 1).toFloat
-          (r.media_id, r.payload.length.toLong, hist.map(_ / n))
+          (r.media_id, r.meta.kind, r.payload.length.toLong, hist.map(_ / n))
         }
       }
-      .toDF("media_id", "n_bytes", "features")
-      .select(col("media_id"), col("n_bytes"),
+      .toDF("media_id", "kind", "n_bytes", "features")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
         transform(col("features"),
           f => round(f.cast("double") * lit(1000000.0), 0).cast("long"))
           .as("ffix"))
@@ -369,20 +369,24 @@ object Multimodal {
     * pairs row (sorted presentation) and the decision row (feeds the
     * component contraction unsorted).
     */
-  /** The lossless q/q+1 blocking keys of a face slice: 4 thin rows per
-    * media over the (size, density) grid. Two media within BOTH windows
-    * always share a joint key when each side emits its q and q+1.
+  /** The lossless blocking keys of a face slice: 4 thin rows per media
+    * over the (modality, size, density) grid — modality is an EQUALITY
+    * dimension (a near-dup pair is always same-kind: images dedup
+    * against images, never against audio), the two numeric dimensions
+    * quantize at their window widths with q and q+1 emitted, so two
+    * same-kind media within BOTH windows always share a joint key.
     */
   private def blockKeys(
       face: DataFrame,
       lenWindow: Long,
       threshold: Long): DataFrame =
-    face.select(col("media_id"),
+    face.select(col("media_id"), col("kind"),
         expr(s"n_bytes div ${lenWindow}L").as("lq"),
         expr(s"element_at(ffix, 4) div ${threshold}L").as("hq"))
       .withColumn("dl", explode(array(lit(0L), lit(1L))))
       .withColumn("dh", explode(array(lit(0L), lit(1L))))
-      .select(col("media_id"), (col("lq") + col("dl")).as("k_len"),
+      .select(col("media_id"), col("kind"),
+        (col("lq") + col("dl")).as("k_len"),
         (col("hq") + col("dh")).as("k_hist"))
 
   private def nearDupPairsOver(
@@ -392,10 +396,12 @@ object Multimodal {
     val nFace = face.count()
     val keys = blockKeys(face, lenWindow, threshold)
     val cand = keys.as("x").join(keys.as("y"),
-        col("x.k_len") === col("y.k_len") &&
+        col("x.kind") === col("y.kind") &&
+          col("x.k_len") === col("y.k_len") &&
           col("x.k_hist") === col("y.k_hist") &&
           col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.kind").as("kind"))
       .distinct()
     def gate(df: DataFrame): DataFrame =
       if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
@@ -405,7 +411,7 @@ object Multimodal {
         col("n_bytes").as("la"), col("ffix").as("fa"))), "media_a")
       .join(gate(face.select(col("media_id").as("media_b"),
         col("n_bytes").as("lb"), col("ffix").as("fb"))), "media_b")
-      .select(col("media_a"), col("media_b"),
+      .select(col("media_a"), col("media_b"), col("kind"),
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
@@ -473,7 +479,7 @@ object Multimodal {
       .withColumnRenamed("media_id", "media_id_b")
       .join(blockKeys(corpus, lenWindow, threshold)
         .withColumnRenamed("media_id", "corpus_id"),
-        Seq("k_len", "k_hist"))
+        Seq("kind", "k_len", "k_hist"))
       .select("media_id_b", "corpus_id")
       .distinct()
       .withColumnRenamed("media_id_b", "media_id")

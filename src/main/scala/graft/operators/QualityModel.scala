@@ -222,6 +222,36 @@ object QualityModel {
 
   import graft.plans.DistributedRank.rangeCumsum
 
+  /** EXPECTED CALIBRATION ERROR over the [[lrCalibration]] buckets —
+    * the one-number summary a gating decision quotes next to AUC:
+    * ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b|, plus the worst
+    * single-bucket gap. Determinism: pos_rate/mean_score are the
+    * calibration row's float-cut values (bit-identical cross-engine);
+    * their double difference is exact; the weighted sum fixed-points
+    * each bucket's n·|gap| term to a BIGINT (order-independent — a
+    * plain double sum would depend on partition order) and divides
+    * once at the end, the SCALING.md emitted-value convention.
+    * Degenerate empty corpus pins to NULL via the exact integer
+    * condition.
+    *
+    * Scale shape: an aggregate over the ≤100-row calibration frame —
+    * nothing here sees corpus-scale data.
+    */
+  def lrEce(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = abs(col("pos_rate").cast("double")
+      - col("mean_score").cast("double"))
+    lrCalibration(spark, sfDir)
+      .agg(sum("n").as("nTot"),
+        sum(round(col("n").cast("double") * gap * lit(1000000.0), 0)
+          .cast("long")).as("wfix"),
+        max(gap.cast("float")).as("max_ce"))
+      .select(col("nTot").as("n"),
+        when(col("nTot") > 0,
+          (col("wfix").cast("double") / col("nTot").cast("double")
+            / lit(1000000.0)).cast("float")).as("ece"),
+        col("max_ce"))
+  }
+
   /** (y, score) pairs under the trained model — the shared input of the
     * two threshold-free eval rows below.
     */

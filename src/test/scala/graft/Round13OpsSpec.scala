@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Multimodal, QualityModel, Similarity}
 
 /** Behavior specs for the round-13 hardening: the IVF margin row's pair
   * budget (deterministic md5-split degradation instead of unbounded
@@ -53,10 +53,10 @@ class Round13OpsSpec extends SparkTestBase {
     // naive truth: every ordered pair, both bounds applied directly
     val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
     val naive = face.select(col("media_id").as("media_a"),
-        col("n_bytes").as("la"), col("ffix").as("fa"))
+        col("kind").as("ka"), col("n_bytes").as("la"), col("ffix").as("fa"))
       .crossJoin(face.select(col("media_id").as("media_b"),
-        col("n_bytes").as("lb"), col("ffix").as("fb")))
-      .filter(col("media_a") < col("media_b"))
+        col("kind").as("kb"), col("n_bytes").as("lb"), col("ffix").as("fb")))
+      .filter(col("media_a") < col("media_b") && col("ka") === col("kb"))
       .select(col("media_a"), col("media_b"),
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
@@ -94,10 +94,12 @@ class Round13OpsSpec extends SparkTestBase {
     val inc = Multimodal.incrementalNearDup(spark, Sf).localCheckpoint()
     val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
     val naive = face.filter(col("media_id") % 10 === 0)
-      .select(col("media_id"), col("n_bytes").as("la"), col("ffix").as("fa"))
+      .select(col("media_id"), col("kind").as("ka"),
+        col("n_bytes").as("la"), col("ffix").as("fa"))
       .crossJoin(face.filter(col("media_id") % 10 =!= 0)
-        .select(col("media_id").as("corpus_id"),
+        .select(col("media_id").as("corpus_id"), col("kind").as("kb"),
           col("n_bytes").as("lb"), col("ffix").as("fb")))
+      .filter(col("ka") === col("kb"))
       .select(col("media_id"), col("corpus_id"),
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
@@ -117,5 +119,24 @@ class Round13OpsSpec extends SparkTestBase {
       "every matched batch item must carry the naive best match")
     assert(inc.filter(!col("is_new")).count() > 0,
       "sf0.001 must contain batch items with corpus near-dups")
+  }
+
+  test("quality ece: matches an independent recomputation from the buckets") {
+    val row = QualityModel.lrEce(spark, Sf).head
+    val cal = QualityModel.lrCalibration(spark, Sf)
+      .select("n", "pos_rate", "mean_score").collect()
+    val n = cal.map(_.getLong(0)).sum
+    val wfix = cal.map { r =>
+      val gap = math.abs(r.getFloat(1).toDouble - r.getFloat(2).toDouble)
+      math.round(r.getLong(0).toDouble * gap * 1000000.0)
+    }.sum
+    val expEce = (wfix.toDouble / n.toDouble / 1000000.0).toFloat
+    val expMax = cal.map(r =>
+      math.abs(r.getFloat(1).toDouble - r.getFloat(2).toDouble).toFloat).max
+    assert(row.getLong(0) == n)
+    assert(row.getFloat(1) == expEce, "ece must equal the bucket recomputation")
+    assert(row.getFloat(2) == expMax)
+    assert(row.getFloat(1) <= row.getFloat(2) + 1e-9f,
+      "the weighted mean gap can never exceed the worst bucket gap")
   }
 }
