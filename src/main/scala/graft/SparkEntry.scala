@@ -1105,10 +1105,13 @@ object SparkEntry {
          FROM (SELECT cid, COUNT(*) AS ns FROM srcp GROUP BY cid) s
          JOIN (SELECT cid, COUNT(*) AS nt FROM tgtc GROUP BY cid) t USING (cid)),
        capped_src AS (
+         -- GREATEST guard: np = 0 (no overlapping cells) satisfies the
+         -- first disjunct, but DuckDB's vectorized OR still evaluates the
+         -- division arm — keep its denominator nonzero
          SELECT srcp.src_id, srcp.cid FROM srcp, vol
          WHERE np <= $budget
             OR ('0x' || substr(md5(CAST(src_id AS VARCHAR) || '|margin_cap'), 1, 8))::BIGINT
-               < CAST(floor(CAST($budget AS DOUBLE) / CAST(np AS DOUBLE)
+               < CAST(floor(CAST($budget AS DOUBLE) / CAST(GREATEST(np, 1) AS DOUBLE)
                             * 4294967296.0) AS BIGINT)),
        sims AS MATERIALIZED (
          SELECT c.src_id, c.tgt_id,
@@ -2713,7 +2716,7 @@ object SparkEntry {
       // ratio-margin bitext mining: float-washed cosines, fixed-point
       // k-NN neighborhood averages, one pinned double op chain for the
       // margin — mirrored verbatim from the Spark side
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          sides AS (
@@ -2721,16 +2724,18 @@ object SparkEntry {
            FROM e JOIN documents d ON e.vec_id = d.doc_id),
          a0 AS (SELECT vec_id AS src_id, v AS src_v FROM sides WHERE is_en),
          b AS (SELECT vec_id AS tgt_id, v AS tgt_v FROM sides WHERE NOT is_en),
-         -- pair budget: past 16M pairs the src side thins by the same
-         -- deterministic md5 split the Spark side applies (cut = budget
-         -- / (nA*nB) * 2^32, identical double op order)
+         -- pair budget (interpolated from the Spark row's constant): past
+         -- it the src side thins by the same deterministic md5 split the
+         -- Spark side applies (cut = budget / (nA*nB) * 2^32, identical
+         -- double op order)
          a AS (
            SELECT a0.* FROM a0,
                 (SELECT COUNT(*) AS na FROM a0) x,
                 (SELECT COUNT(*) AS nb FROM b) y
-           WHERE CAST(na AS BIGINT) * CAST(nb AS BIGINT) <= 16000000
+           WHERE CAST(na AS BIGINT) * CAST(nb AS BIGINT) <= ${Similarity.MarginExactPairBudget}
               OR ('0x' || substr(md5(CAST(src_id AS VARCHAR) || '|margin_cap'), 1, 8))::BIGINT
-                 < CAST(floor(16000000.0 / CAST(CAST(na AS BIGINT) * CAST(nb AS BIGINT) AS DOUBLE)
+                 < CAST(floor(CAST(${Similarity.MarginExactPairBudget} AS DOUBLE)
+                              / CAST(CAST(na AS BIGINT) * CAST(nb AS BIGINT) AS DOUBLE)
                               * 4294967296.0) AS BIGINT)),
          sims AS (
            SELECT src_id, tgt_id,
@@ -2764,7 +2769,9 @@ object SparkEntry {
     // artifacts ARE the clustering and the codebook): one oracle
     "emb_training_triplets" -> tripletsOracleSql,
     "emb_training_triplets_rebuild" -> tripletsOracleSql,
-    "emb_margin_pairs_ivf" -> marginIvfOracleSql(16000000L),
+    // budget interpolated from the one constant the Spark row reads, so
+    // the two sides can never drift apart silently
+    "emb_margin_pairs_ivf" -> marginIvfOracleSql(Similarity.MarginIvfPairBudget),
     "emb_margin_pairs_ivf_capped" -> marginIvfOracleSql(2000L),
     "emb_knn_refine" ->
       // one NN-descent round over the knn-graph CTE: undirected

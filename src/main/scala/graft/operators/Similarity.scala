@@ -2046,9 +2046,17 @@ object Similarity {
 
   /** Telemetry: the last IVF margin run's pre-cap candidate VOLUME (the
     * per-cell product sum the budget is measured on) — read by the
-    * budget spec (the LinkGraph.lastSccSweeps convention).
+    * budget spec (the LinkGraph.lastSccSweeps convention). None when the
+    * run skipped the volume aggregate (see [[lastMarginIvfSkippedBound]]).
     */
   @volatile var lastMarginIvfCandidates: Option[Long] = None
+
+  /** Telemetry: the cheap upper bound |src probe rows| × |tgt cell rows|
+    * when it proved the budget can't engage (bound ≤ maxPairs ⇒
+    * Σ_c ns_c·nt_c ≤ (Σns)(Σnt) = bound ≤ maxPairs) and the run skipped
+    * the volume machinery entirely; None when the exact volume agg ran.
+    */
+  @volatile var lastMarginIvfSkippedBound: Option[Long] = None
 
   def marginBitextPairsIvf(
       spark: SparkSession,
@@ -2093,33 +2101,53 @@ object Similarity {
     val embSmall = nSides <= Dedup.VerifySetBroadcastCeiling
     def gate(df: DataFrame): DataFrame =
       if (embSmall) broadcast(df) else df.hint("shuffle_hash")
-    val srcProbes0 = probes.filter(col("is_en"))
+    val srcProbesAll = probes.filter(col("is_en"))
       .select(col("vec_id").as("src_id"), col("cid"))
-      .localCheckpoint() // volume count + (possibly thinned) join side
-    val tgtCells = assigned.filter(!col("is_en"))
+    val tgtCellsAll = assigned.filter(!col("is_en"))
       .select(col("vec_id").as("tgt_id"), col("cid"))
-      .localCheckpoint() // volume count + join side
-    // exact pre-materialization candidate volume: Σ per-cell products
-    // over two thin (id, cid) frames — known before any pair exists
-    val nPairs = srcProbes0.groupBy("cid").agg(count(lit(1)).as("ns"))
-      .join(tgtCells.groupBy("cid").agg(count(lit(1)).as("nt")), "cid")
-      .agg(coalesce(sum(col("ns") * col("nt")), lit(0L)))
-      .head.getLong(0)
-    lastMarginIvfCandidates = Some(nPairs)
-    val srcProbes =
-      if (nPairs <= maxPairs) srcProbes0
-      else {
-        // the exact row's deterministic md5-split src thinning (same
-        // salt; see MarginIvfPairBudget), cut from the same double op
-        // order the oracle computes: maxPairs / nPairs * 2^32 — applied
-        // BEFORE the candidate join so the over-budget frame never
-        // materializes
-        val cut = math.floor(
-          maxPairs.toDouble / nPairs.toDouble * 4294967296.0).toLong
-        srcProbes0.filter(
-          conv(substring(md5(concat(col("src_id").cast("string"),
-            lit("|margin_cap")).cast("binary")), 1, 8), 16, 10)
-            .cast("long") < lit(cut))
+    // skip guard: every en vector emits exactly min(np, nl) probe rows
+    // and every non-en vector exactly one cell row, so the row-count
+    // product — one cheap count on the already-checkpointed thin sides
+    // frame — upper-bounds the per-cell volume (Σ_c ns_c·nt_c ≤
+    // (Σns)(Σnt)). Under the bound the budget provably cannot engage,
+    // so the volume machinery (two localCheckpoints + a ≤nlist-row agg)
+    // is pure overhead and is skipped.
+    val nEn = sides.filter(col("is_en")).count()
+    val bound = nEn * math.min(np, nl).toLong * (nSides - nEn)
+    val (srcProbes, tgtCells) =
+      if (bound <= maxPairs) {
+        lastMarginIvfCandidates = None
+        lastMarginIvfSkippedBound = Some(bound)
+        (srcProbesAll, tgtCellsAll)
+      } else {
+        lastMarginIvfSkippedBound = None
+        val srcProbes0 = srcProbesAll
+          .localCheckpoint() // volume count + (possibly thinned) join side
+        val tgtCells0 = tgtCellsAll
+          .localCheckpoint() // volume count + join side
+        // exact pre-materialization candidate volume: Σ per-cell products
+        // over two thin (id, cid) frames — known before any pair exists
+        val nPairs = srcProbes0.groupBy("cid").agg(count(lit(1)).as("ns"))
+          .join(tgtCells0.groupBy("cid").agg(count(lit(1)).as("nt")), "cid")
+          .agg(coalesce(sum(col("ns") * col("nt")), lit(0L)))
+          .head.getLong(0)
+        lastMarginIvfCandidates = Some(nPairs)
+        val thinned =
+          if (nPairs <= maxPairs) srcProbes0
+          else {
+            // the exact row's deterministic md5-split src thinning (same
+            // salt; see MarginIvfPairBudget), cut from the same double op
+            // order the oracle computes: maxPairs / nPairs * 2^32 — applied
+            // BEFORE the candidate join so the over-budget frame never
+            // materializes
+            val cut = math.floor(
+              maxPairs.toDouble / nPairs.toDouble * 4294967296.0).toLong
+            srcProbes0.filter(
+              conv(substring(md5(concat(col("src_id").cast("string"),
+                lit("|margin_cap")).cast("binary")), 1, 8), 16, 10)
+                .cast("long") < lit(cut))
+          }
+        (thinned, tgtCells0)
       }
     val pairs = srcProbes
       .join(tgtCells, Seq("cid"))

@@ -28,6 +28,12 @@ object DistributedRank {
 
   /** Append global running sums of the `sums` value columns (all
     * BIGINT) in `order`, named by each pair's second element.
+    *
+    * PRECONDITION: `order` must be DISTINCT per row (every caller
+    * orders by a unique rank/key column). Ties would make the
+    * intra-range running sum depend on the arbitrary physical order the
+    * local window visits equal keys in — the frozen pid pins WHICH
+    * range a row lands in, not the order within a tie group.
     */
   def rangeCumsum(
       df: DataFrame,
@@ -38,9 +44,11 @@ object DistributedRank {
     val parts = df.repartitionByRange(nPart, order)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pid frozen; read by the window AND the offsets
+    // coalesce: a range whose value column is all-NULL sums to NULL and
+    // getLong would throw — treat it as contributing 0 to the prefix
     val perRange = parts.groupBy("__pid")
-      .agg(sums.map { case (v, _) => sum(v).as(v) }.head,
-        sums.drop(1).map { case (v, _) => sum(v).as(v) }: _*)
+      .agg(sums.map { case (v, _) => coalesce(sum(v), lit(0L)).as(v) }.head,
+        sums.drop(1).map { case (v, _) => coalesce(sum(v), lit(0L)).as(v) }: _*)
       .collect()
       .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)

@@ -92,7 +92,13 @@ def main(sf_dir, out_dir, names, timeout):
             p.join()
             print(f"TIMEOUT {name} after {dt:.0f} s")
             continue
-        status, msg = q.get() if not q.empty() else ("fail", "no result (crashed)")
+        # q.empty() can race the queue's feeder thread right after the
+        # child exits (the put is buffered, not yet visible) — block with
+        # a short timeout instead of trusting the emptiness check
+        try:
+            status, msg = q.get(timeout=10)
+        except Exception:
+            status, msg = "fail", "no result (crashed)"
         print(f"{status:4} {name} ({msg}) in {dt:.1f} s")
 
 
