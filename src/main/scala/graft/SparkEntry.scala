@@ -684,14 +684,21 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
     "mm_features_hist" -> (Multimodal.featureHistQuery _),
-    // banded near-dup over the media face: same byte size up to a small
-    // window AND fixed-point histogram L1 within threshold; the oracle
-    // is the NAIVE all-pairs definition, so the hash match re-proves
-    // the q/q+1 blocking lossless every round
+    // the segmented fixed-point face the near-dup family joins on:
+    // per-segment mean byte value, pure-integer fix — hash-pinned
+    // end-to-end against the DuckDB hex byte walk
+    "mm_face_segments" -> (Multimodal.faceSegmentsQuery _),
+    // banded near-dup over the segment-mean face: same byte size up to
+    // a small window AND fixed-point L1 within threshold; candidates
+    // from the pigeonhole any-band blocking; the oracle is the NAIVE
+    // all-pairs definition, so the hash match re-proves the blocking
+    // lossless every round
     "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     // components over the media pair graph + the media-specific keep
-    // rule (highest fidelity = largest payload, ties to lowest id);
-    // oracle = naive pairs into a recursive-CTE closure
+    // rule (highest fidelity read off the REAL parsed headers —
+    // width×height / sample_rate×channels — ties to lowest id);
+    // oracle = naive pairs into a recursive-CTE closure with the
+    // analytic fidelity
     "mm_dedup_decision" -> ((s, d) => Multimodal.nearDupDecision(s, d)),
     // the %10 batch carve vs the corpus slice: best corpus match within
     // both windows (smallest L1, lowest id) or is_new
@@ -3749,25 +3756,53 @@ object SparkEntry {
                 CAST(round(CAST(CAST(cnt AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
                      * 1000000.0) AS BIGINT) AS ffix
          FROM h ORDER BY media_id, bin""",
-    "mm_neardup_pairs" ->
-      // the NAIVE definition — every ordered pair, the length window
-      // and the exact fixed-point L1 applied directly (no banding), so
-      // a hash match proves the Spark side's q/q+1 blocking lossless;
-      // hf replays the mm_features_fix chain (hex byte walk, FLOAT
-      // ratio, doubled, x1e6, round)
+    "mm_face_segments" ->
+      // the segment-mean face: byte i belongs to segment i*8 div n,
+      // ffix = sum(byte)*1e6 div count — PURE INTEGER, so DuckDB's //
+      // matches the JVM's floor division exactly with no IEEE contract
       """WITH b AS (
            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n
            FROM documents),
          by AS (
            SELECT media_id, n,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM b, unnest(range(n)) AS i(i)),
+         hf AS (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
+                 FROM documents)
+         SELECT i.media_id, i.kind, CAST(i.n AS BIGINT) AS n_bytes,
+                CAST(bins.seg AS INT) AS seg, COALESCE(hf.ffix, 0) AS ffix
+         FROM ids i CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+         LEFT JOIN hf ON hf.media_id = i.media_id AND hf.seg = bins.seg
+         ORDER BY i.media_id, bins.seg""",
+    "mm_neardup_pairs" ->
+      // the NAIVE definition — every ordered pair, the length window
+      // and the exact fixed-point L1 applied directly (no banding), so
+      // a hash match proves the Spark side's pigeonhole any-band
+      // blocking lossless; hf replays the mm_face_segments chain
+      // (hex byte walk, segment i*8 div n, integer sum*1e6 div count)
+      s"""WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
            FROM b, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
-           SELECT media_id, bin,
-                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
-                       * 1000000.0) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, bin, n),
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
          ids AS (SELECT doc_id AS media_id,
                         CASE WHEN doc_id % 3 = 0 THEN 'image'
                              WHEN doc_id % 3 = 1 THEN 'audio'
@@ -3779,55 +3814,65 @@ object SparkEntry {
                   x.kind
            FROM ids x JOIN ids y
              ON x.kind = y.kind AND x.media_id < y.media_id
-           WHERE abs(x.n - y.n) <= 16),
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
          pb AS (
-           SELECT c.a, c.b, c.la, c.lb, c.kind, bins.bin,
+           SELECT c.a, c.b, c.la, c.lb, c.kind, bins.seg,
                   COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-           FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
-           LEFT JOIN hf ha ON ha.media_id = c.a AND ha.bin = bins.bin
-           LEFT JOIN hf hb ON hb.media_id = c.b AND hb.bin = bins.bin)
+           FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+           LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+           LEFT JOIN hf hb ON hb.media_id = c.b AND hb.seg = bins.seg)
          SELECT a AS media_a, b AS media_b, kind,
                 CAST(abs(la - lb) AS BIGINT) AS len_delta,
                 CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
          FROM pb GROUP BY a, b, la, lb, kind
-         HAVING SUM(ABS(fa - fb)) <= 500
+         HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}
          ORDER BY media_a, media_b""",
     "mm_dedup_decision" ->
       // the same naive pair definition feeding a recursive-CTE
       // transitive closure (the dedup_cluster oracle convention),
-      // singletons self-rooted, keep = largest payload then lowest id
-      """WITH RECURSIVE b AS (
+      // singletons self-rooted; keep = highest fidelity then lowest
+      // id, where the oracle computes fidelity ANALYTICALLY from the
+      // same (doc_id, n_chars) the container encoder derived its
+      // header fields from — the Spark side reads it off the REAL
+      // parsed PNG/JPEG/WAV headers, so a parser regression (fallback
+      // to payload bytes) breaks the hash
+      s"""WITH RECURSIVE b AS (
            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n
            FROM documents),
          by AS (
            SELECT media_id, n,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
            FROM b, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
-           SELECT media_id, bin,
-                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
-                       * 1000000.0) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, bin, n),
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
          ids AS (SELECT doc_id AS media_id,
                         CASE WHEN doc_id % 3 = 0 THEN 'image'
                              WHEN doc_id % 3 = 1 THEN 'audio'
                              ELSE 'video' END AS kind,
-                        octet_length(encode(text)) AS n
+                        octet_length(encode(text)) AS n,
+                        CASE WHEN doc_id % 3 IN (0, 1)
+                             THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
+                             ELSE (8000 + (n_chars % 8) * 1000) * (doc_id % 2 + 1)
+                        END AS fid
                  FROM documents),
          cand AS (
            SELECT x.media_id AS a, y.media_id AS bb
            FROM ids x JOIN ids y
              ON x.kind = y.kind AND x.media_id < y.media_id
-           WHERE abs(x.n - y.n) <= 16),
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
          prs AS (
            SELECT a, bb FROM (
-             SELECT c.a, c.bb, bins.bin,
+             SELECT c.a, c.bb, bins.seg,
                     COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
-             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.bin = bins.bin
-             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.bin = bins.bin)
-           GROUP BY a, bb HAVING SUM(ABS(fa - fb)) <= 500),
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
+           GROUP BY a, bb
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}),
          edges AS (
            SELECT a AS u, bb AS v FROM prs
            UNION ALL SELECT bb AS u, a AS v FROM prs),
@@ -3837,31 +3882,32 @@ object SparkEntry {
            SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
          comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
          base AS (
-           SELECT d.media_id, d.n,
+           SELECT d.media_id, d.n, d.fid,
                   COALESCE(c.root, d.media_id) AS component_id
            FROM ids d LEFT JOIN comp c ON d.media_id = c.node)
          SELECT media_id, component_id,
                 COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
                 CAST(n AS BIGINT) AS n_bytes,
+                CAST(fid AS BIGINT) AS fidelity,
                 (ROW_NUMBER() OVER (PARTITION BY component_id
-                   ORDER BY n DESC, media_id) = 1) AS keep
+                   ORDER BY fid DESC, media_id) = 1) AS keep
          FROM base ORDER BY media_id""",
     "mm_incremental_neardup" ->
       // naive batch x corpus under both windows, best match by (L1,
       // corpus id), every batch id emitted (is_new when unmatched)
-      """WITH b AS (
+      s"""WITH b AS (
            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n
            FROM documents),
          by AS (
            SELECT media_id, n,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT // 32 AS bin
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
            FROM b, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
-           SELECT media_id, bin,
-                  CAST(round(CAST(CAST(COUNT(*) AS FLOAT) / CAST(GREATEST(n, 1) AS FLOAT) AS DOUBLE)
-                       * 1000000.0) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, bin, n),
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
          ids AS (SELECT doc_id AS media_id,
                         CASE WHEN doc_id % 3 = 0 THEN 'image'
                              WHEN doc_id % 3 = 1 THEN 'audio'
@@ -3873,16 +3919,17 @@ object SparkEntry {
            FROM ids x JOIN ids y
              ON x.kind = y.kind
             AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
-            AND abs(x.n - y.n) <= 16),
+            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
          scored AS (
            SELECT media_id, corpus_id, CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
            FROM (
-             SELECT c.media_id, c.corpus_id, bins.bin,
+             SELECT c.media_id, c.corpus_id, bins.seg,
                     COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS bin) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.bin = bins.bin
-             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.bin = bins.bin)
-           GROUP BY media_id, corpus_id HAVING SUM(ABS(fa - fb)) <= 500),
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
+           GROUP BY media_id, corpus_id
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}),
          best AS (
            SELECT media_id, corpus_id, l1_fix FROM (
              SELECT *, row_number() OVER (PARTITION BY media_id

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Near-dup windows, shared with the oracle SQL interpolation so the
+    * two sides cannot drift (the MarginIvfPairBudget convention).
+    * Measured on the corpus (round 15): planted near-dups sit at
+    * segment-face L1 ≤ ~3.5 mean-byte units (3.5e6 fix), the
+    * same-template background ramps from ~4e6, and the ×N scaler's
+    * per-copy Caesar shift puts cross-copy twins at ~5.6e6 — 4e6
+    * accepts the planted structure and rejects both.
+    */
+  val NearDupLenWindow = 16L
+  val NearDupL1Threshold = 4000000L
+
   case class MediaMeta(kind: String, sizeBytes: Long, width: Int, height: Int)
   case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
@@ -298,97 +309,133 @@ object Multimodal {
     sampleFrames(mediaFromDocuments(spark, sfDir))
       .orderBy("media_id", "frame_idx")
 
-  /** The fixed-point feature face plus payload length — the shared
-    * input of the near-dup operator: one decode pass emitting
-    * (media_id, n_bytes, ffix[8]) where ffix is the mm_features_fix
-    * convention (single-precision bin ratio, doubled, ×10⁶, HALF_UP —
-    * the exact chain the oracled row pins, applied through the same
-    * Catalyst `round` so the fix values are bit-identical to that row's).
+  /** The SEGMENTED fixed-point feature face plus payload length — the
+    * shared input of the near-dup operators: one decode pass emitting
+    * (media_id, kind, n_bytes, ffix[8]) where ffix(s) is the mean byte
+    * value of payload SEGMENT s (byte i belongs to segment i·8 div n —
+    * 8 near-equal ranges), fixed-pointed as sum·10⁶ div count. This is
+    * the coarse perceptual-hash shape: per-REGION statistics, so two
+    * payloads only face-match when their bytes agree POSITIONALLY, not
+    * merely in global value distribution — the whole-payload histogram
+    * face this replaced made TRUE pair mass quasi-quadratic on a
+    * same-language corpus (every same-length doc had a near-identical
+    * histogram); segment means separate planted near-dups (L1 ≤ ~3.5
+    * mean-byte units, measured) from background (≥ ~4) cleanly.
+    *
+    * The fix chain is PURE INTEGER (sum·1000000 div count, both operands
+    * nonneg) — floor division matches DuckDB's `//` exactly, no IEEE
+    * rounding contract needed; empty segments (n < 8) emit 0, the value
+    * the oracle's COALESCE supplies for its missing groups.
     */
   private[graft] def featureFace(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaFromDocuments(spark, sfDir)
       .mapPartitions { it =>
         it.map { r =>
-          val hist = new Array[Float](8)
+          val n = r.payload.length
+          val sums = new Array[Long](8)
+          val cnts = new Array[Long](8)
           var i = 0
-          while (i < r.payload.length) {
-            hist((r.payload(i) & 0xFF) >> 5) += 1f
+          while (i < n) {
+            val s = (i.toLong * 8L / n.toLong).toInt
+            sums(s) += (r.payload(i) & 0xFF).toLong
+            cnts(s) += 1L
             i += 1
           }
-          val n = math.max(r.payload.length, 1).toFloat
-          (r.media_id, r.meta.kind, r.payload.length.toLong, hist.map(_ / n))
+          val fix = Array.tabulate(8) { s =>
+            if (cnts(s) == 0L) 0L else sums(s) * 1000000L / cnts(s)
+          }
+          (r.media_id, r.meta.kind, n.toLong, fix)
         }
       }
-      .toDF("media_id", "kind", "n_bytes", "features")
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        transform(col("features"),
-          f => round(f.cast("double") * lit(1000000.0), 0).cast("long"))
-          .as("ffix"))
+      .toDF("media_id", "kind", "n_bytes", "ffix")
   }
+
+  /** The face itself as an oracled row: one row per (media, segment),
+    * integer fix values — the DuckDB replay walks the same bytes via
+    * hex-pair slicing, so the hash match certifies the segment mapping
+    * and the integer fix chain end-to-end (the mm_features_fix
+    * convention, applied to the face the near-dup family actually
+    * joins on).
+    */
+  def faceSegmentsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    featureFace(spark, sfDir)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("ffix")).as(Seq("seg", "ffix")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("seg").cast("int").as("seg"), col("ffix"))
+      .orderBy("media_id", "seg")
 
   /** MULTIMODAL NEAR-DUP PAIRS — the dedup operator the text side has
     * had since round 4, over the media face: two payloads are near-dups
     * when they are the same SIZE up to `lenWindow` bytes (a re-encode /
     * re-container of the same media lands within a small byte delta)
-    * AND their fixed-point feature histograms are within `threshold`
-    * L1 distance (0.05% total variation at the default — the
-    * distribution face of the decode stub; a real deployment swaps the
-    * histogram for perceptual-hash / embedding features and keeps every
-    * join below unchanged).
+    * AND their segment-mean faces are within `threshold` fixed-point L1
+    * (4 mean-byte units total across the 8 segments at the default —
+    * measured on the corpus: planted near-dups sit ≤ ~3.5 units,
+    * background starts ≥ ~4; a real deployment swaps the segment means
+    * for perceptual-hash / embedding features and keeps every join
+    * below unchanged).
     *
-    * Candidates come from a LOSSLESS 2-D blocking, never all pairs:
-    * quantize n_bytes at width `lenWindow` and one histogram coordinate
-    * at width `threshold`, each media emitting cell q AND q+1 per
-    * dimension (the dedup_fuzzy_lev length×affix convention). A
-    * qualifying pair differs by ≤ window in BOTH coordinates (|Δbin|
-    * ≤ L1 ≤ threshold), so its quantized cells differ by ≤ 1 per
-    * dimension and the q/q+1 emissions must intersect on the joint key
-    * — the all-pairs DuckDB oracle re-proves exactly this losslessness
-    * every round (the dedup_jaccard_prefix adjudication convention).
+    * Candidates come from a LOSSLESS any-band blocking, never all
+    * pairs: if Σ|Δseg| ≤ threshold then SOME segment has |Δ| ≤
+    * floor(threshold/8) (pigeonhole — the min of 8 nonneg integers
+    * summing ≤ T is ≤ floor(T/8)), so banding EACH segment at width
+    * floor(threshold/8) with cells q and q+1 emitted (the
+    * dedup_fuzzy_lev convention, jointly with the quantized length)
+    * guarantees a qualifying pair collides on at least one
+    * (kind, seg, len-cell, feat-cell) key. The all-pairs DuckDB oracle
+    * re-proves exactly this losslessness every round (the
+    * dedup_jaccard_prefix adjudication convention). The fine per-band
+    * width is what keeps the ×N probe cut's cross-copy mass out: the
+    * scaler's per-copy Caesar shift moves every segment mean by ~0.77
+    * units per shift step — outside a 0.5-unit band, inside the old
+    * whole-threshold window.
     *
-    * Scale shape: 4 thin keys per media; candidates are Σ cell² over
-    * the joint (size, density) grid — the corpus' own diversity bounds
-    * cell occupancy, and a pathologically uniform corpus degrades to
-    * the same place every banded near-dup (minhash included) does.
-    * Feature arrays never ride the candidate exchange: the verify joins
-    * are ceiling-gated broadcasts (shuffle-hash past it — the
-    * verify-join convention), and the L1 is one codegen'd
+    * Scale shape: 32 thin keys per media (8 bands × 2 × 2); candidates
+    * are Σ cell² over the per-band (kind, size, mean) grids, distinct'd
+    * before verify. Feature arrays never ride the candidate exchange:
+    * the verify joins are ceiling-gated broadcasts (shuffle-hash past
+    * it — the verify-join convention), and the L1 is one codegen'd
     * zip_with/aggregate over 8 longs per UNIQUE candidate.
     */
   def nearDupPairs(
       spark: SparkSession,
       sfDir: String,
-      lenWindow: Long = 16L,
-      threshold: Long = 500L): DataFrame =
+      lenWindow: Long = NearDupLenWindow,
+      threshold: Long = NearDupL1Threshold): DataFrame =
     nearDupPairsOver(
       featureFace(spark, sfDir).localCheckpoint(), lenWindow, threshold)
       .orderBy("media_a", "media_b")
+
+  /** The lossless blocking keys of a face slice: 32 thin rows per media
+    * — for each of the 8 segments (band), the quantized (length,
+    * segment-mean) cell with q and q+1 emitted per numeric dimension.
+    * Modality is an EQUALITY dimension (a near-dup pair is always
+    * same-kind: images dedup against images, never against audio). Two
+    * same-kind media within the length window whose face L1 is within
+    * threshold always share a joint key on the pigeonhole band.
+    */
+  private def blockKeys(
+      face: DataFrame,
+      lenWindow: Long,
+      threshold: Long): DataFrame = {
+    val bandWidth = math.max(threshold / 8L, 1L)
+    face.select(col("media_id"), col("kind"),
+        expr(s"n_bytes div ${lenWindow}L").as("lq"),
+        posexplode(col("ffix")).as(Seq("band", "fv")))
+      .withColumn("fq", expr(s"fv div ${bandWidth}L"))
+      .withColumn("dl", explode(array(lit(0L), lit(1L))))
+      .withColumn("dh", explode(array(lit(0L), lit(1L))))
+      .select(col("media_id"), col("kind"), col("band"),
+        (col("lq") + col("dl")).as("k_len"),
+        (col("fq") + col("dh")).as("k_feat"))
+  }
 
   /** The pair core over an already-checkpointed face — shared by the
     * pairs row (sorted presentation) and the decision row (feeds the
     * component contraction unsorted).
     */
-  /** The lossless blocking keys of a face slice: 4 thin rows per media
-    * over the (modality, size, density) grid — modality is an EQUALITY
-    * dimension (a near-dup pair is always same-kind: images dedup
-    * against images, never against audio), the two numeric dimensions
-    * quantize at their window widths with q and q+1 emitted, so two
-    * same-kind media within BOTH windows always share a joint key.
-    */
-  private def blockKeys(
-      face: DataFrame,
-      lenWindow: Long,
-      threshold: Long): DataFrame =
-    face.select(col("media_id"), col("kind"),
-        expr(s"n_bytes div ${lenWindow}L").as("lq"),
-        expr(s"element_at(ffix, 4) div ${threshold}L").as("hq"))
-      .withColumn("dl", explode(array(lit(0L), lit(1L))))
-      .withColumn("dh", explode(array(lit(0L), lit(1L))))
-      .select(col("media_id"), col("kind"),
-        (col("lq") + col("dl")).as("k_len"),
-        (col("hq") + col("dh")).as("k_hist"))
-
   private def nearDupPairsOver(
       face: DataFrame,
       lenWindow: Long,
@@ -397,8 +444,9 @@ object Multimodal {
     val keys = blockKeys(face, lenWindow, threshold)
     val cand = keys.as("x").join(keys.as("y"),
         col("x.kind") === col("y.kind") &&
+          col("x.band") === col("y.band") &&
           col("x.k_len") === col("y.k_len") &&
-          col("x.k_hist") === col("y.k_hist") &&
+          col("x.k_feat") === col("y.k_feat") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
         col("x.kind").as("kind"))
@@ -418,42 +466,82 @@ object Multimodal {
       .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
   }
 
+  /** The FIDELITY of each media item, read off the REAL parsed headers:
+    * the media corpus is re-synthesized with genuine PNG/JPEG/WAV
+    * containers ([[mediaWithHeaders]]), each payload's header walked by
+    * [[parseMediaDims]] (magic bytes → IHDR/SOF0/fmt chunk), and the
+    * fidelity derived from what the PARSE returned — width×height for
+    * images, sample_rate×channels for audio, payload bytes as the
+    * fallback for anything the parser rejects. Nothing passes through
+    * from the synthesis side: a parser regression flips fidelities to
+    * the fallback and the analytic oracle catches the hash drift.
+    *
+    * Scale shape: map-side only — one header walk per payload inside
+    * the scan task, emitting an 8-byte fidelity per media; payloads
+    * never shuffle.
+    */
+  private[graft] def fidelityFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (fmt, w, h, sr, ch) = parseMediaDims(r.payload)
+          val fid = fmt match {
+            case "png" | "jpeg" =>
+              (for { ww <- w; hh <- h } yield ww.toLong * hh.toLong)
+                .getOrElse(r.meta.sizeBytes)
+            case "wav" =>
+              (for { s <- sr; c <- ch } yield s.toLong * c.toLong)
+                .getOrElse(r.meta.sizeBytes)
+            case _ => r.meta.sizeBytes
+          }
+          (r.media_id, fmt, fid)
+        }
+      }
+      .toDF("media_id", "fmt", "fidelity")
+  }
+
   /** The media DEDUP DECISION: connected components over the near-dup
     * pair graph (the Cluster star-contraction — singletons self-rooted,
     * component id = smallest member), cluster size, and the keep flag.
     * Unlike text dedup (which keeps the lowest id / best quality
-    * score), media dedup keeps the HIGHEST-FIDELITY copy — the stand-in
-    * fidelity signal is payload size (a real pipeline reads
-    * width×height or bitrate off [[dimsQuery]]'s parsed headers), ties
-    * to the lowest id. `filter(keep)` is the deduplicated media corpus;
-    * the drop list stays auditable, the text-dedup convention.
+    * score), media dedup keeps the HIGHEST-FIDELITY copy — fidelity
+    * comes from [[fidelityFrame]]'s REAL header parse (width×height
+    * for images, sample-rate×channels for audio, payload bytes as the
+    * parser-reject fallback), ties to the lowest id. `filter(keep)` is
+    * the deduplicated media corpus; the drop list stays auditable, the
+    * text-dedup convention.
     *
     * Scale shape: the pair core above (lossless blocking, never
     * all-pairs) feeds the same star-contraction loop the text
     * components use ((long, long) edges only); the decision windows
-    * partition BY COMPONENT — never single-partition.
+    * partition BY COMPONENT — never single-partition; the fidelity
+    * join is by media_id on two aggregate-thin frames.
     */
   def nearDupDecision(
       spark: SparkSession,
       sfDir: String,
-      lenWindow: Long = 16L,
-      threshold: Long = 500L): DataFrame = {
+      lenWindow: Long = NearDupLenWindow,
+      threshold: Long = NearDupL1Threshold): DataFrame = {
     val face = featureFace(spark, sfDir).localCheckpoint()
     val pairs = nearDupPairsOver(face, lenWindow, threshold)
     val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
       .withColumnRenamed("node", "media_id")
     val base = face.select("media_id", "n_bytes")
+      .join(fidelityFrame(spark, sfDir).select("media_id", "fidelity"),
+        Seq("media_id"))
       .join(comp, Seq("media_id"), "left")
       .select(col("media_id"),
         coalesce(col("component"), col("media_id")).as("component_id"),
-        col("n_bytes"))
+        col("n_bytes"), col("fidelity"))
     val wC = Window.partitionBy("component_id")
     val wK = Window.partitionBy("component_id")
-      .orderBy(desc("n_bytes"), asc("media_id"))
+      .orderBy(desc("fidelity"), asc("media_id"))
     base
       .withColumn("cluster_size", count(lit(1)).over(wC))
       .withColumn("keep", row_number().over(wK) === 1)
-      .select("media_id", "component_id", "cluster_size", "n_bytes", "keep")
+      .select("media_id", "component_id", "cluster_size", "n_bytes",
+        "fidelity", "keep")
       .orderBy("media_id")
   }
 
@@ -469,17 +557,33 @@ object Multimodal {
   def incrementalNearDup(
       spark: SparkSession,
       sfDir: String,
-      lenWindow: Long = 16L,
-      threshold: Long = 500L): DataFrame = {
+      lenWindow: Long = NearDupLenWindow,
+      threshold: Long = NearDupL1Threshold): DataFrame = {
     val face = featureFace(spark, sfDir).localCheckpoint()
-    val nFace = face.count()
     val batch = face.filter(col("media_id") % 10 === 0)
     val corpus = face.filter(col("media_id") % 10 =!= 0)
+    incrementalNearDupFrames(batch, corpus, face, lenWindow, threshold)
+  }
+
+  /** The serve core of [[incrementalNearDup]] over explicit frames —
+    * shared with the streaming twin, whose micro-batches each carry a
+    * slice of the batch face. `full` is the checkpointed union the
+    * ceiling-gated verify joins read (batch ∪ corpus in the batch row;
+    * the primed full face in the stream).
+    */
+  private[graft] def incrementalNearDupFrames(
+      batch: DataFrame,
+      corpus: DataFrame,
+      full: DataFrame,
+      lenWindow: Long,
+      threshold: Long): DataFrame = {
+    val nFace = full.count()
+    val face = full
     val cand = blockKeys(batch, lenWindow, threshold)
       .withColumnRenamed("media_id", "media_id_b")
       .join(blockKeys(corpus, lenWindow, threshold)
         .withColumnRenamed("media_id", "corpus_id"),
-        Seq("kind", "k_len", "k_hist"))
+        Seq("kind", "band", "k_len", "k_feat"))
       .select("media_id_b", "corpus_id")
       .distinct()
       .withColumnRenamed("media_id_b", "media_id")
@@ -506,6 +610,39 @@ object Multimodal {
       .select(col("media_id"), col("corpus_id").isNull.as("is_new"),
         col("corpus_id").as("dup_of"), col("l1_fix"))
       .orderBy("media_id")
+  }
+
+  /** Streaming twin of [[incrementalNearDup]] — the media-ingest
+    * analogue of `Similarity.embIngestStream`: arriving media_id
+    * micro-batches get verdict rows against the SAME corpus face slice
+    * (media_id % 10 ≠ 0), written idempotently per batch id
+    * (re-running a micro-batch overwrites its own directory, never
+    * duplicates — the foreachBatch sink convention). The face is
+    * checkpointed EAGERLY before `.start()` so micro-batch 0 never
+    * pays the corpus-scale decode (the ingest-gate lesson); each batch
+    * then pays only its own blocking keys × corpus cell occupancy.
+    */
+  def mediaIngestStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      threshold: Long = NearDupL1Threshold): org.apache.spark.sql.streaming.StreamingQuery = {
+    val face = featureFace(spark, sfDir).localCheckpoint()
+    val corpus = face.filter(col("media_id") % 10 =!= 0).localCheckpoint()
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchFace = face.join(
+          broadcast(batch.select(col("media_id"))), Seq("media_id"), "left_semi")
+        incrementalNearDupFrames(batchFace, corpus, face, lenWindow, threshold)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/verdicts/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   case class HistBin(media_id: Long, kind: String, bin: Int, cnt: Long, n_bytes: Long)

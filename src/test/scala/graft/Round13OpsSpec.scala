@@ -61,7 +61,8 @@ class Round13OpsSpec extends SparkTestBase {
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
-      .filter(col("len_delta") <= 16L && col("l1_fix") <= 500L)
+      .filter(col("len_delta") <= Multimodal.NearDupLenWindow &&
+        col("l1_fix") <= Multimodal.NearDupL1Threshold)
       .localCheckpoint()
     assert(banded.count() > 0, "sf0.001 must contain media near-dups")
     assert(banded.count() === naive.count())
@@ -77,17 +78,30 @@ class Round13OpsSpec extends SparkTestBase {
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
         count(lit(1)).as("n"),
         max(col("cluster_size")).as("sz"),
-        max(when(col("keep"), col("n_bytes"))).as("kept_bytes"),
-        max(col("n_bytes")).as("max_bytes"))
+        max(when(col("keep"), col("fidelity"))).as("kept_fid"),
+        max(col("fidelity")).as("max_fid"))
       .localCheckpoint()
     assert(perComp.filter(col("keepers") =!= 1L).isEmpty,
       "every component keeps exactly one representative")
     assert(perComp.filter(col("n") =!= col("sz")).isEmpty,
       "cluster_size must equal the component's row count")
-    assert(perComp.filter(col("kept_bytes") =!= col("max_bytes")).isEmpty,
-      "the keeper must carry the component's largest payload")
+    assert(perComp.filter(col("kept_fid") =!= col("max_fid")).isEmpty,
+      "the keeper must carry the component's highest fidelity")
     assert(d.filter(!col("keep")).count() > 0,
       "sf0.001 must contain droppable media duplicates")
+    // the fidelity column IS the parsed-header signal: every image row
+    // must equal width×height and every audio row sample_rate×channels
+    // as parsed from the real container bytes — a parser regression
+    // falls back to payload size and trips this
+    val dims = Multimodal.dimsQuery(spark, Sf)
+      .withColumn("want",
+        when(col("fmt").isin("png", "jpeg"),
+          col("width").cast("long") * col("height").cast("long"))
+          .otherwise(col("sample_rate").cast("long") * col("channels").cast("long")))
+      .select("media_id", "want")
+    assert(d.join(dims, "media_id")
+      .filter(col("fidelity") =!= col("want")).isEmpty,
+      "fidelity must be exactly the parsed-header product for every media")
   }
 
   test("mm incremental: asymmetric blocking is lossless vs naive batch x corpus") {
@@ -104,7 +118,8 @@ class Round13OpsSpec extends SparkTestBase {
         abs(col("la") - col("lb")).as("len_delta"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
-      .filter(col("len_delta") <= 16L && col("l1_fix") <= 500L)
+      .filter(col("len_delta") <= Multimodal.NearDupLenWindow &&
+        col("l1_fix") <= Multimodal.NearDupL1Threshold)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy(asc("l1_fix"), asc("corpus_id"))
     val naiveBest = naive.withColumn("rn", row_number().over(wB))
@@ -117,8 +132,12 @@ class Round13OpsSpec extends SparkTestBase {
     assert(joined.filter(!col("is_new") &&
         (col("dup_of") =!= col("nd") || col("l1_fix") =!= col("nl"))).isEmpty,
       "every matched batch item must carry the naive best match")
-    assert(inc.filter(!col("is_new")).count() > 0,
-      "sf0.001 must contain batch items with corpus near-dups")
+    // engagement: the segment face's measured threshold leaves sf0.001
+    // without a %10-endpoint pair, so the match path is exercised at
+    // the driver's own sf0.01 gate cut (same 500-doc size)
+    val inc01 = Multimodal.incrementalNearDup(spark, "/root/testdata/sf0.01")
+    assert(inc01.filter(!col("is_new")).count() > 0,
+      "sf0.01 must contain batch items with corpus near-dups")
   }
 
   test("quality ece: matches an independent recomputation from the buckets") {
