@@ -96,6 +96,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("media ingest stream: two micro-batches reproduce the batch near-dup verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01 so the matched path engages (sf0.001 has no %10-endpoint
+    // pair under the measured segment-face threshold)
+    val sf01 = "/root/testdata/sf0.01"
+    val arrivals = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val mem = MemoryStream[Long]
+    val outDir = graft.sources.IO.scratchDir("media_stream")
+    val q = graft.operators.Multimodal.mediaIngestStream(spark, sf01,
+      mem.toDF().toDF("media_id"), outDir)
+    try {
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/verdicts")
+      .select("media_id", "is_new", "dup_of", "l1_fix")
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Multimodal.incrementalNearDup(spark, sf01)
+      .collect().map(_.toSeq)
+    // multiplicity-sensitive: a replayed micro-batch write would inflate
+    // the count even when the verdict SET matches
+    assert(streamed.length == batch.length && streamed.toSet == batch.toSet,
+      "stream verdicts must equal the batch row")
+    assert(streamed.count(_(1) == false) > 0,
+      "sf0.01 must exercise the matched (non-new) path through the stream")
+  }
+
   test("retention ingest stream: per-batch deltas equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val raw = graft.sources.IO.table(spark, Sf, "events")
