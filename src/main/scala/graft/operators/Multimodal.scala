@@ -377,27 +377,28 @@ object Multimodal {
     * for perceptual-hash / embedding features and keeps every join
     * below unchanged).
     *
-    * Candidates come from a LOSSLESS any-band blocking, never all
-    * pairs: if Σ|Δseg| ≤ threshold then SOME segment has |Δ| ≤
-    * floor(threshold/8) (pigeonhole — the min of 8 nonneg integers
-    * summing ≤ T is ≤ floor(T/8)), so banding EACH segment at width
-    * floor(threshold/8) with cells q and q+1 emitted (the
-    * dedup_fuzzy_lev convention, jointly with the quantized length)
-    * guarantees a qualifying pair collides on at least one
-    * (kind, seg, len-cell, feat-cell) key. The all-pairs DuckDB oracle
-    * re-proves exactly this losslessness every round (the
-    * dedup_jaccard_prefix adjudication convention). The fine per-band
-    * width is what keeps the ×N probe cut's cross-copy mass out: the
-    * scaler's per-copy Caesar shift moves every segment mean by ~0.77
-    * units per shift step — outside a 0.5-unit band, inside the old
-    * whole-threshold window.
+    * Candidates come from a LOSSLESS triple-banded blocking, never all
+    * pairs — the AND-composed pigeonhole (see [[BandTriples]]): at most
+    * 3 of the 8 coordinates of a qualifying pair can exceed T/4, so one
+    * of the two fixed 4-coordinate groups contains a fully-tight
+    * leave-one-out TRIPLE; banding the 8 triples at per-coordinate
+    * width T/4 (cells q and q+1, jointly with the quantized length)
+    * guarantees a collision while requiring candidates to be tight in
+    * three coordinates AT ONCE. The all-pairs DuckDB oracle re-proves
+    * exactly this losslessness every round (the dedup_jaccard_prefix
+    * adjudication convention), and the AND-composition is what keeps
+    * the ×N probe cut's cross-copy mass out of the candidate exchange:
+    * the scaler's per-copy Caesar shift moves every segment mean by
+    * ~0.77 units per rotation step, so three simultaneous 1-unit
+    * windows reject the rotated twins wholesale.
     *
-    * Scale shape: 32 thin keys per media (8 bands × 2 × 2); candidates
-    * are Σ cell² over the per-band (kind, size, mean) grids, distinct'd
-    * before verify. Feature arrays never ride the candidate exchange:
-    * the verify joins are ceiling-gated broadcasts (shuffle-hash past
-    * it — the verify-join convention), and the L1 is one codegen'd
-    * zip_with/aggregate over 8 longs per UNIQUE candidate.
+    * Scale shape: 128 thin keys per media (8 bands × 2⁴ q/q+1
+    * emissions); candidates are Σ cell² over the per-band joint
+    * (kind, size, triple) grids — cubed per-coordinate selectivity.
+    * Feature arrays never ride the candidate exchange: the verify joins
+    * are ceiling-gated broadcasts (shuffle-hash past it — the
+    * verify-join convention), and the L1 is one codegen'd
+    * zip_with/aggregate over 8 longs per candidate row.
     */
   def nearDupPairs(
       spark: SparkSession,
@@ -408,49 +409,109 @@ object Multimodal {
       featureFace(spark, sfDir).localCheckpoint(), lenWindow, threshold)
       .orderBy("media_a", "media_b")
 
-  /** The lossless blocking keys of a face slice: 32 thin rows per media
-    * — for each of the 8 segments (band), the quantized (length,
-    * segment-mean) cell with q and q+1 emitted per numeric dimension.
-    * Modality is an EQUALITY dimension (a near-dup pair is always
-    * same-kind: images dedup against images, never against audio). Two
-    * same-kind media within the length window whose face L1 is within
-    * threshold always share a joint key on the pigeonhole band.
+  /** The lossless TRIPLE-banded blocking keys of a face slice — the
+    * AND-composed pigeonhole. Single-coordinate bands were lossless but
+    * not selective on a byte-homogeneous corpus (per-coordinate windows
+    * admit ~2% of the same-kind length-window base; at ×10 the band
+    * join emitted >100M rows and WAS the wall). The sharper pigeonhole:
+    * if Σ|Δseg| ≤ T over 8 segments then at most 3 coordinates have
+    * |Δ| > T/4 (four violators would already sum past T). Split the
+    * coordinates into two fixed groups of 4 — {0,1,2,3} and {4,5,6,7} —
+    * and ≤3 violators means ONE group holds ≤1 of them, i.e. ≥3 of its
+    * 4 coordinates are tight at T/4; that group contains a fully-tight
+    * TRIPLE among its four leave-one-out triples. Banding the 8 triples
+    * (4 per group), each keyed by its 3 coordinate cells at width T/4
+    * jointly with the quantized length (q and q+1 per numeric
+    * dimension: 16 emissions per band, 128 thin rows per media),
+    * guarantees a qualifying pair collides on at least one band — and a
+    * candidate must now be tight in THREE coordinates at once, cubing
+    * the per-band selectivity (measured ×10: band-join output 112M →
+    * well under 1M rows).
+    *
+    * Modality stays an EQUALITY dimension (images dedup against
+    * images, never audio). Key rows CARRY n_bytes and the triple's
+    * exact feature values so the true per-dimension windows (|Δn| ≤
+    * lenWindow, each |Δf| ≤ T/4 — all implied for the guaranteed band)
+    * apply as join predicates instead of relying on cell adjacency,
+    * which over-admits ~4× per dimension.
     */
+  private[graft] def bandWidthOf(threshold: Long): Long =
+    math.max(threshold / 4L, 1L)
+
+  /** The 8 leave-one-out triples: band id → the 3 segment indices it
+    * keys on. Bands 0-3 cover group {0,1,2,3}, bands 4-7 group
+    * {4,5,6,7}; band g*4+t drops the t-th member of group g.
+    */
+  private[graft] val BandTriples: Seq[(Int, Seq[Int])] = for {
+    (group, gi) <- Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)).zipWithIndex
+    (dropped, ti) <- group.zipWithIndex
+  } yield (gi * 4 + ti, group.filterNot(_ == dropped))
+
   private def blockKeys(
       face: DataFrame,
       lenWindow: Long,
       threshold: Long): DataFrame = {
-    val bandWidth = math.max(threshold / 8L, 1L)
-    face.select(col("media_id"), col("kind"),
-        expr(s"n_bytes div ${lenWindow}L").as("lq"),
-        posexplode(col("ffix")).as(Seq("band", "fv")))
-      .withColumn("fq", expr(s"fv div ${bandWidth}L"))
-      .withColumn("dl", explode(array(lit(0L), lit(1L))))
-      .withColumn("dh", explode(array(lit(0L), lit(1L))))
-      .select(col("media_id"), col("kind"), col("band"),
-        (col("lq") + col("dl")).as("k_len"),
-        (col("fq") + col("dh")).as("k_feat"))
+    val w = bandWidthOf(threshold)
+    val frames = BandTriples.map { case (bandId, coords) =>
+      face.select(col("media_id"), col("kind"), col("n_bytes"),
+          lit(bandId).as("band"),
+          expr(s"n_bytes div ${lenWindow}L").as("lq"),
+          element_at(col("ffix"), coords(0) + 1).as("f0"),
+          element_at(col("ffix"), coords(1) + 1).as("f1"),
+          element_at(col("ffix"), coords(2) + 1).as("f2"))
+        .withColumn("dl", explode(array(lit(0L), lit(1L))))
+        .withColumn("d0", explode(array(lit(0L), lit(1L))))
+        .withColumn("d1", explode(array(lit(0L), lit(1L))))
+        .withColumn("d2", explode(array(lit(0L), lit(1L))))
+        .select(col("media_id"), col("kind"), col("band"),
+          (col("lq") + col("dl")).as("k_len"),
+          (expr(s"f0 div ${w}L") + col("d0")).as("c0"),
+          (expr(s"f1 div ${w}L") + col("d1")).as("c1"),
+          (expr(s"f2 div ${w}L") + col("d2")).as("c2"),
+          col("n_bytes"), col("f0"), col("f1"), col("f2"))
+    }
+    frames.reduce(_ unionAll _)
   }
 
   /** The pair core over an already-checkpointed face — shared by the
     * pairs row (sorted presentation) and the decision row (feeds the
     * component contraction unsorted).
+    *
+    * VERIFY-FIRST shuffle economics: candidates keep their band
+    * multiplicity (≤ 16 per band × 8 bands, output-bounded) through the
+    * cheap codegen'd L1 verify, and only the verified survivors —
+    * output-scale, not candidate-scale — pay a distinct. The first cut
+    * distinct'd the raw candidates instead, and on a byte-homogeneous
+    * corpus whose single-coordinate cells are hot that one exchange
+    * (tens of millions of thin rows at ×10) WAS the query: ×10 wall
+    * 97 s → verify-first 44 s → triple bands + in-join exact windows
+    * make both the exchange and the verify output-bounded. The verify
+    * joins stay ceiling-gated (broadcast under the Dedup ceiling,
+    * shuffle-hash past it), so the multiplicity never rides a sort.
     */
   private def nearDupPairsOver(
       face: DataFrame,
       lenWindow: Long,
       threshold: Long): DataFrame = {
     val nFace = face.count()
+    val bandWidth = bandWidthOf(threshold)
+    // shuffle-hash, not sort-merge: the band key join needs no order,
+    // and sorting 2×|keys| thin rows is pure overhead at every scale
     val keys = blockKeys(face, lenWindow, threshold)
-    val cand = keys.as("x").join(keys.as("y"),
+    val cand = keys.as("x").hint("shuffle_hash").join(keys.as("y"),
         col("x.kind") === col("y.kind") &&
           col("x.band") === col("y.band") &&
           col("x.k_len") === col("y.k_len") &&
-          col("x.k_feat") === col("y.k_feat") &&
-          col("x.media_id") < col("y.media_id"))
+          col("x.c0") === col("y.c0") &&
+          col("x.c1") === col("y.c1") &&
+          col("x.c2") === col("y.c2") &&
+          col("x.media_id") < col("y.media_id") &&
+          abs(col("x.n_bytes") - col("y.n_bytes")) <= lenWindow &&
+          abs(col("x.f0") - col("y.f0")) <= bandWidth &&
+          abs(col("x.f1") - col("y.f1")) <= bandWidth &&
+          abs(col("x.f2") - col("y.f2")) <= bandWidth)
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
         col("x.kind").as("kind"))
-      .distinct()
     def gate(df: DataFrame): DataFrame =
       if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
       else df.hint("shuffle_hash")
@@ -464,6 +525,7 @@ object Multimodal {
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
       .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
+      .distinct()
   }
 
   /** The FIDELITY of each media item, read off the REAL parsed headers:
@@ -579,13 +641,27 @@ object Multimodal {
       threshold: Long): DataFrame = {
     val nFace = full.count()
     val face = full
+    val bandWidth = bandWidthOf(threshold)
+    // verify-first like the pairs core: candidates keep band
+    // multiplicity (the row_number best-match is multiplicity-blind),
+    // exact per-dimension windows apply inside the join
     val cand = blockKeys(batch, lenWindow, threshold)
-      .withColumnRenamed("media_id", "media_id_b")
+      .select(col("media_id").as("media_id_b"), col("kind"), col("band"),
+        col("k_len"), col("c0"), col("c1"), col("c2"),
+        col("n_bytes").as("nb"),
+        col("f0").as("bf0"), col("f1").as("bf1"), col("f2").as("bf2"))
+      .hint("shuffle_hash")
       .join(blockKeys(corpus, lenWindow, threshold)
-        .withColumnRenamed("media_id", "corpus_id"),
-        Seq("kind", "band", "k_len", "k_feat"))
+          .select(col("media_id").as("corpus_id"), col("kind"), col("band"),
+            col("k_len"), col("c0"), col("c1"), col("c2"),
+            col("n_bytes").as("nc"),
+            col("f0").as("cf0"), col("f1").as("cf1"), col("f2").as("cf2")),
+        Seq("kind", "band", "k_len", "c0", "c1", "c2"))
+      .filter(abs(col("nb") - col("nc")) <= lenWindow &&
+        abs(col("bf0") - col("cf0")) <= bandWidth &&
+        abs(col("bf1") - col("cf1")) <= bandWidth &&
+        abs(col("bf2") - col("cf2")) <= bandWidth)
       .select("media_id_b", "corpus_id")
-      .distinct()
       .withColumnRenamed("media_id_b", "media_id")
     def gate(df: DataFrame): DataFrame =
       if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
