@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ×N wall/mass probe for the media near-dup family (scratch main, test
+  * scope — never ships). The naive DuckDB replay is the per-round
+  * correctness anchor up to ×10; past that the all-pairs oracle is the
+  * bottleneck, so this probe answers the two SCALE questions directly
+  * Spark-side: does the triple-banded join complete comfortably, and
+  * how does TRUE pair mass grow (the quantity the r14 verdict graded —
+  * neighbors-per-media must stay near-constant, not quasi-quadratic)?
+  *
+  * Usage: Test/runMain graft.MmScaleProbe /tmp/sf10
+  */
+object MmScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf10")
+    val spark = GraftSession.build("mm-scale-probe")
+    import graft.operators.Multimodal
+    def time[A](label: String)(f: => A): A = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MMSCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val nMedia = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val pairs = time("neardup_pairs")(
+      Multimodal.nearDupPairs(spark, sfDir).localCheckpoint())
+    val nPairs = pairs.count()
+    println(f"MMSCALE media $nMedia pairs $nPairs " +
+      f"neighbors_per_media ${2.0 * nPairs / nMedia}%.4f")
+    val dec = time("dedup_decision")(
+      Multimodal.nearDupDecision(spark, sfDir).localCheckpoint())
+    val drop = dec.filter(!col("keep")).count()
+    val maxC = dec.agg(max("cluster_size")).head.getLong(0)
+    println(s"MMSCALE decision rows ${dec.count()} dropped $drop max_cluster $maxC")
+    val inc = time("incremental")(
+      Multimodal.incrementalNearDup(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE incremental rows ${inc.count()} " +
+      s"matched ${inc.filter(!col("is_new")).count()}")
+    spark.stop()
+  }
+}

@@ -329,6 +329,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("media band join is shuffle-hash and the distinct is verify-first") {
+    // two r15 posture pins for the triple-banded media near-dup core:
+    // (a) the band key join must not sort (SMJ sorted 12.8M thin rows at
+    // x10 for nothing — the key equality needs no order); (b) the
+    // distinct must sit ABOVE the L1 verify, i.e. group on the VERIFIED
+    // row (its hash partitioning includes l1_fix) — a candidate-first
+    // distinct groups on ids alone and was the 97 s x10 exchange
+    val p = plan(operators.Multimodal.nearDupPairs(spark, Sf))
+    assert(p.contains("ShuffledHashJoin"),
+      s"band key join must be shuffle-hash:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge in the media pair core:\n${p.take(2000)}")
+    val distinctExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("media_a"))
+      .toSeq
+    assert(distinctExchanges.exists(_.contains("l1_fix")),
+      s"distinct must key on the verified row (verify-first), got:\n" +
+        distinctExchanges.mkString("\n"))
+  }
+
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
     // rn = 1 is rewritten to the two-phase top-k operator; the only
