@@ -66,7 +66,7 @@ object Bench {
       "w6_range_frame", "txt_unigram_logprob", "corpus_decontam_bloom",
       "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack",
       "corpus_pack_nosplit", "dedup_incremental_minhash",
-      "dedup_incremental_components", "mm_dims",
+      "dedup_incremental_components", "mm_dims", "mm_extent",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
       "corpus_ingest_decisions", "corpus_ingest_rebuild",
       "dedup_cluster_decision_rebuild", "corpus_split_leakage_rebuild",

@@ -683,6 +683,10 @@ object SparkEntry {
       joinArrays(Multimodal.featureQuery(s, d), "|", "features")),
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
+    // content volume off the real container bytes: pixels for images,
+    // sample frames + duration for audio (two-chunk RIFF walk: fmt's
+    // byte_rate/block_align AND the data chunk's size)
+    "mm_extent" -> (Multimodal.extentQuery _),
     "mm_features_hist" -> (Multimodal.featureHistQuery _),
     // the segmented fixed-point face the near-dup family joins on:
     // per-segment mean byte value, pure-integer fix — hash-pinned
@@ -3703,6 +3707,23 @@ object SparkEntry {
                 CAST(rung * COUNT(*) - SUM(LEAST(n_tok, rung)) AS DOUBLE)
                   / CAST(rung * COUNT(*) AS DOUBLE) AS waste_frac
          FROM r GROUP BY rung ORDER BY rung""",
+    "mm_extent" ->
+      // analytic twin of the two-chunk RIFF walk: the WAV data chunk
+      // carries exactly the UTF-8 text bytes, fmt's byte_rate =
+      // rate*channels*2 (16-bit samples) and block_align = channels*2;
+      // image extent is the IHDR/SOF pixel product. Integer division
+      // on both sides.
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1)
+                     THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
+                     ELSE octet_length(encode(text)) // ((doc_id % 2 + 1) * 2)
+                END AS BIGINT) AS extent,
+                CAST(CASE WHEN doc_id % 3 = 2
+                     THEN octet_length(encode(text)) * 1000
+                          // ((8000 + (n_chars % 8) * 1000) * (doc_id % 2 + 1) * 2)
+                END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
     "mm_dims" ->
       // the Spark side round-trips through REAL PNG/JPEG/WAV bytes
       // (encode → magic-byte detect → header walk); the oracle computes

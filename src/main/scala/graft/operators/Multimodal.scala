@@ -267,6 +267,69 @@ object Multimodal {
     } else unknown
   }
 
+  /** Media EXTENT from the real container bytes: the content-volume
+    * number every curation budget needs — pixels (width×height) for
+    * images, SAMPLE FRAMES and duration for audio. Unlike
+    * [[parseMediaDims]] (header fields only), the WAV branch must also
+    * walk to the `data` chunk and read its SIZE, then derive
+    * duration_ms = data_bytes·1000 div byte_rate and frames =
+    * data_bytes div block_align from the fmt chunk's own rate/channels
+    * /bits — all integer arithmetic over parsed bytes, so the analytic
+    * oracle certifies the full two-chunk walk. Returns (fmt, extent,
+    * duration_ms): extent = pixels | frames, duration null for images,
+    * all-null for parser rejects.
+    */
+  private[graft] def parseMediaExtent(b: Array[Byte]): (String, Option[Long], Option[Long]) = {
+    val (fmt, w, h, _, _) = parseMediaDims(b)
+    fmt match {
+      case "png" | "jpeg" =>
+        (fmt, for { ww <- w; hh <- h } yield ww.toLong * hh.toLong, None)
+      case "wav" =>
+        // second RIFF walk: fmt chunk (byteRate at +16, blockAlign at
+        // +20 within the chunk body) and the data chunk's size field
+        var i = 12
+        var byteRate = 0L
+        var blockAlign = 0L
+        var dataSize = -1L
+        while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0L)) {
+          val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+          val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+          val size = readLe32(b, i + 4)
+          if (size < 0) return ("unknown", None, None)
+          if (isFmt) {
+            if (i + 8 + 16 > b.length) return ("unknown", None, None)
+            byteRate = readLe32(b, i + 16).toLong
+            blockAlign = readLe16(b, i + 20).toLong
+          }
+          if (isData) dataSize = size.toLong
+          i += 8 + size + (size & 1)
+        }
+        if (byteRate <= 0L || blockAlign <= 0L || dataSize < 0L)
+          ("unknown", None, None)
+        else
+          ("wav", Some(dataSize / blockAlign),
+            Some(dataSize * 1000L / byteRate))
+      case _ => ("unknown", None, None)
+    }
+  }
+
+  /** Extent extraction as a registered query — the oracle computes the
+    * expected pixels/frames/duration analytically from (doc_id,
+    * n_chars) while the Spark side walks the real PNG/JPEG/WAV bytes.
+    */
+  def extentQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (fmt, extent, durMs) = parseMediaExtent(r.payload)
+          (r.media_id, fmt, extent, durMs)
+        }
+      }
+      .toDF("media_id", "fmt", "extent", "duration_ms")
+      .orderBy("media_id")
+  }
+
   /** Header-metadata extraction as a registered query: synthesize real
     * containers, parse them back from bytes. The fmt column comes from
     * MAGIC BYTES, dims from the parsed header — nothing is passed through

@@ -27,4 +27,23 @@ class Round15OpsSpec extends SparkTestBase {
     assert(exact <= bound,
       s"the count-product bound must dominate the exact volume ($exact > $bound)")
   }
+
+  test("parseMediaExtent: hand-built WAV frames/duration, PNG pixels, junk safety") {
+    // 12 data bytes at 8000 Hz stereo 16-bit: byte_rate 32000,
+    // block_align 4 -> 3 sample frames, 12*1000/32000 = 0 ms; and a
+    // longer one where the division is non-trivial
+    val wav = Multimodal.encodeWav(8000, 2, Array.fill[Byte](12)(7))
+    assert(Multimodal.parseMediaExtent(wav) === (("wav", Some(3L), Some(0L))))
+    val wav2 = Multimodal.encodeWav(11000, 1, Array.fill[Byte](47000)(1))
+    // byte_rate 22000, block_align 2 -> 23500 frames, 47000*1000/22000 = 2136 ms
+    assert(Multimodal.parseMediaExtent(wav2) === (("wav", Some(23500L), Some(2136L))))
+    val png = Multimodal.encodePng(13, 7, Array[Byte](1, 2, 3))
+    assert(Multimodal.parseMediaExtent(png) === (("png", Some(91L), None)))
+    val jpeg = Multimodal.encodeJpeg(640, 480, Array[Byte](1))
+    assert(Multimodal.parseMediaExtent(jpeg) === (("jpeg", Some(307200L), None)))
+    // junk and truncation must reject, never throw (the crawl contract)
+    assert(Multimodal.parseMediaExtent(Array.emptyByteArray)._1 === "unknown")
+    assert(Multimodal.parseMediaExtent("RIFFxxxxWAVE".getBytes("US-ASCII"))._1 === "unknown")
+    assert(Multimodal.parseMediaExtent(wav.take(20))._1 === "unknown")
+  }
 }
