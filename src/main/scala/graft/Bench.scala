@@ -67,6 +67,7 @@ object Bench {
       "dedup_substring_pairs", "ann_topk_ivfpq_res", "corpus_curate_pack",
       "corpus_pack_nosplit", "dedup_incremental_minhash",
       "dedup_incremental_components", "mm_dims", "mm_extent",
+      "mm_content_dedup",
       "corpus_split_leakage_safe", "txt_bigram_logprob",
       "corpus_ingest_decisions", "corpus_ingest_rebuild",
       "dedup_cluster_decision_rebuild", "corpus_split_leakage_rebuild",

@@ -687,6 +687,9 @@ object SparkEntry {
     // sample frames + duration for audio (two-chunk RIFF walk: fmt's
     // byte_rate/block_align AND the data chunk's size)
     "mm_extent" -> (Multimodal.extentQuery _),
+    // cross-format content dedup: extract the data section from the
+    // real container bytes, md5-fingerprint, group across fmts
+    "mm_content_dedup" -> (Multimodal.contentDedup _),
     "mm_features_hist" -> (Multimodal.featureHistQuery _),
     // the segmented fixed-point face the near-dup family joins on:
     // per-segment mean byte value, pure-integer fix — hash-pinned
@@ -3724,6 +3727,22 @@ object SparkEntry {
                           // ((8000 + (n_chars % 8) * 1000) * (doc_id % 2 + 1) * 2)
                 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
+    "mm_content_dedup" ->
+      // the extracted data section is exactly the UTF-8 text bytes on
+      // every container path, so md5(text) (DuckDB hashes the VARCHAR's
+      // UTF-8 bytes — the repo's standing md5-twin convention) is the
+      // analytic twin of the extraction walk; groups span formats by
+      // construction
+      """WITH g AS (
+           SELECT doc_id AS media_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+                  md5(text) AS content_md5
+           FROM documents)
+         SELECT media_id, fmt, content_md5,
+                MIN(media_id) OVER (PARTITION BY content_md5) AS group_id,
+                COUNT(*) OVER (PARTITION BY content_md5) AS group_size,
+                media_id = MIN(media_id) OVER (PARTITION BY content_md5) AS is_canonical
+         FROM g ORDER BY media_id""",
     "mm_dims" ->
       // the Spark side round-trips through REAL PNG/JPEG/WAV bytes
       // (encode → magic-byte detect → header walk); the oracle computes

@@ -46,4 +46,41 @@ class Round15OpsSpec extends SparkTestBase {
     assert(Multimodal.parseMediaExtent("RIFFxxxxWAVE".getBytes("US-ASCII"))._1 === "unknown")
     assert(Multimodal.parseMediaExtent(wav.take(20))._1 === "unknown")
   }
+
+  test("extractContent: encode-extract round-trip identity on all three containers") {
+    val data = "the quick brown fox".getBytes("UTF-8")
+    for (payload <- Seq(
+        Multimodal.encodePng(10, 10, data),
+        Multimodal.encodeJpeg(10, 10, data),
+        Multimodal.encodeWav(8000, 1, data))) {
+      assert(Multimodal.extractContent(payload).map(_.toSeq) === Some(data.toSeq))
+    }
+    assert(Multimodal.extractContent(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.extractContent(
+      Multimodal.encodePng(10, 10, data).dropRight(5)).isEmpty,
+      "truncated PNG (broken IEND) must reject, not return partial content")
+  }
+
+  test("mm_content_dedup: groups span formats; canonical is the group root (sf0.1)") {
+    // exact content dups only exist at sf0.1 (the smaller cuts are
+    // dup-free at the exact level — the oracle still verifies the
+    // all-singletons shape there)
+    val d = graft.operators.Multimodal
+      .contentDedup(spark, "/root/testdata/sf0.1").localCheckpoint()
+    assert(d.filter(col("content_md5").isNull).isEmpty,
+      "every synthesized container must extract")
+    val groups = d.filter(col("group_size") > 1)
+      .groupBy("group_id")
+      .agg(countDistinct("fmt").as("fmts"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("roots"),
+        min("media_id").as("minId"), first("group_id").as("gid"))
+      .localCheckpoint()
+    assert(groups.count() > 0, "sf0.1 must contain exact content dups")
+    assert(groups.filter(col("fmts") > 1).count() > 0,
+      "dup groups must span container formats (the row's reason to exist)")
+    assert(groups.filter(col("roots") =!= 1L).isEmpty,
+      "exactly one canonical per group")
+    assert(groups.filter(col("minId") =!= col("gid")).isEmpty,
+      "group id must be the smallest member")
+  }
 }
