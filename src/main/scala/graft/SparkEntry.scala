@@ -697,7 +697,7 @@ object SparkEntry {
     "mm_face_segments" -> (Multimodal.faceSegmentsQuery _),
     // banded near-dup over the segment-mean face: same byte size up to
     // a small window AND fixed-point L1 within threshold; candidates
-    // from the pigeonhole any-band blocking; the oracle is the NAIVE
+    // from the AND-pigeonhole triple banding; the oracle is the NAIVE
     // all-pairs definition, so the hash match re-proves the blocking
     // lossless every round
     "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
@@ -3827,7 +3827,7 @@ object SparkEntry {
     "mm_neardup_pairs" ->
       // the NAIVE definition — every ordered pair, the length window
       // and the exact fixed-point L1 applied directly (no banding), so
-      // a hash match proves the Spark side's pigeonhole any-band
+      // a hash match proves the Spark side's AND-pigeonhole triple
       // blocking lossless; hf replays the mm_face_segments chain
       // (hex byte walk, segment i*8 div n, integer sum*1e6 div count)
       s"""WITH b AS (

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 
 /** Behavior specs for the round-15 hardening: the IVF margin budget's
-  * skip guard and the segment-profile media face.
+  * skip guard and the round's media operators: the extent/duration
+  * parse (two-chunk RIFF walk) and the cross-format content extraction.
   */
 class Round15OpsSpec extends SparkTestBase {
 
