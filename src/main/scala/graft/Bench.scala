@@ -241,7 +241,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sccA = sccActs.map { case (k, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${ms(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${if (driftMean.isNaN) "null" else ms(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head

@@ -677,10 +677,12 @@ object SparkEntry {
     "emb_pca_component" -> (Pca.componentTable _),
     // per-vector PC1 score — map-side centered dot with literal arrays
     "emb_pca_project" -> (Pca.project _),
-    // LLM-pipeline: multimodal
+    // LLM-pipeline: multimodal. (The normalized-float mm_features row
+    // was retired in round 16: its integer twin mm_features_fix carries
+    // the oracle, and the float presentation lives on as a spec
+    // assertion — see Round16OpsSpec — instead of a pinned no_oracle
+    // registry exception.)
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
-    "mm_features" -> ((s, d) =>
-      joinArrays(Multimodal.featureQuery(s, d), "|", "features")),
     "mm_frames" -> (Multimodal.frameQuery _),
     "mm_dims" -> (Multimodal.dimsQuery _),
     // content volume off the real container bytes: pixels for images,
@@ -695,11 +697,15 @@ object SparkEntry {
     // per-segment mean byte value, pure-integer fix — hash-pinned
     // end-to-end against the DuckDB hex byte walk
     "mm_face_segments" -> (Multimodal.faceSegmentsQuery _),
-    // banded near-dup over the segment-mean face: same byte size up to
-    // a small window AND fixed-point L1 within threshold; candidates
-    // from the AND-pigeonhole triple banding; the oracle is the NAIVE
-    // all-pairs definition, so the hash match re-proves the blocking
-    // lossless every round
+    // the 60-bit shingle-simhash media fingerprint itself, hash-pinned
+    // against the DuckDB hex/md5/majority replay
+    "mm_fingerprint" -> (Multimodal.fingerprintQuery _),
+    // near-dup over the media fingerprint: same byte size up to a small
+    // window, Hamming ≤ 7 on the 60-bit simhash, segment-face L1 as the
+    // retained secondary check; candidates from the lossless 4×15-bit
+    // band-plus-flip blocking; the oracle is the NAIVE all-pairs
+    // definition, so the hash match re-proves the blocking lossless
+    // every round
     "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     // components over the media pair graph + the media-specific keep
     // rule (highest fidelity read off the REAL parsed headers —
@@ -708,8 +714,12 @@ object SparkEntry {
     // analytic fidelity
     "mm_dedup_decision" -> ((s, d) => Multimodal.nearDupDecision(s, d)),
     // the %10 batch carve vs the corpus slice: best corpus match within
-    // both windows (smallest L1, lowest id) or is_new
+    // all three windows (smallest Hamming, then L1, then id) or is_new
     "mm_incremental_neardup" -> ((s, d) => Multimodal.incrementalNearDup(s, d)),
+    // cross-format content NEAR-dup: the fingerprint face over the
+    // extracted content bytes with fmt NOT a blocking dimension — a
+    // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
+    "mm_content_neardup" -> ((s, d) => Multimodal.contentNearDupPairs(s, d)),
     // the float feature VECTOR itself, fixed-pointed (ratio is an exact
     // single-precision divide of two small ints on both engines): closes
     // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
@@ -2141,6 +2151,32 @@ object SparkEntry {
 
   private def simHashClusterBaseSql: String =
     "WITH RECURSIVE " + simHashClosureCtes("", "")
+
+  /** The media-fingerprint CTE chain (mb → msh → msig): DuckDB replay of
+    * `Multimodal.mediaSimHash` — the DISTINCT 8-byte sliding windows of
+    * the UTF-8 payload (hex-pair sliced, stride 1), each hashed to the
+    * first 60 bits of md5 of its uppercase-hex image, majority-voted
+    * per bit. Shared by every mm fingerprint oracle so the chain cannot
+    * drift between rows (the simHashClosureCtes convention).
+    */
+  private def mediaSigCtes: String =
+    """mb AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         msh AS (
+           SELECT media_id, list_distinct(list_transform(
+                    range(0, greatest(n - 7, 1), 1),
+                    i -> ('0x' || substr(md5(substr(hx, CAST(2 * i + 1 AS INT), 16)), 1, 15))::BIGINT)) AS hs
+           FROM mb),
+         msig AS MATERIALIZED (
+           SELECT media_id,
+                  CASE WHEN len(hs) = 0 THEN 0
+                       ELSE CAST(list_sum(list_transform(range(60), b ->
+                         CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) >= len(hs)
+                              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                  END AS sig
+           FROM msh)"""
 
   /** Full-training-replay IVF oracle, shared by the trained and the
     * stored-artifact registrations (row-identical by construction).
@@ -3711,20 +3747,24 @@ object SparkEntry {
                   / CAST(rung * COUNT(*) AS DOUBLE) AS waste_frac
          FROM r GROUP BY rung ORDER BY rung""",
     "mm_extent" ->
-      // analytic twin of the two-chunk RIFF walk: the WAV data chunk
+      // analytic twin of the container walks: the WAV data chunk
       // carries exactly the UTF-8 text bytes, fmt's byte_rate =
       // rate*channels*2 (16-bit samples) and block_align = channels*2;
-      // image extent is the IHDR/SOF pixel product. Integer division
-      // on both sides.
+      // image/video extent is the IHDR/SOF/tkhd pixel product; MP4
+      // duration is mvhd units on the 600-tick movie clock. Integer
+      // division on both sides.
       """SELECT doc_id AS media_id,
-                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
-                CAST(CASE WHEN doc_id % 3 IN (0, 1)
+                CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+                     WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'mp4' END AS fmt,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                      THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                     ELSE octet_length(encode(text)) // ((doc_id % 2 + 1) * 2)
+                     ELSE octet_length(encode(text)) // (((doc_id // 6) % 2 + 1) * 2)
                 END AS BIGINT) AS extent,
-                CAST(CASE WHEN doc_id % 3 = 2
+                CAST(CASE WHEN doc_id % 6 = 2
                      THEN octet_length(encode(text)) * 1000
-                          // ((8000 + (n_chars % 8) * 1000) * (doc_id % 2 + 1) * 2)
+                          // ((8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1) * 2)
+                     WHEN doc_id % 6 = 5
+                     THEN (n_chars % 2400 + 600) * 1000 // 600
                 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
     "mm_content_dedup" ->
@@ -3735,7 +3775,8 @@ object SparkEntry {
       // construction
       """WITH g AS (
            SELECT doc_id AS media_id,
-                  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+                  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+                       WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'mp4' END AS fmt,
                   md5(text) AS content_md5
            FROM documents)
          SELECT media_id, fmt, content_md5,
@@ -3750,11 +3791,12 @@ object SparkEntry {
       // (doc_id, n_chars) the encoder derived dims from — a hash match
       // certifies the byte-level parser end to end
       """SELECT doc_id AS media_id,
-                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
-                CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN n_chars % 640 + 1 END AS INTEGER) AS width,
-                CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN n_chars % 480 + 1 END AS INTEGER) AS height,
-                CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (n_chars % 8) * 1000 END AS INTEGER) AS sample_rate,
-                CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS INTEGER) AS channels
+                CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+                     WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'mp4' END AS fmt,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5 THEN n_chars % 640 + 1 END AS INTEGER) AS width,
+                CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5 THEN n_chars % 480 + 1 END AS INTEGER) AS height,
+                CAST(CASE WHEN doc_id % 6 = 2 THEN 8000 + (n_chars % 8) * 1000 END AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN doc_id % 6 = 2 THEN (doc_id // 6) % 2 + 1 END AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
     "mm_features_hist" ->
       // walk the UTF-8 payload bytes by slicing hex() pairs of the BLOB —
@@ -3824,21 +3866,74 @@ object SparkEntry {
          FROM ids i CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
          LEFT JOIN hf ON hf.media_id = i.media_id AND hf.seg = bins.seg
          ORDER BY i.media_id, bins.seg""",
-    "mm_neardup_pairs" ->
-      // the NAIVE definition — every ordered pair, the length window
-      // and the exact fixed-point L1 applied directly (no banding), so
-      // a hash match proves the Spark side's AND-pigeonhole triple
-      // blocking lossless; hf replays the mm_face_segments chain
-      // (hex byte walk, segment i*8 div n, integer sum*1e6 div count)
-      s"""WITH b AS (
-           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS n
-           FROM documents),
+    "mm_fingerprint" ->
+      // the 60-bit shingle simhash replayed byte-for-byte: hex-pair
+      // windows, md5 60-bit prefixes, per-bit majority — a hash match
+      // certifies the JVM signature loop against an independent engine
+      s"""WITH $mediaSigCtes
+         SELECT mb.media_id,
+                CASE WHEN mb.media_id % 3 = 0 THEN 'image'
+                     WHEN mb.media_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                CAST(mb.n AS BIGINT) AS n_bytes, msig.sig
+         FROM mb JOIN msig USING (media_id)
+         ORDER BY media_id""",
+    "mm_content_neardup" ->
+      // the content section carries exactly the UTF-8 text bytes on
+      // every container path, so the fingerprint/face chains replay
+      // over text; fmt is analytic from the doc_id residue; NO fmt
+      // equality in the pair join — cross-format rows are the point
+      s"""WITH $mediaSigCtes,
          by AS (
            SELECT media_id, n,
                   CAST((i.i * 8) // n AS INT) AS seg,
                   ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM b, unnest(range(n)) AS i(i)),
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id AS a, x.n AS la, x.fmt AS fmt_a,
+                  y.media_id AS b, y.n AS lb, y.fmt AS fmt_b,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         pb AS (
+           SELECT c.a, c.b, c.la, c.lb, c.fmt_a, c.fmt_b, c.ham, bins.seg,
+                  COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+           FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+           LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+           LEFT JOIN hf hb ON hb.media_id = c.b AND hb.seg = bins.seg)
+         SELECT a AS media_a, b AS media_b, fmt_a, fmt_b,
+                CAST(abs(la - lb) AS BIGINT) AS len_delta,
+                ham AS hamming,
+                CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+         FROM pb GROUP BY a, b, la, lb, fmt_a, fmt_b, ham
+         HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}
+         ORDER BY media_a, media_b""",
+    "mm_neardup_pairs" ->
+      // the NAIVE definition — every ordered same-kind pair, the length
+      // window, the exact fingerprint Hamming, and the L1 secondary
+      // applied directly (no banding), so a hash match proves the Spark
+      // side's band-plus-flip blocking lossless; msig replays the
+      // mm_fingerprint chain, hf the mm_face_segments chain
+      s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
            SELECT media_id, seg,
                   CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
@@ -3851,21 +3946,26 @@ object SparkEntry {
                  FROM documents),
          cand AS (
            SELECT x.media_id AS a, x.n AS la, y.media_id AS b, y.n AS lb,
-                  x.kind
+                  x.kind,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
            FROM ids x JOIN ids y
              ON x.kind = y.kind AND x.media_id < y.media_id
-           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
          pb AS (
-           SELECT c.a, c.b, c.la, c.lb, c.kind, bins.seg,
+           SELECT c.a, c.b, c.la, c.lb, c.kind, c.ham, bins.seg,
                   COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
            FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
            LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
            LEFT JOIN hf hb ON hb.media_id = c.b AND hb.seg = bins.seg)
          SELECT a AS media_a, b AS media_b, kind,
                 CAST(abs(la - lb) AS BIGINT) AS len_delta,
+                ham AS hamming,
                 CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-         FROM pb GROUP BY a, b, la, lb, kind
-         HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}
+         FROM pb GROUP BY a, b, la, lb, kind, ham
+         HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}
          ORDER BY media_a, media_b""",
     "mm_dedup_decision" ->
       // the same naive pair definition feeding a recursive-CTE
@@ -3876,15 +3976,12 @@ object SparkEntry {
       // header fields from — the Spark side reads it off the REAL
       // parsed PNG/JPEG/WAV headers, so a parser regression (fallback
       // to payload bytes) breaks the hash
-      s"""WITH RECURSIVE b AS (
-           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS n
-           FROM documents),
+      s"""WITH RECURSIVE $mediaSigCtes,
          by AS (
            SELECT media_id, n,
                   CAST((i.i * 8) // n AS INT) AS seg,
                   ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM b, unnest(range(n)) AS i(i)),
+           FROM mb, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
            SELECT media_id, seg,
                   CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
@@ -3894,16 +3991,19 @@ object SparkEntry {
                              WHEN doc_id % 3 = 1 THEN 'audio'
                              ELSE 'video' END AS kind,
                         octet_length(encode(text)) AS n,
-                        CASE WHEN doc_id % 3 IN (0, 1)
+                        CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                              THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                             ELSE (8000 + (n_chars % 8) * 1000) * (doc_id % 2 + 1)
+                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
                         END AS fid
                  FROM documents),
          cand AS (
            SELECT x.media_id AS a, y.media_id AS bb
            FROM ids x JOIN ids y
              ON x.kind = y.kind AND x.media_id < y.media_id
-           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
          prs AS (
            SELECT a, bb FROM (
              SELECT c.a, c.bb, bins.seg,
@@ -3912,7 +4012,7 @@ object SparkEntry {
              LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
              LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
            GROUP BY a, bb
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}),
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
          edges AS (
            SELECT a AS u, bb AS v FROM prs
            UNION ALL SELECT bb AS u, a AS v FROM prs),
@@ -3933,17 +4033,15 @@ object SparkEntry {
                    ORDER BY fid DESC, media_id) = 1) AS keep
          FROM base ORDER BY media_id""",
     "mm_incremental_neardup" ->
-      // naive batch x corpus under both windows, best match by (L1,
-      // corpus id), every batch id emitted (is_new when unmatched)
-      s"""WITH b AS (
-           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS n
-           FROM documents),
+      // naive batch x corpus under all three windows, best match by
+      // (Hamming, L1, corpus id), every batch id emitted (is_new when
+      // unmatched)
+      s"""WITH $mediaSigCtes,
          by AS (
            SELECT media_id, n,
                   CAST((i.i * 8) // n AS INT) AS seg,
                   ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM b, unnest(range(n)) AS i(i)),
+           FROM mb, unnest(range(n)) AS i(i)),
          hf AS MATERIALIZED (
            SELECT media_id, seg,
                   CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
@@ -3955,28 +4053,33 @@ object SparkEntry {
                         octet_length(encode(text)) AS n
                  FROM documents),
          cand AS (
-           SELECT x.media_id, y.media_id AS corpus_id
+           SELECT x.media_id, y.media_id AS corpus_id,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
            FROM ids x JOIN ids y
              ON x.kind = y.kind
             AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
-            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}),
+            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
          scored AS (
-           SELECT media_id, corpus_id, CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           SELECT media_id, corpus_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
            FROM (
-             SELECT c.media_id, c.corpus_id, bins.seg,
+             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
                     COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
              FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
              LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
              LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
-           GROUP BY media_id, corpus_id
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.NearDupL1Threshold}),
+           GROUP BY media_id, corpus_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
          best AS (
-           SELECT media_id, corpus_id, l1_fix FROM (
+           SELECT media_id, corpus_id, ham, l1_fix FROM (
              SELECT *, row_number() OVER (PARTITION BY media_id
-                         ORDER BY l1_fix, corpus_id) AS rn
+                         ORDER BY ham, l1_fix, corpus_id) AS rn
              FROM scored) WHERE rn = 1)
          SELECT i.media_id, p.corpus_id IS NULL AS is_new,
-                p.corpus_id AS dup_of, p.l1_fix
+                p.corpus_id AS dup_of, p.ham AS hamming, p.l1_fix
          FROM (SELECT media_id FROM ids WHERE media_id % 10 = 0) i
            LEFT JOIN best p USING (media_id)
          ORDER BY media_id""",

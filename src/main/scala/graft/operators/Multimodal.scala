@@ -19,14 +19,22 @@ object Multimodal {
 
   /** Near-dup windows, shared with the oracle SQL interpolation so the
     * two sides cannot drift (the MarginIvfPairBudget convention).
-    * Measured on the corpus (round 15): planted near-dups sit at
-    * segment-face L1 ≤ ~3.5 mean-byte units (3.5e6 fix), the
-    * same-template background ramps from ~4e6, and the ×N scaler's
-    * per-copy Caesar shift puts cross-copy twins at ~5.6e6 — 4e6
-    * accepts the planted structure and rejects both.
+    *
+    * Measured on the corpus (round 16, the fingerprint rebuild): under
+    * the 60-bit shingle simhash, planted near-dups sit at Hamming ≤ 7
+    * while the closest same-kind in-length-window background pair is at
+    * 12 (sf0.1) — the r15 segment face's 16 numbers could not make that
+    * separation (3 of its 5 sf0.01 accepts were byte-statistics
+    * coincidences at Hamming 23-28, and it MISSED planted pairs the
+    * fingerprint finds). The L1 window is the retained SECONDARY check:
+    * planted pairs measure L1 ≤ 44.6e6 across all three sf cuts, so
+    * 48e6 (6 mean-byte units per segment) bounds positional divergence
+    * without ever being the active filter — it exists to kill a
+    * majority-vote coincidence whose bytes disagree regionally.
     */
   val NearDupLenWindow = 16L
-  val NearDupL1Threshold = 4000000L
+  val MediaFpMaxHamming = 7
+  val MediaFpL1Window = 48000000L
 
   case class MediaMeta(kind: String, sizeBytes: Long, width: Int, height: Int)
   case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
@@ -95,8 +103,8 @@ object Multimodal {
       channels: Option[Int])
 
   /** Media corpus with REAL container encodings (not the histogram stub's
-    * raw text bytes): each payload is a structurally valid PNG, JPEG, or
-    * WAV wrapping the document text as its data section —
+    * raw text bytes): each payload is a structurally valid PNG, JPEG,
+    * WAV, or MP4 wrapping the document text as its data section —
     *
     *   - doc_id % 3 == 0 → PNG: 8-byte signature, IHDR chunk (big-endian
     *     width/height, real CRC32s), an IDAT-shaped data chunk, IEND;
@@ -104,8 +112,14 @@ object Multimodal {
     *     that carries precision/height/width), SOS + data, EOI — the SOF
     *     sits at a non-fixed conceptual position so readers must walk
     *     marker segments, as with real camera output;
-    *   - doc_id % 3 == 2 → WAV: RIFF/WAVE with a canonical fmt chunk
-    *     (little-endian sample rate/channels) and a data chunk.
+    *   - doc_id % 6 == 2 → WAV: RIFF/WAVE with a canonical fmt chunk
+    *     (little-endian sample rate/channels) and a data chunk;
+    *   - doc_id % 6 == 5 → MP4/ISO-BMFF: ftyp, moov(mvhd + trak(tkhd))
+    *     — dims sit 16.16 fixed-point inside tkhd and the movie clock
+    *     (timescale 600, the classic value) inside mvhd — and an mdat
+    *     box carrying the data. The %3==2 residue the earlier rounds
+    *     labeled "video" but synthesized as WAV now genuinely splits
+    *     audio/video, making the third modality of the brief real.
     *
     * Dimensions/rates are deterministic functions of (doc_id, n_chars),
     * so the DuckDB oracle can compute the EXPECTED parse output
@@ -121,12 +135,18 @@ object Multimodal {
         val data = text.getBytes("UTF-8")
         val w = (nChars % 640).toInt + 1
         val h = (nChars % 480).toInt + 1
-        val payload = (id % 3) match {
-          case 0 => encodePng(w, h, data)
-          case 1 => encodeJpeg(w, h, data)
-          case _ => encodeWav(8000 + (nChars % 8).toInt * 1000, (id % 2).toInt + 1, data)
+        val payload = (id % 6) match {
+          case 0 | 3 => encodePng(w, h, data)
+          case 1 | 4 => encodeJpeg(w, h, data)
+          case 2 => encodeWav(8000 + (nChars % 8).toInt * 1000,
+            ((id / 6) % 2).toInt + 1, data)
+          case _ => encodeMp4(w, h, 600, (nChars % 2400).toInt + 600, data)
         }
-        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "image" else "audio"
+        val kind = (id % 6) match {
+          case 0 | 1 | 3 | 4 => "image"
+          case 2 => "audio"
+          case _ => "video"
+        }
         MediaRecord(id, payload, MediaMeta(kind, payload.length.toLong, w, h))
       }
   }
@@ -193,6 +213,37 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
+  /** Minimal structurally-valid ISO-BMFF/MP4: ftyp(isom/mp41),
+    * moov(mvhd + trak(tkhd)), mdat. mvhd v0 carries the movie timescale
+    * and duration; tkhd v0 carries track width/height as 16.16
+    * fixed-point — the two places a real demuxer reads the numbers the
+    * extent/dims queries need. Identity matrix, single track.
+    */
+  private[graft] def encodeMp4(
+      w: Int, h: Int, timescale: Int, duration: Int,
+      data: Array[Byte]): Array[Byte] = {
+    def box(tp: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ tp.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "mp41".getBytes("US-ASCII"))
+    val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x10000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+    // mvhd v0: version/flags, ctime, mtime, timescale, duration, rate
+    // 1.0, volume 1.0, 10 reserved bytes, matrix, 24 predefined, next id
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        be32(0x10000) ++ be16(0x100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        matrix ++ Array.fill[Byte](24)(0) ++ be32(2))
+    // tkhd v0: flags 7 (enabled, in-movie, in-preview), track 1; width/
+    // height 16.16 fixed at body offsets 76/80
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+        be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        matrix ++ be32(w << 16) ++ be32(h << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd)) ++ box("mdat", data)
+  }
+
   // ---- header parser (pure JVM, deterministic, magic-byte driven) ----
 
   private def readBe32(b: Array[Byte], off: Int): Int =
@@ -209,12 +260,34 @@ object Multimodal {
   private def readLe16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
+  /** Find the first child box of type `tp` in the ISO-BMFF box range
+    * [from, to): returns (payloadStart, boxEnd), or (-1, -1) when absent
+    * or malformed. Long cursor — a declared box size near Int.MaxValue
+    * walks off the range and rejects, never wraps. Minimal walker:
+    * size==0 (to-end) and size==1 (64-bit largesize) reject rather than
+    * parse — the never-throws contract holds either way.
+    */
+  private def bmffFind(b: Array[Byte], from: Long, to: Long, tp: String): (Long, Long) = {
+    val t = tp.getBytes("US-ASCII")
+    var i = from
+    while (i + 8 <= to) {
+      val ii = i.toInt
+      val size = readBe32(b, ii)
+      if (size < 8 || i + size.toLong > to) return (-1L, -1L)
+      if (b(ii + 4) == t(0) && b(ii + 5) == t(1) &&
+        b(ii + 6) == t(2) && b(ii + 7) == t(3)) return (i + 8, i + size)
+      i += size.toLong
+    }
+    (-1L, -1L)
+  }
+
   /** Detect the container from magic bytes and extract its header
     * metadata by walking the REAL byte structure: PNG IHDR (with CRC
     * verification), JPEG marker-segment walk to SOF0-SOF15, WAV RIFF
-    * chunk walk to `fmt `. Returns fmt "unknown" (all-null fields) for
-    * anything unrecognized or truncated — never throws on junk bytes,
-    * the contract a 100 TB crawl corpus demands.
+    * chunk walk to `fmt `, ISO-BMFF box walk moov→trak→tkhd. Returns
+    * fmt "unknown" (all-null fields) for anything unrecognized or
+    * truncated — never throws on junk bytes, the contract a 100 TB
+    * crawl corpus demands.
     */
   private[graft] def parseMediaDims(b: Array[Byte]): (String, Option[Int], Option[Int], Option[Int], Option[Int]) = {
     def unknown = ("unknown", None, None, None, None)
@@ -231,39 +304,63 @@ object Multimodal {
       ("png", Some(readBe32(b, 16)), Some(readBe32(b, 20)), None, None)
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       // JPEG: walk FF-marker segments until a start-of-frame (C0-CF minus
-      // the non-frame C4/C8/CC); height/width live at +3/+5 past length
-      var i = 2
-      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
-        val marker = b(i + 1) & 0xff
+      // the non-frame C4/C8/CC); height/width live at +3/+5 past length.
+      // Standalone markers (TEM 01, RST0-7 D0-D7, SOI D8, EOI D9) carry
+      // NO length field — real camera output emits restart markers, so
+      // the walk must skip them by 2 bytes, not read phantom lengths.
+      var i = 2L
+      while (i + 4 <= b.length && (b(i.toInt) & 0xff) == 0xff) {
+        val marker = b(i.toInt + 1) & 0xff
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        val segLen = readBe16(b, i + 2)
+        val standalone = marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)
         if (isSof) {
           if (i + 2 + 2 + 5 > b.length) return unknown
-          return ("jpeg", Some(readBe16(b, i + 7)), Some(readBe16(b, i + 5)), None, None)
+          return ("jpeg", Some(readBe16(b, i.toInt + 7)), Some(readBe16(b, i.toInt + 5)), None, None)
         }
-        if (segLen < 2) return unknown
-        i += 2 + segLen
+        if (standalone) i += 2
+        else {
+          val segLen = readBe16(b, i.toInt + 2)
+          if (segLen < 2) return unknown
+          i += 2 + segLen
+        }
       }
       unknown
     } else if (b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
       // WAV: walk RIFF chunks to `fmt ` (not a fixed offset — real files
-      // can carry LIST/INFO chunks first)
-      var i = 12
+      // can carry LIST/INFO chunks first). Cursor arithmetic in LONG: a
+      // declared chunk size near Int.MaxValue must walk off the end and
+      // reject, never wrap negative into an AIOOBE (the never-throws
+      // crawl contract).
+      var i = 12L
       while (i + 8 <= b.length) {
-        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-        val size = readLe32(b, i + 4)
+        val ii = i.toInt
+        val isFmt = b(ii) == 'f' && b(ii + 1) == 'm' && b(ii + 2) == 't' && b(ii + 3) == ' '
+        val size = readLe32(b, ii + 4)
         if (isFmt) {
           if (i + 8 + 8 > b.length) return unknown
           return ("wav", None, None,
-            Some(readLe32(b, i + 12)), Some(readLe16(b, i + 10)))
+            Some(readLe32(b, ii + 12)), Some(readLe16(b, ii + 10)))
         }
         if (size < 0) return unknown
-        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        i += 8L + size.toLong + (size & 1) // RIFF chunks are word-aligned
       }
       unknown
+    } else if (b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      // ISO-BMFF/MP4: top-level walk to moov, descend trak → tkhd;
+      // width/height are 16.16 fixed-point at tkhd-v0 body offsets 76/80
+      val (ms, me) = bmffFind(b, 0L, b.length.toLong, "moov")
+      if (ms < 0) return unknown
+      val (ts, te) = bmffFind(b, ms, me, "trak")
+      if (ts < 0) return unknown
+      val (ks, ke) = bmffFind(b, ts, te, "tkhd")
+      if (ks < 0 || ks + 84 > ke || (b(ks.toInt) & 0xff) != 0) return unknown
+      ("mp4",
+        Some(readBe32(b, ks.toInt + 76) >>> 16),
+        Some(readBe32(b, ks.toInt + 80) >>> 16), None, None)
     } else unknown
   }
 
@@ -275,9 +372,10 @@ object Multimodal {
     * duration_ms = data_bytes·1000 div byte_rate and frames =
     * data_bytes div block_align from the fmt chunk's own rate/channels
     * /bits — all integer arithmetic over parsed bytes, so the analytic
-    * oracle certifies the full two-chunk walk. Returns (fmt, extent,
-    * duration_ms): extent = pixels | frames, duration null for images,
-    * all-null for parser rejects.
+    * oracle certifies the full two-chunk walk. MP4 reads the movie
+    * clock (timescale/duration) from mvhd and pixels from tkhd.
+    * Returns (fmt, extent, duration_ms): extent = pixels | frames,
+    * duration null for images, all-null for parser rejects.
     */
   private[graft] def parseMediaExtent(b: Array[Byte]): (String, Option[Long], Option[Long]) = {
     val (fmt, w, h, _, _) = parseMediaDims(b)
@@ -286,29 +384,46 @@ object Multimodal {
         (fmt, for { ww <- w; hh <- h } yield ww.toLong * hh.toLong, None)
       case "wav" =>
         // second RIFF walk: fmt chunk (byteRate at +16, blockAlign at
-        // +20 within the chunk body) and the data chunk's size field
-        var i = 12
+        // +20 within the chunk body) and the data chunk's size field.
+        // Long cursor, same as parseMediaDims: oversized declared chunk
+        // sizes walk off the end and reject instead of wrapping.
+        var i = 12L
         var byteRate = 0L
         var blockAlign = 0L
         var dataSize = -1L
         while (i + 8 <= b.length && (byteRate == 0L || dataSize < 0L)) {
-          val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-          val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
-          val size = readLe32(b, i + 4)
+          val ii = i.toInt
+          val isFmt = b(ii) == 'f' && b(ii + 1) == 'm' && b(ii + 2) == 't' && b(ii + 3) == ' '
+          val isData = b(ii) == 'd' && b(ii + 1) == 'a' && b(ii + 2) == 't' && b(ii + 3) == 'a'
+          val size = readLe32(b, ii + 4)
           if (size < 0) return ("unknown", None, None)
           if (isFmt) {
             if (i + 8 + 16 > b.length) return ("unknown", None, None)
-            byteRate = readLe32(b, i + 16).toLong
-            blockAlign = readLe16(b, i + 20).toLong
+            byteRate = readLe32(b, ii + 16).toLong
+            blockAlign = readLe16(b, ii + 20).toLong
           }
           if (isData) dataSize = size.toLong
-          i += 8 + size + (size & 1)
+          i += 8L + size.toLong + (size & 1)
         }
         if (byteRate <= 0L || blockAlign <= 0L || dataSize < 0L)
           ("unknown", None, None)
         else
           ("wav", Some(dataSize / blockAlign),
             Some(dataSize * 1000L / byteRate))
+      case "mp4" =>
+        // movie clock lives in mvhd v0: timescale at body offset 12,
+        // duration (in timescale units) at 16; extent = track pixels
+        val (ms, me) = bmffFind(b, 0L, b.length.toLong, "moov")
+        if (ms < 0) return ("unknown", None, None)
+        val (vs, ve) = bmffFind(b, ms, me, "mvhd")
+        if (vs < 0 || vs + 20 > ve || (b(vs.toInt) & 0xff) != 0)
+          return ("unknown", None, None)
+        val timescale = readBe32(b, vs.toInt + 12).toLong
+        val duration = readBe32(b, vs.toInt + 16).toLong
+        if (timescale <= 0L) ("unknown", None, None)
+        else ("mp4",
+          for { ww <- w; hh <- h } yield ww.toLong * hh.toLong,
+          Some(duration * 1000L / timescale))
       case _ => ("unknown", None, None)
     }
   }
@@ -341,59 +456,73 @@ object Multimodal {
     val (fmt, _, _, _, _) = parseMediaDims(b)
     fmt match {
       case "png" =>
+        // Long cursor + Long bounds: a declared chunk length near
+        // Int.MaxValue must reject with None, never wrap the bounds
+        // check and throw from out.write
         val out = new java.io.ByteArrayOutputStream()
-        var i = 8
+        var i = 8L
         var ok = true
         var iendSeen = false
         // content is complete only if the walk reaches IEND — a partial
         // download whose tail chunk is cut off must NOT fingerprint as
         // the full content
         while (ok && !iendSeen && i + 8 <= b.length) {
-          val len = readBe32(b, i)
-          if (len < 0 || i + 8 + len + 4 > b.length) ok = false
+          val ii = i.toInt
+          val len = readBe32(b, ii)
+          if (len < 0 || i + 8L + len.toLong + 4L > b.length) ok = false
           else {
-            val isIdat = b(i + 4) == 'I' && b(i + 5) == 'D' &&
-              b(i + 6) == 'A' && b(i + 7) == 'T'
-            val isIend = b(i + 4) == 'I' && b(i + 5) == 'E' &&
-              b(i + 6) == 'N' && b(i + 7) == 'D'
-            if (isIdat) out.write(b, i + 8, len)
+            val isIdat = b(ii + 4) == 'I' && b(ii + 5) == 'D' &&
+              b(ii + 6) == 'A' && b(ii + 7) == 'T'
+            val isIend = b(ii + 4) == 'I' && b(ii + 5) == 'E' &&
+              b(ii + 6) == 'N' && b(ii + 7) == 'D'
+            if (isIdat) out.write(b, ii + 8, len)
             if (isIend) iendSeen = true
-            i += 8 + len + 4
+            i += 8L + len.toLong + 4L
           }
         }
         if (ok && iendSeen) Some(out.toByteArray) else None
       case "jpeg" =>
         // walk marker segments to SOS; content = after the SOS header,
-        // up to (not including) the trailing EOI
-        var i = 2
-        while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
-          val marker = b(i + 1) & 0xff
-          val segLen = readBe16(b, i + 2)
-          if (segLen < 2) return None
-          if (marker == 0xda) {
-            val start = i + 2 + segLen
-            val end = b.length - 2
-            if (start > end || (b(end) & 0xff) != 0xff ||
-              (b(end + 1) & 0xff) != 0xd9) return None
-            return Some(java.util.Arrays.copyOfRange(b, start, end))
+        // up to (not including) the trailing EOI. Standalone markers
+        // (TEM, RST0-7, SOI, EOI) advance 2 bytes — no length field.
+        var i = 2L
+        while (i + 4 <= b.length && (b(i.toInt) & 0xff) == 0xff) {
+          val marker = b(i.toInt + 1) & 0xff
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else {
+            val segLen = readBe16(b, i.toInt + 2)
+            if (segLen < 2) return None
+            if (marker == 0xda) {
+              val start = i + 2 + segLen
+              val end = b.length - 2
+              if (start > end || (b(end) & 0xff) != 0xff ||
+                (b(end + 1) & 0xff) != 0xd9) return None
+              return Some(java.util.Arrays.copyOfRange(b, start.toInt, end))
+            }
+            i += 2 + segLen
           }
-          i += 2 + segLen
         }
         None
       case "wav" =>
-        var i = 12
+        var i = 12L
         while (i + 8 <= b.length) {
-          val isData = b(i) == 'd' && b(i + 1) == 'a' &&
-            b(i + 2) == 't' && b(i + 3) == 'a'
-          val size = readLe32(b, i + 4)
+          val ii = i.toInt
+          val isData = b(ii) == 'd' && b(ii + 1) == 'a' &&
+            b(ii + 2) == 't' && b(ii + 3) == 'a'
+          val size = readLe32(b, ii + 4)
           if (size < 0) return None
           if (isData) {
-            if (i + 8 + size > b.length) return None
-            return Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size))
+            if (i + 8L + size.toLong > b.length) return None
+            return Some(java.util.Arrays.copyOfRange(b, ii + 8, ii + 8 + size))
           }
-          i += 8 + size + (size & 1)
+          i += 8L + size.toLong + (size & 1)
         }
         None
+      case "mp4" =>
+        // content = the mdat box payload, top-level walk
+        val (ds, de) = bmffFind(b, 0L, b.length.toLong, "mdat")
+        if (ds < 0) None
+        else Some(java.util.Arrays.copyOfRange(b, ds.toInt, de.toInt))
       case _ => None
     }
   }
@@ -415,22 +544,91 @@ object Multimodal {
     */
   def contentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy("content_md5")
-    mediaWithHeaders(spark, sfDir)
+    contentDedupOver(mediaWithHeaders(spark, sfDir)
       .mapPartitions { it =>
         it.map { r =>
           val (fmt, _, _, _, _) = parseMediaDims(r.payload)
           (r.media_id, fmt, extractContent(r.payload))
         }
       }
-      .toDF("media_id", "fmt", "content")
+      .toDF("media_id", "fmt", "content"))
+  }
+
+  /** The grouping core of [[contentDedup]] over an explicit
+    * (media_id, fmt, content) frame — the seam the null-singleton spec
+    * drives with hand-built extraction failures (the synthetic corpus
+    * always parses, so the corpus row cannot exercise that path).
+    */
+  private[graft] def contentDedupOver(extracted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_md5")
+    extracted
       .withColumn("content_md5", md5(col("content")))
+      // extraction failures (content_md5 null) must NOT pool into one
+      // giant pseudo-group through the null window partition: each
+      // unparseable payload is its own singleton, keyed by media_id
       .select(col("media_id"), col("fmt"), col("content_md5"),
-        min(col("media_id")).over(w).as("group_id"),
-        count(lit(1)).over(w).as("group_size"),
-        (col("media_id") === min(col("media_id")).over(w)).as("is_canonical"))
+        when(col("content_md5").isNotNull, min(col("media_id")).over(w))
+          .otherwise(col("media_id")).as("group_id"),
+        when(col("content_md5").isNotNull, count(lit(1)).over(w))
+          .otherwise(lit(1L)).as("group_size"),
+        when(col("content_md5").isNotNull,
+          col("media_id") === min(col("media_id")).over(w))
+          .otherwise(lit(true)).as("is_canonical"))
       .orderBy("media_id")
   }
+
+  /** The fingerprint face of the CONTENT section — [[mediaSimHash]] and
+    * [[segmentFix]] over the bytes [[extractContent]] recovers from the
+    * real container walk, not over the payload. The `kind` column
+    * carries the parsed container fmt (png/jpeg/wav/mp4) for
+    * presentation only — it is NOT a blocking dimension here, which is
+    * the whole point: container headers shift every byte statistic and
+    * the payload-level face blocks on modality, so the same content
+    * re-containered (a PNG and a WAV wrapping near-identical bytes) is
+    * invisible to [[nearDupPairs]]; facing the extracted content makes
+    * it visible. Rows whose extraction fails (truncated/unknown
+    * containers) are excluded — un-walkable bytes cannot be content-
+    * fingerprinted, and [[contentDedup]]'s null-singleton rule already
+    * accounts for them at the exact-dup tier.
+    */
+  private[graft] def contentFingerprintFace(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (fmt, _, _, _, _) = parseMediaDims(r.payload)
+          extractContent(r.payload).map { c =>
+            (r.media_id, fmt, c.length.toLong, mediaSimHash(c), segmentFix(c))
+          }
+        }
+      }
+      .toDF("media_id", "kind", "n_bytes", "sig", "ffix")
+  }
+
+  /** CROSS-FORMAT content NEAR-dup pairs: the near-dup analogue of
+    * [[contentDedup]] (which needs EXACT content-md5 equality). Same
+    * windows and the same lossless band-plus-flip blocking as
+    * [[nearDupPairs]], but over content bytes with `kindBlocked =
+    * false` — so the emitted pairs include (fmt_a ≠ fmt_b) rows the
+    * payload-level operator cannot produce. The oracle computes the
+    * expected fingerprints analytically from the document text (the
+    * content section carries exactly the UTF-8 text on every container
+    * path), so a hash match certifies extraction + fingerprint + the
+    * cross-format join end to end.
+    */
+  def contentNearDupPairs(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame =
+    nearDupPairsOver(
+      contentFingerprintFace(spark, sfDir).localCheckpoint(),
+      lenWindow, maxHamming, l1Window, kindBlocked = false)
+      .select(col("media_a"), col("media_b"),
+        col("kind_a").as("fmt_a"), col("kind_b").as("fmt_b"),
+        col("len_delta"), col("hamming"), col("l1_fix"))
+      .orderBy("media_a", "media_b")
 
   /** Header-metadata extraction as a registered query: synthesize real
     * containers, parse them back from bytes. The fmt column comes from
@@ -492,29 +690,130 @@ object Multimodal {
     * rounding contract needed; empty segments (n < 8) emit 0, the value
     * the oracle's COALESCE supplies for its missing groups.
     */
+  /** The 8-segment fixed-point means of a payload — the shared kernel of
+    * the face rows: ffix(s) = sum(byte)·10⁶ div count over segment
+    * i·8 div n. Pure integer, floor division — DuckDB's `//` exactly.
+    */
+  private def segmentFix(payload: Array[Byte]): Array[Long] = {
+    val n = payload.length
+    val sums = new Array[Long](8)
+    val cnts = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val s = (i.toLong * 8L / n.toLong).toInt
+      sums(s) += (payload(i) & 0xFF).toLong
+      cnts(s) += 1L
+      i += 1
+    }
+    Array.tabulate(8) { s =>
+      if (cnts(s) == 0L) 0L else sums(s) * 1000000L / cnts(s)
+    }
+  }
+
+  private val HexDigits = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** The 60-bit HIGH-ENTROPY media fingerprint: simhash over the
+    * DISTINCT 8-byte sliding windows of the payload (stride 1), each
+    * window hashed through md5 of its uppercase-hex image — bit b of
+    * the result is set iff at least half the distinct window hashes
+    * have bit b set. This is what the segment-mean face could not be:
+    * positional AND high-entropy. Consecutive-byte windows encode local
+    * order (two payloads with equal byte statistics but different
+    * arrangements share no windows), the majority vote tolerates small
+    * edits (an edit perturbs ~8 of ~n windows), and stride 1 makes the
+    * window multiset invariant under content shifts of any offset —
+    * the r15 face's measured failure was exactly a low-entropy signal
+    * whose cross-copy coincidence rate grew ~5×/corpus-decade.
+    *
+    * md5-prefix hashing (first 60 bits of md5 of the hex image) is the
+    * repo's standing oracle-twin convention (`Dedup.simHashSignaturesMd5`):
+    * DuckDB replays the identical chain with hex()/md5()/substr, so the
+    * fingerprint is hash-certifiable end to end. A production swap-in
+    * point for a perceptual hash (pHash/chromaprint) keeps every join
+    * downstream unchanged.
+    *
+    * Cost shape: one md5 per payload byte, map-side in the scan task —
+    * embarrassingly parallel, no exchange; ~0.5 µs/byte single-thread.
+    */
+  private[graft] def mediaSimHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val hx = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = payload(i) & 0xff
+      hx(2 * i) = HexDigits(v >> 4)
+      hx(2 * i + 1) = HexDigits(v & 15)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = math.max(n - 7, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val cnt = new Array[Int](60)
+    var distinct = 0
+    i = 0
+    while (i < m) {
+      val off = 2 * i
+      val len = math.min(16, 2 * n - off)
+      md.reset()
+      md.update(hx, off, len)
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = h >>> 4 // first 15 hex chars of the digest = top 60 bits
+      if (seen.add(h)) {
+        distinct += 1
+        var b = 0
+        while (b < 60) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * cnt(b) >= distinct) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   private[graft] def featureFace(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaFromDocuments(spark, sfDir)
       .mapPartitions { it =>
         it.map { r =>
-          val n = r.payload.length
-          val sums = new Array[Long](8)
-          val cnts = new Array[Long](8)
-          var i = 0
-          while (i < n) {
-            val s = (i.toLong * 8L / n.toLong).toInt
-            sums(s) += (r.payload(i) & 0xFF).toLong
-            cnts(s) += 1L
-            i += 1
-          }
-          val fix = Array.tabulate(8) { s =>
-            if (cnts(s) == 0L) 0L else sums(s) * 1000000L / cnts(s)
-          }
-          (r.media_id, r.meta.kind, n.toLong, fix)
+          (r.media_id, r.meta.kind, r.payload.length.toLong, segmentFix(r.payload))
         }
       }
       .toDF("media_id", "kind", "n_bytes", "ffix")
   }
+
+  /** The fingerprint face — the shared input of the near-dup operators
+    * since round 16: one decode pass emitting (media_id, kind, n_bytes,
+    * sig, ffix) where sig is [[mediaSimHash]] and ffix the segment-mean
+    * face ([[segmentFix]]) retained as the secondary verify.
+    */
+  private[graft] def fingerprintFace(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          (r.media_id, r.meta.kind, r.payload.length.toLong,
+            mediaSimHash(r.payload), segmentFix(r.payload))
+        }
+      }
+      .toDF("media_id", "kind", "n_bytes", "sig", "ffix")
+  }
+
+  /** The fingerprint itself as an oracled row: the DuckDB replay walks
+    * the same hex/md5/majority chain, so a hash match certifies the
+    * whole signature path — the mm_face_segments convention applied to
+    * the signal the near-dup family now actually blocks on.
+    */
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintFace(spark, sfDir)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("sig"))
+      .orderBy("media_id")
 
   /** The face itself as an oracled row: one row per (media, segment),
     * integer fix values — the DuckDB replay walks the same bytes via
@@ -532,173 +831,131 @@ object Multimodal {
       .orderBy("media_id", "seg")
 
   /** MULTIMODAL NEAR-DUP PAIRS — the dedup operator the text side has
-    * had since round 4, over the media face: two payloads are near-dups
-    * when they are the same SIZE up to `lenWindow` bytes (a re-encode /
-    * re-container of the same media lands within a small byte delta)
-    * AND their segment-mean faces are within `threshold` fixed-point L1
-    * (4 mean-byte units total across the 8 segments at the default —
-    * measured on the corpus: planted near-dups sit ≤ ~3.5 units,
-    * background starts ≥ ~4; a real deployment swaps the segment means
-    * for perceptual-hash / embedding features and keeps every join
-    * below unchanged).
+    * had since round 4, over the media fingerprint: two payloads are
+    * near-dups when they are the same SIZE up to `lenWindow` bytes (a
+    * re-encode / re-container of the same media lands within a small
+    * byte delta), their 60-bit [[mediaSimHash]] fingerprints are within
+    * `maxHamming` (planted near-dups measure ≤ 7, the closest
+    * background pair 12 — see the constants note), AND the retained
+    * segment-mean L1 secondary check passes (`l1Window`).
     *
-    * Candidates come from a LOSSLESS triple-banded blocking, never all
-    * pairs — the AND-composed pigeonhole (see [[BandTriples]]): at most
-    * 3 of the 8 coordinates of a qualifying pair can exceed T/4, so one
-    * of the two fixed 4-coordinate groups contains a fully-tight
-    * leave-one-out TRIPLE; banding the 8 triples at per-coordinate
-    * width T/4 (cells q and q+1, jointly with the quantized length)
-    * guarantees a collision while requiring candidates to be tight in
-    * three coordinates AT ONCE. The all-pairs DuckDB oracle re-proves
-    * exactly this losslessness every round (the dedup_jaccard_prefix
-    * adjudication convention), and the AND-composition is what keeps
-    * the ×N probe cut's cross-copy mass out of the candidate exchange:
-    * the scaler's per-copy Caesar shift moves every segment mean by
-    * ~0.77 units per rotation step, so three simultaneous 1-unit
-    * windows reject the rotated twins wholesale.
+    * Candidates come from a LOSSLESS 4×15-bit banding of the
+    * fingerprint with single-bit probing — the generalized pigeonhole:
+    * Hamming ≤ 7 across 4 bands forces SOME band to differ in ≤ 1 bit,
+    * so emitting each band value exactly (y side, 4 keys/media) against
+    * the band value plus all 15 single-bit flips (x side, 64 keys/
+    * media) guarantees every qualifying pair collides on at least one
+    * band key — while a candidate must now match 15 bits of a
+    * high-entropy signature exactly. That entropy is the r16 fix: the
+    * r15 segment-face triple bands were lossless but their CELLS were
+    * byte statistics, and on a byte-homogeneous corpus the cross-copy
+    * coincidence mass grew ~5× per corpus decade (the r15 ×100 probe's
+    * 52k-node quasi-component); simhash band cells are uniform
+    * (measured max occupancy 5 at 5k media), so background collisions
+    * are governed by 2⁻¹⁵ per band, not by how alike the corpus's
+    * bytes are. The all-pairs DuckDB oracle re-proves the losslessness
+    * every round (the dedup_jaccard_prefix adjudication convention).
     *
-    * Scale shape: 128 thin keys per media (8 bands × 2⁴ q/q+1
-    * emissions); candidates are Σ cell² over the per-band joint
-    * (kind, size, triple) grids — cubed per-coordinate selectivity.
-    * Feature arrays never ride the candidate exchange: the verify joins
-    * are ceiling-gated broadcasts (shuffle-hash past it — the
-    * verify-join convention), and the L1 is one codegen'd
-    * zip_with/aggregate over 8 longs per candidate row.
+    * Scale shape: 68 thin key rows per media; candidates are Σ x·y over
+    * per-(kind, band_key) cells; length window, Hamming verify, and
+    * media ordering apply IN-JOIN on the carried (n_bytes, sig) — 16
+    * bytes per key row, never the feature arrays. Verify-first: only
+    * the in-join survivors (output-scale, multiplicity ≤ 4) pay the
+    * ceiling-gated ffix joins for the L1 secondary and the distinct.
     */
   def nearDupPairs(
       spark: SparkSession,
       sfDir: String,
       lenWindow: Long = NearDupLenWindow,
-      threshold: Long = NearDupL1Threshold): DataFrame =
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame =
     nearDupPairsOver(
-      featureFace(spark, sfDir).localCheckpoint(), lenWindow, threshold)
+      fingerprintFace(spark, sfDir).localCheckpoint(),
+      lenWindow, maxHamming, l1Window, kindBlocked = true)
+      .select(col("media_a"), col("media_b"), col("kind_a").as("kind"),
+        col("len_delta"), col("hamming"), col("l1_fix"))
       .orderBy("media_a", "media_b")
 
-  /** The lossless TRIPLE-banded blocking keys of a face slice — the
-    * AND-composed pigeonhole. Single-coordinate bands were lossless but
-    * not selective on a byte-homogeneous corpus (per-coordinate windows
-    * admit ~2% of the same-kind length-window base; at ×10 the band
-    * join emitted >100M rows and WAS the wall). The sharper pigeonhole:
-    * if Σ|Δseg| ≤ T over 8 segments then at most 3 coordinates have
-    * |Δ| > T/4 (four violators would already sum past T). Split the
-    * coordinates into two fixed groups of 4 — {0,1,2,3} and {4,5,6,7} —
-    * and ≤3 violators means ONE group holds ≤1 of them, i.e. ≥3 of its
-    * 4 coordinates are tight at T/4; that group contains a fully-tight
-    * TRIPLE among its four leave-one-out triples. Banding the 8 triples
-    * (4 per group), each keyed by its 3 coordinate cells at width T/4
-    * jointly with the quantized length (q and q+1 per numeric
-    * dimension: 16 emissions per band, 128 thin rows per media),
-    * guarantees a qualifying pair collides on at least one band — and a
-    * candidate must now be tight in THREE coordinates at once, cubing
-    * the per-band selectivity (measured ×10: band-join output 112M →
-    * well under 1M rows).
-    *
-    * Modality stays an EQUALITY dimension (images dedup against
-    * images, never audio). Key rows CARRY n_bytes and the triple's
-    * exact feature values so the true per-dimension windows (|Δn| ≤
-    * lenWindow, each |Δf| ≤ T/4 — all implied for the guaranteed band)
-    * apply as join predicates instead of relying on cell adjacency,
-    * which over-admits ~4× per dimension.
+  /** The 4×15-bit banding keys of a fingerprint face slice. Exact
+    * emission: band_key = band·2¹⁵ | bits [15·band, 15·band+15) of the
+    * 60-bit sig — 4 keys per media. With `withFlips`, additionally every
+    * single-bit variant of each band (60 more keys): the x side of a
+    * pair join emits flips, the y side exact, and any pair whose
+    * minimum per-band Hamming is ≤ 1 — which Hamming ≤ 7 over 4 bands
+    * pigeonholes — collides. Key rows carry (kind, n_bytes, sig) so the
+    * true windows verify in-join.
     */
-  private[graft] def bandWidthOf(threshold: Long): Long =
-    math.max(threshold / 4L, 1L)
-
-  /** The 8 leave-one-out triples: band id → the 3 segment indices it
-    * keys on. Bands 0-3 cover group {0,1,2,3}, bands 4-7 group
-    * {4,5,6,7}; band g*4+t drops the t-th member of group g.
-    */
-  private[graft] val BandTriples: Seq[(Int, Seq[Int])] = for {
-    (group, gi) <- Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)).zipWithIndex
-    (dropped, ti) <- group.zipWithIndex
-  } yield (gi * 4 + ti, group.filterNot(_ == dropped))
-
-  private def blockKeys(
-      face: DataFrame,
-      lenWindow: Long,
-      threshold: Long): DataFrame = {
-    val w = bandWidthOf(threshold)
-    val frames = BandTriples.map { case (bandId, coords) =>
-      face.select(col("media_id"), col("kind"), col("n_bytes"),
-          lit(bandId).as("band"),
-          expr(s"n_bytes div ${lenWindow}L").as("lq"),
-          element_at(col("ffix"), coords(0) + 1).as("f0"),
-          element_at(col("ffix"), coords(1) + 1).as("f1"),
-          element_at(col("ffix"), coords(2) + 1).as("f2"))
-        .withColumn("dl", explode(array(lit(0L), lit(1L))))
-        .withColumn("d0", explode(array(lit(0L), lit(1L))))
-        .withColumn("d1", explode(array(lit(0L), lit(1L))))
-        .withColumn("d2", explode(array(lit(0L), lit(1L))))
-        .select(col("media_id"), col("kind"), col("band"),
-          (col("lq") + col("dl")).as("k_len"),
-          (expr(s"f0 div ${w}L") + col("d0")).as("c0"),
-          (expr(s"f1 div ${w}L") + col("d1")).as("c1"),
-          (expr(s"f2 div ${w}L") + col("d2")).as("c2"),
-          col("n_bytes"), col("f0"), col("f1"), col("f2"))
+  private def sigBandKeys(face: DataFrame, withFlips: Boolean): DataFrame = {
+    val exact = (0 until 4).map { b =>
+      expr(s"${b.toLong << 15}L + (shiftright(sig, ${15 * b}) & 32767)")
     }
-    frames.reduce(_ unionAll _)
+    val flips =
+      if (!withFlips) Seq.empty
+      else for { b <- 0 until 4; j <- 0 until 15 } yield
+        expr(s"${b.toLong << 15}L + ((shiftright(sig, ${15 * b}) & 32767) ^ ${1 << j})")
+    face.select(col("media_id"), col("kind"), col("n_bytes"), col("sig"),
+      explode(array((exact ++ flips): _*)).as("band_key"))
   }
 
-  /** The pair core over an already-checkpointed face — shared by the
-    * pairs row (sorted presentation) and the decision row (feeds the
-    * component contraction unsorted).
+  /** The pair core over an already-checkpointed fingerprint face —
+    * shared by the pairs row (sorted presentation), the decision row
+    * (feeds the component contraction unsorted), and the cross-format
+    * content row (`kindBlocked = false`: modality/format stops being a
+    * blocking dimension, so re-containered content dedups across
+    * PNG/JPEG/WAV/MP4).
     *
-    * VERIFY-FIRST shuffle economics: candidates keep their band
-    * multiplicity (≤ 16 per band × 8 bands, output-bounded) through the
-    * cheap codegen'd L1 verify, and only the verified survivors —
-    * output-scale, not candidate-scale — pay a distinct. The first cut
-    * distinct'd the raw candidates instead, and on a byte-homogeneous
-    * corpus whose single-coordinate cells are hot that one exchange
-    * (tens of millions of thin rows at ×10) WAS the query: ×10 wall
-    * 97 s → verify-first 44 s → triple bands + in-join exact windows
-    * make both the exchange and the verify output-bounded. The verify
-    * joins stay ceiling-gated (broadcast under the Dedup ceiling,
-    * shuffle-hash past it), so the multiplicity never rides a sort.
+    * VERIFY-FIRST shuffle economics (the r15 lesson, kept): the length
+    * window, the Hamming verify, and the ordering predicate all apply
+    * INSIDE the band-key join off the carried 16 bytes, so the only
+    * rows that ever pay the ffix fetch and the distinct are true-pair
+    * scale with multiplicity ≤ 4 (one per band; an exact-collision
+    * band cannot also collide via a flip). The band join is hinted
+    * shuffle_hash — it needs no order, and sorting the key rows was
+    * measured pure overhead.
     */
   private def nearDupPairsOver(
       face: DataFrame,
       lenWindow: Long,
-      threshold: Long): DataFrame = {
+      maxHamming: Int,
+      l1Window: Long,
+      kindBlocked: Boolean): DataFrame = {
     val nFace = face.count()
-    val bandWidth = bandWidthOf(threshold)
-    // shuffle-hash, not sort-merge: the band key join needs no order,
-    // and sorting 2×|keys| thin rows is pure overhead at every scale
-    val keys = blockKeys(face, lenWindow, threshold)
-    val cand = keys.as("x").hint("shuffle_hash").join(keys.as("y"),
-        col("x.kind") === col("y.kind") &&
-          col("x.band") === col("y.band") &&
-          col("x.k_len") === col("y.k_len") &&
-          col("x.c0") === col("y.c0") &&
-          col("x.c1") === col("y.c1") &&
-          col("x.c2") === col("y.c2") &&
-          col("x.media_id") < col("y.media_id") &&
-          abs(col("x.n_bytes") - col("y.n_bytes")) <= lenWindow &&
-          abs(col("x.f0") - col("y.f0")) <= bandWidth &&
-          abs(col("x.f1") - col("y.f1")) <= bandWidth &&
-          abs(col("x.f2") - col("y.f2")) <= bandWidth)
+    val x = sigBandKeys(face, withFlips = true)
+    val y = sigBandKeys(face, withFlips = false)
+    val baseCond =
+      col("x.band_key") === col("y.band_key") &&
+        col("x.media_id") < col("y.media_id") &&
+        abs(col("x.n_bytes") - col("y.n_bytes")) <= lenWindow &&
+        expr("bit_count(x.sig ^ y.sig)") <= maxHamming
+    val cand = x.as("x").hint("shuffle_hash").join(y.as("y"),
+        if (kindBlocked) col("x.kind") === col("y.kind") && baseCond
+        else baseCond)
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        col("x.kind").as("kind"))
+        col("x.kind").as("kind_a"), col("y.kind").as("kind_b"),
+        abs(col("x.n_bytes") - col("y.n_bytes")).as("len_delta"),
+        expr("cast(bit_count(x.sig ^ y.sig) as int)").as("hamming"))
     def gate(df: DataFrame): DataFrame =
       if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
       else df.hint("shuffle_hash")
     cand
       .join(gate(face.select(col("media_id").as("media_a"),
-        col("n_bytes").as("la"), col("ffix").as("fa"))), "media_a")
+        col("ffix").as("fa"))), "media_a")
       .join(gate(face.select(col("media_id").as("media_b"),
-        col("n_bytes").as("lb"), col("ffix").as("fb"))), "media_b")
-      .select(col("media_a"), col("media_b"), col("kind"),
-        abs(col("la") - col("lb")).as("len_delta"),
+        col("ffix").as("fb"))), "media_b")
+      .select(col("media_a"), col("media_b"), col("kind_a"), col("kind_b"),
+        col("len_delta"), col("hamming"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
-      .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
+      .filter(col("l1_fix") <= l1Window)
       .distinct()
   }
 
   /** The FIDELITY of each media item, read off the REAL parsed headers:
-    * the media corpus is re-synthesized with genuine PNG/JPEG/WAV
+    * the media corpus is re-synthesized with genuine PNG/JPEG/WAV/MP4
     * containers ([[mediaWithHeaders]]), each payload's header walked by
-    * [[parseMediaDims]] (magic bytes → IHDR/SOF0/fmt chunk), and the
-    * fidelity derived from what the PARSE returned — width×height for
-    * images, sample_rate×channels for audio, payload bytes as the
+    * [[parseMediaDims]] (magic bytes → IHDR/SOF0/fmt chunk/tkhd), and
+    * the fidelity derived from what the PARSE returned — width×height
+    * for images and video, sample_rate×channels for audio, payload bytes as the
     * fallback for anything the parser rejects. Nothing passes through
     * from the synthesis side: a parser regression flips fidelities to
     * the fallback and the analytic oracle catches the hash drift.
@@ -714,7 +971,7 @@ object Multimodal {
         it.map { r =>
           val (fmt, w, h, sr, ch) = parseMediaDims(r.payload)
           val fid = fmt match {
-            case "png" | "jpeg" =>
+            case "png" | "jpeg" | "mp4" =>
               (for { ww <- w; hh <- h } yield ww.toLong * hh.toLong)
                 .getOrElse(r.meta.sizeBytes)
             case "wav" =>
@@ -749,9 +1006,11 @@ object Multimodal {
       spark: SparkSession,
       sfDir: String,
       lenWindow: Long = NearDupLenWindow,
-      threshold: Long = NearDupL1Threshold): DataFrame = {
-    val face = featureFace(spark, sfDir).localCheckpoint()
-    val pairs = nearDupPairsOver(face, lenWindow, threshold)
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    val pairs = nearDupPairsOver(face, lenWindow, maxHamming, l1Window,
+      kindBlocked = true)
     val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
       .withColumnRenamed("node", "media_id")
     val base = face.select("media_id", "n_bytes")
@@ -775,21 +1034,24 @@ object Multimodal {
   /** INCREMENTAL media near-dup — the per-batch serve shape every other
     * dedup family already has (the %10 carve convention): each batch
     * media (media_id % 10 == 0) is checked against the CORPUS slice
-    * only, emitting its best corpus match (smallest L1, ties to the
-    * lowest corpus id) or is_new when nothing sits within both windows.
-    * Candidates come from the same lossless q/q+1 blocking, asymmetric:
-    * batch keys join corpus keys, so the batch pays ~|batch| × cell
-    * occupancy, never |batch| × |corpus|.
+    * only, emitting its best corpus match (smallest Hamming, ties to
+    * smallest L1 then lowest corpus id) or is_new when nothing sits
+    * within all three windows. Candidates come from the same lossless
+    * band-plus-flip blocking, asymmetric: the BATCH side pays the 64×
+    * flip emission, the corpus emits its 4 exact keys — so the corpus
+    * index is one thin row per (media, band), precomputable and never
+    * reshuffled on account of the batch.
     */
   def incrementalNearDup(
       spark: SparkSession,
       sfDir: String,
       lenWindow: Long = NearDupLenWindow,
-      threshold: Long = NearDupL1Threshold): DataFrame = {
-    val face = featureFace(spark, sfDir).localCheckpoint()
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
     val batch = face.filter(col("media_id") % 10 === 0)
     val corpus = face.filter(col("media_id") % 10 =!= 0)
-    incrementalNearDupFrames(batch, corpus, face, lenWindow, threshold)
+    incrementalNearDupFrames(batch, corpus, face, lenWindow, maxHamming, l1Window)
   }
 
   /** The serve core of [[incrementalNearDup]] over explicit frames —
@@ -803,53 +1065,47 @@ object Multimodal {
       corpus: DataFrame,
       full: DataFrame,
       lenWindow: Long,
-      threshold: Long): DataFrame = {
+      maxHamming: Int,
+      l1Window: Long): DataFrame = {
     val nFace = full.count()
     val face = full
-    val bandWidth = bandWidthOf(threshold)
-    // verify-first like the pairs core: candidates keep band
-    // multiplicity (the row_number best-match is multiplicity-blind),
-    // exact per-dimension windows apply inside the join
-    val cand = blockKeys(batch, lenWindow, threshold)
-      .select(col("media_id").as("media_id_b"), col("kind"), col("band"),
-        col("k_len"), col("c0"), col("c1"), col("c2"),
-        col("n_bytes").as("nb"),
-        col("f0").as("bf0"), col("f1").as("bf1"), col("f2").as("bf2"))
+    // verify-first like the pairs core: the length window and Hamming
+    // verify apply inside the band join off the carried 16 bytes (the
+    // row_number best-match below is multiplicity-blind, so candidates
+    // keep their ≤4 band multiplicity through the ffix fetch)
+    val cand = sigBandKeys(batch, withFlips = true)
+      .select(col("media_id"), col("kind"), col("band_key"),
+        col("n_bytes").as("nb"), col("sig").as("bsig"))
       .hint("shuffle_hash")
-      .join(blockKeys(corpus, lenWindow, threshold)
-          .select(col("media_id").as("corpus_id"), col("kind"), col("band"),
-            col("k_len"), col("c0"), col("c1"), col("c2"),
-            col("n_bytes").as("nc"),
-            col("f0").as("cf0"), col("f1").as("cf1"), col("f2").as("cf2")),
-        Seq("kind", "band", "k_len", "c0", "c1", "c2"))
+      .join(sigBandKeys(corpus, withFlips = false)
+          .select(col("media_id").as("corpus_id"), col("kind"),
+            col("band_key"), col("n_bytes").as("nc"), col("sig").as("csig")),
+        Seq("kind", "band_key"))
       .filter(abs(col("nb") - col("nc")) <= lenWindow &&
-        abs(col("bf0") - col("cf0")) <= bandWidth &&
-        abs(col("bf1") - col("cf1")) <= bandWidth &&
-        abs(col("bf2") - col("cf2")) <= bandWidth)
-      .select("media_id_b", "corpus_id")
-      .withColumnRenamed("media_id_b", "media_id")
+        expr("bit_count(bsig ^ csig)") <= maxHamming)
+      .select(col("media_id"), col("corpus_id"),
+        abs(col("nb") - col("nc")).as("len_delta"),
+        expr("cast(bit_count(bsig ^ csig) as int)").as("hamming"))
     def gate(df: DataFrame): DataFrame =
       if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
       else df.hint("shuffle_hash")
     val scored = cand
-      .join(gate(face.select(col("media_id"),
-        col("n_bytes").as("la"), col("ffix").as("fa"))), "media_id")
+      .join(gate(face.select(col("media_id"), col("ffix").as("fa"))), "media_id")
       .join(gate(face.select(col("media_id").as("corpus_id"),
-        col("n_bytes").as("lb"), col("ffix").as("fb"))), "corpus_id")
-      .select(col("media_id"), col("corpus_id"),
-        abs(col("la") - col("lb")).as("len_delta"),
+        col("ffix").as("fb"))), "corpus_id")
+      .select(col("media_id"), col("corpus_id"), col("hamming"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
-      .filter(col("len_delta") <= lenWindow && col("l1_fix") <= threshold)
+      .filter(col("l1_fix") <= l1Window)
     val wB = Window.partitionBy("media_id")
-      .orderBy(asc("l1_fix"), asc("corpus_id"))
+      .orderBy(asc("hamming"), asc("l1_fix"), asc("corpus_id"))
     val best = scored.withColumn("rn", row_number().over(wB))
       .filter(col("rn") === 1)
-      .select(col("media_id"), col("corpus_id"), col("l1_fix"))
+      .select(col("media_id"), col("corpus_id"), col("hamming"), col("l1_fix"))
     batch.select("media_id")
       .join(best, Seq("media_id"), "left")
       .select(col("media_id"), col("corpus_id").isNull.as("is_new"),
-        col("corpus_id").as("dup_of"), col("l1_fix"))
+        col("corpus_id").as("dup_of"), col("hamming"), col("l1_fix"))
       .orderBy("media_id")
   }
 
@@ -869,8 +1125,9 @@ object Multimodal {
       arrivals: DataFrame,
       outDir: String,
       lenWindow: Long = NearDupLenWindow,
-      threshold: Long = NearDupL1Threshold): org.apache.spark.sql.streaming.StreamingQuery = {
-    val face = featureFace(spark, sfDir).localCheckpoint()
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): org.apache.spark.sql.streaming.StreamingQuery = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
     val corpus = face.filter(col("media_id") % 10 =!= 0).localCheckpoint()
     arrivals.writeStream
       .outputMode("append")
@@ -878,7 +1135,8 @@ object Multimodal {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchFace = face.join(
           broadcast(batch.select(col("media_id"))), Seq("media_id"), "left_semi")
-        incrementalNearDupFrames(batchFace, corpus, face, lenWindow, threshold)
+        incrementalNearDupFrames(batchFace, corpus, face,
+          lenWindow, maxHamming, l1Window)
           .write.mode("overwrite")
           .parquet(s"$outDir/verdicts/batch_id=$batchId")
         ()

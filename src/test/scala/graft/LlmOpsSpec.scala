@@ -477,7 +477,7 @@ class LlmOpsSpec extends SparkTestBase {
       s"short estimate off calibration: $estShort vs ~10k")
   }
 
-  test("multimodal: header parser round-trips real PNG/JPEG/WAV encodings") {
+  test("multimodal: header parser round-trips real PNG/JPEG/WAV/MP4 encodings") {
     val data = "payload bytes".getBytes("UTF-8")
     assert(Multimodal.parseMediaDims(Multimodal.encodePng(640, 479, data))
       == (("png", Some(640), Some(479), None, None)))
@@ -485,6 +485,8 @@ class LlmOpsSpec extends SparkTestBase {
       == (("jpeg", Some(123), Some(456), None, None)))
     assert(Multimodal.parseMediaDims(Multimodal.encodeWav(11000, 2, data))
       == (("wav", None, None, Some(11000), Some(2))))
+    assert(Multimodal.parseMediaDims(Multimodal.encodeMp4(320, 240, 600, 900, data))
+      == (("mp4", Some(320), Some(240), None, None)))
     // junk tolerance: truncated, corrupted-CRC, and plain-text payloads
     // must come back "unknown", never throw
     assert(Multimodal.parseMediaDims(Array[Byte]())._1 == "unknown")
@@ -502,10 +504,11 @@ class LlmOpsSpec extends SparkTestBase {
     assert(d.length == 500)
     d.foreach { row =>
       val id = row.getLong(0)
-      val expected = (id % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "wav"
+      val expected = (id % 6) match {
+        case 0 | 3 => "png"
+        case 1 | 4 => "jpeg"
+        case 2 => "wav"
+        case _ => "mp4"
       }
       assert(row.getString(1) == expected, s"media $id parsed as ${row.getString(1)}")
     }

@@ -19,12 +19,14 @@ class RegistrySpec extends AnyFunSuite {
     // Each name here is a DELIBERATE rows-only row: xxhash64 fast paths
     // twinned by an md5 row, the reference-CSV PlayStore pipelines
     // (DuckDB cannot see the bundled resource), genuinely approximate
-    // sketches with exact twins, the spec-pinned batched BPE, and the
-    // mapPartitions feature stub (fixed-point twin mm_features_fix).
+    // sketches with exact twins, and the spec-pinned batched BPE.
     // Growing this set is a deliberate act — add the justification here.
+    // (round 16: the normalized-float mm_features row retired — its
+    // integer twin mm_features_fix is oracled and the float
+    // presentation is spec-pinned in Round16OpsSpec — set is 13.)
     val expected = Set(
       "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_substring_pairs",
-      "mm_features", "sketch_merge", "sketch_profile",
+      "sketch_merge", "sketch_profile",
       "txt_bpe_merges", "txt_fingerprints",
       "ps_part1_sentiment", "ps_part2_best_apps", "ps_part3_standardize",
       "ps_part4_cleaned", "ps_part5_metrics",

@@ -48,21 +48,25 @@ class Round13OpsSpec extends SparkTestBase {
       "a surviving src's forward top-1 must not change under the cap")
   }
 
-  test("mm near-dup: the q/q+1 blocking is lossless against naive all-pairs") {
+  test("mm near-dup: the band+flip blocking is lossless against naive all-pairs") {
     val banded = Multimodal.nearDupPairs(spark, Sf).localCheckpoint()
-    // naive truth: every ordered pair, both bounds applied directly
-    val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
+    // naive truth: every ordered pair, all three bounds applied directly
+    val face = Multimodal.fingerprintFace(spark, Sf).localCheckpoint()
     val naive = face.select(col("media_id").as("media_a"),
-        col("kind").as("ka"), col("n_bytes").as("la"), col("ffix").as("fa"))
+        col("kind").as("ka"), col("n_bytes").as("la"),
+        col("sig").as("sa"), col("ffix").as("fa"))
       .crossJoin(face.select(col("media_id").as("media_b"),
-        col("kind").as("kb"), col("n_bytes").as("lb"), col("ffix").as("fb")))
+        col("kind").as("kb"), col("n_bytes").as("lb"),
+        col("sig").as("sb"), col("ffix").as("fb")))
       .filter(col("media_a") < col("media_b") && col("ka") === col("kb"))
       .select(col("media_a"), col("media_b"),
         abs(col("la") - col("lb")).as("len_delta"),
+        expr("bit_count(sa ^ sb)").as("hamming"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
       .filter(col("len_delta") <= Multimodal.NearDupLenWindow &&
-        col("l1_fix") <= Multimodal.NearDupL1Threshold)
+        col("hamming") <= Multimodal.MediaFpMaxHamming &&
+        col("l1_fix") <= Multimodal.MediaFpL1Window)
       .localCheckpoint()
     assert(banded.count() > 0, "sf0.001 must contain media near-dups")
     assert(banded.count() === naive.count())
@@ -95,7 +99,7 @@ class Round13OpsSpec extends SparkTestBase {
     // falls back to payload size and trips this
     val dims = Multimodal.dimsQuery(spark, Sf)
       .withColumn("want",
-        when(col("fmt").isin("png", "jpeg"),
+        when(col("fmt").isin("png", "jpeg", "mp4"),
           col("width").cast("long") * col("height").cast("long"))
           .otherwise(col("sample_rate").cast("long") * col("channels").cast("long")))
       .select("media_id", "want")
@@ -106,35 +110,42 @@ class Round13OpsSpec extends SparkTestBase {
 
   test("mm incremental: asymmetric blocking is lossless vs naive batch x corpus") {
     val inc = Multimodal.incrementalNearDup(spark, Sf).localCheckpoint()
-    val face = Multimodal.featureFace(spark, Sf).localCheckpoint()
+    val face = Multimodal.fingerprintFace(spark, Sf).localCheckpoint()
     val naive = face.filter(col("media_id") % 10 === 0)
       .select(col("media_id"), col("kind").as("ka"),
-        col("n_bytes").as("la"), col("ffix").as("fa"))
+        col("n_bytes").as("la"), col("sig").as("sa"), col("ffix").as("fa"))
       .crossJoin(face.filter(col("media_id") % 10 =!= 0)
         .select(col("media_id").as("corpus_id"), col("kind").as("kb"),
-          col("n_bytes").as("lb"), col("ffix").as("fb")))
+          col("n_bytes").as("lb"), col("sig").as("sb"), col("ffix").as("fb")))
       .filter(col("ka") === col("kb"))
       .select(col("media_id"), col("corpus_id"),
         abs(col("la") - col("lb")).as("len_delta"),
+        expr("bit_count(sa ^ sb)").as("hamming"),
         aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("l1_fix"))
       .filter(col("len_delta") <= Multimodal.NearDupLenWindow &&
-        col("l1_fix") <= Multimodal.NearDupL1Threshold)
+        col("hamming") <= Multimodal.MediaFpMaxHamming &&
+        col("l1_fix") <= Multimodal.MediaFpL1Window)
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("media_id").orderBy(asc("l1_fix"), asc("corpus_id"))
+      .partitionBy("media_id")
+      .orderBy(asc("hamming"), asc("l1_fix"), asc("corpus_id"))
     val naiveBest = naive.withColumn("rn", row_number().over(wB))
       .filter(col("rn") === 1)
-      .select(col("media_id"), col("corpus_id").as("nd"), col("l1_fix").as("nl"))
+      .select(col("media_id"), col("corpus_id").as("nd"),
+        col("hamming").as("nh"), col("l1_fix").as("nl"))
     val joined = inc.join(naiveBest, Seq("media_id"), "full_outer")
       .localCheckpoint()
     assert(joined.filter(col("is_new") && col("nd").isNotNull).isEmpty,
       "an is_new batch item must have no naive corpus match")
     assert(joined.filter(!col("is_new") &&
-        (col("dup_of") =!= col("nd") || col("l1_fix") =!= col("nl"))).isEmpty,
+        (col("dup_of") =!= col("nd") || col("hamming") =!= col("nh") ||
+          col("l1_fix") =!= col("nl"))).isEmpty,
       "every matched batch item must carry the naive best match")
-    // engagement: the segment face's measured threshold leaves sf0.001
-    // without a %10-endpoint pair, so the match path is exercised at
-    // the driver's own sf0.01 gate cut (same 500-doc size)
+    // engagement: the fingerprint finds %10-endpoint pairs at sf0.001
+    // itself (batch 120 vs corpus 12); sf0.01 re-checks at the driver's
+    // own gate cut
+    assert(inc.filter(!col("is_new")).count() > 0,
+      "sf0.001 must contain batch items with corpus near-dups")
     val inc01 = Multimodal.incrementalNearDup(spark, "/root/testdata/sf0.01")
     assert(inc01.filter(!col("is_new")).count() > 0,
       "sf0.01 must contain batch items with corpus near-dups")

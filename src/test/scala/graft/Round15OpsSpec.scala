@@ -48,12 +48,13 @@ class Round15OpsSpec extends SparkTestBase {
     assert(Multimodal.parseMediaExtent(wav.take(20))._1 === "unknown")
   }
 
-  test("extractContent: encode-extract round-trip identity on all three containers") {
+  test("extractContent: encode-extract round-trip identity on all four containers") {
     val data = "the quick brown fox".getBytes("UTF-8")
     for (payload <- Seq(
         Multimodal.encodePng(10, 10, data),
         Multimodal.encodeJpeg(10, 10, data),
-        Multimodal.encodeWav(8000, 1, data))) {
+        Multimodal.encodeWav(8000, 1, data),
+        Multimodal.encodeMp4(10, 10, 600, 1200, data))) {
       assert(Multimodal.extractContent(payload).map(_.toSeq) === Some(data.toSeq))
     }
     assert(Multimodal.extractContent(Array[Byte](1, 2, 3)).isEmpty)

@@ -98,8 +98,8 @@ class StreamingSpec extends SparkTestBase {
 
   test("media ingest stream: two micro-batches reproduce the batch near-dup verdicts") {
     implicit val sqlCtx = spark.sqlContext
-    // sf0.01 so the matched path engages (sf0.001 has no %10-endpoint
-    // pair under the measured segment-face threshold)
+    // sf0.01: the driver's own gate cut, with %10-endpoint pairs under
+    // the fingerprint windows so the matched path engages
     val sf01 = "/root/testdata/sf0.01"
     val arrivals = spark.read.parquet(s"$sf01/documents.parquet")
       .filter(col("doc_id") % 10 === 0)
@@ -116,7 +116,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.read.parquet(s"$outDir/verdicts")
-      .select("media_id", "is_new", "dup_of", "l1_fix")
+      .select("media_id", "is_new", "dup_of", "hamming", "l1_fix")
       .collect().map(_.toSeq)
     val batch = graft.operators.Multimodal.incrementalNearDup(spark, sf01)
       .collect().map(_.toSeq)
