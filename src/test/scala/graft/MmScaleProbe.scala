@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
   * scope — never ships). The naive DuckDB replay is the per-round
   * correctness anchor up to ×10; past that the all-pairs oracle is the
   * bottleneck, so this probe answers the two SCALE questions directly
-  * Spark-side: does the triple-banded join complete comfortably, and
-  * how does TRUE pair mass grow (the quantity the r14 verdict graded —
-  * neighbors-per-media must stay near-constant, not quasi-quadratic)?
+  * Spark-side: does the banded join complete comfortably, and how does
+  * TRUE pair mass grow (the quantity the r14/r15 verdicts graded —
+  * neighbors-per-media must stay near-constant, not quasi-quadratic;
+  * the r16 exit bar is ×100 TOTAL mass within ~2× of the ×10 value)?
   *
   * Usage: Test/runMain graft.MmScaleProbe /tmp/sf10
   */
@@ -39,6 +40,12 @@ object MmScaleProbe {
       Multimodal.incrementalNearDup(spark, sfDir).localCheckpoint())
     println(s"MMSCALE incremental rows ${inc.count()} " +
       s"matched ${inc.filter(!col("is_new")).count()}")
+    val cnt = time("content_neardup")(
+      Multimodal.contentNearDupPairs(spark, sfDir).localCheckpoint())
+    val nCnt = cnt.count()
+    println(f"MMSCALE content pairs $nCnt cross_fmt " +
+      s"${cnt.filter(col("fmt_a") =!= col("fmt_b")).count()} " +
+      f"neighbors_per_media ${2.0 * nCnt / nMedia}%.4f")
     spark.stop()
   }
 }
