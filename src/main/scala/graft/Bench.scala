@@ -57,7 +57,7 @@ object Bench {
       "emb_near_dup_pairs", "txt_token_counts", "txt_fingerprints",
       "txt_tfidf_top_terms", "mm_features_fix", "mm_face_segments",
       "mm_neardup_pairs", "mm_dedup_decision", "mm_incremental_neardup",
-      "mm_fingerprint", "mm_content_neardup",
+      "mm_fingerprint", "mm_content_neardup", "mm_content_decision",
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",

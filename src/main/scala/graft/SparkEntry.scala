@@ -720,6 +720,11 @@ object SparkEntry {
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
     "mm_content_neardup" -> ((s, d) => Multimodal.contentNearDupPairs(s, d)),
+    // the cross-format dedup DECISION over the content pair graph:
+    // components span container formats; keep = highest-fidelity
+    // container of the content (pixels / rate×channels off the real
+    // header parse), ties to lowest id
+    "mm_content_decision" -> ((s, d) => Multimodal.contentNearDupDecision(s, d)),
     // the float feature VECTOR itself, fixed-pointed (ratio is an exact
     // single-precision divide of two small ints on both engines): closes
     // the one no_oracle row whose machinery wasn't hash-pinned end-to-end
@@ -3922,6 +3927,68 @@ object SparkEntry {
          FROM pb GROUP BY a, b, la, lb, fmt_a, fmt_b, ham
          HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}
          ORDER BY media_a, media_b""",
+    "mm_content_decision" ->
+      // cross-format content pairs into the recursive-CTE closure
+      // (the mm_dedup_decision convention, minus the kind equality);
+      // fidelity analytic from (doc_id, n_chars), keep = highest
+      // fidelity then lowest id; content_bytes = the text bytes the
+      // extraction recovers on every container path
+      s"""WITH RECURSIVE $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        octet_length(encode(text)) AS n,
+                        CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
+                             THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
+                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                        END AS fid
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id AS a, y.media_id AS bb
+           FROM ids x JOIN ids y ON x.media_id < y.media_id
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         prs AS (
+           SELECT a, bb FROM (
+             SELECT c.a, c.bb, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
+           GROUP BY a, bb
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         edges AS (
+           SELECT a AS u, bb AS v FROM prs
+           UNION ALL SELECT bb AS u, a AS v FROM prs),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
+         base AS (
+           SELECT d.media_id, d.fmt, d.n, d.fid,
+                  COALESCE(c.root, d.media_id) AS component_id
+           FROM ids d LEFT JOIN comp c ON d.media_id = c.node)
+         SELECT media_id, component_id,
+                COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
+                fmt, CAST(n AS BIGINT) AS content_bytes,
+                CAST(fid AS BIGINT) AS fidelity,
+                (ROW_NUMBER() OVER (PARTITION BY component_id
+                   ORDER BY fid DESC, media_id) = 1) AS keep
+         FROM base ORDER BY media_id""",
     "mm_neardup_pairs" ->
       // the NAIVE definition — every ordered same-kind pair, the length
       // window, the exact fingerprint Hamming, and the L1 secondary

@@ -630,6 +630,51 @@ object Multimodal {
         col("len_delta"), col("hamming"), col("l1_fix"))
       .orderBy("media_a", "media_b")
 
+  /** The cross-format content DEDUP DECISION: connected components over
+    * the [[contentNearDupPairs]] graph — which spans container formats —
+    * plus the media keep rule: keep the HIGHEST-FIDELITY container of
+    * the content ([[fidelityFrame]]'s real header parse: pixels for
+    * image/video, rate×channels for audio; the units are modality
+    * priorities, not a common scale — a deterministic curation
+    * preference, ties to the lowest id). This is the multimodal
+    * curation shape: the same content wrapped as PNG and JPEG keeps
+    * the container whose parse reports the most signal. Media whose
+    * extraction fails never enter the pair graph and decide as
+    * self-rooted singletons (their keep is trivially true).
+    *
+    * Scale shape: identical to [[nearDupDecision]] — the lossless pair
+    * core feeds the star contraction ((long, long) edges only),
+    * decision windows partition by component, fidelity joins by id.
+    */
+  def contentNearDupDecision(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val face = contentFingerprintFace(spark, sfDir).localCheckpoint()
+    val pairs = nearDupPairsOver(face, lenWindow, maxHamming, l1Window,
+      kindBlocked = false)
+    val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
+      .withColumnRenamed("node", "media_id")
+    val base = fidelityFrame(spark, sfDir)
+      .join(face.select(col("media_id"), col("n_bytes").as("content_bytes")),
+        Seq("media_id"), "left")
+      .join(comp, Seq("media_id"), "left")
+      .select(col("media_id"), col("fmt"),
+        coalesce(col("component"), col("media_id")).as("component_id"),
+        col("content_bytes"), col("fidelity"))
+    val wC = Window.partitionBy("component_id")
+    val wK = Window.partitionBy("component_id")
+      .orderBy(desc("fidelity"), asc("media_id"))
+    base
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .withColumn("keep", row_number().over(wK) === 1)
+      .select("media_id", "component_id", "cluster_size", "fmt",
+        "content_bytes", "fidelity", "keep")
+      .orderBy("media_id")
+  }
+
   /** Header-metadata extraction as a registered query: synthesize real
     * containers, parse them back from bytes. The fmt column comes from
     * MAGIC BYTES, dims from the parsed header — nothing is passed through

@@ -46,6 +46,13 @@ object MmScaleProbe {
     println(f"MMSCALE content pairs $nCnt cross_fmt " +
       s"${cnt.filter(col("fmt_a") =!= col("fmt_b")).count()} " +
       f"neighbors_per_media ${2.0 * nCnt / nMedia}%.4f")
+    val cdec = time("content_decision")(
+      Multimodal.contentNearDupDecision(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE content decision rows ${cdec.count()} " +
+      s"dropped ${cdec.filter(!col("keep")).count()} " +
+      s"max_cluster ${cdec.agg(max("cluster_size")).head.getLong(0)} " +
+      s"cross_fmt_components ${cdec.groupBy("component_id")
+        .agg(countDistinct("fmt").as("f")).filter(col("f") > 1).count()}")
     spark.stop()
   }
 }

@@ -172,6 +172,27 @@ class Round16OpsSpec extends SparkTestBase {
       "verify must reject every non-qualifying candidate")
   }
 
+  test("mm_content_decision: cross-format components, one highest-fidelity keeper each") {
+    val d = Multimodal.contentNearDupDecision(spark, Sf).localCheckpoint()
+    assert(d.count() === 500)
+    val perComp = d.groupBy("component_id")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+        count(lit(1)).as("n"),
+        max(col("cluster_size")).as("sz"),
+        countDistinct("fmt").as("fmts"),
+        max(when(col("keep"), col("fidelity"))).as("kept_fid"),
+        max(col("fidelity")).as("max_fid"))
+      .localCheckpoint()
+    assert(perComp.filter(col("keepers") =!= 1L).isEmpty,
+      "every component keeps exactly one representative")
+    assert(perComp.filter(col("n") =!= col("sz")).isEmpty,
+      "cluster_size must equal the component's row count")
+    assert(perComp.filter(col("kept_fid") =!= col("max_fid")).isEmpty,
+      "the keeper must carry the component's highest fidelity")
+    assert(perComp.filter(col("n") > 1 && col("fmts") > 1).count() > 0,
+      "the row's reason to exist: dup components spanning container formats")
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —
