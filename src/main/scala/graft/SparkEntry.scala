@@ -716,6 +716,10 @@ object SparkEntry {
     // the %10 batch carve vs the corpus slice: best corpus match within
     // all three windows (smallest Hamming, then L1, then id) or is_new
     "mm_incremental_neardup" -> ((s, d) => Multimodal.incrementalNearDup(s, d)),
+    // the same verdicts served from the PERSISTED corpus fingerprint
+    // face (self-priming): repeat batches decode only themselves — the
+    // production serve shape at 100 TB
+    "mm_incremental_stored" -> ((s, d) => Multimodal.incrementalNearDupStored(s, d)),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -2182,6 +2186,60 @@ object SparkEntry {
                               THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
                   END AS sig
            FROM msh)"""
+
+  /** Naive batch × corpus media near-dup under all three windows, best
+    * match by (Hamming, L1, corpus id), every batch id emitted (is_new
+    * when unmatched). Shared by mm_incremental_neardup and its
+    * stored-index twin, which is row-identical by construction.
+    */
+  private def mmIncrementalOracleSql: String =
+    s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT x.media_id, y.media_id AS corpus_id,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind
+            AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
+            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         scored AS (
+           SELECT media_id, corpus_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
+           GROUP BY media_id, corpus_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         best AS (
+           SELECT media_id, corpus_id, ham, l1_fix FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY ham, l1_fix, corpus_id) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT i.media_id, p.corpus_id IS NULL AS is_new,
+                p.corpus_id AS dup_of, p.ham AS hamming, p.l1_fix
+         FROM (SELECT media_id FROM ids WHERE media_id % 10 = 0) i
+           LEFT JOIN best p USING (media_id)
+         ORDER BY media_id"""
 
   /** Full-training-replay IVF oracle, shared by the trained and the
     * stored-artifact registrations (row-identical by construction).
@@ -4099,57 +4157,11 @@ object SparkEntry {
                 (ROW_NUMBER() OVER (PARTITION BY component_id
                    ORDER BY fid DESC, media_id) = 1) AS keep
          FROM base ORDER BY media_id""",
-    "mm_incremental_neardup" ->
-      // naive batch x corpus under all three windows, best match by
-      // (Hamming, L1, corpus id), every batch id emitted (is_new when
-      // unmatched)
-      s"""WITH $mediaSigCtes,
-         by AS (
-           SELECT media_id, n,
-                  CAST((i.i * 8) // n AS INT) AS seg,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM mb, unnest(range(n)) AS i(i)),
-         hf AS MATERIALIZED (
-           SELECT media_id, seg,
-                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, seg),
-         ids AS (SELECT doc_id AS media_id,
-                        CASE WHEN doc_id % 3 = 0 THEN 'image'
-                             WHEN doc_id % 3 = 1 THEN 'audio'
-                             ELSE 'video' END AS kind,
-                        octet_length(encode(text)) AS n
-                 FROM documents),
-         cand AS (
-           SELECT x.media_id, y.media_id AS corpus_id,
-                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
-           FROM ids x JOIN ids y
-             ON x.kind = y.kind
-            AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
-            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-           JOIN msig sa ON sa.media_id = x.media_id
-           JOIN msig sb ON sb.media_id = y.media_id
-           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
-         scored AS (
-           SELECT media_id, corpus_id, ham,
-                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-           FROM (
-             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
-           GROUP BY media_id, corpus_id, ham
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
-         best AS (
-           SELECT media_id, corpus_id, ham, l1_fix FROM (
-             SELECT *, row_number() OVER (PARTITION BY media_id
-                         ORDER BY ham, l1_fix, corpus_id) AS rn
-             FROM scored) WHERE rn = 1)
-         SELECT i.media_id, p.corpus_id IS NULL AS is_new,
-                p.corpus_id AS dup_of, p.ham AS hamming, p.l1_fix
-         FROM (SELECT media_id FROM ids WHERE media_id % 10 = 0) i
-           LEFT JOIN best p USING (media_id)
-         ORDER BY media_id""",
+    "mm_incremental_neardup" -> mmIncrementalOracleSql,
+    // row-identical to mm_incremental_neardup by construction (the
+    // artifact IS the corpus fingerprint face), so the stored row
+    // reuses the same naive batch x corpus oracle
+    "mm_incremental_stored" -> mmIncrementalOracleSql,
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

@@ -193,6 +193,21 @@ class Round16OpsSpec extends SparkTestBase {
       "the row's reason to exist: dup components spanning container formats")
   }
 
+  test("mm_incremental_stored: row-identical to the live row off the persisted face") {
+    val stored = Multimodal.incrementalNearDupStored(spark, Sf)
+      .collect().map(_.toSeq)
+    val live = Multimodal.incrementalNearDup(spark, Sf).collect().map(_.toSeq)
+    assert(stored.length === live.length && stored.toSet === live.toSet,
+      "the artifact-backed serve must reproduce the live verdicts exactly")
+    // the self-primed artifact is the corpus-slice fingerprint face
+    val path = Multimodal.mediaIndexArtifactPath(spark, Sf)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet === Set("media_id", "kind", "n_bytes", "sig", "ffix"))
+    assert(idx.filter(col("media_id") % 10 === 0).isEmpty,
+      "the index carries only the corpus slice, never the batch")
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —
