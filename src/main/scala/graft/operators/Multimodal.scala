@@ -1264,10 +1264,11 @@ object Multimodal {
     * per media record, the non-empty bins of the 8-bin byte-value
     * histogram as INTEGER counts plus the payload length — the same
     * decode pass as [[decodeToFeatures]] minus the float normalization
-    * (count/len as float is what kept mm_features oracle-less: the two
-    * engines format/round floats differently in an array, while integer
-    * counts hash exactly; the normalized form is cnt/n_bytes, recoverable
-    * by the consumer). The DuckDB replay walks the UTF-8 payload bytes
+    * (count/len as float is why the normalized-float row was retired
+    * from the registry in r16: the two engines format/round floats
+    * differently in an array, while integer counts hash exactly; the
+    * float presentation is spec-pinned in Round16OpsSpec as exactly
+    * cnt/n_bytes). The DuckDB replay walks the UTF-8 payload bytes
     * via hex-pair slicing, so a hash match certifies the byte loop.
     */
   def featureHistQuery(spark: SparkSession, sfDir: String): DataFrame = {

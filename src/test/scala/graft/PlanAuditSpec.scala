@@ -330,12 +330,13 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("media band join is shuffle-hash and the distinct is verify-first") {
-    // two r15 posture pins for the triple-banded media near-dup core:
-    // (a) the band key join must not sort (SMJ sorted 12.8M thin rows at
-    // x10 for nothing — the key equality needs no order); (b) the
-    // distinct must sit ABOVE the L1 verify, i.e. group on the VERIFIED
-    // row (its hash partitioning includes l1_fix) — a candidate-first
-    // distinct groups on ids alone and was the 97 s x10 exchange
+    // two posture pins for the media near-dup core (r15's lessons,
+    // carried into the r16 fingerprint banding): (a) the band key join
+    // must not sort (SMJ sorted 12.8M thin rows at x10 for nothing —
+    // the key equality needs no order); (b) the distinct must sit ABOVE
+    // the L1 verify, i.e. group on the VERIFIED row (its hash
+    // partitioning includes l1_fix) — a candidate-first distinct groups
+    // on ids alone and was the 97 s x10 exchange
     val p = plan(operators.Multimodal.nearDupPairs(spark, Sf))
     assert(p.contains("ShuffledHashJoin"),
       s"band key join must be shuffle-hash:\n${p.take(2000)}")
@@ -347,6 +348,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(distinctExchanges.exists(_.contains("l1_fix")),
       s"distinct must key on the verified row (verify-first), got:\n" +
         distinctExchanges.mkString("\n"))
+  }
+
+  test("media band-key exchanges are thin: the ffix array never rides them") {
+    // the key rows carry exactly (ids, kind, n_bytes, sig) — 16 bytes of
+    // verify signal per row. A regression that lets the 8-long ffix
+    // array onto the 68-keys-per-media candidate exchange multiplies the
+    // dominant shuffle ~5× at every scale; checked on the exchange
+    // NODE's output attributes (the one-line tree rendering never lists
+    // them, the exact-dedup audit convention below)
+    val root = operators.Multimodal.nearDupPairs(spark, Sf)
+      .queryExecution.executedPlan
+    val exec = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bandExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("band_key") => e
+    }
+    assert(bandExchanges.nonEmpty, exec.toString)
+    bandExchanges.foreach { e =>
+      assert(!e.output.map(_.name).exists(_.startsWith("ffix")),
+        s"band-key exchange must stay thin: ${e.output.map(_.name).mkString(",")}")
+    }
   }
 
   test("exact dedup shuffles on the dedup key only (no global sort)") {
