@@ -603,10 +603,11 @@ object Multimodal {
     import spark.implicits._
     mediaWithHeaders(spark, sfDir)
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
           val (fmt, _, _, _, _) = parseMediaDims(r.payload)
           extractContent(r.payload).map { c =>
-            (r.media_id, fmt, c.length.toLong, mediaSimHash(c), segmentFix(c))
+            (r.media_id, fmt, c.length.toLong, mediaSimHash(c, md), segmentFix(c))
           }
         }
       }
@@ -788,7 +789,16 @@ object Multimodal {
     * Cost shape: one md5 per payload byte, map-side in the scan task —
     * embarrassingly parallel, no exchange; ~0.5 µs/byte single-thread.
     */
-  private[graft] def mediaSimHash(payload: Array[Byte]): Long = {
+  private[graft] def mediaSimHash(payload: Array[Byte]): Long =
+    mediaSimHash(payload, java.security.MessageDigest.getInstance("MD5"))
+
+  /** [[mediaSimHash]] with a caller-owned digest — the per-partition
+    * loops hoist the `getInstance` provider lookup out of the per-row
+    * path (one digest per task, reset per shingle).
+    */
+  private[graft] def mediaSimHash(
+      payload: Array[Byte],
+      md: java.security.MessageDigest): Long = {
     val n = payload.length
     val hx = new Array[Byte](2 * n)
     var i = 0
@@ -798,7 +808,6 @@ object Multimodal {
       hx(2 * i + 1) = HexDigits(v & 15)
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
     val m = math.max(n - 7, 1)
     val seen = new java.util.HashSet[java.lang.Long]()
     val cnt = new Array[Int](60)
@@ -857,9 +866,10 @@ object Multimodal {
     import records.sparkSession.implicits._
     records
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           (r.media_id, r.meta.kind, r.payload.length.toLong,
-            mediaSimHash(r.payload), segmentFix(r.payload))
+            mediaSimHash(r.payload, md), segmentFix(r.payload))
         }
       }
       .toDF("media_id", "kind", "n_bytes", "sig", "ffix")

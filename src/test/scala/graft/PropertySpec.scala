@@ -215,11 +215,19 @@ class PropertySpec extends SparkTestBase {
     val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte)
     val riffMagic = "RIFF????WAVE".getBytes("US-ASCII")
+    // a plausible ISO-BMFF prefix: junk grafted after a size+ftyp header
+    val bmffMagic = Array[Byte](0, 0, 0, 20, 'f', 't', 'y', 'p')
     samples(byteArrayGen, n = 200).zipWithIndex.foreach { case (bytes, i) =>
-      Multimodal.parseMediaDims(bytes)
-      Multimodal.parseMediaDims(pngMagic ++ bytes)
-      Multimodal.parseMediaDims(jpegMagic ++ bytes)
-      Multimodal.parseMediaDims(riffMagic ++ bytes)
+      for (payload <- Seq(bytes, pngMagic ++ bytes, jpegMagic ++ bytes,
+          riffMagic ++ bytes, bmffMagic ++ bytes)) {
+        // the whole parse surface holds the never-throws crawl contract
+        Multimodal.parseMediaDims(payload)
+        Multimodal.parseMediaExtent(payload)
+        Multimodal.extractContent(payload)
+        // and the fingerprint is total with a 60-bit image
+        assert((Multimodal.mediaSimHash(payload) >>> 60) == 0L,
+          s"sample $i: sig must live in 60 bits")
+      }
     }
   }
 
