@@ -720,6 +720,10 @@ object SparkEntry {
     // face (self-priming): repeat batches decode only themselves — the
     // production serve shape at 100 TB
     "mm_incremental_stored" -> ((s, d) => Multimodal.incrementalNearDupStored(s, d)),
+    // media decontamination: eval media (the %10==7 carve) fingerprint-
+    // banded + broadcast, corpus map-only; flagged corpus media with
+    // their best eval match — anti-join = the decontaminated corpus
+    "mm_decontam" -> ((s, d) => Multimodal.decontamReport(s, d)),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -4162,6 +4166,52 @@ object SparkEntry {
     // artifact IS the corpus fingerprint face), so the stored row
     // reuses the same naive batch x corpus oracle
     "mm_incremental_stored" -> mmIncrementalOracleSql,
+    "mm_decontam" ->
+      // naive eval x corpus under all three windows, best eval match
+      // per flagged corpus media by (Hamming, L1, eval id); flagged
+      // rows only — the report shape
+      s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT y.media_id, x.media_id AS eval_id,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind
+            AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
+            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         scored AS (
+           SELECT media_id, eval_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window})
+         SELECT media_id, eval_id, ham AS hamming, l1_fix FROM (
+           SELECT *, row_number() OVER (PARTITION BY media_id
+                       ORDER BY ham, l1_fix, eval_id) AS rn
+           FROM scored) WHERE rn = 1
+         ORDER BY media_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

@@ -1124,6 +1124,64 @@ object Multimodal {
     incrementalNearDupFrames(batch, corpus, face, lenWindow, maxHamming, l1Window)
   }
 
+  /** MEDIA DECONTAMINATION: benchmark/eval media leaking into a training
+    * corpus — the multimodal analogue of `Decontaminate.nearDupContaminationReport`.
+    * The eval carve (media_id % 10 == 7, deterministic and
+    * oracle-replayable; a real deployment passes its own eval set) is
+    * fingerprint-banded WITH the single-bit flips and BROADCAST — eval
+    * sets are tiny by definition — so the corpus side stays map-only:
+    * exact band keys computed in the scan task, hash-joined against the
+    * broadcast eval keys, length/Hamming verified in-join, and only
+    * flagged candidates pay the ffix fetch for the L1 secondary. Output
+    * is the FLAGGED corpus media with their best eval match (smallest
+    * Hamming, then L1, then eval id) — `corpus.join(report, "left_anti")`
+    * is the decontaminated corpus, the text-gate convention.
+    *
+    * Scale shape: zero corpus exchange for candidate generation (the
+    * eval index rides the broadcast); the only shuffles are the
+    * flagged-candidate verify joins and the best-match window, both
+    * bounded by contamination volume, never corpus volume.
+    */
+  def decontamReport(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    val evalSide = face.filter(col("media_id") % 10 === 7)
+    val corpus = face.filter(col("media_id") % 10 =!= 7)
+    val cand = sigBandKeys(corpus, withFlips = false)
+      .select(col("media_id"), col("kind"), col("band_key"),
+        col("n_bytes").as("nc"), col("sig").as("csig"))
+      .join(broadcast(sigBandKeys(evalSide, withFlips = true)
+          .select(col("media_id").as("eval_id"), col("kind"),
+            col("band_key"), col("n_bytes").as("ne"), col("sig").as("esig"))),
+        Seq("kind", "band_key"))
+      .filter(abs(col("nc") - col("ne")) <= lenWindow &&
+        expr("bit_count(csig ^ esig)") <= maxHamming)
+      .select(col("media_id"), col("eval_id"),
+        expr("cast(bit_count(csig ^ esig) as int)").as("hamming"))
+    val nFace = face.count()
+    def gate(df: DataFrame): DataFrame =
+      if (nFace <= Dedup.VerifySetBroadcastCeiling) broadcast(df)
+      else df.hint("shuffle_hash")
+    val scored = cand
+      .join(gate(face.select(col("media_id"), col("ffix").as("fa"))), "media_id")
+      .join(broadcast(evalSide.select(col("media_id").as("eval_id"),
+        col("ffix").as("fb"))), "eval_id")
+      .select(col("media_id"), col("eval_id"), col("hamming"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("l1_fix") <= l1Window)
+    val wB = Window.partitionBy("media_id")
+      .orderBy(asc("hamming"), asc("l1_fix"), asc("eval_id"))
+    scored.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("eval_id"), col("hamming"), col("l1_fix"))
+      .orderBy("media_id")
+  }
+
   /** Stable artifact path for the persisted corpus-side media
     * fingerprint face (the `Decontaminate.neardupIndexArtifactPath`
     * convention: scheme-version token + params + a footer-derived

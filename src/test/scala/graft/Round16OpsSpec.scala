@@ -208,6 +208,45 @@ class Round16OpsSpec extends SparkTestBase {
       "the index carries only the corpus slice, never the batch")
   }
 
+  test("mm_decontam: flagged corpus media match the naive eval x corpus truth") {
+    val report = Multimodal.decontamReport(spark, Sf).localCheckpoint()
+    assert(report.count() > 0,
+      "sf0.001 must contain an eval-contaminated corpus media")
+    assert(report.filter(col("media_id") % 10 === 7).isEmpty,
+      "eval media never appear as flagged corpus rows")
+    assert(report.filter(col("eval_id") % 10 =!= 7).isEmpty,
+      "every match must point into the eval carve")
+    // lossless vs naive truth: all eval x corpus pairs under the three
+    // windows, best per corpus id
+    val face = Multimodal.fingerprintFace(spark, Sf).localCheckpoint()
+    val naive = face.filter(col("media_id") % 10 =!= 7)
+      .select(col("media_id"), col("kind").as("ka"),
+        col("n_bytes").as("la"), col("sig").as("sa"), col("ffix").as("fa"))
+      .crossJoin(face.filter(col("media_id") % 10 === 7)
+        .select(col("media_id").as("eval_id"), col("kind").as("kb"),
+          col("n_bytes").as("lb"), col("sig").as("sb"), col("ffix").as("fb")))
+      .filter(col("ka") === col("kb"))
+      .select(col("media_id"), col("eval_id"),
+        abs(col("la") - col("lb")).as("len_delta"),
+        expr("bit_count(sa ^ sb)").as("hamming"),
+        aggregate(zip_with(col("fa"), col("fb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_fix"))
+      .filter(col("len_delta") <= Multimodal.NearDupLenWindow &&
+        col("hamming") <= Multimodal.MediaFpMaxHamming &&
+        col("l1_fix") <= Multimodal.MediaFpL1Window)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id")
+      .orderBy(asc("hamming"), asc("l1_fix"), asc("eval_id"))
+    val naiveBest = naive.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("eval_id"), col("hamming"), col("l1_fix"))
+      .localCheckpoint()
+    assert(report.count() === naiveBest.count())
+    assert(report.collect().map(_.toSeq).toSet
+      === naiveBest.collect().map(_.toSeq).toSet,
+      "the report must equal the naive truth row for row")
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —
