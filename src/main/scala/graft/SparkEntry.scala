@@ -724,6 +724,10 @@ object SparkEntry {
     // banded + broadcast, corpus map-only; flagged corpus media with
     // their best eval match — anti-join = the decontaminated corpus
     "mm_decontam" -> ((s, d) => Multimodal.decontamReport(s, d)),
+    // the media Gopher battery: parse validity, resolution/aspect
+    // bounds, rate floor, duration flag, content byte-dominance — all
+    // map-side off the real container walks
+    "mm_quality_rules" -> (Multimodal.qualityRules _),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -4212,6 +4216,55 @@ object SparkEntry {
                        ORDER BY ham, l1_fix, eval_id) AS rn
            FROM scored) WHERE rn = 1
          ORDER BY media_id""",
+    "mm_quality_rules" ->
+      // analytic rule replay: dims/rate/duration from (doc_id, n_chars)
+      // as the encoders derived them, dominance from a hex-pair GROUP BY
+      // over the text bytes the extraction recovers — a parser or
+      // extraction regression flips r_parse/r_dominant and the hash
+      s"""WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         by AS (
+           SELECT media_id, n, substr(hx, CAST(2 * i.i + 1 AS INT), 2) AS bv
+           FROM b, unnest(range(n)) AS i(i)),
+         dom AS (
+           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
+             SELECT media_id, n, bv, COUNT(*) AS cnt
+             FROM by GROUP BY media_id, n, bv)
+           GROUP BY media_id),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+                        8000 + (n_chars % 8) * 1000 AS rate,
+                        (doc_id // 6) % 2 + 1 AS ch,
+                        octet_length(encode(text)) AS n, n_chars
+                 FROM documents)
+         SELECT i.media_id, i.fmt, true AS r_parse,
+                CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                     THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END AS r_min_pixels,
+                CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                     THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END AS r_aspect,
+                CASE WHEN i.fmt = 'wav'
+                     THEN i.rate >= ${Multimodal.MediaMinRate} END AS r_rate,
+                CASE WHEN i.fmt = 'wav'
+                     THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                     WHEN i.fmt = 'mp4'
+                     THEN (i.n_chars % 2400 + 600) * 1000 // 600 >= ${Multimodal.MediaMinDurationMs}
+                END AS r_short,
+                2 * d.maxc <= d.n AS r_dominant,
+                (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                     THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
+                 AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                     THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
+                 AND COALESCE(CASE WHEN i.fmt = 'wav'
+                     THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                 AND 2 * d.maxc <= d.n) AS keep
+         FROM ids i JOIN dom d ON d.media_id = i.media_id
+         ORDER BY i.media_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

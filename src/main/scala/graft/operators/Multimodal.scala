@@ -36,6 +36,17 @@ object Multimodal {
   val MediaFpMaxHamming = 7
   val MediaFpL1Window = 48000000L
 
+  /** Media quality-rule thresholds (the txt_gopher_rules convention:
+    * published-battery shapes with explicit, oracle-shared constants).
+    * MinPixels/AspectMax bound degenerate visuals (tracking-pixel /
+    * banner shapes), MinRate is the 11.025 kHz telephony floor rounded
+    * to the corpus's 1 kHz grid, MinDuration flags sub-100 ms clips.
+    */
+  val MediaMinPixels = 10000L
+  val MediaAspectMax = 4L
+  val MediaMinRate = 11000L
+  val MediaMinDurationMs = 100L
+
   case class MediaMeta(kind: String, sizeBytes: Long, width: Int, height: Int)
   case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
@@ -1122,6 +1133,84 @@ object Multimodal {
     val batch = face.filter(col("media_id") % 10 === 0)
     val corpus = face.filter(col("media_id") % 10 =!= 0)
     incrementalNearDupFrames(batch, corpus, face, lenWindow, maxHamming, l1Window)
+  }
+
+  /** No single byte value may occupy more than half the content — the
+    * degenerate-payload detector (solid-color fills, zero padding,
+    * repeated-sample silence). Exposed for the unit spec; the corpus
+    * row drives it through [[qualityRules]].
+    */
+  private[graft] def dominantByteOk(c: Array[Byte]): Boolean = {
+    if (c.isEmpty) return false
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < c.length) { cnt(c(i) & 0xff) += 1; i += 1 }
+    var mx = 0
+    i = 0
+    while (i < 256) { if (cnt(i) > mx) mx = cnt(i); i += 1 }
+    2L * mx <= c.length
+  }
+
+  /** MEDIA QUALITY RULES — the multimodal analogue of the Gopher rule
+    * battery (`txt_gopher_rules`): one map-side pass over the real
+    * container bytes emitting per-rule verdicts and the keep decision.
+    *
+    *   - r_parse: the container walks (magic bytes → header) — a
+    *     truncated or unknown payload fails here and nothing else
+    *     applies;
+    *   - r_min_pixels / r_aspect (image+video): parsed width×height ≥
+    *     [[MediaMinPixels]], max(w,h) ≤ [[MediaAspectMax]]·min(w,h) —
+    *     the tracking-pixel / banner-strip filters;
+    *   - r_rate (audio): parsed sample rate ≥ [[MediaMinRate]];
+    *   - r_short (audio+video): duration ≥ [[MediaMinDurationMs]] —
+    *     REPORTED but not in `keep`: the stand-in corpus wraps text
+    *     bytes, so audio durations are microscopic by construction and
+    *     gating on them would empty the modality; a deployment adds it
+    *     to the conjunction;
+    *   - r_dominant: no single byte value occupies > 50% of the
+    *     EXTRACTED CONTENT ([[dominantByteOk]]) — the solid-fill /
+    *     padding detector, and one more certification of the
+    *     extraction walk (the oracle replays it over the text bytes).
+    *
+    * keep = r_parse ∧ modality rules ∧ r_dominant (non-applicable
+    * rules are null and vacuously true). All rules evaluate in the
+    * scan task; nothing shuffles but the presentation sort.
+    */
+  def qualityRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (fmt, w, h, sr, _) = parseMediaDims(r.payload)
+          val (_, _, durMs) = parseMediaExtent(r.payload)
+          val parseOk = fmt != "unknown"
+          val visual = fmt == "png" || fmt == "jpeg" || fmt == "mp4"
+          val rPixels: Option[Boolean] =
+            if (visual) Some((for { ww <- w; hh <- h }
+              yield ww.toLong * hh.toLong >= MediaMinPixels).getOrElse(false))
+            else None
+          val rAspect: Option[Boolean] =
+            if (visual) Some((for { ww <- w; hh <- h }
+              yield math.max(ww, hh).toLong <= MediaAspectMax * math.min(ww, hh).toLong)
+              .getOrElse(false))
+            else None
+          val rRate: Option[Boolean] =
+            if (fmt == "wav") Some(sr.exists(_ >= MediaMinRate)) else None
+          val rShort: Option[Boolean] =
+            if (fmt == "wav" || fmt == "mp4")
+              Some(durMs.exists(_ >= MediaMinDurationMs))
+            else None
+          val rDom: Option[Boolean] =
+            extractContent(r.payload).map(dominantByteOk)
+          val keep = parseOk && rPixels.getOrElse(true) &&
+            rAspect.getOrElse(true) && rRate.getOrElse(true) &&
+            rDom.getOrElse(false)
+          (r.media_id, fmt, parseOk, rPixels, rAspect, rRate, rShort, rDom, keep)
+        }
+      }
+      .toDF("media_id", "fmt", "r_parse", "r_min_pixels", "r_aspect",
+        "r_rate", "r_short", "r_dominant", "keep")
+      .orderBy("media_id")
   }
 
   /** MEDIA DECONTAMINATION: benchmark/eval media leaking into a training

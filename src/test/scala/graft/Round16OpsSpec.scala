@@ -247,6 +247,37 @@ class Round16OpsSpec extends SparkTestBase {
       "the report must equal the naive truth row for row")
   }
 
+  test("mm_quality_rules: every applicable rule fires both ways; keep composes them") {
+    val q = Multimodal.qualityRules(spark, Sf).localCheckpoint()
+    assert(q.count() === 500)
+    assert(q.filter(!col("r_parse")).isEmpty,
+      "every synthesized container must parse")
+    // rule variance: a rule that never fires in either direction tests
+    // nothing — the corpus's (doc_id, n_chars) spread must exercise both
+    for (rule <- Seq("r_min_pixels", "r_aspect", "r_rate", "r_short")) {
+      assert(q.filter(col(rule) === true).count() > 0, s"$rule never passes")
+      assert(q.filter(col(rule) === false).count() > 0, s"$rule never fails")
+    }
+    // modality applicability: visual rules null exactly on audio, rate
+    // rule null exactly on visuals
+    assert(q.filter(col("r_min_pixels").isNull =!= (col("fmt") === "wav")).isEmpty)
+    assert(q.filter(col("r_rate").isNull =!= col("fmt").isin("png", "jpeg", "mp4")).isEmpty)
+    // keep is exactly the documented conjunction (duration informational)
+    val bad = q.filter(col("keep") =!= (col("r_parse") &&
+      coalesce(col("r_min_pixels"), lit(true)) &&
+      coalesce(col("r_aspect"), lit(true)) &&
+      coalesce(col("r_rate"), lit(true)) &&
+      coalesce(col("r_dominant"), lit(false))))
+    assert(bad.isEmpty, "keep must compose the rule columns")
+    assert(q.filter(!col("keep")).count() > 0, "the gate must drop something")
+    // the dominance detector itself: solid fill fails, mixed content passes
+    assert(!Multimodal.dominantByteOk(Array.fill[Byte](100)(0)))
+    assert(!Multimodal.dominantByteOk(Array.emptyByteArray))
+    assert(Multimodal.dominantByteOk("normal text content".getBytes("UTF-8")))
+    val half = Array.fill[Byte](50)(7) ++ (101 to 150).map(_.toByte).toArray
+    assert(Multimodal.dominantByteOk(half), "exactly half is allowed (2*max <= n)")
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —
