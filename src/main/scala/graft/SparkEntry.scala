@@ -728,6 +728,9 @@ object SparkEntry {
     // bounds, rate floor, duration flag, content byte-dominance — all
     // map-side off the real container walks
     "mm_quality_rules" -> (Multimodal.qualityRules _),
+    // the capstone curation trail: eval_holdout > contaminated >
+    // quality_fail > near_dup > kept, every drop auditable
+    "mm_curation_decisions" -> ((s, d) => Multimodal.curationDecisions(s, d)),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -4265,6 +4268,115 @@ object SparkEntry {
                  AND 2 * d.maxc <= d.n) AS keep
          FROM ids i JOIN dom d ON d.media_id = i.media_id
          ORDER BY i.media_id""",
+    "mm_curation_decisions" ->
+      // the three gate chains composed under one WITH RECURSIVE: the
+      // quality conjunction (analytic dims/rate + byte dominance), the
+      // near-dup closure with the fidelity keep, and the decontam
+      // flagged set — decision by the documented precedence
+      s"""WITH RECURSIVE $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         dmq AS (
+           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
+             SELECT media_id, n, bv, COUNT(*) AS cnt
+             FROM by GROUP BY media_id, n, bv)
+           GROUP BY media_id),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+                        8000 + (n_chars % 8) * 1000 AS rate,
+                        octet_length(encode(text)) AS n,
+                        CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
+                             THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
+                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                        END AS fid
+                 FROM documents),
+         quality AS (
+           SELECT i.media_id,
+                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
+                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND 2 * d.maxc <= d.n) AS quality_ok
+           FROM ids i JOIN dmq d USING (media_id)),
+         cand AS (
+           SELECT x.media_id AS a, y.media_id AS bb
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind AND x.media_id < y.media_id
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         prs AS (
+           SELECT a, bb FROM (
+             SELECT c.a, c.bb, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
+           GROUP BY a, bb
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         edges AS (
+           SELECT a AS u, bb AS v FROM prs
+           UNION ALL SELECT bb AS u, a AS v FROM prs),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
+         dedup AS (
+           SELECT media_id, component_id,
+                  (ROW_NUMBER() OVER (PARTITION BY component_id
+                     ORDER BY fid DESC, media_id) = 1) AS dedup_keep
+           FROM (SELECT d.media_id, d.fid,
+                        COALESCE(c.root, d.media_id) AS component_id
+                 FROM ids d LEFT JOIN comp c ON d.media_id = c.node)),
+         flagged AS (
+           SELECT DISTINCT media_id FROM (
+             SELECT c.media_id, c.eval_id, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT y.media_id, x.media_id AS eval_id
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window})
+         SELECT q.media_id, i.fmt, dd.component_id,
+                q.quality_ok, dd.dedup_keep,
+                (f.media_id IS NOT NULL) AS contaminated,
+                CASE WHEN q.media_id % 10 = 7 THEN 'eval_holdout'
+                     WHEN f.media_id IS NOT NULL THEN 'contaminated'
+                     WHEN NOT q.quality_ok THEN 'quality_fail'
+                     WHEN NOT dd.dedup_keep THEN 'near_dup'
+                     ELSE 'kept' END AS decision
+         FROM quality q
+           JOIN dedup dd USING (media_id)
+           JOIN ids i USING (media_id)
+           LEFT JOIN flagged f USING (media_id)
+         ORDER BY q.media_id""",
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

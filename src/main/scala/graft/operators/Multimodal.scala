@@ -1271,6 +1271,52 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** MEDIA CURATION DECISIONS — the capstone trail composing the three
+    * gates the family provides (the `Curate` / `corpus_ingest_decisions`
+    * convention): per media, one audited decision with its REASON at a
+    * documented precedence —
+    *
+    *   eval_holdout   the %10==7 eval carve is never training data;
+    *   contaminated   flagged by [[decontamReport]] (an eval near-dup
+    *                  must leave BEFORE dedup elects representatives,
+    *                  or a contaminated copy could survive as a keeper);
+    *   quality_fail   [[qualityRules]]' keep is false;
+    *   near_dup       a higher-fidelity copy exists
+    *                  ([[nearDupDecision]] keep false);
+    *   kept           training corpus.
+    *
+    * `filter(decision = 'kept')` is the curated media corpus; the trail
+    * keeps every drop auditable. Scale shape: the three inputs are the
+    * already-audited operators (map-side rules, lossless pair core,
+    * broadcast-eval decontam) joined by media_id on aggregate-thin
+    * frames — no new exchange shapes.
+    */
+  def curationDecisions(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val quality = qualityRules(spark, sfDir)
+      .select(col("media_id"), col("fmt"), col("keep").as("quality_ok"))
+    val dedup = nearDupDecision(spark, sfDir, lenWindow, maxHamming, l1Window)
+      .select(col("media_id"), col("component_id"), col("keep").as("dedup_keep"))
+    val contaminated = decontamReport(spark, sfDir, lenWindow, maxHamming, l1Window)
+      .select(col("media_id"), lit(true).as("flagged"))
+    quality
+      .join(dedup, Seq("media_id"))
+      .join(contaminated, Seq("media_id"), "left")
+      .select(col("media_id"), col("fmt"), col("component_id"),
+        col("quality_ok"), col("dedup_keep"),
+        coalesce(col("flagged"), lit(false)).as("contaminated"),
+        when(col("media_id") % 10 === 7, "eval_holdout")
+          .when(coalesce(col("flagged"), lit(false)), "contaminated")
+          .when(!col("quality_ok"), "quality_fail")
+          .when(!col("dedup_keep"), "near_dup")
+          .otherwise("kept").as("decision"))
+      .orderBy("media_id")
+  }
+
   /** Stable artifact path for the persisted corpus-side media
     * fingerprint face (the `Decontaminate.neardupIndexArtifactPath`
     * convention: scheme-version token + params + a footer-derived

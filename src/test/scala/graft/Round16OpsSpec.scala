@@ -278,6 +278,31 @@ class Round16OpsSpec extends SparkTestBase {
     assert(Multimodal.dominantByteOk(half), "exactly half is allowed (2*max <= n)")
   }
 
+  test("mm_curation_decisions: all five branches engage; precedence is exact") {
+    // sf0.01 (the driver's gate cut): the corpus is rich enough to
+    // exercise every branch of the trail
+    val d = graft.operators.Multimodal
+      .curationDecisions(spark, "/root/testdata/sf0.01").localCheckpoint()
+    assert(d.count() === 500)
+    val byDecision = d.groupBy("decision").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (branch <- Seq("eval_holdout", "contaminated", "quality_fail",
+        "near_dup", "kept"))
+      assert(byDecision.getOrElse(branch, 0L) > 0L,
+        s"branch $branch never engages at sf0.01: $byDecision")
+    // precedence replay row by row
+    val bad = d.filter(col("decision") =!=
+      when(col("media_id") % 10 === 7, "eval_holdout")
+        .when(col("contaminated"), "contaminated")
+        .when(!col("quality_ok"), "quality_fail")
+        .when(!col("dedup_keep"), "near_dup")
+        .otherwise("kept"))
+    assert(bad.isEmpty, "decision must follow the documented precedence")
+    // the curated corpus is exactly the all-gates-pass set
+    assert(d.filter(col("decision") === "kept" && (!col("quality_ok") ||
+      !col("dedup_keep") || col("contaminated"))).isEmpty)
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —
