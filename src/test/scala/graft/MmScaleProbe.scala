@@ -53,6 +53,13 @@ object MmScaleProbe {
       s"max_cluster ${cdec.agg(max("cluster_size")).head.getLong(0)} " +
       s"cross_fmt_components ${cdec.groupBy("component_id")
         .agg(countDistinct("fmt").as("f")).filter(col("f") > 1).count()}")
+    val dcr = time("decontam")(
+      Multimodal.decontamReport(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE decontam flagged ${dcr.count()}")
+    val cur = time("curation")(
+      Multimodal.curationDecisions(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE curation " + cur.groupBy("decision").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
     spark.stop()
   }
 }
