@@ -60,7 +60,7 @@ object Bench {
       "mm_neardup_pairs", "mm_dedup_decision", "mm_incremental_neardup",
       "mm_fingerprint", "mm_content_neardup", "mm_content_decision",
       "mm_incremental_stored", "mm_decontam", "mm_quality_rules",
-      "mm_curation_decisions",
+      "mm_curation_decisions", "mm_ingest_decisions",
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",

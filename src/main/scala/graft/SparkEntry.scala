@@ -731,6 +731,11 @@ object SparkEntry {
     // the capstone curation trail: eval_holdout > contaminated >
     // quality_fail > near_dup > kept, every drop auditable
     "mm_curation_decisions" -> ((s, d) => Multimodal.curationDecisions(s, d)),
+    // the per-batch ADMISSION gate: each %10==0 arrival audited against
+    // the standing corpus + eval faces (contaminated > quality_fail >
+    // near_dup > new); batch payloads decode once, indexes never
+    // reshuffle on account of the batch
+    "mm_ingest_decisions" -> ((s, d) => Multimodal.ingestDecisions(s, d)),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -4376,6 +4381,112 @@ object SparkEntry {
            JOIN dedup dd USING (media_id)
            JOIN ids i USING (media_id)
            LEFT JOIN flagged f USING (media_id)
+         ORDER BY q.media_id""",
+    "mm_ingest_decisions" ->
+      // per-batch admission replay: the quality conjunction restricted
+      // to the %10==0 carve, the best corpus match (corpus excludes
+      // BOTH the batch and the eval carves), and the best eval match —
+      // decision by the documented precedence
+      s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         dmq AS (
+           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
+             SELECT media_id, n, bv, COUNT(*) AS cnt
+             FROM by WHERE media_id % 10 = 0 GROUP BY media_id, n, bv)
+           GROUP BY media_id),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+                        8000 + (n_chars % 8) * 1000 AS rate,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         quality AS (
+           SELECT i.media_id, i.fmt,
+                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
+                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND 2 * d.maxc <= d.n) AS quality_ok
+           FROM ids i JOIN dmq d USING (media_id)
+           WHERE i.media_id % 10 = 0),
+         dscored AS (
+           SELECT media_id, corpus_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT x.media_id, y.media_id AS corpus_id,
+                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 0 AND y.media_id % 10 NOT IN (0, 7)
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
+           GROUP BY media_id, corpus_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         dbest AS (
+           SELECT media_id, corpus_id, ham, l1_fix FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY ham, l1_fix, corpus_id) AS rn
+             FROM dscored) WHERE rn = 1),
+         escored AS (
+           SELECT media_id, eval_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT x.media_id, y.media_id AS eval_id,
+                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 0 AND y.media_id % 10 = 7
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         ebest AS (
+           SELECT media_id, eval_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY ham, l1_fix, eval_id) AS rn
+             FROM escored) WHERE rn = 1)
+         SELECT q.media_id, q.fmt, q.quality_ok,
+                (e.eval_id IS NOT NULL) AS contaminated, e.eval_id,
+                d.corpus_id AS dup_of, d.ham AS hamming, d.l1_fix,
+                CASE WHEN e.eval_id IS NOT NULL THEN 'contaminated'
+                     WHEN NOT q.quality_ok THEN 'quality_fail'
+                     WHEN d.corpus_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS decision
+         FROM quality q
+           LEFT JOIN dbest d USING (media_id)
+           LEFT JOIN ebest e USING (media_id)
          ORDER BY q.media_id""",
     "mm_frames" ->
       """WITH d AS (

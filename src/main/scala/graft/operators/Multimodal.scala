@@ -145,9 +145,16 @@ object Multimodal {
     * analytically while the Spark side round-trips through genuine bytes
     * — the hash compare then proves the parser reads the real structure.
     */
-  def mediaWithHeaders(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+  def mediaWithHeaders(spark: SparkSession, sfDir: String): Dataset[MediaRecord] =
+    mediaWithHeadersFrame(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** [[mediaWithHeaders]] over an explicit documents frame — the ingest
+    * gate's seam, so a batch slice synthesizes/parses only its own
+    * containers.
+    */
+  private[graft] def mediaWithHeadersFrame(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
@@ -1176,9 +1183,16 @@ object Multimodal {
     * rules are null and vacuously true). All rules evaluate in the
     * scan task; nothing shuffles but the presentation sort.
     */
-  def qualityRules(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    mediaWithHeaders(spark, sfDir)
+  def qualityRules(spark: SparkSession, sfDir: String): DataFrame =
+    qualityRulesFrom(mediaWithHeaders(spark, sfDir))
+      .orderBy("media_id")
+
+  /** [[qualityRules]] over an explicit media dataset (no presentation
+    * sort) — the ingest gate drives only its batch slice through this.
+    */
+  private[graft] def qualityRulesFrom(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records
       .mapPartitions { it =>
         it.map { r =>
           val (fmt, w, h, sr, _) = parseMediaDims(r.payload)
@@ -1210,7 +1224,6 @@ object Multimodal {
       }
       .toDF("media_id", "fmt", "r_parse", "r_min_pixels", "r_aspect",
         "r_rate", "r_short", "r_dominant", "keep")
-      .orderBy("media_id")
   }
 
   /** MEDIA DECONTAMINATION: benchmark/eval media leaking into a training
@@ -1424,6 +1437,106 @@ object Multimodal {
       .select(col("media_id"), col("corpus_id").isNull.as("is_new"),
         col("corpus_id").as("dup_of"), col("hamming"), col("l1_fix"))
       .orderBy("media_id")
+  }
+
+  /** MEDIA INGEST GATE — `corpus_ingest_decisions` for media: each
+    * batch arrival (the %10==0 carve) gets the full ADMISSION trail
+    * against the standing corpus (%10 ∉ {0, 7}) and the eval carve
+    * (%10 == 7), decision precedence contaminated > quality_fail >
+    * near_dup > new. Unlike [[curationDecisions]] (which re-audits the
+    * whole corpus), this is the per-batch serve shape: batch payloads
+    * decode once (containers for the quality rules, raw bytes for the
+    * fingerprint face — both through the pre-filtered document seams),
+    * and BOTH verdict joins are the same asymmetric band-plus-flip
+    * serve core — the corpus/eval sides are standing indexes the batch
+    * never reshuffles.
+    */
+  def ingestDecisions(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    ingestDecisionsFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0),
+      face.filter(col("media_id") % 10 === 0),
+      face.filter(col("media_id") % 10 =!= 0 && col("media_id") % 10 =!= 7),
+      face.filter(col("media_id") % 10 === 7),
+      lenWindow, maxHamming, l1Window)
+  }
+
+  /** The gate core over explicit frames — shared with the streaming
+    * twin ([[mediaGateStream]]), whose micro-batches carry document and
+    * face slices of the arrivals against the primed corpus/eval faces.
+    */
+  private[graft] def ingestDecisionsFromDocs(
+      batchDocs: DataFrame,
+      batchFace: DataFrame,
+      corpusFace: DataFrame,
+      evalFace: DataFrame,
+      lenWindow: Long,
+      maxHamming: Int,
+      l1Window: Long): DataFrame = {
+    val quality = qualityRulesFrom(mediaWithHeadersFrame(batchDocs))
+      .select(col("media_id"), col("fmt"), col("keep").as("quality_ok"))
+    val dup = incrementalNearDupFrames(batchFace, corpusFace,
+        batchFace.unionByName(corpusFace), lenWindow, maxHamming, l1Window)
+      .select(col("media_id"), col("dup_of"), col("hamming"), col("l1_fix"))
+    val cont = incrementalNearDupFrames(batchFace, evalFace,
+        batchFace.unionByName(evalFace), lenWindow, maxHamming, l1Window)
+      .select(col("media_id"), (!col("is_new")).as("contaminated"),
+        col("dup_of").as("eval_id"))
+    quality
+      .join(dup, Seq("media_id"))
+      .join(cont, Seq("media_id"))
+      .select(col("media_id"), col("fmt"), col("quality_ok"),
+        col("contaminated"), col("eval_id"),
+        col("dup_of"), col("hamming"), col("l1_fix"),
+        when(col("contaminated"), "contaminated")
+          .when(!col("quality_ok"), "quality_fail")
+          .when(col("dup_of").isNotNull, "near_dup")
+          .otherwise("new").as("decision"))
+      .orderBy("media_id")
+  }
+
+  /** Streaming twin of [[ingestDecisions]]: arriving media_id
+    * micro-batches get full admission trails against the SAME standing
+    * corpus and eval faces, written idempotently per batch id. Faces
+    * are checkpointed eagerly before `.start()` (the ingest-gate
+    * lesson); each micro-batch decodes only its own documents through
+    * the pre-filtered seams.
+    */
+  def mediaGateStream(
+      spark: SparkSession,
+      sfDir: String,
+      arrivals: DataFrame,
+      outDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): org.apache.spark.sql.streaming.StreamingQuery = {
+    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    val corpusFace = face
+      .filter(col("media_id") % 10 =!= 0 && col("media_id") % 10 =!= 7)
+      .localCheckpoint()
+    val evalFace = face.filter(col("media_id") % 10 === 7).localCheckpoint()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ids = broadcast(batch.select(col("media_id")))
+        ingestDecisionsFromDocs(
+          docs.join(ids.withColumnRenamed("media_id", "doc_id"),
+            Seq("doc_id"), "left_semi"),
+          face.join(ids, Seq("media_id"), "left_semi"),
+          corpusFace, evalFace, lenWindow, maxHamming, l1Window)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/decisions/batch_id=$batchId")
+        ()
+      }
+      .start()
   }
 
   /** Streaming twin of [[incrementalNearDup]] — the media-ingest

@@ -303,6 +303,28 @@ class Round16OpsSpec extends SparkTestBase {
       !col("dedup_keep") || col("contaminated"))).isEmpty)
   }
 
+  test("mm_ingest_decisions: every admission branch engages; precedence is exact") {
+    val g = Multimodal.ingestDecisions(spark, Sf).localCheckpoint()
+    assert(g.count() === 50, "one trail row per %10==0 arrival")
+    val byDecision = g.groupBy("decision").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (branch <- Seq("contaminated", "quality_fail", "near_dup", "new"))
+      assert(byDecision.getOrElse(branch, 0L) > 0L,
+        s"branch $branch never engages at sf0.001: $byDecision")
+    // precedence replay row by row
+    val bad = g.filter(col("decision") =!=
+      when(col("contaminated"), "contaminated")
+        .when(!col("quality_ok"), "quality_fail")
+        .when(col("dup_of").isNotNull, "near_dup")
+        .otherwise("new"))
+    assert(bad.isEmpty, "decision must follow the documented precedence")
+    // the corpus side excludes the eval carve: a dup_of can never point
+    // into it, and eval matches only ever appear as eval_id
+    assert(g.filter(col("dup_of") % 10 === 7).isEmpty)
+    assert(g.filter(col("dup_of") % 10 === 0).isEmpty)
+    assert(g.filter(col("eval_id").isNotNull && col("eval_id") % 10 =!= 7).isEmpty)
+  }
+
   test("mm_features retirement: the float presentation is the fix row's ratio") {
     // the normalized-float vector (retired as a registered row in r16)
     // must remain derivable: features(bin) = cnt/n_bytes as float —

@@ -128,6 +128,36 @@ class StreamingSpec extends SparkTestBase {
       "sf0.01 must exercise the matched (non-new) path through the stream")
   }
 
+  test("media gate stream: two micro-batches reproduce the batch admission trails") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.001"
+    val arrivals = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val mem = MemoryStream[Long]
+    val outDir = graft.sources.IO.scratchDir("media_gate_stream")
+    val q = graft.operators.Multimodal.mediaGateStream(spark, sf001,
+      mem.toDF().toDF("media_id"), outDir)
+    try {
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("media_id", "fmt", "quality_ok", "contaminated",
+      "eval_id", "dup_of", "hamming", "l1_fix", "decision")
+    val streamed = spark.read.parquet(s"$outDir/decisions")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq)
+    val batch = graft.operators.Multimodal.ingestDecisions(spark, sf001)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq)
+    // multiplicity-sensitive, the mediaIngestStream convention
+    assert(streamed.length == batch.length && streamed.toSet == batch.toSet,
+      "stream admission trails must equal the batch gate")
+    assert(streamed.exists(_(8) != "new"),
+      "the stream must exercise a non-trivial admission branch")
+  }
+
   test("retention ingest stream: per-batch deltas equal the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val raw = graft.sources.IO.table(spark, Sf, "events")
