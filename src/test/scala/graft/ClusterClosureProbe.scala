@@ -107,6 +107,22 @@ object ClusterClosureProbe {
           .filter(col("keepers") =!= 1L || col("keptFid") =!= col("maxFid"))
           .count())
     }
+    if (which == "content" || which == "both") {
+      // the cross-format content decision: same contraction, but the
+      // graph spans container formats (16k+ cross-format components at
+      // x100) — the keep rule compares fidelities ACROSS modalities
+      val pairs = Multimodal.contentNearDupPairs(spark, sfDir)
+        .select(col("media_a").as("u"), col("media_b").as("v"))
+      val decision = Multimodal.contentNearDupDecision(spark, sfDir)
+        .select(col("media_id"), col("component_id"), col("fidelity"), col("keep"))
+      check("mm_content_decision", pairs, decision, d =>
+        d.groupBy("component_id")
+          .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+            max(col("fidelity")).as("maxFid"),
+            max(when(col("keep"), col("fidelity"))).as("keptFid"))
+          .filter(col("keepers") =!= 1L || col("keptFid") =!= col("maxFid"))
+          .count())
+    }
     if (which == "text" || which == "both") {
       val pairs = Dedup.simHashNearDupPairsMd5Unsorted(spark, sfDir)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
