@@ -724,6 +724,10 @@ object SparkEntry {
     // banded + broadcast, corpus map-only; flagged corpus media with
     // their best eval match — anti-join = the decontaminated corpus
     "mm_decontam" -> ((s, d) => Multimodal.decontamReport(s, d)),
+    // the same decontam report served from the PERSISTED fingerprint
+    // face (self-priming): repeat sweeps read one thin row per media —
+    // no payload ever decodes or fingerprints on the serve path
+    "mm_decontam_stored" -> ((s, d) => Multimodal.decontamReportStored(s, d)),
     // the media Gopher battery: parse validity, resolution/aspect
     // bounds, rate floor, duration flag, content byte-dominance — all
     // map-side off the real container walks
@@ -2255,6 +2259,55 @@ object SparkEntry {
                 p.corpus_id AS dup_of, p.ham AS hamming, p.l1_fix
          FROM (SELECT media_id FROM ids WHERE media_id % 10 = 0) i
            LEFT JOIN best p USING (media_id)
+         ORDER BY media_id"""
+
+  /** Naive eval × corpus media decontam under all three windows, best
+    * eval match per flagged corpus media by (Hamming, L1, eval id);
+    * flagged rows only — the report shape. Shared by mm_decontam and
+    * its stored-face twin, which is row-identical by construction.
+    */
+  private def mmDecontamOracleSql: String =
+    s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         cand AS (
+           SELECT y.media_id, x.media_id AS eval_id,
+                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind
+            AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
+            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         scored AS (
+           SELECT media_id, eval_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window})
+         SELECT media_id, eval_id, ham AS hamming, l1_fix FROM (
+           SELECT *, row_number() OVER (PARTITION BY media_id
+                       ORDER BY ham, l1_fix, eval_id) AS rn
+           FROM scored) WHERE rn = 1
          ORDER BY media_id"""
 
   /** Full-training-replay IVF oracle, shared by the trained and the
@@ -4178,52 +4231,11 @@ object SparkEntry {
     // artifact IS the corpus fingerprint face), so the stored row
     // reuses the same naive batch x corpus oracle
     "mm_incremental_stored" -> mmIncrementalOracleSql,
-    "mm_decontam" ->
-      // naive eval x corpus under all three windows, best eval match
-      // per flagged corpus media by (Hamming, L1, eval id); flagged
-      // rows only — the report shape
-      s"""WITH $mediaSigCtes,
-         by AS (
-           SELECT media_id, n,
-                  CAST((i.i * 8) // n AS INT) AS seg,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM mb, unnest(range(n)) AS i(i)),
-         hf AS MATERIALIZED (
-           SELECT media_id, seg,
-                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, seg),
-         ids AS (SELECT doc_id AS media_id,
-                        CASE WHEN doc_id % 3 = 0 THEN 'image'
-                             WHEN doc_id % 3 = 1 THEN 'audio'
-                             ELSE 'video' END AS kind,
-                        octet_length(encode(text)) AS n
-                 FROM documents),
-         cand AS (
-           SELECT y.media_id, x.media_id AS eval_id,
-                  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
-           FROM ids x JOIN ids y
-             ON x.kind = y.kind
-            AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
-            AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-           JOIN msig sa ON sa.media_id = x.media_id
-           JOIN msig sb ON sb.media_id = y.media_id
-           WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
-         scored AS (
-           SELECT media_id, eval_id, ham,
-                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-           FROM (
-             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
-           GROUP BY media_id, eval_id, ham
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window})
-         SELECT media_id, eval_id, ham AS hamming, l1_fix FROM (
-           SELECT *, row_number() OVER (PARTITION BY media_id
-                       ORDER BY ham, l1_fix, eval_id) AS rn
-           FROM scored) WHERE rn = 1
-         ORDER BY media_id""",
+    "mm_decontam" -> mmDecontamOracleSql,
+    // row-identical to mm_decontam by construction (the artifact IS the
+    // fingerprint face the live row checkpoints), so the stored row
+    // reuses the live oracle — the mm_incremental_stored convention
+    "mm_decontam_stored" -> mmDecontamOracleSql,
     "mm_quality_rules" ->
       // analytic rule replay: dims/rate/duration from (doc_id, n_chars)
       // as the encoders derived them, dominance from a hex-pair GROUP BY
@@ -4263,15 +4275,19 @@ object SparkEntry {
                      WHEN i.fmt = 'mp4'
                      THEN (i.n_chars % 2400 + 600) * 1000 // 600 >= ${Multimodal.MediaMinDurationMs}
                 END AS r_short,
-                2 * d.maxc <= d.n AS r_dominant,
+                -- LEFT JOIN + COALESCE(false): a zero-length payload has
+                -- no dominance row (unnest(range(0)) is empty) but the
+                -- Spark side still emits it with dominantByteOk(empty) =
+                -- false — the media must not vanish from the oracle
+                COALESCE(2 * d.maxc <= d.n, false) AS r_dominant,
                 (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
                      THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
                  AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
                      THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                  AND COALESCE(CASE WHEN i.fmt = 'wav'
                      THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
-                 AND 2 * d.maxc <= d.n) AS keep
-         FROM ids i JOIN dom d ON d.media_id = i.media_id
+                 AND COALESCE(2 * d.maxc <= d.n, false)) AS keep
+         FROM ids i LEFT JOIN dom d ON d.media_id = i.media_id
          ORDER BY i.media_id""",
     "mm_curation_decisions" ->
       // the three gate chains composed under one WITH RECURSIVE: the
@@ -4317,8 +4333,8 @@ object SparkEntry {
                        THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                    AND COALESCE(CASE WHEN i.fmt = 'wav'
                        THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
-                   AND 2 * d.maxc <= d.n) AS quality_ok
-           FROM ids i JOIN dmq d USING (media_id)),
+                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
+           FROM ids i LEFT JOIN dmq d USING (media_id)),
          cand AS (
            SELECT x.media_id AS a, y.media_id AS bb
            FROM ids x JOIN ids y
@@ -4344,13 +4360,6 @@ object SparkEntry {
            UNION
            SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
          comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
-         dedup AS (
-           SELECT media_id, component_id,
-                  (ROW_NUMBER() OVER (PARTITION BY component_id
-                     ORDER BY fid DESC, media_id) = 1) AS dedup_keep
-           FROM (SELECT d.media_id, d.fid,
-                        COALESCE(c.root, d.media_id) AS component_id
-                 FROM ids d LEFT JOIN comp c ON d.media_id = c.node)),
          flagged AS (
            SELECT DISTINCT media_id FROM (
              SELECT c.media_id, c.eval_id, bins.seg,
@@ -4368,7 +4377,23 @@ object SparkEntry {
              LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
              LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
            GROUP BY media_id, eval_id
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window})
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         -- keeper election over gate SURVIVORS: components keep their
+         -- full-graph identity, but the keeper is the highest-fidelity
+         -- member that is neither eval, contaminated, nor quality-failed
+         -- (ties to lowest id) — non-survivors are never keepers
+         dedup AS (
+           SELECT media_id, component_id, survivor,
+                  (survivor AND ROW_NUMBER() OVER (PARTITION BY component_id
+                     ORDER BY survivor DESC, fid DESC, media_id) = 1) AS dedup_keep
+           FROM (SELECT d.media_id, d.fid,
+                        COALESCE(c.root, d.media_id) AS component_id,
+                        (q.quality_ok AND f.media_id IS NULL
+                         AND d.media_id % 10 <> 7) AS survivor
+                 FROM ids d
+                   JOIN quality q ON q.media_id = d.media_id
+                   LEFT JOIN comp c ON d.media_id = c.node
+                   LEFT JOIN flagged f ON f.media_id = d.media_id))
          SELECT q.media_id, i.fmt, dd.component_id,
                 q.quality_ok, dd.dedup_keep,
                 (f.media_id IS NOT NULL) AS contaminated,
@@ -4422,8 +4447,8 @@ object SparkEntry {
                        THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                    AND COALESCE(CASE WHEN i.fmt = 'wav'
                        THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
-                   AND 2 * d.maxc <= d.n) AS quality_ok
-           FROM ids i JOIN dmq d USING (media_id)
+                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
+           FROM ids i LEFT JOIN dmq d USING (media_id)
            WHERE i.media_id % 10 = 0),
          dscored AS (
            SELECT media_id, corpus_id, ham,

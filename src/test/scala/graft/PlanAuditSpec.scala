@@ -375,6 +375,28 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("curation capstone decodes each corpus table exactly once (decode-once)") {
+    // the r16 shape paid the decode+fingerprint pass ~4x in one query
+    // (each gate rebuilt its own face); the r17 shape threads ONE
+    // checkpointed fingerprint face + ONE container-audit frame through
+    // all three gates. Two instruments: (a) the decode-pipeline
+    // construction counters — curationDecisions checkpoints both frames
+    // eagerly, so constructions == executed decode passes; (b) the
+    // composed plan must read only checkpointed faces, never a parquet
+    // scan of documents.
+    operators.Multimodal.rawDecodeBuilds.set(0)
+    operators.Multimodal.containerDecodeBuilds.set(0)
+    val df = operators.Multimodal.curationDecisions(spark, Sf)
+    assert(operators.Multimodal.rawDecodeBuilds.get == 1,
+      s"raw decode passes: ${operators.Multimodal.rawDecodeBuilds.get} (want 1)")
+    assert(operators.Multimodal.containerDecodeBuilds.get == 1,
+      s"container passes: ${operators.Multimodal.containerDecodeBuilds.get} (want 1)")
+    val p = plan(df)
+    assert(!p.contains("FileScan"),
+      s"the composed curation plan must read only checkpointed faces:\n${p.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
     // rn = 1 is rewritten to the two-phase top-k operator; the only

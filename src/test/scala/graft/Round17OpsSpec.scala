@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Round-17 behavior pins: the lossless-window guard, the stored
+  * decontam face, and the survivor-aware keeper election inside the
+  * curation capstone.
+  */
+class Round17OpsSpec extends SparkTestBase {
+
+  test("banded media entry points reject maxHamming > 7 loudly") {
+    // the 4x15-bit single-bit-flip banding is lossless only for
+    // Hamming <= 7 (pigeonhole); a wider window used to SILENTLY drop
+    // qualifying pairs — now every banded entry point fails fast
+    for (thunk <- Seq(
+      () => Multimodal.nearDupPairs(spark, Sf, maxHamming = 8),
+      () => Multimodal.contentNearDupPairs(spark, Sf, maxHamming = 8),
+      () => Multimodal.nearDupDecision(spark, Sf, maxHamming = 8),
+      () => Multimodal.incrementalNearDup(spark, Sf, maxHamming = 8),
+      () => Multimodal.decontamReport(spark, Sf, maxHamming = 8),
+      () => Multimodal.ingestDecisions(spark, Sf, maxHamming = 8)))
+      assertThrows[IllegalArgumentException](thunk())
+    // the boundary itself stays accepted
+    assert(Multimodal.nearDupPairs(spark, Sf, maxHamming = 7).columns.nonEmpty)
+  }
+
+  test("stored decontam face serves the identical report") {
+    val live = Multimodal.decontamReport(spark, Sf)
+    val stored = Multimodal.decontamReportStored(spark, Sf)
+    assert(live.exceptAll(stored).isEmpty && stored.exceptAll(live).isEmpty,
+      "the persisted face must serve row-identical decontam verdicts")
+  }
+
+  test("curation keeper election: kept rows are exactly one survivor per surviving component") {
+    val dec = Multimodal.curationDecisions(spark, Sf).localCheckpoint()
+    // every keeper is a survivor (not eval, not contaminated, quality-ok)
+    val badKeeper = dec.filter(col("dedup_keep") &&
+      (col("contaminated") || !col("quality_ok") || col("media_id") % 10 === 7))
+    assert(badKeeper.count() == 0, "a non-survivor must never be a keeper")
+    // per component: survivors > 0 => exactly one keeper; == 0 => none
+    val perComp = dec.groupBy("component_id").agg(
+      sum(when(!col("contaminated") && col("quality_ok")
+        && col("media_id") % 10 =!= 7, 1L).otherwise(0L)).as("survivors"),
+      sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("keepers"))
+    assert(perComp.filter(col("survivors") > 0 && col("keepers") =!= 1L).count() == 0,
+      "every component with a clean copy must keep exactly one")
+    assert(perComp.filter(col("survivors") === 0 && col("keepers") =!= 0L).count() == 0,
+      "a component with no clean copy keeps nothing")
+    // decision column agrees with the election
+    assert(dec.filter(col("decision") === "kept" && !col("dedup_keep")).count() == 0)
+    assert(dec.filter(col("decision") === "near_dup" &&
+      (col("contaminated") || !col("quality_ok") || col("media_id") % 10 === 7))
+      .count() == 0, "near_dup labels only gate-surviving non-keepers")
+  }
+
+  test("curation election recovers content whose best copy fails a gate") {
+    // plant the scenario directly on the election core: a 3-member
+    // component where the HIGHEST-fidelity copy is contaminated and the
+    // next one quality-failed — r16 dropped the content wholesale (the
+    // full-corpus election elected the contaminated copy; clean members
+    // stayed labeled near_dup); the survivor election must keep id 3.
+    import spark.implicits._
+    val base = Seq(
+      // (media_id, fmt, component_id, quality_ok, fidelity, contaminated)
+      (1L, "png", 1L, true, 900L, true),   // best copy, contaminated
+      (2L, "png", 1L, false, 800L, false), // next, quality-failed
+      (3L, "png", 1L, true, 700L, false),  // best CLEAN copy -> keeper
+      (4L, "png", 1L, true, 600L, false),  // clean non-keeper -> near_dup
+      (5L, "wav", 5L, true, 100L, false))  // clean singleton -> keeper
+      .toDF("media_id", "fmt", "component_id", "quality_ok", "fidelity",
+        "contaminated")
+    val out = Multimodal.curationElect(base)
+      .select("media_id", "decision").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "contaminated", 2L -> "quality_fail",
+      3L -> "kept", 4L -> "near_dup", 5L -> "kept"), out.toString)
+  }
+
+  test("curation precedence is real, not label-only: no kept row fails a gate") {
+    val kept = Multimodal.curationDecisions(spark, Sf)
+      .filter(col("decision") === "kept")
+    val qualityFailed = Multimodal.qualityRules(spark, Sf)
+      .filter(!col("keep")).select("media_id")
+    assert(kept.join(qualityFailed, Seq("media_id"), "left_semi").count() == 0)
+    val flagged = Multimodal.decontamReport(spark, Sf).select("media_id")
+    assert(kept.join(flagged, Seq("media_id"), "left_semi").count() == 0)
+  }
+}
