@@ -46,6 +46,7 @@ object Bench {
     run(SparkEntry.queries("events_retention_incremental")(spark, sfDir))
     run(SparkEntry.queries("dedup_jaccard_stored")(spark, sfDir))
     run(SparkEntry.queries("mm_incremental_stored")(spark, sfDir))
+    run(SparkEntry.queries("mm_decontam_stored")(spark, sfDir))
     run(SparkEntry.queries("graph_condensation")(spark, sfDir))
 
     // ---- timed cases ----
@@ -59,7 +60,8 @@ object Bench {
       "txt_tfidf_top_terms", "mm_features_fix", "mm_face_segments",
       "mm_neardup_pairs", "mm_dedup_decision", "mm_incremental_neardup",
       "mm_fingerprint", "mm_content_neardup", "mm_content_decision",
-      "mm_incremental_stored", "mm_decontam", "mm_quality_rules",
+      "mm_incremental_stored", "mm_decontam", "mm_decontam_stored",
+      "mm_quality_rules",
       "mm_curation_decisions", "mm_ingest_decisions",
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
@@ -192,40 +194,57 @@ object Bench {
         name -> r
     }
 
-    // DRIFT CANARY: the same fixed reference row re-timed at the start,
-    // middle, and end of the run (identical best-of-2 protocol). Three
-    // rounds of phantom-regression adjudication (r10-r12) traced to
-    // whole-machine drift between the builder-close and driver re-run
-    // of IDENTICAL code; the canary triple puts the run's own drift in
-    // the payload so ratio comparisons can normalize by it instead of
-    // re-running history.
+    // DRIFT CANARIES, interleaved: the same fixed reference row re-timed
+    // BEFORE the run and after every `CanaryEvery` timed cases
+    // (identical best-of-2 protocol). The r16 protocol (start/mid/end
+    // triple) made the canary the noisiest instrument in the loop: two
+    // runs of IDENTICAL code normalized 25% apart because one ~0.6 s
+    // query sampled three times cannot represent a 178-row run's
+    // machine state. With ~10 interleaved probes, each row normalizes
+    // by its own NEIGHBORHOOD (mean of the two bracketing probes), and
+    // the digest reports the probe MEDIAN — robust to a single
+    // JIT/GC-outlier probe where the old mean was not.
+    val CanaryEvery = 20
     def canary(): Double =
       timeCase("q1_pricing_summary",
         () => SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
         ._2.getOrElse(Double.NaN)
-    val driftStart = canary()
-    val (casesA, casesB) = cases.splitAt(cases.length / 2)
-    val resultsA = casesA.map { case (n, mk) => timeCase(n, mk) }
-    val driftMid = canary()
-    val resultsB = casesB.map { case (n, mk) => timeCase(n, mk) }
-    val driftEnd = canary()
-    val results: Seq[(String, Either[String, Double])] = resultsA ++ resultsB
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val resultsBuf =
+      scala.collection.mutable.ArrayBuffer[(String, Either[String, Double])]()
+    probes += canary()
+    cases.grouped(CanaryEvery).foreach { grp =>
+      grp.foreach { case (n, mk) => resultsBuf += timeCase(n, mk) }
+      probes += canary()
+    }
+    val results: Seq[(String, Either[String, Double])] = resultsBuf.toSeq
     def ms(d: Double): Double = math.round(d * 1000) / 1000.0
-    val driftJ = s"""{"start":${ms(driftStart)},"mid":${ms(driftMid)},"end":${ms(driftEnd)}}"""
-    // CANARY-NORMALIZED ratios: each row divided by the run's own canary
-    // mean, so round-over-round diffs self-adjudicate — comparing two
-    // rounds' normalized values cancels whole-machine drift (the
-    // adjudication the judge performed manually in r13 AND r14). A NaN
-    // canary (all three probes failed) suppresses the block rather than
-    // emitting Infinity.
-    val driftMean = Seq(driftStart, driftMid, driftEnd).filterNot(_.isNaN) match {
-      case Nil => Double.NaN
-      case xs => xs.sum / xs.length
+    // NaN-safe JSON: a failed probe (or an all-failed run) must emit
+    // null, never a plausible-looking 0.0 — math.round(NaN) is 0 and a
+    // silent zero would poison round-over-round normalization (the last
+    // open r15 ADVICE item).
+    def msJ(d: Double): String = if (d.isNaN) "null" else ms(d).toString
+    val driftJ = probes.map(msJ).mkString(
+      s"""{"every":$CanaryEvery,"probes":[""", ",", "]}")
+    // the headline drift statistic: median of the probes (outlier-robust)
+    val driftMean = {
+      val xs = probes.filterNot(_.isNaN).sorted
+      if (xs.isEmpty) Double.NaN else xs(xs.length / 2)
+    }
+    // CANARY-NORMALIZED ratios: each row divided by the mean of its two
+    // bracketing probes (falling back to the run median when a probe
+    // failed), so round-over-round diffs self-adjudicate — comparing two
+    // rounds' normalized values cancels whole-machine drift at the
+    // granularity it actually varies (within-run, not just run-to-run).
+    def rowCanary(i: Int): Double = {
+      val g = i / CanaryEvery
+      val near = Seq(probes(g), probes(g + 1)).filterNot(_.isNaN)
+      if (near.nonEmpty) near.sum / near.length else driftMean
     }
     val qsNorm =
       if (driftMean.isNaN || driftMean <= 0) "{}"
-      else results.collect { case (k, Right(sec)) =>
-        s""""$k":${math.round(sec / driftMean * 1000) / 1000.0}"""
+      else results.zipWithIndex.collect { case ((k, Right(sec)), i) =>
+        s""""$k":${math.round(sec / rowCanary(i) * 1000) / 1000.0}"""
       }.mkString("{", ",", "}")
 
     val qs = results.map {
@@ -245,7 +264,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sccA = sccActs.map { case (k, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${if (driftMean.isNaN) "null" else ms(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${msJ(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head
@@ -281,6 +300,6 @@ object Bench {
     // lands after the JSON line and any tail-line parser reads noise
     // instead of the payload (BENCH_r3..r6 all parsed to null this way)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$errors,"err_names":$errNames,"drift":$driftJ,"drift_mean":${ms(driftMean)},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$errors,"err_names":$errNames,"drift":$driftJ,"drift_mean":${msJ(driftMean)},"full":"bench_full.json","sf":"$sfDir"}""")
   }
 }
