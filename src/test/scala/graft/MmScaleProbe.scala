@@ -31,6 +31,33 @@ object MmScaleProbe {
     val nPairs = pairs.count()
     println(f"MMSCALE media $nMedia pairs $nPairs " +
       f"neighbors_per_media ${2.0 * nPairs / nMedia}%.4f")
+    // fast/md5 twin agreement at scale: the spec corpus pins EXACT
+    // pair-set equality; here the overlap is quantified (~98% at x10)
+    // and the symmetric difference characterized below
+    val fast = time("neardup_pairs_fast")(
+      Multimodal.nearDupPairsFast(spark, sfDir).localCheckpoint())
+    val pairIds = pairs.select("media_a", "media_b")
+    val fastIds = fast.select("media_a", "media_b")
+    val pairsetDiff = pairIds.exceptAll(fastIds).count() +
+      fastIds.exceptAll(pairIds).count()
+    println(s"MMSCALE fast_pairs ${fast.count()} pairset_diff $pairsetDiff")
+    // divergence characterization: any pair one face accepts and the
+    // other rejects must sit AT the Hamming threshold boundary under
+    // the rejecting face (measured 8..12 — borderline pairs the
+    // majority vote tips differently, at or below the background floor;
+    // a solid background pair measures well above it under both)
+    val fastFace = Multimodal.fingerprintFaceFast(spark, sfDir).localCheckpoint()
+    def crossHam(onlyIds: org.apache.spark.sql.DataFrame, face: org.apache.spark.sql.DataFrame) =
+      onlyIds
+        .join(face.select(col("media_id").as("media_a"), col("sig").as("sa")), "media_a")
+        .join(face.select(col("media_id").as("media_b"), col("sig").as("sb")), "media_b")
+        .select(expr("cast(bit_count(sa ^ sb) as int)").as("h"))
+        .agg(min("h"), max("h")).collect()(0)
+    val md5Face = Multimodal.fingerprintFace(spark, sfDir).localCheckpoint()
+    if (pairsetDiff > 0) {
+      println(s"MMSCALE fast_divergence md5only_fastham ${crossHam(pairIds.exceptAll(fastIds), fastFace)} " +
+        s"fastonly_md5ham ${crossHam(fastIds.exceptAll(pairIds), md5Face)}")
+    }
     val dec = time("dedup_decision")(
       Multimodal.nearDupDecision(spark, sfDir).localCheckpoint())
     val drop = dec.filter(!col("keep")).count()
@@ -56,10 +83,23 @@ object MmScaleProbe {
     val dcr = time("decontam")(
       Multimodal.decontamReport(spark, sfDir).localCheckpoint())
     println(s"MMSCALE decontam flagged ${dcr.count()}")
+    // stored-face serve: prime the artifact untimed (the scheduled-job
+    // cost), then time the pure serve path
+    Multimodal.persistMediaFace(spark, sfDir)
+    val dcs = time("decontam_stored")(
+      Multimodal.decontamReportStored(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE decontam_stored flagged ${dcs.count()}")
     val cur = time("curation")(
       Multimodal.curationDecisions(spark, sfDir).localCheckpoint())
     println(s"MMSCALE curation " + cur.groupBy("decision").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    // admission-gate branch coverage: all four decisions must ENGAGE at
+    // xN, not just wall-time (the r16 gap — x100 was only ExplainQuery'd)
+    val ing = time("ingest_decisions")(
+      Multimodal.ingestDecisions(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE ingest rows ${ing.count()} branches " +
+      ing.groupBy("decision").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
     spark.stop()
   }
 }

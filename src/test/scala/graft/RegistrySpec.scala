@@ -23,8 +23,14 @@ class RegistrySpec extends AnyFunSuite {
     // Growing this set is a deliberate act — add the justification here.
     // (round 16: the normalized-float mm_features row retired — its
     // integer twin mm_features_fix is oracled and the float
-    // presentation is spec-pinned in Round16OpsSpec — set is 13.)
+    // presentation is spec-pinned in Round16OpsSpec — set was 13.)
+    // (round 17: mm_fingerprint_fast added — the xxhash64 production
+    // fast path of the media fingerprint; DuckDB cannot replay
+    // xxhash64, the oracled md5 row mm_fingerprint is its twin, and
+    // Round17OpsSpec pins the two faces' near-dup pair sets identical
+    // — set is 14.)
     val expected = Set(
+      "mm_fingerprint_fast",
       "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_substring_pairs",
       "sketch_merge", "sketch_profile",
       "txt_bpe_merges", "txt_fingerprints",

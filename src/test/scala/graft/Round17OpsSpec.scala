@@ -26,6 +26,25 @@ class Round17OpsSpec extends SparkTestBase {
     assert(Multimodal.nearDupPairs(spark, Sf, maxHamming = 7).columns.nonEmpty)
   }
 
+  test("fast fingerprint: xxhash64 and md5 faces emit the identical near-dup pair set") {
+    // the hash family changes each window's 60 bits, so raw Hamming
+    // values differ — what must NOT change (on this corpus) is which
+    // pairs qualify: planted near-dups share most windows under ANY
+    // window hash (majority vote flips few bits) while background
+    // pairs sit near Hamming 30 under both. Pin the PAIR IDs on the
+    // spec corpus; at xN a Hamming-BOUNDARY pair may tip differently
+    // (both faces are estimators) — MmScaleProbe bounds that
+    // divergence to the 8-12 boundary band at the background floor.
+    val md5Pairs = Multimodal.nearDupPairs(spark, Sf)
+      .select("media_a", "media_b")
+    val fastPairs = Multimodal.nearDupPairsFast(spark, Sf)
+      .select("media_a", "media_b")
+    assert(md5Pairs.exceptAll(fastPairs).isEmpty &&
+      fastPairs.exceptAll(md5Pairs).isEmpty,
+      "window-hash choice must not change the near-dup pair set")
+    assert(md5Pairs.count() > 0, "the corpus must contain planted near-dups")
+  }
+
   test("stored decontam face serves the identical report") {
     val live = Multimodal.decontamReport(spark, Sf)
     val stored = Multimodal.decontamReportStored(spark, Sf)
