@@ -3902,7 +3902,8 @@ object SparkEntry {
                      THEN octet_length(encode(text)) * 1000
                           // ((8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1) * 2)
                      WHEN doc_id % 6 = 5
-                     THEN (n_chars % 2400 + 600) * 1000 // 600
+                     THEN (CASE WHEN doc_id % 12 = 11 THEN n_chars % 50 + 10
+                                ELSE n_chars % 2400 + 600 END) * 1000 // 600
                 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY doc_id""",
     "mm_content_dedup" ->
@@ -4279,7 +4280,9 @@ object SparkEntry {
                 CASE WHEN i.fmt = 'wav'
                      THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
                      WHEN i.fmt = 'mp4'
-                     THEN (i.n_chars % 2400 + 600) * 1000 // 600 >= ${Multimodal.MediaMinDurationMs}
+                     THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                          >= ${Multimodal.MediaMinDurationMs}
                 END AS r_short,
                 -- LEFT JOIN + COALESCE(false): a zero-length payload has
                 -- no dominance row (unnest(range(0)) is empty) but the
@@ -4292,6 +4295,13 @@ object SparkEntry {
                      THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                  AND COALESCE(CASE WHEN i.fmt = 'wav'
                      THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                 AND COALESCE(CASE WHEN i.fmt = 'wav'
+                     THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                     WHEN i.fmt = 'mp4'
+                     THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                          >= ${Multimodal.MediaMinDurationMs}
+                 END, true)
                  AND COALESCE(2 * d.maxc <= d.n, false)) AS keep
          FROM ids i LEFT JOIN dom d ON d.media_id = i.media_id
          ORDER BY i.media_id""",
@@ -4325,6 +4335,7 @@ object SparkEntry {
                              ELSE 'mp4' END AS fmt,
                         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
                         8000 + (n_chars % 8) * 1000 AS rate,
+                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
                         octet_length(encode(text)) AS n,
                         CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                              THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
@@ -4339,6 +4350,13 @@ object SparkEntry {
                        THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                    AND COALESCE(CASE WHEN i.fmt = 'wav'
                        THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                       WHEN i.fmt = 'mp4'
+                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                            >= ${Multimodal.MediaMinDurationMs}
+                   END, true)
                    AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
            FROM ids i LEFT JOIN dmq d USING (media_id)),
          cand AS (
@@ -4443,6 +4461,7 @@ object SparkEntry {
                              ELSE 'mp4' END AS fmt,
                         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
                         8000 + (n_chars % 8) * 1000 AS rate,
+                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
                         octet_length(encode(text)) AS n
                  FROM documents),
          quality AS (
@@ -4453,6 +4472,13 @@ object SparkEntry {
                        THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
                    AND COALESCE(CASE WHEN i.fmt = 'wav'
                        THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                       WHEN i.fmt = 'mp4'
+                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                            >= ${Multimodal.MediaMinDurationMs}
+                   END, true)
                    AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
            FROM ids i LEFT JOIN dmq d USING (media_id)
            WHERE i.media_id % 10 = 0),

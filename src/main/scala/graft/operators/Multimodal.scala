@@ -193,7 +193,15 @@ object Multimodal {
           case 1 | 4 => encodeJpeg(w, h, data)
           case 2 => encodeWav(8000 + (nChars % 8).toInt * 1000,
             ((id / 6) % 2).toInt + 1, data)
-          case _ => encodeMp4(w, h, 600, (nChars % 2400).toInt + 600, data)
+          case _ =>
+            // the duration-bearing split (r17): %12==5 carries a real
+            // movie clock (1.0-5.0 s — clears the 100 ms floor),
+            // %12==11 a SHORT clip (16-98 ms — fails it), so r_short
+            // gates WITHIN the modality, not merely along the format
+            // line. The mdat content is untouched either way.
+            val dur = if (id % 12 == 11) (nChars % 50).toInt + 10
+                      else (nChars % 2400).toInt + 600
+            encodeMp4(w, h, 600, dur, data)
         }
         val kind = (id % 6) match {
           case 0 | 1 | 3 | 4 => "image"
@@ -1216,7 +1224,7 @@ object Multimodal {
             extractContent(r.payload).map(dominantByteOk)
           val keep = parseOk && rPixels.getOrElse(true) &&
             rAspect.getOrElse(true) && rRate.getOrElse(true) &&
-            rDom.getOrElse(false)
+            rShort.getOrElse(true) && rDom.getOrElse(false)
           val fid = fmt match {
             case "png" | "jpeg" | "mp4" =>
               (for { ww <- w; hh <- h } yield ww.toLong * hh.toLong)
@@ -1330,17 +1338,21 @@ object Multimodal {
     *     [[MediaMinPixels]], max(w,h) ≤ [[MediaAspectMax]]·min(w,h) —
     *     the tracking-pixel / banner-strip filters;
     *   - r_rate (audio): parsed sample rate ≥ [[MediaMinRate]];
-    *   - r_short (audio+video): duration ≥ [[MediaMinDurationMs]] —
-    *     REPORTED but not in `keep`: the stand-in corpus wraps text
-    *     bytes, so audio durations are microscopic by construction and
-    *     gating on them would empty the modality; a deployment adds it
-    *     to the conjunction;
+    *   - r_short (audio+video): duration ≥ [[MediaMinDurationMs]],
+    *     IN `keep` since r17 — the MP4 movie clock carries a
+    *     deterministic within-modality split (the %12==11 short-clip
+    *     slice fails, %12==5 passes), so the rule gates real rows both
+    *     ways instead of merely tracing the format line. Every WAV on
+    *     the stand-in corpus is GENUINELY sub-100 ms (≤ ~550 data
+    *     bytes at ≥ 8 kHz 16-bit PCM is under 35 ms of audio) and an
+    *     honest gate drops it — sub-100 ms clips are curation garbage;
     *   - r_dominant: no single byte value occupies > 50% of the
     *     EXTRACTED CONTENT ([[dominantByteOk]]) — the solid-fill /
     *     padding detector, and one more certification of the
     *     extraction walk (the oracle replays it over the text bytes).
     *
-    * keep = r_parse ∧ modality rules ∧ r_dominant. Null-rule semantics:
+    * keep = r_parse ∧ modality rules ∧ r_short ∧ r_dominant. Null-rule
+    * semantics:
     * a NON-APPLICABLE rule (wrong modality — r_min_pixels on audio,
     * r_rate on an image) is null and vacuously TRUE in the conjunction;
     * r_dominant is the one exception — it is null exactly when the

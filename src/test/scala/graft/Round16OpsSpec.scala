@@ -262,13 +262,20 @@ class Round16OpsSpec extends SparkTestBase {
     // rule null exactly on visuals
     assert(q.filter(col("r_min_pixels").isNull =!= (col("fmt") === "wav")).isEmpty)
     assert(q.filter(col("r_rate").isNull =!= col("fmt").isin("png", "jpeg", "mp4")).isEmpty)
-    // keep is exactly the documented conjunction (duration informational)
+    // keep is exactly the documented conjunction (r_short gates since
+    // r17; r_dominant's null fails — the unextractable-payload asymmetry)
     val bad = q.filter(col("keep") =!= (col("r_parse") &&
       coalesce(col("r_min_pixels"), lit(true)) &&
       coalesce(col("r_aspect"), lit(true)) &&
       coalesce(col("r_rate"), lit(true)) &&
+      coalesce(col("r_short"), lit(true)) &&
       coalesce(col("r_dominant"), lit(false))))
     assert(bad.isEmpty, "keep must compose the rule columns")
+    // the r17 point: r_short must gate WITHIN a modality, not merely
+    // trace the format line — the mp4 movie-clock slice splits
+    for (v <- Seq(true, false))
+      assert(q.filter(col("fmt") === "mp4" && col("r_short") === v).count() > 0,
+        s"mp4 r_short=$v never occurs — the within-modality split is gone")
     assert(q.filter(!col("keep")).count() > 0, "the gate must drop something")
     // the dominance detector itself: solid fill fails, mixed content passes
     assert(!Multimodal.dominantByteOk(Array.fill[Byte](100)(0)))
