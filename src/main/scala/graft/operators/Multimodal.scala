@@ -904,14 +904,18 @@ object Multimodal {
     * `dedup_minhash_pairs` convention: fast row for production shape,
     * md5 twin for hash certification). Equivalence contract: on the
     * spec corpus the two faces emit the EXACT same near-dup pair set
-    * (Round17OpsSpec); at ×N both are estimators of the same
-    * window-set resemblance, so Hamming-threshold-BOUNDARY pairs may
-    * tip differently under a different window hash — the ×10 probe
-    * measures ~98% pair-set overlap with every divergent pair sitting
-    * at Hamming 8-12 under the rejecting face — the threshold-boundary
-    * / background-floor region, where ANY single estimator's accept is
-    * itself a coin toss. A deployment calibrates the threshold per hash
-    * family; the md5 face remains the certifiable reference.
+    * (Round17OpsSpec); at ×N both are 60-bit majority-vote estimators
+    * of the same window-set resemblance, so genuinely-near pairs whose
+    * per-bit majorities sit at small margins can project differently
+    * under a different window hash — the probes measure ~98% pair-set
+    * agreement (16/863 divergent at ×10, 197/8.6k at ×100), every
+    * divergent pair inside [0,7] under its accepting face and [8,31]
+    * under the rejecting one. Byte-identical payloads have identical
+    * window sets, hence identical sigs under BOTH families — exact
+    * duplicates can never diverge — and solid background (≥ 12 under
+    * the certified face) never enters either accept set. A deployment
+    * picks ONE family and calibrates the threshold against it; the md5
+    * face remains the certifiable reference.
     */
   private[graft] def mediaSimHashFast(payload: Array[Byte]): Long = {
     val n = payload.length

@@ -41,23 +41,36 @@ object MmScaleProbe {
     val pairsetDiff = pairIds.exceptAll(fastIds).count() +
       fastIds.exceptAll(pairIds).count()
     println(s"MMSCALE fast_pairs ${fast.count()} pairset_diff $pairsetDiff")
-    // divergence characterization: any pair one face accepts and the
-    // other rejects must sit AT the Hamming threshold boundary under
-    // the rejecting face (measured 8..12 — borderline pairs the
-    // majority vote tips differently, at or below the background floor;
-    // a solid background pair measures well above it under both)
+    // divergence characterization: pairs one face accepts and the
+    // other rejects are genuinely-near window sets whose majority-vote
+    // projection differs by hash family — measured 8..31 under the
+    // rejecting face, 0..7 under the accepting one, ~2% of the accept
+    // set at xN; byte-identical payloads can never diverge
     val fastFace = Multimodal.fingerprintFaceFast(spark, sfDir).localCheckpoint()
-    def crossHam(onlyIds: org.apache.spark.sql.DataFrame, face: org.apache.spark.sql.DataFrame) =
+    // (rejHam = the REJECTING face's Hamming over the divergent pairs —
+    // must sit >= 8, i.e. just outside the accept window; accHam = the
+    // ACCEPTING face's — where in [0,7] the flipping pairs live. A
+    // solid duplicate (identical bytes) has identical sigs under BOTH
+    // families and can never diverge.)
+    def crossHam(onlyIds: org.apache.spark.sql.DataFrame,
+        rej: org.apache.spark.sql.DataFrame, acc: org.apache.spark.sql.DataFrame) =
       onlyIds
-        .join(face.select(col("media_id").as("media_a"), col("sig").as("sa")), "media_a")
-        .join(face.select(col("media_id").as("media_b"), col("sig").as("sb")), "media_b")
-        .select(expr("cast(bit_count(sa ^ sb) as int)").as("h"))
-        .agg(min("h"), max("h")).collect()(0)
+        .join(rej.select(col("media_id").as("media_a"), col("sig").as("sa"),
+          col("n_bytes").as("na")), "media_a")
+        .join(rej.select(col("media_id").as("media_b"), col("sig").as("sb")), "media_b")
+        .join(acc.select(col("media_id").as("media_a"), col("sig").as("xa")), "media_a")
+        .join(acc.select(col("media_id").as("media_b"), col("sig").as("xb")), "media_b")
+        .select(expr("cast(bit_count(sa ^ sb) as int)").as("h"),
+          expr("cast(bit_count(xa ^ xb) as int)").as("ah"), col("na"))
+        .agg(min("h"), max("h"), min("ah"), max("ah"),
+          min("na"), max("na"), count(lit(1))).collect()(0)
     val md5Face = Multimodal.fingerprintFace(spark, sfDir).localCheckpoint()
     if (pairsetDiff > 0) {
-      println(s"MMSCALE fast_divergence md5only_fastham ${crossHam(pairIds.exceptAll(fastIds), fastFace)} " +
-        s"fastonly_md5ham ${crossHam(fastIds.exceptAll(pairIds), md5Face)}")
+      println(s"MMSCALE fast_divergence (rejHamMin,rejHamMax,accHamMin,accHamMax,nMin,nMax,count) " +
+        s"md5only ${crossHam(pairIds.exceptAll(fastIds), fastFace, md5Face)} " +
+        s"fastonly ${crossHam(fastIds.exceptAll(pairIds), md5Face, fastFace)}")
     }
+    if (args.contains("pairs")) { spark.stop(); return }
     val dec = time("dedup_decision")(
       Multimodal.nearDupDecision(spark, sfDir).localCheckpoint())
     val drop = dec.filter(!col("keep")).count()

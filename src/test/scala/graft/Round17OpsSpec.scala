@@ -32,9 +32,9 @@ class Round17OpsSpec extends SparkTestBase {
     // pairs qualify: planted near-dups share most windows under ANY
     // window hash (majority vote flips few bits) while background
     // pairs sit near Hamming 30 under both. Pin the PAIR IDs on the
-    // spec corpus; at xN a Hamming-BOUNDARY pair may tip differently
-    // (both faces are estimators) — MmScaleProbe bounds that
-    // divergence to the 8-12 boundary band at the background floor.
+    // spec corpus; at xN ~2% of genuinely-near pairs project across
+    // the threshold differently per family (byte-identical dups never
+    // can) — MmScaleProbe measures and characterizes that divergence.
     val md5Pairs = Multimodal.nearDupPairs(spark, Sf)
       .select("media_a", "media_b")
     val fastPairs = Multimodal.nearDupPairsFast(spark, Sf)
