@@ -27,6 +27,10 @@ object Bench {
 
     // ---- warm-up (untimed) ----
     run(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    // the other canary-basket members too: probe 0 must measure machine
+    // state, not their first-run JIT
+    run(SparkEntry.queries("q_join_agg")(spark, sfDir))
+    run(SparkEntry.queries("w1_row_number_topk")(spark, sfDir))
     PlayStore.readStore(spark).count()
     // pre-materialize df_4 for the Part-5 measurement
     val df4Dir = IO.scratchDir("bench_df4")
@@ -194,21 +198,29 @@ object Bench {
         name -> r
     }
 
-    // DRIFT CANARIES, interleaved: the same fixed reference row re-timed
-    // BEFORE the run and after every `CanaryEvery` timed cases
-    // (identical best-of-2 protocol). The r16 protocol (start/mid/end
-    // triple) made the canary the noisiest instrument in the loop: two
-    // runs of IDENTICAL code normalized 25% apart because one ~0.6 s
-    // query sampled three times cannot represent a 178-row run's
-    // machine state. With ~10 interleaved probes, each row normalizes
-    // by its own NEIGHBORHOOD (mean of the two bracketing probes), and
-    // the digest reports the probe MEDIAN — robust to a single
-    // JIT/GC-outlier probe where the old mean was not.
+    // DRIFT CANARIES, interleaved + basketed: a fixed three-query BASKET
+    // re-timed BEFORE the run and after every `CanaryEvery` timed cases
+    // (each member the identical best-of-2 protocol; probe value = the
+    // basket sum). Two lessons priced into this shape:
+    //  - r16 (start/mid/end triple): three samples cannot represent a
+    //    178-row run — two same-code runs normalized 25% apart. Fix:
+    //    ~10 interleaved probes, each row normalized by its own
+    //    NEIGHBORHOOD (mean of the two bracketing probes).
+    //  - r17 close (single-query probes): one ~0.6 s query AMPLIFIES
+    //    real within-run drift — back-to-back runs measured an ~8%
+    //    first-half drift (per-row medians) that q1-alone reported as
+    //    18%, pushing normalized totals 17% apart while raw totals
+    //    agreed to 1%. A basket of three heterogeneous shapes (scan+agg,
+    //    join+agg, window top-k) tracks the drift without one query's
+    //    JIT/GC idiosyncrasy setting the amplitude.
+    // The digest reports the probe MEDIAN — robust to a single outlier
+    // probe where a mean is not.
     val CanaryEvery = 20
+    val CanaryBasket = Seq("q1_pricing_summary", "q_join_agg", "w1_row_number_topk")
     def canary(): Double =
-      timeCase("q1_pricing_summary",
-        () => SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-        ._2.getOrElse(Double.NaN)
+      CanaryBasket.map(n =>
+        timeCase(n, () => SparkEntry.queries(n)(spark, sfDir))
+          ._2.getOrElse(Double.NaN)).sum
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
     val resultsBuf =
       scala.collection.mutable.ArrayBuffer[(String, Either[String, Double])]()
