@@ -51,6 +51,8 @@ object Bench {
     run(SparkEntry.queries("dedup_jaccard_stored")(spark, sfDir))
     run(SparkEntry.queries("mm_incremental_stored")(spark, sfDir))
     run(SparkEntry.queries("mm_decontam_stored")(spark, sfDir))
+    run(SparkEntry.queries("mm_curation_stored")(spark, sfDir))
+    run(SparkEntry.queries("mm_ingest_stored")(spark, sfDir))
     run(SparkEntry.queries("graph_condensation")(spark, sfDir))
 
     // ---- timed cases ----
@@ -66,7 +68,8 @@ object Bench {
       "mm_fingerprint", "mm_content_neardup", "mm_content_decision",
       "mm_incremental_stored", "mm_decontam", "mm_decontam_stored",
       "mm_quality_rules",
-      "mm_curation_decisions", "mm_ingest_decisions",
+      "mm_curation_decisions", "mm_curation_stored",
+      "mm_ingest_decisions", "mm_ingest_stored",
       "j6_range_join", "corpus_pack_sequences", "corpus_train_val_split",
       "w4_rank_topk", "corpus_chunk", "txt_scrub",
       "dedup_cluster_decision",

@@ -741,11 +741,17 @@ object SparkEntry {
     // the capstone curation trail: eval_holdout > contaminated >
     // quality_fail > near_dup > kept, every drop auditable
     "mm_curation_decisions" -> ((s, d) => Multimodal.curationDecisions(s, d)),
+    // the capstone served from BOTH persisted faces (fingerprint +
+    // container audit): a re-curation sweep decodes zero payloads
+    "mm_curation_stored" -> ((s, d) => Multimodal.curationDecisionsStored(s, d)),
     // the per-batch ADMISSION gate: each %10==0 arrival audited against
     // the standing corpus + eval faces (contaminated > quality_fail >
     // near_dup > new); batch payloads decode once, indexes never
     // reshuffle on account of the batch
     "mm_ingest_decisions" -> ((s, d) => Multimodal.ingestDecisions(s, d)),
+    // the admission gate served from the persisted face: the per-batch
+    // hot path decodes only the batch — corpus/eval indexes read stored
+    "mm_ingest_stored" -> ((s, d) => Multimodal.ingestDecisionsStored(s, d)),
     // cross-format content NEAR-dup: the fingerprint face over the
     // extracted content bytes with fmt NOT a blocking dimension — a
     // re-containered near-identical media pairs across PNG/JPEG/WAV/MP4
@@ -2315,6 +2321,253 @@ object SparkEntry {
                        ORDER BY ham, l1_fix, eval_id) AS rn
            FROM scored) WHERE rn = 1
          ORDER BY media_id"""
+
+  /** The three gate chains composed under one WITH RECURSIVE: the
+    * quality conjunction (analytic dims/rate/duration + byte
+    * dominance), the near-dup closure, the decontam flagged set, and
+    * the SURVIVOR keeper election — decision by the documented
+    * precedence. Shared by mm_curation_decisions and its stored-faces
+    * twin, which is row-identical by construction.
+    */
+  private def mmCurationOracleSql: String =
+    s"""WITH RECURSIVE $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         dmq AS (
+           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
+             SELECT media_id, n, bv, COUNT(*) AS cnt
+             FROM by GROUP BY media_id, n, bv)
+           GROUP BY media_id),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+                        8000 + (n_chars % 8) * 1000 AS rate,
+                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
+                        octet_length(encode(text)) AS n,
+                        CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
+                             THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
+                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                        END AS fid
+                 FROM documents),
+         quality AS (
+           SELECT i.media_id,
+                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
+                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                       WHEN i.fmt = 'mp4'
+                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                            >= ${Multimodal.MediaMinDurationMs}
+                   END, true)
+                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
+           FROM ids i LEFT JOIN dmq d USING (media_id)),
+         cand AS (
+           SELECT x.media_id AS a, y.media_id AS bb
+           FROM ids x JOIN ids y
+             ON x.kind = y.kind AND x.media_id < y.media_id
+           JOIN msig sa ON sa.media_id = x.media_id
+           JOIN msig sb ON sb.media_id = y.media_id
+           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
+         prs AS (
+           SELECT a, bb FROM (
+             SELECT c.a, c.bb, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
+           GROUP BY a, bb
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         edges AS (
+           SELECT a AS u, bb AS v FROM prs
+           UNION ALL SELECT bb AS u, a AS v FROM prs),
+         walk(node, reach) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
+         flagged AS (
+           SELECT DISTINCT media_id FROM (
+             SELECT c.media_id, c.eval_id, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT y.media_id, x.media_id AS eval_id
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         -- keeper election over gate SURVIVORS: components keep their
+         -- full-graph identity, but the keeper is the highest-fidelity
+         -- member that is neither eval, contaminated, nor quality-failed
+         -- (ties to lowest id) — non-survivors are never keepers
+         dedup AS (
+           SELECT media_id, component_id, survivor,
+                  (survivor AND ROW_NUMBER() OVER (PARTITION BY component_id
+                     ORDER BY survivor DESC, fid DESC, media_id) = 1) AS dedup_keep
+           FROM (SELECT d.media_id, d.fid,
+                        COALESCE(c.root, d.media_id) AS component_id,
+                        (q.quality_ok AND f.media_id IS NULL
+                         AND d.media_id % 10 <> 7) AS survivor
+                 FROM ids d
+                   JOIN quality q ON q.media_id = d.media_id
+                   LEFT JOIN comp c ON d.media_id = c.node
+                   LEFT JOIN flagged f ON f.media_id = d.media_id))
+         SELECT q.media_id, i.fmt, dd.component_id,
+                q.quality_ok, dd.dedup_keep,
+                (f.media_id IS NOT NULL) AS contaminated,
+                CASE WHEN q.media_id % 10 = 7 THEN 'eval_holdout'
+                     WHEN f.media_id IS NOT NULL THEN 'contaminated'
+                     WHEN NOT q.quality_ok THEN 'quality_fail'
+                     WHEN NOT dd.dedup_keep THEN 'near_dup'
+                     ELSE 'kept' END AS decision
+         FROM quality q
+           JOIN dedup dd USING (media_id)
+           JOIN ids i USING (media_id)
+           LEFT JOIN flagged f USING (media_id)
+         ORDER BY q.media_id"""
+
+  /** Per-batch admission replay: the quality conjunction restricted to
+    * the %10==0 carve, the best corpus match (corpus excludes BOTH the
+    * batch and the eval carves), and the best eval match — decision by
+    * the documented precedence. Shared by mm_ingest_decisions and its
+    * stored-face twin, which is row-identical by construction.
+    */
+  private def mmIngestOracleSql: String =
+    s"""WITH $mediaSigCtes,
+         by AS (
+           SELECT media_id, n,
+                  CAST((i.i * 8) // n AS INT) AS seg,
+                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
+           FROM mb, unnest(range(n)) AS i(i)),
+         hf AS MATERIALIZED (
+           SELECT media_id, seg,
+                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
+           FROM by GROUP BY media_id, seg),
+         dmq AS (
+           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
+             SELECT media_id, n, bv, COUNT(*) AS cnt
+             FROM by WHERE media_id % 10 = 0 GROUP BY media_id, n, bv)
+           GROUP BY media_id),
+         ids AS (SELECT doc_id AS media_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'image'
+                             WHEN doc_id % 3 = 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        CASE WHEN doc_id % 3 = 0 THEN 'png'
+                             WHEN doc_id % 3 = 1 THEN 'jpeg'
+                             WHEN doc_id % 6 = 2 THEN 'wav'
+                             ELSE 'mp4' END AS fmt,
+                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
+                        8000 + (n_chars % 8) * 1000 AS rate,
+                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+         quality AS (
+           SELECT i.media_id, i.fmt,
+                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
+                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
+                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
+                   AND COALESCE(CASE WHEN i.fmt = 'wav'
+                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
+                       WHEN i.fmt = 'mp4'
+                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
+                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
+                            >= ${Multimodal.MediaMinDurationMs}
+                   END, true)
+                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
+           FROM ids i LEFT JOIN dmq d USING (media_id)
+           WHERE i.media_id % 10 = 0),
+         dscored AS (
+           SELECT media_id, corpus_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT x.media_id, y.media_id AS corpus_id,
+                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 0 AND y.media_id % 10 NOT IN (0, 7)
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
+           GROUP BY media_id, corpus_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         dbest AS (
+           SELECT media_id, corpus_id, ham, l1_fix FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY ham, l1_fix, corpus_id) AS rn
+             FROM dscored) WHERE rn = 1),
+         escored AS (
+           SELECT media_id, eval_id, ham,
+                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
+           FROM (
+             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
+                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
+             FROM (
+               SELECT x.media_id, y.media_id AS eval_id,
+                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+               FROM ids x JOIN ids y
+                 ON x.kind = y.kind
+                AND x.media_id % 10 = 0 AND y.media_id % 10 = 7
+                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
+               JOIN msig sa ON sa.media_id = x.media_id
+               JOIN msig sb ON sb.media_id = y.media_id
+               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
+             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
+             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
+             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
+           GROUP BY media_id, eval_id, ham
+           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
+         ebest AS (
+           SELECT media_id, eval_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                         ORDER BY ham, l1_fix, eval_id) AS rn
+             FROM escored) WHERE rn = 1)
+         SELECT q.media_id, q.fmt, q.quality_ok,
+                (e.eval_id IS NOT NULL) AS contaminated, e.eval_id,
+                d.corpus_id AS dup_of, d.ham AS hamming, d.l1_fix,
+                CASE WHEN e.eval_id IS NOT NULL THEN 'contaminated'
+                     WHEN NOT q.quality_ok THEN 'quality_fail'
+                     WHEN d.corpus_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS decision
+         FROM quality q
+           LEFT JOIN dbest d USING (media_id)
+           LEFT JOIN ebest e USING (media_id)
+         ORDER BY q.media_id"""
 
   /** Full-training-replay IVF oracle, shared by the trained and the
     * stored-artifact registrations (row-identical by construction).
@@ -4305,246 +4558,16 @@ object SparkEntry {
                  AND COALESCE(2 * d.maxc <= d.n, false)) AS keep
          FROM ids i LEFT JOIN dom d ON d.media_id = i.media_id
          ORDER BY i.media_id""",
-    "mm_curation_decisions" ->
-      // the three gate chains composed under one WITH RECURSIVE: the
-      // quality conjunction (analytic dims/rate + byte dominance), the
-      // near-dup closure with the fidelity keep, and the decontam
-      // flagged set — decision by the documented precedence
-      s"""WITH RECURSIVE $mediaSigCtes,
-         by AS (
-           SELECT media_id, n,
-                  CAST((i.i * 8) // n AS INT) AS seg,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM mb, unnest(range(n)) AS i(i)),
-         hf AS MATERIALIZED (
-           SELECT media_id, seg,
-                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, seg),
-         dmq AS (
-           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
-             SELECT media_id, n, bv, COUNT(*) AS cnt
-             FROM by GROUP BY media_id, n, bv)
-           GROUP BY media_id),
-         ids AS (SELECT doc_id AS media_id,
-                        CASE WHEN doc_id % 3 = 0 THEN 'image'
-                             WHEN doc_id % 3 = 1 THEN 'audio'
-                             ELSE 'video' END AS kind,
-                        CASE WHEN doc_id % 3 = 0 THEN 'png'
-                             WHEN doc_id % 3 = 1 THEN 'jpeg'
-                             WHEN doc_id % 6 = 2 THEN 'wav'
-                             ELSE 'mp4' END AS fmt,
-                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
-                        8000 + (n_chars % 8) * 1000 AS rate,
-                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
-                        octet_length(encode(text)) AS n,
-                        CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
-                             THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
-                        END AS fid
-                 FROM documents),
-         quality AS (
-           SELECT i.media_id,
-                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
-                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
-                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
-                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
-                   AND COALESCE(CASE WHEN i.fmt = 'wav'
-                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
-                   AND COALESCE(CASE WHEN i.fmt = 'wav'
-                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
-                       WHEN i.fmt = 'mp4'
-                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
-                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
-                            >= ${Multimodal.MediaMinDurationMs}
-                   END, true)
-                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
-           FROM ids i LEFT JOIN dmq d USING (media_id)),
-         cand AS (
-           SELECT x.media_id AS a, y.media_id AS bb
-           FROM ids x JOIN ids y
-             ON x.kind = y.kind AND x.media_id < y.media_id
-           JOIN msig sa ON sa.media_id = x.media_id
-           JOIN msig sb ON sb.media_id = y.media_id
-           WHERE abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-             AND bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}),
-         prs AS (
-           SELECT a, bb FROM (
-             SELECT c.a, c.bb, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM cand c CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.a AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.bb AND hb.seg = bins.seg)
-           GROUP BY a, bb
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
-         edges AS (
-           SELECT a AS u, bb AS v FROM prs
-           UNION ALL SELECT bb AS u, a AS v FROM prs),
-         walk(node, reach) AS (
-           SELECT u, u FROM edges
-           UNION
-           SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
-         comp AS (SELECT node, MIN(reach) AS root FROM walk GROUP BY node),
-         flagged AS (
-           SELECT DISTINCT media_id FROM (
-             SELECT c.media_id, c.eval_id, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM (
-               SELECT y.media_id, x.media_id AS eval_id
-               FROM ids x JOIN ids y
-                 ON x.kind = y.kind
-                AND x.media_id % 10 = 7 AND y.media_id % 10 <> 7
-                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-               JOIN msig sa ON sa.media_id = x.media_id
-               JOIN msig sb ON sb.media_id = y.media_id
-               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
-             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
-           GROUP BY media_id, eval_id
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
-         -- keeper election over gate SURVIVORS: components keep their
-         -- full-graph identity, but the keeper is the highest-fidelity
-         -- member that is neither eval, contaminated, nor quality-failed
-         -- (ties to lowest id) — non-survivors are never keepers
-         dedup AS (
-           SELECT media_id, component_id, survivor,
-                  (survivor AND ROW_NUMBER() OVER (PARTITION BY component_id
-                     ORDER BY survivor DESC, fid DESC, media_id) = 1) AS dedup_keep
-           FROM (SELECT d.media_id, d.fid,
-                        COALESCE(c.root, d.media_id) AS component_id,
-                        (q.quality_ok AND f.media_id IS NULL
-                         AND d.media_id % 10 <> 7) AS survivor
-                 FROM ids d
-                   JOIN quality q ON q.media_id = d.media_id
-                   LEFT JOIN comp c ON d.media_id = c.node
-                   LEFT JOIN flagged f ON f.media_id = d.media_id))
-         SELECT q.media_id, i.fmt, dd.component_id,
-                q.quality_ok, dd.dedup_keep,
-                (f.media_id IS NOT NULL) AS contaminated,
-                CASE WHEN q.media_id % 10 = 7 THEN 'eval_holdout'
-                     WHEN f.media_id IS NOT NULL THEN 'contaminated'
-                     WHEN NOT q.quality_ok THEN 'quality_fail'
-                     WHEN NOT dd.dedup_keep THEN 'near_dup'
-                     ELSE 'kept' END AS decision
-         FROM quality q
-           JOIN dedup dd USING (media_id)
-           JOIN ids i USING (media_id)
-           LEFT JOIN flagged f USING (media_id)
-         ORDER BY q.media_id""",
-    "mm_ingest_decisions" ->
-      // per-batch admission replay: the quality conjunction restricted
-      // to the %10==0 carve, the best corpus match (corpus excludes
-      // BOTH the batch and the eval carves), and the best eval match —
-      // decision by the documented precedence
-      s"""WITH $mediaSigCtes,
-         by AS (
-           SELECT media_id, n,
-                  CAST((i.i * 8) // n AS INT) AS seg,
-                  ('0x' || substr(hx, CAST(2 * i.i + 1 AS INT), 2))::INT AS bv
-           FROM mb, unnest(range(n)) AS i(i)),
-         hf AS MATERIALIZED (
-           SELECT media_id, seg,
-                  CAST((SUM(bv) * 1000000) // COUNT(*) AS BIGINT) AS ffix
-           FROM by GROUP BY media_id, seg),
-         dmq AS (
-           SELECT media_id, MAX(cnt) AS maxc, ANY_VALUE(n) AS n FROM (
-             SELECT media_id, n, bv, COUNT(*) AS cnt
-             FROM by WHERE media_id % 10 = 0 GROUP BY media_id, n, bv)
-           GROUP BY media_id),
-         ids AS (SELECT doc_id AS media_id,
-                        CASE WHEN doc_id % 3 = 0 THEN 'image'
-                             WHEN doc_id % 3 = 1 THEN 'audio'
-                             ELSE 'video' END AS kind,
-                        CASE WHEN doc_id % 3 = 0 THEN 'png'
-                             WHEN doc_id % 3 = 1 THEN 'jpeg'
-                             WHEN doc_id % 6 = 2 THEN 'wav'
-                             ELSE 'mp4' END AS fmt,
-                        n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
-                        8000 + (n_chars % 8) * 1000 AS rate,
-                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
-                        octet_length(encode(text)) AS n
-                 FROM documents),
-         quality AS (
-           SELECT i.media_id, i.fmt,
-                  (COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
-                       THEN i.w * i.h >= ${Multimodal.MediaMinPixels} END, true)
-                   AND COALESCE(CASE WHEN i.fmt IN ('png', 'jpeg', 'mp4')
-                       THEN GREATEST(i.w, i.h) <= ${Multimodal.MediaAspectMax} * LEAST(i.w, i.h) END, true)
-                   AND COALESCE(CASE WHEN i.fmt = 'wav'
-                       THEN i.rate >= ${Multimodal.MediaMinRate} END, true)
-                   AND COALESCE(CASE WHEN i.fmt = 'wav'
-                       THEN i.n * 1000 // (i.rate * i.ch * 2) >= ${Multimodal.MediaMinDurationMs}
-                       WHEN i.fmt = 'mp4'
-                       THEN (CASE WHEN i.media_id % 12 = 11 THEN i.n_chars % 50 + 10
-                                  ELSE i.n_chars % 2400 + 600 END) * 1000 // 600
-                            >= ${Multimodal.MediaMinDurationMs}
-                   END, true)
-                   AND COALESCE(2 * d.maxc <= d.n, false)) AS quality_ok
-           FROM ids i LEFT JOIN dmq d USING (media_id)
-           WHERE i.media_id % 10 = 0),
-         dscored AS (
-           SELECT media_id, corpus_id, ham,
-                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-           FROM (
-             SELECT c.media_id, c.corpus_id, c.ham, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM (
-               SELECT x.media_id, y.media_id AS corpus_id,
-                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
-               FROM ids x JOIN ids y
-                 ON x.kind = y.kind
-                AND x.media_id % 10 = 0 AND y.media_id % 10 NOT IN (0, 7)
-                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-               JOIN msig sa ON sa.media_id = x.media_id
-               JOIN msig sb ON sb.media_id = y.media_id
-               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
-             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.corpus_id AND hb.seg = bins.seg)
-           GROUP BY media_id, corpus_id, ham
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
-         dbest AS (
-           SELECT media_id, corpus_id, ham, l1_fix FROM (
-             SELECT *, row_number() OVER (PARTITION BY media_id
-                         ORDER BY ham, l1_fix, corpus_id) AS rn
-             FROM dscored) WHERE rn = 1),
-         escored AS (
-           SELECT media_id, eval_id, ham,
-                  CAST(SUM(ABS(fa - fb)) AS BIGINT) AS l1_fix
-           FROM (
-             SELECT c.media_id, c.eval_id, c.ham, bins.seg,
-                    COALESCE(ha.ffix, 0) AS fa, COALESCE(hb.ffix, 0) AS fb
-             FROM (
-               SELECT x.media_id, y.media_id AS eval_id,
-                      CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
-               FROM ids x JOIN ids y
-                 ON x.kind = y.kind
-                AND x.media_id % 10 = 0 AND y.media_id % 10 = 7
-                AND abs(x.n - y.n) <= ${Multimodal.NearDupLenWindow}
-               JOIN msig sa ON sa.media_id = x.media_id
-               JOIN msig sb ON sb.media_id = y.media_id
-               WHERE bit_count(xor(sa.sig, sb.sig)) <= ${Multimodal.MediaFpMaxHamming}) c
-             CROSS JOIN (SELECT unnest(range(8)) AS seg) bins
-             LEFT JOIN hf ha ON ha.media_id = c.media_id AND ha.seg = bins.seg
-             LEFT JOIN hf hb ON hb.media_id = c.eval_id AND hb.seg = bins.seg)
-           GROUP BY media_id, eval_id, ham
-           HAVING SUM(ABS(fa - fb)) <= ${Multimodal.MediaFpL1Window}),
-         ebest AS (
-           SELECT media_id, eval_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY media_id
-                         ORDER BY ham, l1_fix, eval_id) AS rn
-             FROM escored) WHERE rn = 1)
-         SELECT q.media_id, q.fmt, q.quality_ok,
-                (e.eval_id IS NOT NULL) AS contaminated, e.eval_id,
-                d.corpus_id AS dup_of, d.ham AS hamming, d.l1_fix,
-                CASE WHEN e.eval_id IS NOT NULL THEN 'contaminated'
-                     WHEN NOT q.quality_ok THEN 'quality_fail'
-                     WHEN d.corpus_id IS NOT NULL THEN 'near_dup'
-                     ELSE 'new' END AS decision
-         FROM quality q
-           LEFT JOIN dbest d USING (media_id)
-           LEFT JOIN ebest e USING (media_id)
-         ORDER BY q.media_id""",
+    "mm_curation_decisions" -> mmCurationOracleSql,
+    // row-identical to mm_curation_decisions by construction (both
+    // artifacts ARE the faces the live row checkpoints), so the stored
+    // row reuses the live oracle — the mm_decontam_stored convention
+    "mm_curation_stored" -> mmCurationOracleSql,
+    "mm_ingest_decisions" -> mmIngestOracleSql,
+    // row-identical to mm_ingest_decisions by construction (the corpus
+    // and eval carves read the stored face; the batch face is the same
+    // per-row pure function), so the stored row reuses the live oracle
+    "mm_ingest_stored" -> mmIngestOracleSql,
     "mm_frames" ->
       """WITH d AS (
            SELECT doc_id AS media_id,

@@ -25,6 +25,53 @@ object MmScaleProbe {
       println(f"MMSCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // focused mode: time ONLY the curation live/stored pair in a fresh
+    // session (the full probe holds ~15 checkpointed frames by the time
+    // the capstone runs — session aging contaminates its wall there)
+    if (args.contains("curation")) {
+      Multimodal.persistMediaFace(spark, sfDir)
+      Multimodal.persistMediaAudit(spark, sfDir)
+      val s1 = time("curation_stored")(
+        Multimodal.curationDecisionsStored(spark, sfDir).localCheckpoint())
+      println(s"MMSCALE curation_stored rows ${s1.count()}")
+      val l1 = time("curation_live")(
+        Multimodal.curationDecisions(spark, sfDir).localCheckpoint())
+      println(s"MMSCALE curation_live rows ${l1.count()}")
+      spark.stop(); return
+    }
+    // stage-level dissection of the stored-vs-live curation gap
+    if (args.contains("curstages")) {
+      Multimodal.persistMediaFace(spark, sfDir)
+      val liveFace = time("face_live_build")(
+        Multimodal.fingerprintFace(spark, sfDir).localCheckpoint())
+      println(s"MMSCALE live_face parts ${liveFace.rdd.getNumPartitions} rows ${liveFace.count()}")
+      val rawRead = spark.read.parquet(Multimodal.mediaFaceArtifactPath(spark, sfDir))
+      println(s"MMSCALE stored_schema ${rawRead.schema.map(f => s"${f.name}:${f.nullable}").mkString(",")}")
+      println(s"MMSCALE live_schema ${liveFace.schema.map(f => s"${f.name}:${f.nullable}").mkString(",")}")
+      val storedFace = time("face_stored_read")(
+        spark.createDataFrame(rawRead.rdd, liveFace.schema)
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint())
+      println(s"MMSCALE stored_face parts ${storedFace.rdd.getNumPartitions} rows ${storedFace.count()}")
+      val ps = time("pairs_over_stored")(
+        Multimodal.nearDupPairsOver(storedFace, Multimodal.NearDupLenWindow,
+          Multimodal.MediaFpMaxHamming, Multimodal.MediaFpL1Window,
+          kindBlocked = true).localCheckpoint())
+      println(s"MMSCALE pairs_over_stored ${ps.count()}")
+      val pl = time("pairs_over_live")(
+        Multimodal.nearDupPairsOver(liveFace, Multimodal.NearDupLenWindow,
+          Multimodal.MediaFpMaxHamming, Multimodal.MediaFpL1Window,
+          kindBlocked = true).localCheckpoint())
+      println(s"MMSCALE pairs_over_live ${pl.count()}")
+      val dl = time("decontam_over_live")(
+        Multimodal.decontamReportOver(liveFace, Multimodal.NearDupLenWindow,
+          Multimodal.MediaFpMaxHamming, Multimodal.MediaFpL1Window).localCheckpoint())
+      println(s"MMSCALE decontam_over_live ${dl.count()}")
+      val dsx = time("decontam_over_stored")(
+        Multimodal.decontamReportOver(storedFace, Multimodal.NearDupLenWindow,
+          Multimodal.MediaFpMaxHamming, Multimodal.MediaFpL1Window).localCheckpoint())
+      println(s"MMSCALE decontam_over_stored ${dsx.count()}")
+      spark.stop(); return
+    }
     val nMedia = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val pairs = time("neardup_pairs")(
       Multimodal.nearDupPairs(spark, sfDir).localCheckpoint())
@@ -106,12 +153,25 @@ object MmScaleProbe {
       Multimodal.curationDecisions(spark, sfDir).localCheckpoint())
     println(s"MMSCALE curation " + cur.groupBy("decision").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    // stored-faces re-curation: prime the audit artifact untimed, then
+    // time the decode-free sweep
+    Multimodal.persistMediaAudit(spark, sfDir)
+    val curS = time("curation_stored")(
+      Multimodal.curationDecisionsStored(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE curation_stored rows ${curS.count()} kept " +
+      s"${curS.filter(col("decision") === "kept").count()}")
     // admission-gate branch coverage: all four decisions must ENGAGE at
     // xN, not just wall-time (the r16 gap — x100 was only ExplainQuery'd)
     val ing = time("ingest_decisions")(
       Multimodal.ingestDecisions(spark, sfDir).localCheckpoint())
     println(s"MMSCALE ingest rows ${ing.count()} branches " +
       ing.groupBy("decision").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    // stored-face admission: only the batch decodes on the serve path
+    val ingS = time("ingest_stored")(
+      Multimodal.ingestDecisionsStored(spark, sfDir).localCheckpoint())
+    println(s"MMSCALE ingest_stored rows ${ingS.count()} branches " +
+      ingS.groupBy("decision").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
     spark.stop()
   }

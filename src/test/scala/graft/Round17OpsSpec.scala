@@ -52,6 +52,27 @@ class Round17OpsSpec extends SparkTestBase {
       "the persisted face must serve row-identical decontam verdicts")
   }
 
+  test("stored faces serve the identical curation trail and admission gate") {
+    // the production serve shapes: a re-curation sweep and a batch
+    // admission must not re-decode the corpus — and must not change a
+    // single row by serving from artifacts
+    val curLive = Multimodal.curationDecisions(spark, Sf)
+    val curStored = Multimodal.curationDecisionsStored(spark, Sf)
+    assert(curLive.exceptAll(curStored).isEmpty &&
+      curStored.exceptAll(curLive).isEmpty,
+      "stored-face curation must be row-identical to live")
+    val ingLive = Multimodal.ingestDecisions(spark, Sf)
+    val ingStored = Multimodal.ingestDecisionsStored(spark, Sf)
+    assert(ingLive.exceptAll(ingStored).isEmpty &&
+      ingStored.exceptAll(ingLive).isEmpty,
+      "stored-face admission gate must be row-identical to live")
+    // and the stored plans decode nothing: no documents parquet scan on
+    // the curation serve path (the gate decodes exactly its batch slice)
+    val p = curStored.queryExecution.executedPlan.toString
+    assert(!p.contains("documents"),
+      s"stored curation must not touch the documents table:\n${p.take(1500)}")
+  }
+
   test("curation keeper election: kept rows are exactly one survivor per surviving component") {
     val dec = Multimodal.curationDecisions(spark, Sf).localCheckpoint()
     // every keeper is a survivor (not eval, not contaminated, quality-ok)
