@@ -14,4 +14,12 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `DataType.sameType` (equality ignoring nullability at every level) is
+    * `private[spark]`; the stored-artifact schema validation in
+    * `graft.sources.IO.readStamped` needs exactly that comparison.
+    */
+  def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 }
