@@ -398,14 +398,34 @@ object Cluster {
   /** The persisted component map, self-priming on first use (like the
     * stored bloom sketch and minhash band index).
     */
+  /** Declared schemas of the persisted clustering artifacts (component
+    * maps and the banded corpus index) — every column long-typed and
+    * non-null by construction, re-stamped on read through the
+    * [[IO.readStamped]] seam so the decision windows and the
+    * bit_count verifies stay branch-free off a serve.
+    */
+  private[graft] val ComponentMapSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("component_id", LongType, nullable = false)))
+  }
+
+  private[graft] val BandIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false),
+      StructField("band_key", LongType, nullable = false)))
+  }
+
   private[graft] def componentMapStored(
       spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val path = componentArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistComponentMap(spark, sfDir)
-    spark.read.parquet(path)
-  }
+      sfDir: String): DataFrame =
+    IO.servedArtifact(spark, componentArtifactPath(spark, sfDir),
+      ComponentMapSchema) {
+      persistComponentMap(spark, sfDir); ()
+    }
 
   /** [[dedupDecisionMd5]] consuming the PERSISTED component map: repeat
     * invocations pay one scan of the (doc_id, component_id) artifact plus
@@ -462,7 +482,7 @@ object Cluster {
       .filter(col("doc_id") % 10 =!= 0)
     Dedup.simHashBandedFrom(Dedup.simHashSignaturesMd5From(corpus))
       .write.mode("overwrite").parquet(s"$path/index")
-    val banded = spark.read.parquet(s"$path/index")
+    val banded = IO.readStamped(spark, s"$path/index", BandIndexSchema)
     val pairs = Dedup.simHashPairs(banded, maxHamming = 3, sorted = false)
     val comp = connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
@@ -505,10 +525,10 @@ object Cluster {
     */
   def incrementalComponentsMd5(spark: SparkSession, sfDir: String): DataFrame = {
     val path = corpusClusterStatePath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/map")))
+    if (!IO.artifactExists(spark, s"$path/map"))
       persistCorpusClusterState(spark, sfDir)
-    val corpusIdx = spark.read.parquet(s"$path/index")
-    val corpusMap = spark.read.parquet(s"$path/map")
+    val corpusIdx = IO.readStamped(spark, s"$path/index", BandIndexSchema)
+    val corpusMap = IO.readStamped(spark, s"$path/map", ComponentMapSchema)
     val batchDocs = IO.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 10 === 0)
     val batchBanded = Dedup

@@ -279,10 +279,12 @@ object Decontaminate {
       bands: Int = 8,
       minJaccard: Double = 0.5,
       evalPct: Int = 5): DataFrame = {
-    val path = neardupIndexArtifactPath(spark, sfDir, numPerms, bands, evalPct)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistNearDupTrainIndex(spark, sfDir, numPerms, bands, evalPct)
-    nearDupFromTrainBanding(spark, sfDir, spark.read.parquet(path),
+    nearDupFromTrainBanding(spark, sfDir,
+      graft.sources.IO.servedArtifact(spark,
+        neardupIndexArtifactPath(spark, sfDir, numPerms, bands, evalPct),
+        Dedup.MinHashBandSchema) {
+        persistNearDupTrainIndex(spark, sfDir, numPerms, bands, evalPct); ()
+      },
       numPerms, bands, minJaccard, evalPct)
   }
 
@@ -407,6 +409,14 @@ object Decontaminate {
     * (bloom build and/or verify join) and small by definition (the eval
     * slice).
     */
+  /** Declared schema of the persisted eval-gram table (hashed grams are
+    * non-null xxhash64 outputs).
+    */
+  private[graft] val EvalGramsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("gram", LongType, nullable = false)))
+  }
+
   private def evalGramsFrame(docs: DataFrame, evalPct: Int): DataFrame =
     docs.filter(col("bucket") >= 100 - evalPct)
       .select(explode(col("grams")).as("gram"))
@@ -550,7 +560,8 @@ object Decontaminate {
       }
     }
     reportWithBloomBytes(gramDocs(spark, sfDir, gramWidth),
-      spark.read.parquet(s"$pathStr.grams.parquet"), bytes, evalPct)
+      graft.sources.IO.readStamped(spark, s"$pathStr.grams.parquet",
+        EvalGramsSchema), bytes, evalPct)
   }
 
   /** Contaminated ids of the INCOMING-BATCH carve (doc_id % 10 == 0, the

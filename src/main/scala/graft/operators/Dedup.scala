@@ -309,6 +309,48 @@ object Dedup {
     * persisted-index path uses to band the corpus and the batch
     * separately.
     */
+  /** Declared schemas of the persisted dedup artifacts — the nullability
+    * every stored serve re-stamps through [[IO.readStamped]] (all
+    * columns non-null by construction: ids and hashes from non-null
+    * expressions, arrays built whole).
+    */
+  private[graft] val MinHashBandSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("band_key", LongType, nullable = false)))
+  }
+
+  private[graft] val JaccardToksSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("toks", ArrayType(LongType, containsNull = false), nullable = false)))
+  }
+
+  private[graft] val JaccardPrefixSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("s", IntegerType, nullable = false),
+      StructField("p", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false)))
+  }
+
+  private[graft] def winnowIndexSchema(idCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+  }
+
+  private[graft] val WinnowKeepSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("fp", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false)))
+  }
+
   private[graft] def minHashBandedMd5From(
       docs: DataFrame,
       numPerms: Int = 32,
@@ -429,14 +471,15 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    val path = minHashIndexArtifactPath(spark, sfDir, numPerms, bands)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistMinHashCorpusIndex(spark, sfDir, numPerms, bands)
     incrementalMinHashFrames(spark, sfDir,
       minHashBandedMd5From(
         IO.table(spark, sfDir, "documents").filter(col("doc_id") % 10 === 0),
         numPerms, bands),
-      spark.read.parquet(path),
+      IO.servedArtifact(spark,
+        minHashIndexArtifactPath(spark, sfDir, numPerms, bands),
+        MinHashBandSchema) {
+        persistMinHashCorpusIndex(spark, sfDir, numPerms, bands); ()
+      },
       minJaccard)
   }
 
@@ -1052,11 +1095,11 @@ object Dedup {
       sfDir: String,
       verifyBroadcastCeiling: Long = VerifySetBroadcastCeiling): DataFrame = {
     val path = jaccardArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "prefix")))
+    if (!IO.artifactExists(spark, s"$path/prefix"))
       persistJaccardIndex(spark, sfDir)
     jaccardVerifiedFrom(
-      spark.read.parquet(s"$path/toks"),
-      spark.read.parquet(s"$path/prefix"),
+      IO.readStamped(spark, s"$path/toks", JaccardToksSchema),
+      IO.readStamped(spark, s"$path/prefix", JaccardPrefixSchema),
       verifyBroadcastCeiling)
       .localCheckpoint() // the presentation-sort sampling lesson
       .orderBy("doc_a", "doc_b")
@@ -1364,11 +1407,12 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       maxDf: Int = 50): String = {
-    val idxPath = winnowIndexArtifactPath(spark, sfDir, k, w)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath)))
-      persistWinnowCorpusIndex(spark, sfDir, k, w)
+    val idx = IO.servedArtifact(spark,
+      winnowIndexArtifactPath(spark, sfDir, k, w),
+      winnowIndexSchema("corpus_id")) {
+      persistWinnowCorpusIndex(spark, sfDir, k, w); ()
+    }
     val path = winnowKeepIndexArtifactPath(spark, sfDir, k, w, maxDf)
-    val idx = spark.read.parquet(idxPath)
     val keep = idx.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     idx.join(keep, "fp")
@@ -1426,11 +1470,12 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       maxDf: Int = 50): DataFrame = {
-    val path = winnowFullIndexArtifactPath(spark, sfDir, k, w)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistWinnowFullIndex(spark, sfDir, k, w)
     spanPairsFromWindows(
-      spark.read.parquet(path).withColumnRenamed("fp", "wh"),
+      IO.servedArtifact(spark,
+        winnowFullIndexArtifactPath(spark, sfDir, k, w),
+        winnowIndexSchema("doc_id")) {
+        persistWinnowFullIndex(spark, sfDir, k, w); ()
+      }.withColumnRenamed("fp", "wh"),
       maxDf,
       // already materialized on disk: re-scanning parquet twice beats a
       // checkpoint, so keep the materialization gate closed
@@ -1465,10 +1510,11 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       maxDf: Int = 50): DataFrame = {
-    val keepPath = winnowKeepIndexArtifactPath(spark, sfDir, k, w, maxDf)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(keepPath)))
-      persistWinnowKeepIndex(spark, sfDir, k, w, maxDf)
-    val capped = spark.read.parquet(keepPath)
+    val capped = IO.servedArtifact(spark,
+      winnowKeepIndexArtifactPath(spark, sfDir, k, w, maxDf),
+      WinnowKeepSchema) {
+      persistWinnowKeepIndex(spark, sfDir, k, w, maxDf); ()
+    }
     val batch = IO.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 10 === 0)
     val batchFps = graft.functions.TextAnalysis

@@ -261,6 +261,30 @@ object LinkGraph {
     * event-scale sessionization window — the graph analogue of the
     * train-once codebook contract.
     */
+  /** Declared schemas of the persisted graph artifacts — ids and counts
+    * non-null by construction, re-stamped on read through
+    * [[IO.readStamped]].
+    */
+  private[graft] val GraphEdgesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false),
+      StructField("weight", LongType, nullable = false)))
+  }
+
+  private[graft] val GraphNodesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("node", LongType, nullable = false)))
+  }
+
+  private[graft] val SccMapSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("scc_id", LongType, nullable = false)))
+  }
+
   def persistTransitionGraph(spark: SparkSession, sfDir: String): String = {
     val path = graphArtifactPath(spark, sfDir)
     transitionEdges(spark, sfDir)
@@ -275,9 +299,10 @@ object LinkGraph {
       spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     val path = graphArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "nodes")))
+    if (!IO.artifactExists(spark, s"$path/nodes"))
       persistTransitionGraph(spark, sfDir)
-    (spark.read.parquet(s"$path/edges"), spark.read.parquet(s"$path/nodes"))
+    (IO.readStamped(spark, s"$path/edges", GraphEdgesSchema),
+      IO.readStamped(spark, s"$path/nodes", GraphNodesSchema))
   }
 
   /** [[pageRank]] consuming the PERSISTED transition graph: repeat
@@ -1244,10 +1269,11 @@ object LinkGraph {
       spark: SparkSession,
       sfDir: String): DataFrame = {
     val path = sccArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "map")))
+    IO.servedArtifact(spark, s"$path/map", SccMapSchema) {
       sccComponents(spark, sfDir).select("node", "scc_id")
         .write.mode("overwrite").parquet(s"$path/map")
-    spark.read.parquet(s"$path/map")
+      ()
+    }
   }
 
   /** The DOMINANT-TRANSITION BACKBONE: each node's `k` strongest
@@ -1410,7 +1436,10 @@ object LinkGraph {
     */
   private def checkpointFreshStats(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // fresh leaf over the checkpointed InternalRows — no Row round-trip
+    // (the r17 `createDataFrame(ck.rdd, schema)` idiom deserialized and
+    // re-encoded every row once per loop round)
+    org.apache.spark.sql.GraftSqlBridge.freshStatsFrame(ck)
   }
 
   /** [[checkpointFreshStats]] with a LAZY checkpoint: the caller's very
@@ -1427,7 +1456,7 @@ object LinkGraph {
     */
   private def checkpointLazyFreshStats(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(eager = false)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    org.apache.spark.sql.GraftSqlBridge.freshStatsFrame(ck)
   }
 
   /** One FW-BW relax+jump round as a PLAN transform — also the

@@ -36,18 +36,40 @@ object Multimodal {
   val MediaFpMaxHamming = 7
   val MediaFpL1Window = 48000000L
 
-  /** The losslessness bound of the 4×15-bit single-bit-flip banding:
-    * pigeonhole forces SOME band to differ in ≤ 1 bit only while
-    * Hamming ≤ bands·(radius+1)−1 = 4·2−1 = 7. A caller passing a wider
-    * window would SILENTLY lose qualifying pairs (the flip radius stays
-    * 1), so every banded entry point fails loudly instead.
+  /** The banding geometry, named once so the lossless-window guard and
+    * the band-key generator can never desynchronize: [[MediaFpBands]]
+    * bands of 60/bands bits each, expanded with single-bit flips up to
+    * [[MediaFpFlipRadius]].
+    */
+  private[graft] val MediaFpBands = 4
+  private[graft] val MediaFpBandBits = 60 / MediaFpBands
+  private[graft] val MediaFpFlipRadius = 1
+
+  /** The losslessness bound of the banding, DERIVED from the geometry:
+    * pigeonhole forces SOME band to differ in ≤ radius bits only while
+    * Hamming ≤ bands·(radius+1)−1 (= 4·2−1 = 7 at the shipped
+    * geometry). Changing the band count or flip radius moves this bound
+    * automatically; [[MediaFpMaxHamming]] is asserted ≤ it at class
+    * load, so a default window wider than the geometry supports cannot
+    * even construct.
+    */
+  private[graft] val MediaFpLosslessBound =
+    MediaFpBands * (MediaFpFlipRadius + 1) - 1
+  require(MediaFpMaxHamming <= MediaFpLosslessBound,
+    s"default MediaFpMaxHamming = $MediaFpMaxHamming exceeds the banding's " +
+      s"lossless bound $MediaFpLosslessBound")
+
+  /** A caller passing a window wider than [[MediaFpLosslessBound]] would
+    * SILENTLY lose qualifying pairs, so every banded entry point fails
+    * loudly instead.
     */
   private def requireLosslessWindow(maxHamming: Int): Unit =
-    require(maxHamming <= 7,
-      s"the 4x15-bit single-bit-flip banding is lossless only for " +
-        s"Hamming <= 7 (pigeonhole over 4 bands, flip radius 1); " +
-        s"got maxHamming = $maxHamming — widen the band count / flip " +
-        s"radius before widening the window")
+    require(maxHamming <= MediaFpLosslessBound,
+      s"the ${MediaFpBands}x$MediaFpBandBits-bit flip-radius-" +
+        s"$MediaFpFlipRadius banding is lossless only for Hamming <= " +
+        s"$MediaFpLosslessBound (pigeonhole); got maxHamming = " +
+        s"$maxHamming — widen the band count / flip radius before " +
+        s"widening the window")
 
   /** Media quality-rule thresholds (the txt_gopher_rules convention:
     * published-battery shapes with explicit, oracle-shared constants).
@@ -1107,13 +1129,17 @@ object Multimodal {
     * true windows verify in-join.
     */
   private def sigBandKeys(face: DataFrame, withFlips: Boolean): DataFrame = {
-    val exact = (0 until 4).map { b =>
-      expr(s"${b.toLong << 15}L + (shiftright(sig, ${15 * b}) & 32767)")
+    // geometry comes from the shared constants the lossless guard is
+    // derived from (bandBits-wide bands, namespaced by band index)
+    val bits = MediaFpBandBits
+    val mask = (1L << bits) - 1
+    val exact = (0 until MediaFpBands).map { b =>
+      expr(s"${b.toLong << bits}L + (shiftright(sig, ${bits * b}) & $mask)")
     }
     val flips =
       if (!withFlips) Seq.empty
-      else for { b <- 0 until 4; j <- 0 until 15 } yield
-        expr(s"${b.toLong << 15}L + ((shiftright(sig, ${15 * b}) & 32767) ^ ${1 << j})")
+      else for { b <- 0 until MediaFpBands; j <- 0 until bits } yield
+        expr(s"${b.toLong << bits}L + ((shiftright(sig, ${bits * b}) & $mask) ^ ${1 << j})")
     face.select(col("media_id"), col("kind"), col("n_bytes"), col("sig"),
       explode(array((exact ++ flips): _*)).as("band_key"))
   }
@@ -1537,6 +1563,26 @@ object Multimodal {
       s"$sfDir/documents.parquet", "text",
       "mmaudit", s"mmaudit_v1|$sfDir") + ".parquet"
 
+  /** The container-audit face's declared schema. The modality rules are
+    * genuinely tri-state (null = rule not applicable to this format;
+    * r_dominant null = content extraction failed), so only the
+    * unconditional columns re-stamp non-null.
+    */
+  private[graft] val MediaAuditSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = true),
+      StructField("r_parse", BooleanType, nullable = false),
+      StructField("r_min_pixels", BooleanType, nullable = true),
+      StructField("r_aspect", BooleanType, nullable = true),
+      StructField("r_rate", BooleanType, nullable = true),
+      StructField("r_short", BooleanType, nullable = true),
+      StructField("r_dominant", BooleanType, nullable = true),
+      StructField("keep", BooleanType, nullable = false),
+      StructField("fidelity", LongType, nullable = false)))
+  }
+
   /** Build the container-audit face ONCE and persist it — the second
     * artifact [[curationDecisionsStored]] consumes (the fingerprint
     * face is the first). One thin row per media: fmt, per-rule
@@ -1562,21 +1608,18 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val facePath = mediaFaceArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(facePath)))
-      persistMediaFace(spark, sfDir)
-    val auditPath = mediaAuditArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(auditPath)))
-      persistMediaAudit(spark, sfDir)
     // checkpoint the artifact reads (the capstone consumes the face in
     // six places; a parquet scan re-executes per consumer where the
-    // live row's checkpointed RDD does not) and read through
-    // [[readMediaFace]] so the re-stamped non-null schema keeps the
+    // live row's checkpointed RDD does not) and serve both through the
+    // stamped-read seam so the re-stamped non-null schema keeps the
     // band/verify codegen branch-free — off a plain nullable read the
     // "decode-free" path measured SLOWER than live at x100.
     curationFrom(
-      readMediaFace(spark, facePath).localCheckpoint(),
-      spark.read.parquet(auditPath)
+      servedMediaFace(spark, sfDir).localCheckpoint(),
+      graft.sources.IO.servedArtifact(spark,
+          mediaAuditArtifactPath(spark, sfDir), MediaAuditSchema) {
+          persistMediaAudit(spark, sfDir); ()
+        }
         .select(col("media_id"), col("fmt"), col("keep").as("quality_ok"),
           col("fidelity"))
         .localCheckpoint(),
@@ -1648,10 +1691,10 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val path = mediaIndexArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistMediaIndex(spark, sfDir)
-    val corpus = readMediaFace(spark, path)
+    val corpus = graft.sources.IO.servedArtifact(spark,
+      mediaIndexArtifactPath(spark, sfDir), MediaFaceSchema) {
+      persistMediaIndex(spark, sfDir); ()
+    }
     val batch = fingerprintFaceFrom(mediaFromDocumentsFrame(
       spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") % 10 === 0))).localCheckpoint()
@@ -1683,27 +1726,35 @@ object Multimodal {
     path
   }
 
-  /** Read a persisted fingerprint-face artifact and RE-ASSERT the
-    * face's non-null schema. Parquet reads mark every column nullable,
-    * and the banded consumers' whole-stage codegen (the 68 band-key
-    * expressions, the bit_count verifies, the zip_with L1) then pays a
-    * null branch per expression per row: the ×100 pair core measured
-    * 39-41 s off a plain read vs 25 s with nullability re-stamped —
-    * the single biggest serve-path cost and invisible in the plan
-    * shape. `createDataFrame(rdd, schema)` is the supported way to
-    * re-stamp nullability (a cast cannot); sound here because the
-    * artifact is produced by [[fingerprintFaceFrom]], whose tuple
-    * encoder guarantees the primitives non-null.
+  /** The full fingerprint face served from its artifact, self-priming —
+    * the one entry every stored/streaming consumer of the face shares
+    * (scheme-aware existence + validated stamped read via
+    * [[graft.sources.IO.servedArtifact]]).
     */
-  private[graft] def readMediaFace(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def servedMediaFace(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IO.servedArtifact(spark,
+      mediaFaceArtifactPath(spark, sfDir), MediaFaceSchema) {
+      persistMediaFace(spark, sfDir); ()
+    }
+
+  /** The fingerprint face's declared schema — non-nullability guaranteed
+    * by [[fingerprintFaceFrom]]'s tuple encoder (primitives cannot be
+    * null; the ffix elements come from a constructed Array[Long]).
+    * Parquet reads mark every column nullable, and the banded consumers'
+    * whole-stage codegen (the 68 band-key expressions, the bit_count
+    * verifies, the zip_with L1) then pays a null branch per expression
+    * per row: the ×100 pair core measured 39-41 s off a plain read vs
+    * 25 s re-stamped — the single biggest serve-path cost and invisible
+    * in the plan shape.
+    */
+  private[graft] val MediaFaceSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = true),
       StructField("n_bytes", LongType, nullable = false),
       StructField("sig", LongType, nullable = false),
       StructField("ffix", ArrayType(LongType, containsNull = false), nullable = true)))
-    spark.createDataFrame(spark.read.parquet(path).rdd, schema)
   }
 
   /** [[decontamReport]] served from the PERSISTED fingerprint face
@@ -1721,10 +1772,8 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val path = mediaFaceArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistMediaFace(spark, sfDir)
-    decontamReportOver(readMediaFace(spark, path), lenWindow, maxHamming, l1Window)
+    decontamReportOver(servedMediaFace(spark, sfDir),
+      lenWindow, maxHamming, l1Window)
   }
 
   /** The serve core of [[incrementalNearDup]] over explicit frames —
@@ -1830,10 +1879,7 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val path = mediaFaceArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistMediaFace(spark, sfDir)
-    val face = readMediaFace(spark, path)
+    val face = servedMediaFace(spark, sfDir)
     val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 10 === 0)
     val batchFace = fingerprintFaceFrom(mediaFromDocumentsFrame(batchDocs))
@@ -1882,10 +1928,14 @@ object Multimodal {
 
   /** Streaming twin of [[ingestDecisions]]: arriving media_id
     * micro-batches get full admission trails against the SAME standing
-    * corpus and eval faces, written idempotently per batch id. Faces
-    * are checkpointed eagerly before `.start()` (the ingest-gate
-    * lesson); each micro-batch decodes only its own documents through
-    * the pre-filtered seams.
+    * corpus and eval faces, written idempotently per batch id. Since
+    * r18 the face comes from the PERSISTED artifact (self-priming via
+    * [[servedMediaFace]], like the batch stored row) — a restarted
+    * stream no longer re-decodes the whole corpus at start, it reads
+    * thin stamped rows; each micro-batch decodes only its own
+    * documents through the pre-filtered seams. The carves are
+    * checkpointed once before `.start()` so micro-batches re-read
+    * memory, not the artifact, per batch.
     */
   def mediaGateStream(
       spark: SparkSession,
@@ -1895,7 +1945,7 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): org.apache.spark.sql.streaming.StreamingQuery = {
-    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    val face = servedMediaFace(spark, sfDir).localCheckpoint()
     val corpusFace = face
       .filter(col("media_id") % 10 =!= 0 && col("media_id") % 10 =!= 7)
       .localCheckpoint()
@@ -1923,10 +1973,13 @@ object Multimodal {
     * micro-batches get verdict rows against the SAME corpus face slice
     * (media_id % 10 ≠ 0), written idempotently per batch id
     * (re-running a micro-batch overwrites its own directory, never
-    * duplicates — the foreachBatch sink convention). The face is
-    * checkpointed EAGERLY before `.start()` so micro-batch 0 never
-    * pays the corpus-scale decode (the ingest-gate lesson); each batch
-    * then pays only its own blocking keys × corpus cell occupancy.
+    * duplicates — the foreachBatch sink convention). Since r18 the
+    * face is SERVED from the persisted artifact (self-priming,
+    * [[servedMediaFace]]) and checkpointed eagerly before `.start()`
+    * — a (re)started stream reads thin stamped rows instead of paying
+    * the corpus-scale decode the stored rows exist to avoid; each
+    * batch then pays only its own blocking keys × corpus cell
+    * occupancy.
     */
   def mediaIngestStream(
       spark: SparkSession,
@@ -1936,7 +1989,7 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): org.apache.spark.sql.streaming.StreamingQuery = {
-    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    val face = servedMediaFace(spark, sfDir).localCheckpoint()
     val corpus = face.filter(col("media_id") % 10 =!= 0).localCheckpoint()
     arrivals.writeStream
       .outputMode("append")

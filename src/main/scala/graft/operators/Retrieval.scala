@@ -124,6 +124,26 @@ object Retrieval {
     IO.contentKeyedArtifactPath(spark, s"$sfDir/documents.parquet", "text",
       "bm25", s"bm25_v2|$sfDir|ws_tokens") + ".parquet"
 
+  /** Declared schemas of the persisted posting artifacts — the serve
+    * path's in-plan frames ([[bm25TopKStored]] re-stamps them through
+    * [[IO.readStamped]]; the df/stats frames are driver-collected
+    * scalars, no plan to stamp).
+    */
+  private[graft] val PostingsTfSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("term", StringType, nullable = false),
+      StructField("tfreq", LongType, nullable = false)))
+  }
+
+  private[graft] val PostingsDlenSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dlen", LongType, nullable = false)))
+  }
+
   /** Tokenize → (doc_id, term, tfreq) ONCE and persist, plus the per-doc
     * length frame derived from it — the production posting index.
     * Everything per query batch (query-term df, corpus stats, scoring)
@@ -191,7 +211,7 @@ object Retrieval {
       b: Double = 0.75,
       k: Int = 10): DataFrame = {
     val path = postingsArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/stats")))
+    if (!IO.artifactExists(spark, s"$path/stats"))
       persistPostings(spark, sfDir)
     val side =
       if (IO.parquetRowCount(spark, s"$path/df") > DfMapTermCeiling) None
@@ -204,8 +224,9 @@ object Retrieval {
         val st = spark.read.parquet(s"$path/stats").head()
         (m, st.getDouble(0), st.getDouble(1))
       }))
-    bm25ScoreOverPostings(spark, spark.read.parquet(s"$path/tf"), k1, b, k,
-      dlenStored = Some(spark.read.parquet(s"$path/dlen")),
+    bm25ScoreOverPostings(spark,
+      IO.readStamped(spark, s"$path/tf", PostingsTfSchema), k1, b, k,
+      dlenStored = Some(IO.readStamped(spark, s"$path/dlen", PostingsDlenSchema)),
       side = side)
   }
 
