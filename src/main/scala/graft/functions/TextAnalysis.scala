@@ -458,10 +458,17 @@ object TextAnalysis {
   private def lmCounts(
       spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
     val path = lmArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/bi")))
+    if (!IO.artifactExists(spark, s"$path/bi"))
       persistLmCounts(spark, sfDir)
-    (spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"))
+    (IO.readStamped(spark, s"$path/uni", StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("ucnt", LongType, nullable = false)))),
+      IO.readStamped(spark, s"$path/bi", StructType(Seq(
+        StructField("prev", StringType, nullable = false),
+        StructField("cur", StringType, nullable = false),
+        StructField("bcnt", LongType, nullable = false)))))
   }
 
   /** Per-position (doc_id, prev, cur) bigram occurrences of a

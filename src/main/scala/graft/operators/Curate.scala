@@ -231,6 +231,14 @@ object Curate {
     path
   }
 
+  /** Declared schema of the persisted corpus-fingerprint table (md5 hex
+    * of non-null text is non-null).
+    */
+  private[graft] val CorpusFpSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("fp", StringType, nullable = false)))
+  }
+
   def ingestGateBatch(
       spark: SparkSession,
       sfDir: String,
@@ -240,10 +248,10 @@ object Curate {
     val batch = arrivals.select("doc_id", "text", "n_chars")
       .localCheckpoint()
     val artPath = ingestArtifactPath(spark, sfDir, gramWidth)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$artPath/evalgrams")))
+    if (!graft.sources.IO.artifactExists(spark, s"$artPath/evalgrams"))
       persistIngestArtifacts(spark, sfDir, gramWidth)
-    val corpusFp = spark.read.parquet(s"$artPath/fp")
+    val corpusFp = graft.sources.IO.readStamped(spark, s"$artPath/fp",
+      CorpusFpSchema)
       .withColumn("in_corpus", lit(1))
     val batchW = Window.partitionBy("fp").orderBy("doc_id")
     val exact = batch
@@ -252,19 +260,20 @@ object Curate {
       .withColumn("rn", row_number().over(batchW))
       .select(col("doc_id"),
         (col("in_corpus").isNotNull || col("rn") > 1).cast("int").as("exact_dup"))
-    val statePath = Cluster.corpusClusterStatePath(spark, sfDir)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$statePath/index")))
-      Cluster.persistCorpusClusterState(spark, sfDir)
     val nearDup = Dedup.incrementalNearDupFrames(
       batch.select("doc_id"),
       Dedup.simHashBandedFrom(Dedup.simHashSignaturesMd5From(batch)),
-      spark.read.parquet(s"$statePath/index"),
+      graft.sources.IO.servedArtifact(spark,
+        s"${Cluster.corpusClusterStatePath(spark, sfDir)}/index",
+        Cluster.BandIndexSchema) {
+        Cluster.persistCorpusClusterState(spark, sfDir); ()
+      },
       maxHamming = 3)
       .select(col("doc_id"), (!col("is_new")).cast("int").as("near_dup"))
     val contaminated = Decontaminate.contaminatedIdsOf(
       Decontaminate.gramsFor(batch, gramWidth),
-      spark.read.parquet(s"$artPath/evalgrams"))
+      graft.sources.IO.readStamped(spark, s"$artPath/evalgrams",
+        Decontaminate.EvalGramsSchema))
       .withColumn("cont", lit(1))
     val quality = batch
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
@@ -329,12 +338,10 @@ object Curate {
     // checkpoint recovery); after this the per-batch body is strictly
     // batch-bounded
     val artPath = ingestArtifactPath(spark, sfDir, gramWidth)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$artPath/evalgrams")))
+    if (!graft.sources.IO.artifactExists(spark, s"$artPath/evalgrams"))
       persistIngestArtifacts(spark, sfDir, gramWidth)
     val statePath = Cluster.corpusClusterStatePath(spark, sfDir)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$statePath/index")))
+    if (!graft.sources.IO.artifactExists(spark, s"$statePath/index"))
       Cluster.persistCorpusClusterState(spark, sfDir)
     arrivals.writeStream
       .outputMode("append")

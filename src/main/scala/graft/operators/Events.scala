@@ -181,10 +181,12 @@ object Events {
       sfDir: String,
       batch: DataFrame): DataFrame = {
     val path = retentionArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "seen")))
+    if (!IO.artifactExists(spark, s"$path/seen"))
       persistRetentionBase(spark, sfDir)
-    val storedSeen = spark.read.parquet(s"$path/seen")
-    val storedFt = spark.read.parquet(s"$path/first_touch")
+    val storedSeen = IO.readStamped(spark, s"$path/seen",
+      IO.longSchema("user_id", "day"))
+    val storedFt = IO.readStamped(spark, s"$path/first_touch",
+      IO.longSchema("user_id", "cohort_day"))
     val batchDays = batch.select("user_id", "day")
       .distinct()
       .localCheckpoint() // three consumers: new-user carve, novel set
@@ -201,7 +203,8 @@ object Events {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
       .agg(count(lit(1)).as("add"))
     // stored cell counts come from the artifact, never re-aggregated
-    val storedCells = spark.read.parquet(s"$path/cells")
+    val storedCells = IO.readStamped(spark, s"$path/cells",
+      IO.longSchema("cohort_day", "offset_days", "base_users"))
     delta.join(storedCells, Seq("cohort_day", "offset_days"), "left")
       .select(col("cohort_day"), col("offset_days"),
         (coalesce(col("base_users"), lit(0L)) + col("add")).as("active_users"))
@@ -239,7 +242,7 @@ object Events {
       arrivals: DataFrame,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val path = retentionArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "seen")))
+    if (!IO.artifactExists(spark, s"$path/seen"))
       persistRetentionBase(spark, sfDir)
     arrivals.writeStream
       .outputMode("append")
@@ -543,10 +546,11 @@ object Events {
       sfDir: String,
       halfLifeDays: Int = 7,
       topK: Int = 50): DataFrame = {
-    val path = trendingArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "counts")))
-      persistTrendingBase(spark, sfDir)
-    val stored = spark.read.parquet(s"$path/counts")
+    val stored = IO.servedArtifact(spark,
+      s"${trendingArtifactPath(spark, sfDir)}/counts",
+      IO.longSchema("item", "day", "n")) {
+      persistTrendingBase(spark, sfDir); ()
+    }
     val batch = itemDayCounts(spark, sfDir,
       Some(raw => EventTime.tsAtLeastUs(raw, RetentionSplitUs)))
     val merged = stored.unionByName(batch)

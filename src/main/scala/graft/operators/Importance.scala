@@ -144,12 +144,11 @@ object Importance {
     */
   private def estimatorStored(
       spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val path = estimatorArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistEstimator(spark, sfDir)
-    spark.read.parquet(path)
-  }
+      sfDir: String): DataFrame =
+    IO.servedArtifact(spark, estimatorArtifactPath(spark, sfDir),
+      IO.longSchema("bucket", "n_raw", "n_tgt", "logratio_fix")) {
+      persistEstimator(spark, sfDir); ()
+    }
 
   /** (doc_id, n_tokens, lw_fix) — the exact-integer weight seam
     * [[weights]] presents and [[sample]] keys on. Scores against the

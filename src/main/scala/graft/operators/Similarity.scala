@@ -1285,6 +1285,28 @@ object Similarity {
     * Cosine doubles are pure IEEE mul/add/sqrt — bit-identical across
     * engines, so the oracle replays the pick exactly.
     */
+  /** Declared schemas of the persisted ANN artifacts — vectors are dense
+    * (a null element is corruption, caught loudly by the stamp), the
+    * codebook rows exact by construction; served through
+    * [[IO.readStamped]] so the cosine/assign expressions stay
+    * branch-free off a serve.
+    */
+  private[graft] val CellIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("cid", LongType, nullable = false)))
+  }
+
+  private[graft] val IvfCodebookSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("centroid_val", DoubleType, nullable = false)))
+  }
+
   /** Stable artifact path for the persisted CELL INDEX — the corpus as a
     * (vec_id, v, cid) table under the trained codebook (the IVF index in
     * table form; mhidx conventions).
@@ -1339,10 +1361,10 @@ object Similarity {
       k: Int = 16,
       iters: Int = 2,
       tau: Double = 0.35): DataFrame = {
-    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistCellIndex(spark, sfDir, k, iters)
-    val corpusA = spark.read.parquet(path)
+    val corpusA = IO.servedArtifact(spark,
+      cellIndexArtifactPath(spark, sfDir, k, iters), CellIndexSchema) {
+      persistCellIndex(spark, sfDir, k, iters); ()
+    }
     val batchA = assignToCodebook(batch, kmeansCodebook(spark, sfDir, k, iters))
     val best = corpusA
       .join(broadcast(batchA.select(col("vec_id").as("batch_id"),
@@ -1394,10 +1416,10 @@ object Similarity {
       k: Int = 16,
       iters: Int = 2,
       tau: Double = 0.35): DataFrame = {
-    val path = cellIndexArtifactPath(spark, sfDir, k, iters)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistCellIndex(spark, sfDir, k, iters)
-    val trainA = spark.read.parquet(path)
+    val trainA = IO.servedArtifact(spark,
+      cellIndexArtifactPath(spark, sfDir, k, iters), CellIndexSchema) {
+      persistCellIndex(spark, sfDir, k, iters); ()
+    }
     val evalA = assignToCodebook(
       corpus(spark, sfDir).select("vec_id", "v")
         .filter(col("vec_id") % 10 === 0),
@@ -1434,7 +1456,7 @@ object Similarity {
       iters: Int = 2,
       tau: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
     val path = cellIndexArtifactPath(spark, sfDir, k, iters)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!IO.artifactExists(spark, path))
       persistCellIndex(spark, sfDir, k, iters)
     arrivals.writeStream
       .outputMode("append")
@@ -1678,11 +1700,10 @@ object Similarity {
       nprobe: Int = 4,
       iters: Int = 2): DataFrame = {
     val path = ivfArtifactPath(spark, sfDir, nlist, iters)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "codebook")))
-      persistIvfIndex(spark, sfDir, nlist, iters)
     ivfCosineTopKFromTable(spark, sfDir,
-      spark.read.parquet(s"$path/codebook"), numQueries, k, nprobe)
+      IO.servedArtifact(spark, s"$path/codebook", IvfCodebookSchema) {
+        persistIvfIndex(spark, sfDir, nlist, iters); ()
+      }, numQueries, k, nprobe)
   }
 
   // --------------------------------------------------------------------
@@ -1959,12 +1980,12 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val nl = resolveNlist(spark, sfDir, nlist)
     val path = ivfArtifactPath(spark, sfDir, nl, iters)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "codebook")))
-      persistIvfIndex(spark, sfDir, nl, iters)
     tripletsFromArtifacts(spark, sfDir,
       Cluster.componentMapStored(spark, sfDir),
-      codebookFromTable(spark.read.parquet(s"$path/codebook")))
+      codebookFromTable(
+        IO.servedArtifact(spark, s"$path/codebook", IvfCodebookSchema) {
+          persistIvfIndex(spark, sfDir, nl, iters); ()
+        }))
   }
 
   private def tripletsFromArtifacts(

@@ -191,6 +191,20 @@ object Snapshot {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Declared schema of the persisted span table — `valid_to` is
+    * genuinely nullable (open spans), everything else exact by
+    * construction.
+    */
+  private[graft] val Scd2Schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("valid_from", LongType, nullable = false),
+      StructField("valid_to", LongType, nullable = true),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("event_type", StringType, nullable = false)))
+  }
+
   /** Stable artifact path for the persisted BASE span table
     * ([[eventsScd2Incremental]]'s standing state) — the content-keyed
     * convention: a regenerated events table misses the stale history.
@@ -259,10 +273,10 @@ object Snapshot {
       spark: SparkSession,
       sfDir: String,
       batch: DataFrame): DataFrame = {
-    val path = scd2ArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistScd2Base(spark, sfDir)
-    val stored = spark.read.parquet(path)
+    val stored = IO.servedArtifact(spark, scd2ArtifactPath(spark, sfDir),
+      Scd2Schema) {
+      persistScd2Base(spark, sfDir); ()
+    }
     val bSpans = scd2History(batch, "user_id", "tus", "event_id",
       Seq("event_type")).localCheckpoint()
     val affected = bSpans.select("user_id").distinct()
@@ -314,7 +328,7 @@ object Snapshot {
       arrivals: DataFrame,
       outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val path = scd2ArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!IO.artifactExists(spark, path))
       persistScd2Base(spark, sfDir)
     arrivals.writeStream
       .outputMode("append")
@@ -383,10 +397,10 @@ object Snapshot {
     * output-sized frame.
     */
   def eventsScd2AsOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = scd2ArtifactPath(spark, sfDir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      persistScd2Base(spark, sfDir)
-    val spans = spark.read.parquet(path)
+    val spans = IO.servedArtifact(spark, scd2ArtifactPath(spark, sfDir),
+      Scd2Schema) {
+      persistScd2Base(spark, sfDir); ()
+    }
     import spark.implicits._
     val lookups = AsOfLookupsUs.toDF("asof_us")
     spans.join(broadcast(lookups),

@@ -348,6 +348,14 @@ object IO {
     raw.select(cols.toSeq: _*)
   }
 
+  /** All-non-null all-BIGINT struct — the shape of most persisted
+    * id/count artifacts; convenience for [[readStamped]] declarations.
+    */
+  def longSchema(names: String*): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** The stored-artifact serve contract in one place: prime the artifact
     * if (and only if) it is absent — existence resolved scheme-aware via
     * [[artifactExists]] — then serve it through the [[readStamped]]
