@@ -713,6 +713,14 @@ object SparkEntry {
     // definition, so the hash match re-proves the blocking lossless
     // every round
     "mm_neardup_pairs" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
+    // the fast family's SERVE surface (r18): pairs and the full
+    // dedup decision over the xxhash64 face — rows-only under the
+    // mm_fingerprint_fast justification (DuckDB cannot replay
+    // xxhash64); Round18OpsSpec pins both frames IDENTICAL to their
+    // oracled md5 twins on the spec corpus, MmScaleProbe bounds the
+    // xN divergence to the characterized margin band
+    "mm_neardup_pairs_fast" -> ((s, d) => Multimodal.nearDupPairsFast(s, d)),
+    "mm_dedup_decision_fast" -> ((s, d) => Multimodal.nearDupDecisionFast(s, d)),
     // components over the media pair graph + the media-specific keep
     // rule (highest fidelity read off the REAL parsed headers —
     // width×height / sample_rate×channels — ties to lowest id);

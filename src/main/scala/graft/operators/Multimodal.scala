@@ -1102,11 +1102,14 @@ object Multimodal {
       .orderBy("media_a", "media_b")
 
   /** [[nearDupPairs]] over the FAST face ([[mediaSimHashFast]]) — the
-    * spec seam pinning the fast/md5 pair-set equality (Round17OpsSpec):
-    * the production path a deployment actually runs, certified by
-    * producing exactly the pairs the oracled md5 face produces.
+    * production path a deployment actually runs, certified by producing
+    * exactly the pairs the oracled md5 face produces on the spec corpus
+    * (Round17OpsSpec). Registered rows-only since r18 (the
+    * `mm_fingerprint_fast` justification: DuckDB cannot replay
+    * xxhash64; the md5 twin `mm_neardup_pairs` carries the hash
+    * certification).
     */
-  private[graft] def nearDupPairsFast(
+  def nearDupPairsFast(
       spark: SparkSession,
       sfDir: String,
       lenWindow: Long = NearDupLenWindow,
@@ -1295,7 +1298,22 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val face = fingerprintFace(spark, sfDir).localCheckpoint()
+    nearDupDecisionFrom(spark, sfDir,
+      fingerprintFace(spark, sfDir).localCheckpoint(),
+      lenWindow, maxHamming, l1Window)
+  }
+
+  /** The decision tail over an explicit (already-checkpointed) face —
+    * shared by the md5 row and its fast-family twin (the fidelity frame
+    * comes from the container parse, independent of the hash family).
+    */
+  private def nearDupDecisionFrom(
+      spark: SparkSession,
+      sfDir: String,
+      face: DataFrame,
+      lenWindow: Long,
+      maxHamming: Int,
+      l1Window: Long): DataFrame = {
     val pairs = nearDupPairsOver(face, lenWindow, maxHamming, l1Window,
       kindBlocked = true)
     val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
@@ -1317,6 +1335,27 @@ object Multimodal {
         "fidelity", "keep")
       .orderBy("media_id")
   }
+
+  /** [[nearDupDecision]] over the FAST face — the serve surface of the
+    * xxhash64 family: a deployment that picks the fast family (the
+    * honest production fingerprint cost at 100 TB) gets the full
+    * pairs → components → fidelity-keep decision through the registry,
+    * not just the probe-only face. Rows-only registered (the
+    * [[mediaSimHashFast]] oracle boundary: DuckDB cannot replay
+    * xxhash64); on the spec corpus the decision frame is pinned
+    * IDENTICAL to the oracled md5 decision (Round18OpsSpec), and at ×N
+    * the divergence is the characterized ~2% margin-band pair set
+    * (MmScaleProbe).
+    */
+  def nearDupDecisionFast(
+      spark: SparkSession,
+      sfDir: String,
+      lenWindow: Long = NearDupLenWindow,
+      maxHamming: Int = MediaFpMaxHamming,
+      l1Window: Long = MediaFpL1Window): DataFrame =
+    nearDupDecisionFrom(spark, sfDir,
+      fingerprintFaceFast(spark, sfDir).localCheckpoint(),
+      lenWindow, maxHamming, l1Window)
 
   /** INCREMENTAL media near-dup — the per-batch serve shape every other
     * dedup family already has (the %10 carve convention): each batch

