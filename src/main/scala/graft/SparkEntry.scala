@@ -2362,12 +2362,15 @@ object SparkEntry {
                              WHEN doc_id % 6 = 2 THEN 'wav'
                              ELSE 'mp4' END AS fmt,
                         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
-                        8000 + (n_chars % 8) * 1000 AS rate,
-                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
+                        CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END AS rate,
+                        CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END AS ch, n_chars,
                         octet_length(encode(text)) AS n,
                         CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                              THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                             ELSE (CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END)
+                                  * (CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END)
                         END AS fid
                  FROM documents),
          quality AS (
@@ -2491,8 +2494,9 @@ object SparkEntry {
                              WHEN doc_id % 6 = 2 THEN 'wav'
                              ELSE 'mp4' END AS fmt,
                         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
-                        8000 + (n_chars % 8) * 1000 AS rate,
-                        (doc_id // 6) % 2 + 1 AS ch, n_chars,
+                        CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END AS rate,
+                        CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END AS ch, n_chars,
                         octet_length(encode(text)) AS n
                  FROM documents),
          quality AS (
@@ -4157,11 +4161,13 @@ object SparkEntry {
                      WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'mp4' END AS fmt,
                 CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                      THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                     ELSE octet_length(encode(text)) // (((doc_id // 6) % 2 + 1) * 2)
+                     ELSE octet_length(encode(text)) // ((CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END) * 2)
                 END AS BIGINT) AS extent,
                 CAST(CASE WHEN doc_id % 6 = 2
                      THEN octet_length(encode(text)) * 1000
-                          // ((8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1) * 2)
+                          // ((CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END)
+                              * (CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END) * 2)
                      WHEN doc_id % 6 = 5
                      THEN (CASE WHEN doc_id % 12 = 11 THEN n_chars % 50 + 10
                                 ELSE n_chars % 2400 + 600 END) * 1000 // 600
@@ -4195,8 +4201,9 @@ object SparkEntry {
                      WHEN doc_id % 6 = 2 THEN 'wav' ELSE 'mp4' END AS fmt,
                 CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5 THEN n_chars % 640 + 1 END AS INTEGER) AS width,
                 CAST(CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5 THEN n_chars % 480 + 1 END AS INTEGER) AS height,
-                CAST(CASE WHEN doc_id % 6 = 2 THEN 8000 + (n_chars % 8) * 1000 END AS INTEGER) AS sample_rate,
-                CAST(CASE WHEN doc_id % 6 = 2 THEN (doc_id // 6) % 2 + 1 END AS INTEGER) AS channels
+                CAST(CASE WHEN doc_id % 6 = 2 THEN CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END END AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN doc_id % 6 = 2 THEN CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END END AS INTEGER) AS channels
          FROM documents ORDER BY doc_id""",
     "mm_features_hist" ->
       // walk the UTF-8 payload bytes by slicing hex() pairs of the BLOB —
@@ -4346,7 +4353,9 @@ object SparkEntry {
                         octet_length(encode(text)) AS n,
                         CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                              THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                             ELSE (CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END)
+                                  * (CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END)
                         END AS fid
                  FROM documents),
          cand AS (
@@ -4455,7 +4464,9 @@ object SparkEntry {
                         octet_length(encode(text)) AS n,
                         CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 5
                              THEN (n_chars % 640 + 1) * (n_chars % 480 + 1)
-                             ELSE (8000 + (n_chars % 8) * 1000) * ((doc_id // 6) % 2 + 1)
+                             ELSE (CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END)
+                                  * (CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END)
                         END AS fid
                  FROM documents),
          cand AS (
@@ -4527,8 +4538,9 @@ object SparkEntry {
                              WHEN doc_id % 6 = 2 THEN 'wav'
                              ELSE 'mp4' END AS fmt,
                         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h,
-                        8000 + (n_chars % 8) * 1000 AS rate,
-                        (doc_id // 6) % 2 + 1 AS ch,
+                        CASE WHEN doc_id % 12 = 8 THEN GREATEST(n_chars // 4, 1)
+                             ELSE 8000 + (n_chars % 8) * 1000 END AS rate,
+                        CASE WHEN doc_id % 12 = 8 THEN 1 ELSE (doc_id // 6) % 2 + 1 END AS ch,
                         octet_length(encode(text)) AS n, n_chars
                  FROM documents)
          SELECT i.media_id, i.fmt, true AS r_parse,

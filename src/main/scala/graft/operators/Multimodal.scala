@@ -213,8 +213,21 @@ object Multimodal {
         val payload = (id % 6) match {
           case 0 | 3 => encodePng(w, h, data)
           case 1 | 4 => encodeJpeg(w, h, data)
-          case 2 => encodeWav(8000 + (nChars % 8).toInt * 1000,
-            ((id / 6) % 2).toInt + 1, data)
+          case 2 =>
+            // the audio duration split (r18, the MP4 movie-clock
+            // pattern): %12==2 keeps telephony-band rates (8-15 kHz —
+            // every sub-KB payload is then sub-35 ms and r_short
+            // honestly FAILS), %12==8 is a low-byte-rate telemetry
+            // stream (rate ≈ n_chars/4 Hz, mono — duration ≥ 500 ms,
+            // r_short PASSES), so the rule gates real audio rows both
+            // ways instead of failing the whole modality. The slice
+            // trades r_rate (sub-11 kHz fails the telephony floor) —
+            // at ≤ 550 payload bytes a WAV passing BOTH rate and
+            // duration is physically impossible (100 ms at 11 kHz
+            // mono 16-bit needs 2200 data bytes).
+            if (id % 12 == 8) encodeWav((nChars / 4).toInt.max(1), 1, data)
+            else encodeWav(8000 + (nChars % 8).toInt * 1000,
+              ((id / 6) % 2).toInt + 1, data)
           case _ =>
             // the duration-bearing split (r17): %12==5 carries a real
             // movie clock (1.0-5.0 s — clears the 100 ms floor),
@@ -1594,13 +1607,14 @@ object Multimodal {
 
   /** Stable artifact path for the persisted container-audit face (the
     * full [[containerAudit]] schema — rule columns, keep, fidelity).
-    * Version token mmaudit_v1 covers the r17 rule battery (r_short in
-    * keep); a ruleset change bumps the token so stale audits miss.
+    * Version token mmaudit_v2 covers the r18 synthesis (the %12==8
+    * low-byte-rate WAV slice changed the audit rows); a ruleset or
+    * synthesis change bumps the token so stale audits miss.
     */
   private[graft] def mediaAuditArtifactPath(spark: SparkSession, sfDir: String): String =
     graft.sources.IO.contentKeyedArtifactPath(spark,
       s"$sfDir/documents.parquet", "text",
-      "mmaudit", s"mmaudit_v1|$sfDir") + ".parquet"
+      "mmaudit", s"mmaudit_v2|$sfDir") + ".parquet"
 
   /** The container-audit face's declared schema. The modality rules are
     * genuinely tri-state (null = rule not applicable to this format;
