@@ -220,17 +220,35 @@ object Bench {
     // probe where a mean is not.
     val CanaryEvery = 20
     val CanaryBasket = Seq("q1_pricing_summary", "q_join_agg", "w1_row_number_topk")
-    def canary(): Double =
+    // per-MEMBER timings kept separate until the digest: summing inside
+    // the probe would let ONE flaky basket member turn the whole probe
+    // NaN and discard the two healthy members' drift signal (up to 40
+    // rows falling back to the run median) — the r17 ADVICE finding.
+    def canary(): Seq[Double] =
       CanaryBasket.map(n =>
         timeCase(n, () => SparkEntry.queries(n)(spark, sfDir))
-          ._2.getOrElse(Double.NaN)).sum
-    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+          ._2.getOrElse(Double.NaN))
+    val probesRaw = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
     val resultsBuf =
       scala.collection.mutable.ArrayBuffer[(String, Either[String, Double])]()
-    probes += canary()
+    probesRaw += canary()
     cases.grouped(CanaryEvery).foreach { grp =>
       grp.foreach { case (n, mk) => resultsBuf += timeCase(n, mk) }
-      probes += canary()
+      probesRaw += canary()
+    }
+    // Salvage partial probes while keeping probe values COMPARABLE
+    // within the run (a 2-member sum next to 3-member sums would skew
+    // the neighborhood normalization): a failed member substitutes its
+    // own median across the run's other probes; a member that never
+    // succeeded drops from every probe (consistent basket).
+    val memberMed: Seq[Double] = CanaryBasket.indices.map { j =>
+      val xs = probesRaw.map(_(j)).filterNot(_.isNaN).sorted
+      if (xs.isEmpty) Double.NaN else xs(xs.length / 2)
+    }
+    val keepMembers = CanaryBasket.indices.filterNot(j => memberMed(j).isNaN)
+    val probes = probesRaw.map { p =>
+      if (keepMembers.isEmpty) Double.NaN
+      else keepMembers.map(j => if (p(j).isNaN) memberMed(j) else p(j)).sum
     }
     val results: Seq[(String, Either[String, Double])] = resultsBuf.toSeq
     def ms(d: Double): Double = math.round(d * 1000) / 1000.0

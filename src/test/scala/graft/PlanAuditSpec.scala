@@ -384,13 +384,19 @@ class PlanAuditSpec extends SparkTestBase {
     // eagerly, so constructions == executed decode passes; (b) the
     // composed plan must read only checkpointed faces, never a parquet
     // scan of documents.
-    operators.Multimodal.rawDecodeBuilds.set(0)
-    operators.Multimodal.containerDecodeBuilds.set(0)
+    // DELTA assertion over counter snapshots, not reset-and-read: the
+    // counters are global, and a reset would race with any concurrent
+    // Multimodal call if suite-level parallelism were ever enabled
+    // (today testForkedParallel is false and suites run sequentially —
+    // the snapshot form keeps the test correct either way as long as
+    // no OTHER suite runs Multimodal concurrently with these 3 lines).
+    val raw0 = operators.Multimodal.rawDecodeBuilds.get
+    val cont0 = operators.Multimodal.containerDecodeBuilds.get
     val df = operators.Multimodal.curationDecisions(spark, Sf)
-    assert(operators.Multimodal.rawDecodeBuilds.get == 1,
-      s"raw decode passes: ${operators.Multimodal.rawDecodeBuilds.get} (want 1)")
-    assert(operators.Multimodal.containerDecodeBuilds.get == 1,
-      s"container passes: ${operators.Multimodal.containerDecodeBuilds.get} (want 1)")
+    assert(operators.Multimodal.rawDecodeBuilds.get - raw0 == 1,
+      s"raw decode passes: ${operators.Multimodal.rawDecodeBuilds.get - raw0} (want 1)")
+    assert(operators.Multimodal.containerDecodeBuilds.get - cont0 == 1,
+      s"container passes: ${operators.Multimodal.containerDecodeBuilds.get - cont0} (want 1)")
     val p = plan(df)
     assert(!p.contains("FileScan"),
       s"the composed curation plan must read only checkpointed faces:\n${p.take(2000)}")
