@@ -39,6 +39,50 @@ object MmScaleProbe {
       println(s"MMSCALE curation_live rows ${l1.count()}")
       spark.stop(); return
     }
+    // stream-start wall: time from mediaGateStream construction through
+    // the first micro-batch verdict write, faces PRE-PRIMED (r18: the
+    // stream reads the persisted face — stream (re)start must cost a
+    // thin artifact scan, not the corpus decode it used to pay)
+    if (args.contains("stream")) {
+      Multimodal.persistMediaFace(spark, sfDir)
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val arrivals = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id").limit(500).collect().map(_.getLong(0)).toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val outDir = graft.sources.IO.scratchDir("mm_stream_probe")
+      time("gate_stream_start_plus_batch1") {
+        val q = Multimodal.mediaGateStream(spark, sfDir,
+          mem.toDF().toDF("media_id"), outDir)
+        try {
+          mem.addData(arrivals)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      println(s"MMSCALE gate_stream_rows ${spark.read.parquet(s"$outDir/decisions").count()}")
+      spark.stop(); return
+    }
+    // price the three artifact-read idioms against each other on ONE
+    // machine state: (a) plain nullable parquet read, (b) the r17
+    // createDataFrame(rdd, schema) round-trip, (c) the r18 plan-level
+    // stamped read — each feeding the identical decontam serve core
+    if (args.contains("readmodes")) {
+      val path = Multimodal.persistMediaFace(spark, sfDir)
+      def serve(face: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val d = time(s"decontam_over_$label")(
+          Multimodal.decontamReportOver(face, Multimodal.NearDupLenWindow,
+            Multimodal.MediaFpMaxHamming, Multimodal.MediaFpL1Window)
+            .localCheckpoint())
+        println(s"MMSCALE decontam_over_$label rows ${d.count()}")
+      }
+      serve(spark.read.parquet(path), "raw_nullable")
+      serve(spark.createDataFrame(
+        spark.read.parquet(path).rdd, Multimodal.MediaFaceSchema), "rdd_roundtrip")
+      serve(graft.sources.IO.readStamped(spark, path, Multimodal.MediaFaceSchema),
+        "stamped")
+      spark.stop(); return
+    }
     // stage-level dissection of the stored-vs-live curation gap
     if (args.contains("curstages")) {
       Multimodal.persistMediaFace(spark, sfDir)
