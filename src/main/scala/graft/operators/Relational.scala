@@ -769,17 +769,32 @@ object Relational {
   /** Mergeability CERTIFICATE for the HLL family as a hashable frame: per
     * event type, whether the union of the two half-corpus sketches
     * ([[sketchMergeProfile]]) estimates exactly the same cardinality as a
-    * single whole-corpus sketch. HLL union is lossless by construction
-    * (the unioned register array equals the directly-built one), so the
-    * flag is deterministically TRUE and the DuckDB oracle pins it as a
-    * literal — the hash match certifies build + merge + estimate end to
-    * end, giving the approximate sketch rows an oracled exactness anchor.
+    * single whole-corpus sketch. HLL union is lossless AT THE REGISTER
+    * LEVEL (the unioned register array equals the directly-built one),
+    * so the flag is deterministically TRUE and the DuckDB oracle pins it
+    * as a literal — the hash match certifies build + merge + estimate
+    * end to end, giving the approximate sketch rows an oracled
+    * exactness anchor.
+    *
+    * The ESTIMATOR must match on both sides: a directly-built
+    * DataSketches HLL answers with the HIP estimator, but a union
+    * result is marked out-of-order and can only answer with the
+    * composite estimator — the two coincide at gate-scale cardinality
+    * and diverge at sf0.1 (found by this round's first full-registry
+    * sf0.1 oracle pass; 5/5 rows flipped false). The direct side
+    * therefore goes through a SELF-union, which forces the same
+    * composite path over the identical registers — equality then
+    * certifies register-level merge losslessness at any scale, which
+    * is the property the row exists to pin.
     */
   def sketchMergeExact(spark: SparkSession, sfDir: String): DataFrame = {
     val direct = t(spark, sfDir, "events")
       .filter(col("event_type").isNotNull)
       .groupBy("event_type")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("direct_users"))
+      .agg(expr(
+        """hll_sketch_estimate(
+             hll_union(hll_sketch_agg(user_id), hll_sketch_agg(user_id)))""")
+        .as("direct_users"))
     sketchMergeProfile(spark, sfDir)
       .filter(col("event_type").isNotNull)
       .join(direct, "event_type")
