@@ -361,13 +361,33 @@ object IO {
     * [[artifactExists]] — then serve it through the [[readStamped]]
     * nullability seam. Every self-priming stored row threads through
     * here.
+    *
+    * SELF-HEALING on schema drift: these artifacts are pure caches of a
+    * deterministic build, so when [[readStamped]]'s validation rejects
+    * the on-disk bytes (a producer whose SCHEMA changed without a
+    * version-token bump, a foreign writer, a half-written directory),
+    * the right move is delete-and-re-prime, not crash — the loud error
+    * is reserved for the re-primed artifact still failing validation,
+    * which means the DECLARED schema is out of step with the producer
+    * (a real bug at the declaration site). Value drift under an
+    * unchanged schema stays invisible to validation — that class still
+    * requires the version-token bump (the mmaudit_v2 convention).
     */
   def servedArtifact(
       spark: SparkSession,
       path: String,
       expected: org.apache.spark.sql.types.StructType)(prime: => Unit): DataFrame = {
     if (!artifactExists(spark, path)) prime
-    readStamped(spark, path, expected)
+    try readStamped(spark, path, expected)
+    catch {
+      case drift: IllegalStateException =>
+        System.err.println(s"[graft] stale/foreign artifact at $path — " +
+          s"re-priming (${drift.getMessage.take(200)})")
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        prime
+        readStamped(spark, path, expected)
+    }
   }
 
   /** Stable tmpdir path for a content-keyed persisted artifact — THE

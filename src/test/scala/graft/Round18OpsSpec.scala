@@ -100,6 +100,30 @@ class Round18OpsSpec extends SparkTestBase {
     assert(md5Dec.nonEmpty)
   }
 
+  test("servedArtifact self-heals a stale-schema artifact by re-priming") {
+    import spark.implicits._
+    val dir = freshDir() + "/heal.parquet"
+    // plant a FOREIGN artifact (wrong schema) at the serve path
+    Seq(("junk", 1.5)).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    var primes = 0
+    val expected = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val served = IO.servedArtifact(spark, dir, expected) {
+      primes += 1
+      Seq(7L, 8L).toDF("id").write.mode("overwrite").parquet(dir)
+    }
+    // the cache property: drift is deleted and re-primed, not fatal
+    assert(primes === 1 && served.collect().map(_.getLong(0)).sorted.toSeq === Seq(7L, 8L))
+    // but a PRIME that produces the wrong schema is a real bug at the
+    // declaration site and must stay loud (one heal attempt, no loop)
+    val bad = freshDir() + "/bad.parquet"
+    val e = intercept[IllegalStateException] {
+      IO.servedArtifact(spark, bad, expected) {
+        Seq(("x", 1)).toDF("s", "i").write.mode("overwrite").parquet(bad)
+      }
+    }
+    assert(e.getMessage.contains(bad))
+  }
+
   test("servedArtifact primes exactly once and resolves existence scheme-aware") {
     import spark.implicits._
     val dir = freshDir() + "/d.parquet"
