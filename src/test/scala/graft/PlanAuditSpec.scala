@@ -403,6 +403,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("stored-face serve keeps the vectorized parquet scan (no RDD round-trip)") {
+    // r18: the stamped-read seam replaced the createDataFrame(rdd,
+    // schema) nullability fix — the serve plan must read the artifact
+    // through a columnar FileScan (an ExistingRDD leaf would mean the
+    // Row-deserialization pass is back), with the non-null stamp
+    // visible as nullable=false output attributes
+    operators.Multimodal.persistMediaFace(spark, Sf)
+    val face = operators.Multimodal.servedMediaFace(spark, Sf)
+    assert(!face.schema("sig").nullable && !face.schema("media_id").nullable,
+      face.schema.treeString)
+    val p = plan(operators.Multimodal.decontamReportStored(spark, Sf))
+    assert(p.contains("Scan parquet"), p.take(1500))
+    assert(!p.contains("ExistingRDD"),
+      "stored serve must not fall back to an RDD round-trip:\n" + p.take(1500))
+  }
+
   test("exact dedup shuffles on the dedup key only (no global sort)") {
     val p = plan(Dedup.exactByText(spark, Sf))
     // rn = 1 is rewritten to the two-phase top-k operator; the only
