@@ -65,6 +65,7 @@ object Bench {
       "emb_near_dup_pairs", "txt_token_counts", "txt_fingerprints",
       "txt_tfidf_top_terms", "mm_features_fix", "mm_face_segments",
       "mm_neardup_pairs", "mm_dedup_decision", "mm_incremental_neardup",
+      "mm_neardup_pairs_fast", "mm_dedup_decision_fast", "sketch_merge_exact",
       "mm_fingerprint", "mm_content_neardup", "mm_content_decision",
       "mm_incremental_stored", "mm_decontam", "mm_decontam_stored",
       "mm_quality_rules",
@@ -129,7 +130,25 @@ object Bench {
       "graph_scc_profile", "dedup_lsh_design",
       "quality_auc", "quality_pr_table", "quality_ece",
       "events_ab_test", "events_cusum",
-      "txt_readability", "retrieval_phrase")
+      "txt_readability", "retrieval_phrase",
+      // r19: the registry's LLM-family rows that never had a bench trend
+      // line (the r18 VERDICT gap) — curated to the rows a pipeline
+      // operator would actually watch, not the sub-second relational pins.
+      // Raw TOTALS are not comparable r18→r19 (30 more rows); adjudicate
+      // via queries_norm per-row or the r18-set subtotal (SCALING.md r19).
+      "corpus_line_dedup", "corpus_shuffle_order", "corpus_stratified_sample",
+      "corpus_cap_per_source", "corpus_stats",
+      "dedup_substring_components", "dedup_incremental_exact",
+      "dedup_incremental_simhash", "dedup_ngram_jaccard",
+      "dedup_cluster_keep_best",
+      "ann_topk_ivf_stored", "ann_topk_binary", "ann_topk_quantized",
+      "kmeans_codebook", "txt_bpe_merges", "txt_bpe_segment",
+      "txt_lang_id", "txt_quality", "txt_repetition",
+      "dsir_logratios", "quality_lr_weights",
+      "sketch_cms_counts", "sketch_quantile_values",
+      "skew_salted_join", "exact_median", "zorder_values",
+      "graph_transition_edges", "events_funnel",
+      "mm_fingerprint_fast", "mm_frames")
     val allCases: Seq[(String, () => DataFrame)] =
       fromRegistry.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) :+
         ("ps_part5_metrics" -> (() => PlayStore.metricsByGenre(

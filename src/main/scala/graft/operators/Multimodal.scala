@@ -1705,12 +1705,16 @@ object Multimodal {
   /** Stable artifact path for the persisted corpus-side media
     * fingerprint face (the `Decontaminate.neardupIndexArtifactPath`
     * convention: scheme-version token + params + a footer-derived
-    * content fingerprint of the source table).
+    * content fingerprint of the source table). Token mmfp_v2: the media
+    * payloads are SYNTHESIZED from the (unchanged) documents table, so
+    * the footer fingerprint cannot see a synthesis change — the r18
+    * %12==8 low-byte-rate WAV slice altered payload bytes and therefore
+    * the stored sig/ffix values, which only a token bump can invalidate.
     */
   private[graft] def mediaIndexArtifactPath(spark: SparkSession, sfDir: String): String =
     graft.sources.IO.contentKeyedArtifactPath(spark,
       s"$sfDir/documents.parquet", "text",
-      "mmfp", s"mmfp_v1|$sfDir") + ".parquet"
+      "mmfp", s"mmfp_v2|$sfDir") + ".parquet"
 
   /** Build the corpus-side fingerprint face ONCE and persist it — the
     * artifact [[incrementalNearDupStored]] consumes. At 100 TB this is
@@ -1758,12 +1762,14 @@ object Multimodal {
   /** Stable artifact path for the persisted FULL media fingerprint face
     * (both the corpus and the eval carves — the %10 split is a column
     * predicate over the stored rows, so one artifact serves every
-    * consumer). Same content-keyed convention as [[mediaIndexArtifactPath]].
+    * consumer). Same content-keyed convention as [[mediaIndexArtifactPath]],
+    * and the same v2 rationale: synthesis changes are invisible to the
+    * source-footer fingerprint, so the r18 WAV-slice bump rides the token.
     */
   private[graft] def mediaFaceArtifactPath(spark: SparkSession, sfDir: String): String =
     graft.sources.IO.contentKeyedArtifactPath(spark,
       s"$sfDir/documents.parquet", "text",
-      "mmface", s"mmface_v1|$sfDir") + ".parquet"
+      "mmface", s"mmface_v2|$sfDir") + ".parquet"
 
   /** Build the full fingerprint face ONCE and persist it — the artifact
     * [[decontamReportStored]] consumes. The eval fingerprint index is

@@ -218,14 +218,30 @@ object Snapshot {
 
   /** Build the base-slice SCD-2 span table ONCE and persist it — the
     * standing dimension history an arriving batch extends.
+    *
+    * The [[Scd2Schema]] contract (`event_type` non-null) is ENFORCED at
+    * write time: a null state would otherwise slip into the artifact and
+    * fail every later serve inside the stamped read's `AssertNotNull` —
+    * a runtime job failure the serve seam's heal cannot fix (the
+    * re-primed artifact would carry the same null). Asserting here moves
+    * the failure to the prime, where the producer is on the stack and
+    * the message names the contract. Generated events carry no null
+    * event_type at any scale, so this is a guard, not a filter — the
+    * live row's semantics are unchanged.
     */
   def persistScd2Base(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
     val path = scd2ArtifactPath(spark, sfDir)
     val raw = IO.table(spark, sfDir, "events")
     val base = raw.filter(EventTime.tsBeforeUs(raw, Scd2SplitUs))
       .withColumn("tus", EventTime.tsUs(raw))
       .select("user_id", "tus", "event_id", "event_type")
     scd2History(base, "user_id", "tus", "event_id", Seq("event_type"))
+      .withColumn("event_type", GraftSqlBridge.column(AssertNotNull(
+        GraftSqlBridge.expression(col("event_type")),
+        Seq("Scd2Schema declares event_type non-null; a null state " +
+          "reached persistScd2Base — fix the producer or relax the schema"))))
       .write.mode("overwrite").parquet(path)
     path
   }

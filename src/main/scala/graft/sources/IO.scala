@@ -273,11 +273,31 @@ object IO {
     * HDFS/S3-backed artifact as missing, re-persisting — and racing
     * on — it every invocation). Centralized here so the filesystem
     * assumption lives in exactly one place.
+    *
+    * A DIRECTORY artifact additionally requires the `_SUCCESS` job
+    * marker: every artifact in this library is written by
+    * `df.write.parquet`, whose committer drops the marker only after the
+    * job commits, so a prime that crashed (or is still running in
+    * another process) leaves a directory that must read as ABSENT — bare
+    * path existence would serve its partial files. Plain files (no
+    * committer protocol) keep the simple existence check.
     */
   def artifactExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && (fs.getFileStatus(p).isFile ||
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
   }
+
+  /** Thrown by [[readStamped]] when the on-disk artifact does not match
+    * its declared schema. A dedicated type (still an
+    * `IllegalStateException` for callers matching broadly) so
+    * [[servedArtifact]]'s self-heal can scope its delete-and-re-prime to
+    * GENUINE drift — an unrelated `IllegalStateException` surfacing
+    * through the read must never trigger recursive deletion of a healthy
+    * artifact.
+    */
+  final class ArtifactDriftException(msg: String) extends IllegalStateException(msg)
 
   /** Read a persisted artifact and RE-STAMP the producer's declared
     * nullability onto the plan — the serve-path seam every stored index
@@ -317,9 +337,25 @@ object IO {
     import org.apache.spark.sql.catalyst.expressions.ArrayTransform
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, StructField}
+    expected.fields.foreach { f =>
+      def hasStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.StructType => true
+        case ArrayType(et, _) => hasStruct(et)
+        case org.apache.spark.sql.types.MapType(k, v, _) => hasStruct(k) || hasStruct(v)
+        case _ => false
+      }
+      // declaration-site guard, not drift: the stamp narrows top-level and
+      // array-ELEMENT nullability only, so a struct field's inner
+      // nullability would silently stay nullable — reject the declaration
+      // until the stamp learns to recurse, rather than serve a half-stamp
+      require(!hasStruct(f.dataType),
+        s"readStamped cannot re-stamp inner-field nullability of struct-typed " +
+          s"column '${f.name}' (${f.dataType.simpleString}) declared for $path; " +
+          "flatten the artifact or extend the stamp before declaring structs")
+    }
     val raw = readParquet(spark, path)
     val actual = raw.schema
-    def mismatch(why: String): Nothing = throw new IllegalStateException(
+    def mismatch(why: String): Nothing = throw new ArtifactDriftException(
       s"stored artifact at $path does not match its declared schema ($why); " +
         s"expected ${expected.simpleString}, found ${actual.simpleString} — " +
         "the artifact was produced by a different writer or is corrupt; " +
@@ -365,11 +401,16 @@ object IO {
     * SELF-HEALING on schema drift: these artifacts are pure caches of a
     * deterministic build, so when [[readStamped]]'s validation rejects
     * the on-disk bytes (a producer whose SCHEMA changed without a
-    * version-token bump, a foreign writer, a half-written directory),
-    * the right move is delete-and-re-prime, not crash — the loud error
-    * is reserved for the re-primed artifact still failing validation,
-    * which means the DECLARED schema is out of step with the producer
-    * (a real bug at the declaration site). Value drift under an
+    * version-token bump, a foreign writer — [[ArtifactDriftException]])
+    * or the directory is unreadable outright (a half-written/empty dir
+    * that somehow carries a `_SUCCESS` marker —
+    * `AnalysisException`), the right move is delete-and-re-prime, not
+    * crash — the loud error is reserved for the re-primed artifact
+    * still failing validation, which means the DECLARED schema is out
+    * of step with the producer (a real bug at the declaration site).
+    * The heal catch is scoped to exactly those two types: any other
+    * exception (an executor OOM, an interrupted job) propagates without
+    * deleting a possibly-healthy artifact. Value drift under an
     * unchanged schema stays invisible to validation — that class still
     * requires the version-token bump (the mmaudit_v2 convention).
     */
@@ -380,7 +421,8 @@ object IO {
     if (!artifactExists(spark, path)) prime
     try readStamped(spark, path, expected)
     catch {
-      case drift: IllegalStateException =>
+      case drift @ (_: ArtifactDriftException |
+                    _: org.apache.spark.sql.AnalysisException) =>
         System.err.println(s"[graft] stale/foreign artifact at $path — " +
           s"re-priming (${drift.getMessage.take(200)})")
         val p = new org.apache.hadoop.fs.Path(path)
