@@ -78,10 +78,21 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         (lit(1.0) - size(array_distinct(toks)).cast("double")
           / size(toks)).as("dup_token_ratio"),
-        (aggregate(
-          transform(array_distinct(toks),
-            t => size(filter(toks, x => x === t))),
-          lit(0), (acc, c) => greatest(acc, c)).cast("double")
+        // top token count = LONGEST EQUAL RUN of the sorted token array:
+        // one O(n log n) sort + one linear fold, replacing the r18
+        // distinct×filter scan (O(distinct·n) string compares per doc —
+        // quadratic on low-duplication text, measured 2.2 s at sf0.1 for
+        // a map-side row). The max run length of the sorted array IS the
+        // max occurrence count, so the emitted integer (and the final
+        // divide's operands) are unchanged — same oracle.
+        (expr(
+          """aggregate(array_sort(toks),
+               named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+               (acc, t) -> named_struct(
+                 'prev', t,
+                 'run',  if(t = acc.prev, acc.run + 1, 1),
+                 'best', greatest(acc.best, if(t = acc.prev, acc.run + 1, 1))),
+               acc -> acc.best)""").cast("double")
           / size(toks)).as("top_token_share"))
       .orderBy("doc_id")
   }
@@ -153,12 +164,20 @@ object TextAnalysis {
       struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
         lit(lang).as("lang"))
     }
+    // `best` is referenced TWICE below (guard on .hits, emit .lang).
+    // Written inline, both references carried the whole 5-language
+    // scoring expression — 10 stop-word passes per document instead of 5
+    // (the guide's duplicated-subtree trap; confirmed in the r19 before
+    // plan). Materializing it as its own column keeps one evaluation:
+    // CollapseProject refuses to inline a non-cheap expression referenced
+    // more than once, so the scoring stays in its own projection.
     val best = array_max(array(scored: _*))
     IO.table(spark, sfDir, "documents")
       .withColumn("toks", wsTokens(lower(col("text"))))
+      .withColumn("best", best)
       .select(
         col("doc_id"),
-        when(best.getField("hits") > 0, best.getField("lang"))
+        when(col("best").getField("hits") > 0, col("best").getField("lang"))
           .otherwise(lit("und")).as("predicted_lang"),
         col("lang").as("labelled_lang"))
       .orderBy("doc_id")

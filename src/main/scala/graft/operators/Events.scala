@@ -347,7 +347,8 @@ object Events {
       spark: SparkSession,
       sfDir: String,
       basketCap: Int = BtBasketCap,
-      iters: Int = BtIters): DataFrame = {
+      iters: Int = BtIters,
+      pairCollectCeiling: Int = BtPairCollectCeiling): DataFrame = {
     val ev = IO.table(spark, sfDir, "events")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
@@ -389,19 +390,63 @@ object Events {
       .select(col("item"), coalesce(col("w"), lit(0L)).as("wins"), col("games"),
         (coalesce(col("w"), lit(0L)).cast("double") + lit(0.5)).as("wins05"))
       .localCheckpoint() // read every round
-    val nItems = stat.count()
-    LoopWidth.pinned(spark, nItems) {
-      var r = stat.select(col("item"), lit(1.0).as("p")).localCheckpoint()
-      for (_ <- 0 until iters)
-        r = btRound(dirn, stat, r).localCheckpoint()
-      stat.join(r, "item")
-        .select(col("item"), col("wins"), col("games"),
-          // EMITTED-DOUBLE CONVENTION (SCALING.md): the final
-          // loop-derived scalar is cut to FLOAT so cross-engine /
-          // cross-version canonicalization of the last divide chain
-          // can never flip the driver's hash (the topKPerQuery rule).
-          col("p").cast("float").as("rating"))
-        .orderBy("item")
+    // DRIVER-SIDE MM LOOP under a ceiling-gated collect (r19; the
+    // driverComponents / bm25-df-map convention): the fit runs on the
+    // directed pair-count frame (≤ |items|² rows, catalog-bounded — the
+    // same boundedness the broadcast-vector loop already relies on) and
+    // the |items|-row stat frame. Collecting both and iterating on the
+    // driver replaces `iters` rounds of (2 joins + aggregation +
+    // localCheckpoint) — ~10 driver actions at the measured ~200 ms/action
+    // local floor — with ONE limit-fused collect and zero per-round jobs
+    // (measured 2.8 s → the events-scale aggregation cost alone at
+    // sf0.1). Event-scale data still never reaches the driver: cmp/dirn/
+    // stat are the post-cap aggregates. Arithmetic is replicated op-for-op
+    // (fixed-point BIGINT sums, one pinned divide chain per round), so
+    // ratings are bit-identical to the distributed loop — Round19OptSpec
+    // pins the parity, and past the ceiling the distributed loop below
+    // serves unchanged.
+    val dirnRows = dirn.limit(pairCollectCeiling + 1).collect()
+    if (dirnRows.length <= pairCollectCeiling) {
+      val statRows = stat.collect()
+      val items = statRows.map(_.getLong(0)).sorted
+      val wins05 = statRows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      var p = items.map(i => i -> 1.0).toMap
+      for (_ <- 0 until iters) {
+        // Σ floor(n_ij / (p_i + p_j) × 10⁹) as LONG — order-independent,
+        // exactly the distributed groupBy-sum
+        val dfix = new java.util.HashMap[Long, Long]()
+        dirnRows.foreach { row =>
+          val (i, j, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+          val t = math.floor(n.toDouble / (p(i) + p(j)) * 1000000000.0).toLong
+          dfix.merge(i, t, (a, b) => a + b)
+        }
+        p = items.map { i =>
+          i -> (wins05(i) / ((dfix.getOrDefault(i, 0L).toDouble / 1000000000.0)
+            + (1.0 / (p(i) + 1.0))))
+        }.toMap
+      }
+      val out = statRows.map { r =>
+        // EMITTED-DOUBLE CONVENTION (SCALING.md): final loop scalar cut
+        // to FLOAT — same cast the distributed branch applies.
+        (r.getLong(0), r.getLong(1), r.getLong(2), p(r.getLong(0)).toFloat)
+      }.sortBy(_._1).toSeq
+      import spark.implicits._
+      out.toDF("item", "wins", "games", "rating").orderBy("item")
+    } else {
+      val nItems = stat.count()
+      LoopWidth.pinned(spark, nItems) {
+        var r = stat.select(col("item"), lit(1.0).as("p")).localCheckpoint()
+        for (_ <- 0 until iters)
+          r = btRound(dirn, stat, r).localCheckpoint()
+        stat.join(r, "item")
+          .select(col("item"), col("wins"), col("games"),
+            // EMITTED-DOUBLE CONVENTION (SCALING.md): the final
+            // loop-derived scalar is cut to FLOAT so cross-engine /
+            // cross-version canonicalization of the last divide chain
+            // can never flip the driver's hash (the topKPerQuery rule).
+            col("p").cast("float").as("rating"))
+          .orderBy("item")
+      }
     }
   }
 
@@ -429,6 +474,15 @@ object Events {
 
   private[graft] val BtBasketCap = 8
   private[graft] val BtIters = 5
+
+  /** Ceiling on directed (i, j, n_ij) rows collected for the driver-side
+    * MM loop: 2M rows × 3 longs ≈ 48 MB — the EdgeCollectCeiling /
+    * bm25-df-map contract (a bounded model-sized artifact with an
+    * in-plan fallback past the ceiling, never an unbounded data
+    * collect). The frame is |items|²-bounded, so any catalog small
+    * enough for the broadcast-vector fallback loop sits far below this.
+    */
+  private[graft] val BtPairCollectCeiling = 2000000
 
   /** TRENDING ITEMS UNDER EXPONENTIAL TIME DECAY — the freshness-aware
     * popularity score every feed/mixture ranker starts from: each

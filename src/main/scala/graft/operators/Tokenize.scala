@@ -299,19 +299,91 @@ object Tokenize {
       spark: SparkSession,
       sfDir: String,
       merges: Seq[(String, String)]): DataFrame = {
-    // merges apply WITHIN each word (BPE never fuses across a word
-    // boundary), so the fold runs inside the per-word transform
+    // Token-count path (r19): the SENTINEL REPLACE CHAIN — each merged
+    // pair collapses to one control character, so remaining string
+    // length IS the greedy token count. This is the construction the
+    // DuckDB oracle has replayed for this row all along (and the one
+    // fertilityBySource ships); the per-word char-array fold it
+    // replaces re-built O(len) arrays per element (O(len²) copies per
+    // word × merges — measured 14.1 s at sf0.1, the most expensive
+    // bench row). Chain == fold in the guarded regime below
+    // (single-character merge components never spanning an earlier
+    // merged symbol — sentinels make consumed characters invisible to
+    // later patterns exactly like the fold's fused array cells);
+    // BpeChainFoldSpec pins the equivalence per-doc against the fold on
+    // adversarial corpora, and the general fold stays as the fallback
+    // for merge tables outside the regime.
+    val chainSafe = {
+      val merged = scala.collection.mutable.Set.empty[String]
+      merges.nonEmpty && merges.size <= 30 && merges.forall { case (l, r) =>
+        val ok = l.length == 1 && r.length == 1 &&
+          (l + r).forall(Character.isLetterOrDigit) &&
+          !merged(l) && !merged(r)
+        merged += (l + r)
+        ok
+      }
+    }
+    if (chainSafe) {
+      val chainSql = merges.zipWithIndex.foldLeft("w") {
+        case (acc, ((l, r), i)) => s"replace($acc, '$l$r', char(${i + 1}))"
+      }
+      IO.table(spark, sfDir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          expr(s"aggregate(transform(split(text, ' '), w -> length($chainSql))," +
+            " 0L, (a, x) -> a + x)").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    } else {
+      // merges apply WITHIN each word (BPE never fuses across a word
+      // boundary), so the fold runs inside the per-word transform
+      val segmented = transform(col("words"), w =>
+        merges.foldLeft(array_remove(split(w, ""), "")) {
+          case (acc, (l, r)) => fuseFold(acc, l, r)
+        })
+      IO.table(spark, sfDir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_ws_tokens"),
+          size(flatten(segmented)).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** The per-word char-array FOLD segmentation count — the reference
+    * semantics [[bpeSegmentCounts]]' chain path must match; exposed for
+    * the chain-vs-fold equivalence spec.
+    */
+  private[graft] def bpeSegmentCountsFold(
+      docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val segmented = transform(col("words"), w =>
       merges.foldLeft(array_remove(split(w, ""), "")) {
         case (acc, (l, r)) => fuseFold(acc, l, r)
       })
-    IO.table(spark, sfDir, "documents")
+    docs
       .withColumn("words", split(col("text"), " "))
       .select(
         col("doc_id"),
         size(col("words")).cast("long").as("n_ws_tokens"),
         size(flatten(segmented)).cast("long").as("n_bpe_tokens"))
-      .orderBy("doc_id")
+  }
+
+  /** The chain path of [[bpeSegmentCounts]] over an explicit frame —
+    * the other half of the equivalence spec seam.
+    */
+  private[graft] def bpeSegmentCountsChain(
+      docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chainSql = merges.zipWithIndex.foldLeft("w") {
+      case (acc, ((l, r), i)) => s"replace($acc, '$l$r', char(${i + 1}))"
+    }
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      expr(s"aggregate(transform(split(text, ' '), w -> length($chainSql))," +
+        " 0L, (a, x) -> a + x)").as("n_bpe_tokens"))
   }
 
   /** TOKENIZER FERTILITY report per source — the eval row that decides
