@@ -860,13 +860,21 @@ object TextAnalysis {
       "aggregate(transform(split(lower(text), ' '), " +
         "w -> greatest(1L, CAST(size(regexp_extract_all(w, '[aeiouy]+', 0)) AS BIGINT))), " +
         "0L, (a, x) -> a + x)")
+    // counts STAGED once, flesch computed from the attributes: inlined,
+    // each count expression evaluated twice (its output column + the
+    // formula) — the syllable fold's per-word regexp ran twice per doc
+    // (r19 plan audit). Same long values into the same double ops.
     IO.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         words.as("n_words"), sentences.as("n_sentences"),
-        syllables.as("n_syllables"),
+        syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
         (lit(206.835)
-          - lit(1.015) * (words.cast("double") / sentences.cast("double"))
-          - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")))
           .cast("float").as("flesch"))
       .orderBy("doc_id")
   }

@@ -1244,7 +1244,14 @@ object Dedup {
       // are identical to the unbounded form — same oracle.
       .withColumn("lev",
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
-      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+      // lev >= 0 ALONE is the full filter: the threshold kernel returns
+      // -1 past the bound and an exact distance <= maxDist otherwise, so
+      // `lev <= maxDist` was a tautology — and an expensive one: the
+      // optimizer pushes the filter into the join condition substituting
+      // the alias, so each conjunct re-ran the banded DP per candidate
+      // pair (r19 before plan: 3 levenshtein evaluations per pair; now 2
+      // — one in the pushed condition, one in the survivors' projection).
+      .filter(col("lev") >= 0)
       .select("doc_a", "doc_b", "lev", "n_chars_a", "n_chars_b")
       .orderBy("doc_a", "doc_b")
   }

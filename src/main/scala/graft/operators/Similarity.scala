@@ -489,7 +489,18 @@ object Similarity {
     val cidLookup = array(codebook.map(cb => lit(cb._1)): _*)
     c.withColumn("sims", simsAgainst(col("v"), codebook.map(_._2)))
       .withColumn("cid",
-        element_at(cidLookup, array_position(col("sims"), array_max(col("sims"))).cast("int")))
+        // coalesce-to-literal NARROWS NULLABILITY, it never fires: sims is
+        // non-empty (the codebook is), so first-max position always
+        // resolves. Without it `cid` is nullable, every downstream
+        // cid-equi join infers an IsNotNull filter, and constraint
+        // substitution inlines the WHOLE literal-codebook distance scan
+        // into that filter — the assignment ran 2-3× per corpus row
+        // across the IVF/semantic families (r19 plan audit: 8 rows
+        // carried `isnotnull(element_at(..cosine_sim..))` conditions).
+        coalesce(
+          element_at(cidLookup,
+            array_position(col("sims"), array_max(col("sims"))).cast("int")),
+          lit(codebook.head._1)))
       .select("vec_id", "v", "cid")
   }
 

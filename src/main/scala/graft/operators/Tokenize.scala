@@ -310,7 +310,7 @@ object Tokenize {
     // (single-character merge components never spanning an earlier
     // merged symbol — sentinels make consumed characters invisible to
     // later patterns exactly like the fold's fused array cells);
-    // BpeChainFoldSpec pins the equivalence per-doc against the fold on
+    // Round19OptSpec pins the equivalence per-doc against the fold on
     // adversarial corpora, and the general fold stays as the fallback
     // for merge tables outside the regime.
     val chainSafe = {

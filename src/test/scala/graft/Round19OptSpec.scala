@@ -97,6 +97,30 @@ class Round19OptSpec extends SparkTestBase {
     assert(evals === 1, s"expected exactly 1 array_max in the plan, saw $evals")
   }
 
+  test("IVF cell assignment is never duplicated into an inferred not-null filter") {
+    // nullable cid let every cid-equi join infer an IsNotNull filter whose
+    // constraint substitution inlined the whole literal-codebook distance
+    // scan (2-3 evaluations per corpus row across the IVF/semantic
+    // families). The coalesce-narrowed assignment leaves nothing to infer.
+    for (df <- Seq(
+      graft.operators.Similarity.ivfCosineTopK(spark, Sf),
+      graft.operators.Similarity.semDedupDecisions(spark, Sf))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("isnotnull(element_at("),
+        "assignment expression leaked into an inferred filter")
+    }
+  }
+
+  test("fuzzy-lev verify pays at most one DP per conjunct site") {
+    // the threshold kernel returns -1 past the bound, so `lev >= 0` is the
+    // whole filter; the old second conjunct re-ran the banded DP per pair
+    val plan = graft.operators.Dedup.fuzzyLevPairs(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    val evals = "levenshtein".r.findAllIn(plan).length
+    assert(evals <= 2,
+      s"expected <= 2 levenshtein sites (condition + projection), saw $evals")
+  }
+
   test("ngram jaccard sized-intersect form matches the intersect/union definition") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, Sf, maxDocId = 60L).collect()
