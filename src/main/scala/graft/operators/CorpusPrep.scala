@@ -417,13 +417,16 @@ object CorpusPrep {
       // O(L×S) per document (the boilerplateScrub lesson)
       .join(broadcast(common.agg(
         array_sort(collect_set("line_fp")).as("common_set"))))
+      // `lines` staged once: the drop count re-split the text a second
+      // time when written inline (r19)
+      .withColumn("lines", split(col("text"), "\\n"))
       .withColumn("kept", expr(
-        """filter(split(text, '\\n'),
+        """filter(lines,
              l -> NOT sorted_contains(common_set, xxhash64(l)))"""))
       .select(col("doc_id"),
         concat_ws("\n", col("kept")).as("text"),
         size(col("kept")).cast("long").as("n_lines_kept"),
-        (size(split(col("text"), "\\n")) - size(col("kept")))
+        (size(col("lines")) - size(col("kept")))
           .cast("long").as("n_lines_dropped"))
       .orderBy("doc_id")
   }
@@ -437,11 +440,17 @@ object CorpusPrep {
       spark: SparkSession,
       sfDir: String,
       lineTokens: Int = 8): DataFrame =
+    // `toks` staged once per document: written inline, the split sat
+    // INSIDE the per-line lambda and re-tokenized the document once per
+    // emitted line (O(lines × tokens) per doc — r19 plan audit; three
+    // bench rows consume this frame). Same string out.
     IO.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"), expr(
         s"""concat_ws('\\n', transform(
-              sequence(0, (size(split(text, ' ')) - 1) div $lineTokens),
-              i -> concat_ws(' ', slice(split(text, ' '), i * $lineTokens + 1, $lineTokens))))""")
+              sequence(0, (size(toks) - 1) div $lineTokens),
+              i -> concat_ws(' ', slice(toks, i * $lineTokens + 1, $lineTokens))))""")
         .as("text"))
 
   /** The registered line-dedup query: re-line the corpus at 8 tokens per

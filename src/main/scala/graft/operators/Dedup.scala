@@ -584,7 +584,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simHashPairs(
       materializeIfLarge(simHashBanded(spark, sfDir),
-        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+        estWindowRows(spark, sfDir)),
       maxHamming, sorted = false)
 
   /** [[simHashNearDupPairsMd5]] without the presentation sort (cluster
@@ -596,7 +596,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simHashPairs(
       materializeIfLarge(simHashBandedFrom(simHashSignaturesMd5(spark, sfDir)),
-        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+        estWindowRows(spark, sfDir)),
       maxHamming, sorted = false)
 
   def simHashNearDupPairs(
@@ -606,10 +606,14 @@ object Dedup {
     // size-adaptive localCheckpoint: both sides of the band self-join read
     // the banded frame; without materialization the signature stage runs
     // twice — cheap below the threshold, the dominant cost above it (see
-    // minHashNearDupPairs / SCALING.md)
+    // minHashNearDupPairs / SCALING.md). Gate currency is the TOKEN count
+    // (r19): the threshold decides recompute-vs-checkpoint and what
+    // recomputes is the per-token hash pass, not the |docs|-row banded
+    // output — rowCount undersized the gate 50× right at the sf0.1 cut
+    // and every clustering consumer paid the signature pass twice.
     simHashPairs(
       materializeIfLarge(simHashBanded(spark, sfDir),
-        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+        estWindowRows(spark, sfDir)),
       maxHamming)
 
   /** md5-prefix signatures: the token hash is the first 60 bits of
@@ -641,7 +645,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simHashPairs(
       materializeIfLarge(simHashBandedFrom(simHashSignaturesMd5(spark, sfDir)),
-        IO.parquetRowCount(spark, s"$sfDir/documents.parquet")),
+        estWindowRows(spark, sfDir)),
       maxHamming)
 
   // --------------------------------------------------------------------
@@ -1612,9 +1616,16 @@ object Dedup {
         .winnowFingerprintFrame(IO.table(spark, sfDir, "documents"), k, w)
         .withColumnRenamed("fp", "wh"),
       maxDf,
-      // selected volume ≈ 2/(w+1) of the gram count — size the
-      // materialization gate to what actually explodes
-      estWindowRows(spark, sfDir) * 2 / (w + 1),
+      // Gate on the GRAM count, not the ~2/(w+1) selected volume (r19):
+      // the threshold decides recompute-vs-checkpoint, and what recomputes
+      // is the full md5-per-gram selection pass — which the downstream
+      // kept⋈kept self-join otherwise re-derives FOUR times (kept =
+      // exploded⋈keep(exploded), both join sides; the r19 before plan
+      // shows 4 document scans). The selected volume undersized the gate
+      // right at the sf0.1 cut (101k rows vs the 200k threshold) and the
+      // row paid 4 selection passes; what lands in the checkpoint is
+      // still only the selected rows.
+      estWindowRows(spark, sfDir),
       sorted = false)
       .select(col("doc_a"), col("doc_b"),
         col("n_shared_windows").as("n_shared_fps"))

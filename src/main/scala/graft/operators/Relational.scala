@@ -953,6 +953,12 @@ object Relational {
         Window.partitionBy("user_id").orderBy("item")))
       .filter(col("rn") <= maxBasket)
       .select("user_id", "item")
+      // FOUR consumers below (item counts, user total, both pair sides) —
+      // uncheckpointed, each re-paid the events scan + the distinct and
+      // window exchanges (r19 before plan: 5 event scans). The basket is
+      // the capped (user, item) frame — one materialization beats four
+      // re-derivations at any scale (the minHashNearDupPairs rationale).
+      .localCheckpoint()
     val ni = basket.groupBy("item").agg(count(lit(1)).as("n"))
     val total = basket.select("user_id").distinct()
       .agg(count(lit(1)).as("u"))
