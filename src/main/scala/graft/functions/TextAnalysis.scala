@@ -645,16 +645,28 @@ object TextAnalysis {
   private[graft] def winnowFingerprintFrame(
       docs: DataFrame,
       k: Int,
-      w: Int): DataFrame =
+      w: Int): DataFrame = {
+    // Per-position element_at chains instead of slice() (r19): slice
+    // allocated a fresh k-array per gram and a w-array per window — pure
+    // allocator traffic on the hottest map pass of the winnow family.
+    // Value-identical including the short-doc clamp: element_at past the
+    // end is null (non-ANSI), concat_ws SKIPS nulls (same string the
+    // truncated slice produced) and least() ignores nulls (same minimum
+    // the truncated window produced); position 1 always exists, so an
+    // all-null least can't arise. The md5-gram VALUES are unchanged —
+    // same oracle.
+    val gram = (0 until k).map(o => s"element_at(toks, i + $o)").mkString(", ")
+    val win = (0 until w).map(o => s"element_at(gh, i + $o)").mkString(", ")
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("gh", expr(
         s"""transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
-            i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"""))
+            i -> cast(conv(substring(md5(cast(concat_ws(' ', $gram) as binary)), 1, 15), 16, 10) as bigint))"""))
       .select(col("doc_id"),
         explode(array_distinct(expr(
           s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)),
-              i -> array_min(slice(gh, i, $w)))"""))).as("fp"))
+              i -> least($win))"""))).as("fp"))
+  }
 
   /** Registered surface of [[winnowFingerprintFrame]]: the selected
     * fingerprint set per document as (doc_id, fp) rows.

@@ -97,6 +97,30 @@ class Round19OptSpec extends SparkTestBase {
     assert(evals === 1, s"expected exactly 1 array_max in the plan, saw $evals")
   }
 
+  test("winnow element_at gram/window chains equal the slice forms") {
+    import spark.implicits._
+    val (k, w) = (3, 4)
+    // short docs (< k tokens), docs with < w grams, tie-heavy repeats
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a a a a a a"), (6L, "x y z x y z x y z x y"),
+      (7L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val now = TextAnalysis.winnowFingerprintFrame(docs, k, w)
+      .orderBy("doc_id", "fp").collect()
+    val sliceForm = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gh", expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
+            i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"""))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"""transform(sequence(1, greatest(size(gh) - ${w - 1}, 1)),
+              i -> array_min(slice(gh, i, $w)))"""))).as("fp"))
+      .orderBy("doc_id", "fp").collect()
+    assert(now.toSeq === sliceForm.toSeq)
+  }
+
   test("IVF cell assignment is never duplicated into an inferred not-null filter") {
     // nullable cid let every cid-equi join infer an IsNotNull filter whose
     // constraint substitution inlined the whole literal-codebook distance
