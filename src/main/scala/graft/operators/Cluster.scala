@@ -32,11 +32,14 @@ import graft.sources.IO
   *   - no driver-side graph: the driver sees two longs per round (the
   *     convergence signature), nothing else.
   *
-  * Each round ends in an eager `localCheckpoint` — mandatory for iterative
+  * Each round ends in a LAZY `localCheckpoint` materialized by the round's
+  * star-forest check — checkpointing is mandatory for iterative
   * self-referential plans (the lineage doubles per round and would blow up
   * the planner long before data size matters; see SCALING.md
   * "Materialization & failure-recovery policy" for the recovery caveat and
-  * the reliable-checkpoint production alternative).
+  * the reliable-checkpoint production alternative), and fusing the
+  * materialization into the check's job halves the loop's driver
+  * roundtrips (one action per round, not two).
   */
 object Cluster {
 
@@ -57,6 +60,15 @@ object Cluster {
     * public API.
     */
   @volatile private[graft] var lastRunStats: Option[(Int, Long)] = None
+
+  /** Spark ACTIONS the most recent [[componentsWithRounds]] call paid —
+    * the driver-roundtrip currency of the loop floor (the
+    * `LinkGraph.lastSccActions` convention). One action per round since
+    * the r20 fusion (the star-forest check's collect is the job that
+    * materializes the round's lazy checkpoint); the telemetry keeps the
+    * fusion honest in the bench payload.
+    */
+  @volatile private[graft] var lastRunActions: Option[Int] = None
 
   /** Connected components of the undirected graph given as an edge list.
     * Returns one (node, component) row per distinct node that appears in
@@ -80,12 +92,20 @@ object Cluster {
     // immediately — every loop round then runs on the contracted set
     // instead of the raw pair list. smallStar orients and dedups
     // internally, so the raw selection needs no distinct of its own.
+    // LAZY checkpoint (the LinkGraph fbFixpoint convention): the
+    // star-forest check that immediately follows is the action that
+    // materializes the round's blocks inside ITS job — one driver
+    // roundtrip per round instead of two (checkpoint + check). Safe
+    // because starForestCheck scans the frame exactly ONCE (the explode
+    // form below); a second scan before the cache fills would compute
+    // every partition twice.
     var e = smallStar(
       edges
         .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .where(col("u") =!= col("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var rounds = 0
+    var actions = 1 // the pre-shrink check below
     // Structural convergence test instead of a signature-equality loop: a
     // min-rooted star forest is EXACTLY a fixed point of
     // smallStar∘largeStar (stars rooted elsewhere get re-parented by the
@@ -122,11 +142,13 @@ object Cluster {
         val t0 = System.nanoTime()
         spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
         spark.conf.set(initialKey, roundParts(edgeCount))
-        val next = smallStar(largeStar(e)).localCheckpoint()
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
         val t1 = System.nanoTime()
-        // one fused job refreshes the count (so the NEXT round's shuffle
-        // width tracks the contraction) AND tests convergence
+        // ONE fused job per round: the check's collect materializes the
+        // lazy checkpoint, refreshes the count (so the NEXT round's
+        // shuffle width tracks the contraction) AND tests convergence
         val (conv, cnt) = starForestCheck(next)
+        actions += 1
         converged = conv
         edgeCount = cnt
         if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -150,6 +172,7 @@ object Cluster {
       .groupBy("node")
       .agg(min("component").as("component"))
     lastRunStats = Some((rounds, edgeCount))
+    lastRunActions = Some(actions)
     (comp, rounds)
   }
 
@@ -215,6 +238,7 @@ object Cluster {
     val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
     parent.keySet.forEach(n => rows += ((n.longValue(), find(n))))
     lastRunStats = Some((0, nEdges))
+    lastRunActions = Some(1) // the caller's edge collect
     spark.createDataFrame(rows.toSeq).toDF("node", "component")
   }
 
@@ -238,8 +262,18 @@ object Cluster {
     * pays one driver job per round for sizing AND convergence.
     */
   private def starForestCheck(e: DataFrame): (Boolean, Long) = {
-    val roles = e.select(col("u").as("n"), col("v").as("parent"))
-      .unionByName(e.select(col("v").as("n"), lit(null).cast("long").as("parent")))
+    // ONE scan of the round frame: each edge explodes inline into its
+    // child role (u, parent = v) and its parent role (v, null). The
+    // two-branch union this replaced read the frame twice — harmless on
+    // an eagerly checkpointed round, but the rounds are now LAZILY
+    // checkpointed and this check is the job that materializes them, so
+    // a second branch would compute every partition twice before the
+    // cache fills. Same rows, same aggregation, same verdict.
+    val roles = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("parent")),
+        struct(col("v").as("n"), lit(null).cast("long").as("parent"))))
+      .as("role"))
+      .select(col("role.n").as("n"), col("role.parent").as("parent"))
     val row = roles.groupBy("n")
       .agg(count(col("parent")).as("np"), count(lit(1)).as("total"))
       .agg(

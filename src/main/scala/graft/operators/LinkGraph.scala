@@ -1130,8 +1130,14 @@ object LinkGraph {
       // board's slowest graph row
       val tBuild = System.nanoTime()
       val (edges, nodes) = transitionGraphStored(spark, sfDir)
-      val bb = backboneOf(edges).select("src", "dst").localCheckpoint()
-      val nn = nodes.select("node").localCheckpoint()
+      // LAZY (r20): nn is materialized by sccOver's own nodes.count(),
+      // bb by the first sweep's e2 job — two fewer standalone driver
+      // roundtrips. Note the build/loop telemetry consequence: the
+      // backbone window now executes inside the loop's first job, so
+      // build_sec reads ≈ 0 and the loop wall absorbs the build.
+      val bb = backboneOf(edges).select("src", "dst")
+        .localCheckpoint(eager = false)
+      val nn = nodes.select("node").localCheckpoint(eager = false)
       val buildSec = (System.nanoTime() - tBuild) / 1e9
       val tLoop = System.nanoTime()
       // sccOver's FW-BW loop is internally eager (every sweep ends in
@@ -1307,9 +1313,13 @@ object LinkGraph {
       strict: Boolean = true,
       preMaterialized: Boolean = false): DataFrame = {
     // preMaterialized: the caller already checkpointed both frames (the
-    // build/loop telemetry split) — re-checkpointing would copy blocks
-    val edges = if (preMaterialized) edges0 else edges0.localCheckpoint()
-    val nodes = if (preMaterialized) nodes0 else nodes0.localCheckpoint()
+    // build/loop telemetry split) — re-checkpointing would copy blocks.
+    // The local wraps are LAZY: the count below materializes nodes, the
+    // first sweep's e2 job materializes edges — no standalone roundtrips
+    val edges = if (preMaterialized) edges0
+      else edges0.localCheckpoint(eager = false)
+    val nodes = if (preMaterialized) nodes0
+      else nodes0.localCheckpoint(eager = false)
     val nNodes = nodes.count()
     // Sweep/round budgets SCALE with the graph instead of being magic
     // constants (ADVICE r11): FW-BW sweep depth follows the SCC-DAG
@@ -1321,8 +1331,12 @@ object LinkGraph {
     val sweepCap = if (maxSweeps > 0) maxSweeps else 20 + log2n
     val bcast = nNodes <= BroadcastNodeCeiling
     def bc(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // LAZY: the first sweep's e2 broadcasts materialize it — the init
+    // frame is a trivial projection over the (checkpointed) nodes, so
+    // the per-consumer recompute before the cache fills is free and the
+    // standalone materialization roundtrip is not paid
     var lab = nodes.select(col("node"), lit(0L).as("f"), lit(0L).as("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var sweeps = 0
     var done = false
     var openCnt = 0L
@@ -1330,7 +1344,19 @@ object LinkGraph {
     // currency the local-mode floor is measured in (~200 ms/action) —
     // emitted via lastSccActions so the bench payload shows whether a
     // slow scc row is data or roundtrip-bound
-    var actions = (if (preMaterialized) 0 else 2) + 2 // count + lab ckpt
+    var actions = 1 // nodes count (the lazy wraps ride later jobs)
+    // Below the ceiling every per-round plan is broadcast-joins-only —
+    // no exchange for AQE to re-plan — yet each round still pays AQE's
+    // adaptive wrapper (stage-by-stage re-optimization, one job per
+    // materialized stage) ~13×/run on the driver. Turning it off for
+    // the loop trades nothing (there is no shuffle to coalesce or skew
+    // to split in these plans at ANY scale) for a per-round planning
+    // constant; past the ceiling the joins shuffle and AQE stays on.
+    val spark0 = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark0.conf.get(aqeKey)
+    if (bcast) spark0.conf.set(aqeKey, "false")
+    try {
     while (!done && sweeps < sweepCap) {
       // a node with f == b is RESOLVED: f is its SCC's min member
       // (f = b = x proves v ∈ SCC(x) with nothing smaller mutual, and
@@ -1349,17 +1375,28 @@ object LinkGraph {
           col("f").as("tf"), col("b").as("tb"))), "dst")
         .where(col("sf") === col("tf") && col("sb") === col("tb"))
         .select("src", "dst")
+      // Below the broadcast ceiling e2's checkpoint is LAZY: the
+      // fixpoint's round-1 certificate is the job that materializes it
+      // (e2 is cached-edges ⋈ two broadcast label projections — cheap
+      // map-side work, and the only consumer before the cache fills is
+      // that one job). Past the ceiling the joins shuffle, so the eager
+      // materialization stays — recomputing a shuffle per consumer
+      // would cost more than the roundtrip it saves.
+      val e2ck =
+        if (bcast) checkpointLazyFreshStats(e2)
+        else { actions += 1; checkpointFreshStats(e2) }
       val (refreshed, fbActs, fbOpen) =
-        fbFixpoint(checkpointFreshStats(e2), open.select("node"), bc,
+        fbFixpoint(e2ck, open.select("node"), bc,
           maxRounds = 25 + log2n)
-      actions += 1 + fbActs
+      actions += fbActs
       lab =
         if (sweeps == 0) refreshed
-        else {
-          actions += 1
-          checkpointFreshStats(
+        else
+          // LAZY: both inputs are cached (refreshed by its last
+          // certificate, the old lab by its own sweep), so the next
+          // consumer's recompute is a filter+union over cached blocks
+          checkpointLazyFreshStats(
             lab.where(col("f") === col("b")).unionByName(refreshed))
-        }
       // every still-open row lives in the refreshed frame (resolved
       // rows have f = b by construction), so the fixpoint's fused
       // open-count IS lab's — the old standalone isEmpty/count reads
@@ -1367,6 +1404,9 @@ object LinkGraph {
       openCnt = fbOpen
       done = openCnt == 0
       sweeps += 1
+    }
+    } finally {
+      if (bcast) spark0.conf.set(aqeKey, aqeBefore)
     }
     // strict (the oracled exact operator): an unconverged run must be a
     // loud failure, never silently-wrong scc_ids flowing into rollups.
@@ -1532,32 +1572,42 @@ object LinkGraph {
     // overflow at billions of nodes × 2⁶³ ids — strictly decreases
     // until the fixpoint; an unchanged pair across a round proves no
     // element moved. One 1-row aggregate per round instead of a
-    // change-detection join; the open-row count rides the same row.
+    // change-detection join; the open-row count rides the same row, and
+    // so does Σnode (see the round-1 fusion below).
     def certificate(mdf: DataFrame)
-        : (java.math.BigDecimal, java.math.BigDecimal, Long) = {
+        : (java.math.BigDecimal, java.math.BigDecimal, Long,
+           java.math.BigDecimal) = {
       val r = mdf.agg(
         sum(col("f").cast("decimal(38,0)")).as("sf"),
         sum(col("b").cast("decimal(38,0)")).as("sb"),
-        sum(when(col("f") =!= col("b"), 1L).otherwise(0L)).as("open"))
+        sum(when(col("f") =!= col("b"), 1L).otherwise(0L)).as("open"),
+        sum(col("node").cast("decimal(38,0)")).as("sn"))
         .collect()(0)
       (r.getDecimal(0), r.getDecimal(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        if (r.isNullAt(2)) 0L else r.getLong(2), r.getDecimal(3))
     }
     var actions = 0
     // LAZY checkpoints: the certificate that follows each is the action
     // that materializes it — one roundtrip per round, not two
     var m = checkpointLazyFreshStats(
       nodes.select(col("node"), col("node").as("f"), col("node").as("b")))
-    var cert = certificate(m)
-    actions += 1
+    // The INITIAL certificate is known analytically — m0 has f = b =
+    // node, so (Σf, Σb) = (Σnode, Σnode) — and step preserves the node
+    // set, so Σnode read off round 1's certificate equals m0's. The old
+    // standalone init-certificate action (one extra driver roundtrip
+    // per sweep) is gone; round 1 compares against the analytic pair.
+    var cert: (java.math.BigDecimal, java.math.BigDecimal) = null
+    var openCnt = 0L
     var rounds = 0
     var changed = true
     while (changed && rounds < maxRounds) {
       m = checkpointLazyFreshStats(step(m))
       val next = certificate(m)
       actions += 1
-      changed = (next._1, next._2) != ((cert._1, cert._2))
-      cert = next
+      val prev = if (rounds == 0) (next._4, next._4) else cert
+      changed = (next._1, next._2) != prev
+      cert = (next._1, next._2)
+      openCnt = next._3
       rounds += 1
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
         println(s"[scc] fb round $rounds changed=$changed " +
@@ -1565,7 +1615,7 @@ object LinkGraph {
     }
     require(!changed,
       s"SCC min propagation did not converge in $maxRounds rounds")
-    (m, actions, cert._3)
+    (m, actions, openCnt)
   }
 
   /** Sweeps of the most recent [[sccOver]] — the convergence-bound
