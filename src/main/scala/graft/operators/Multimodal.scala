@@ -94,6 +94,12 @@ object Multimodal {
   private[graft] val rawDecodeBuilds = new java.util.concurrent.atomic.AtomicLong
   private[graft] val containerDecodeBuilds = new java.util.concurrent.atomic.AtomicLong
 
+  /** One tick per constructed FUSED audited-face pass (fingerprint +
+    * container audit off one documents scan) — the r20 decision-row
+    * decode product; PlanAuditSpec pins the capstone to exactly one.
+    */
+  private[graft] val fusedDecodeBuilds = new java.util.concurrent.atomic.AtomicLong
+
   case class MediaMeta(kind: String, sizeBytes: Long, width: Int, height: Int)
   case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
@@ -113,8 +119,11 @@ object Multimodal {
   private[graft] def mediaFromDocumentsFrame(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     rawDecodeBuilds.incrementAndGet()
-    docs
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    // widen-if-narrow BEFORE the decode kernel: the single-row-group
+    // testdata scan is one task, and decode+hash is the dominant
+    // per-row cost — see IO.widened (no-op at production widths)
+    graft.sources.IO.widened(
+      docs.select(col("doc_id"), col("text"), col("n_chars")))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val bytes = text.getBytes("UTF-8")
@@ -203,41 +212,15 @@ object Multimodal {
   private[graft] def mediaWithHeadersFrame(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     containerDecodeBuilds.incrementAndGet()
-    docs
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    // widen-if-narrow BEFORE the synthesis+parse kernel (IO.widened)
+    graft.sources.IO.widened(
+      docs.select(col("doc_id"), col("text"), col("n_chars")))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val data = text.getBytes("UTF-8")
         val w = (nChars % 640).toInt + 1
         val h = (nChars % 480).toInt + 1
-        val payload = (id % 6) match {
-          case 0 | 3 => encodePng(w, h, data)
-          case 1 | 4 => encodeJpeg(w, h, data)
-          case 2 =>
-            // the audio duration split (r18, the MP4 movie-clock
-            // pattern): %12==2 keeps telephony-band rates (8-15 kHz —
-            // every sub-KB payload is then sub-35 ms and r_short
-            // honestly FAILS), %12==8 is a low-byte-rate telemetry
-            // stream (rate ≈ n_chars/4 Hz, mono — duration ≥ 500 ms,
-            // r_short PASSES), so the rule gates real audio rows both
-            // ways instead of failing the whole modality. The slice
-            // trades r_rate (sub-11 kHz fails the telephony floor) —
-            // at ≤ 550 payload bytes a WAV passing BOTH rate and
-            // duration is physically impossible (100 ms at 11 kHz
-            // mono 16-bit needs 2200 data bytes).
-            if (id % 12 == 8) encodeWav((nChars / 4).toInt.max(1), 1, data)
-            else encodeWav(8000 + (nChars % 8).toInt * 1000,
-              ((id / 6) % 2).toInt + 1, data)
-          case _ =>
-            // the duration-bearing split (r17): %12==5 carries a real
-            // movie clock (1.0-5.0 s — clears the 100 ms floor),
-            // %12==11 a SHORT clip (16-98 ms — fails it), so r_short
-            // gates WITHIN the modality, not merely along the format
-            // line. The mdat content is untouched either way.
-            val dur = if (id % 12 == 11) (nChars % 50).toInt + 10
-                      else (nChars % 2400).toInt + 600
-            encodeMp4(w, h, 600, dur, data)
-        }
+        val payload = encodeContainer(id, nChars, data)
         val kind = (id % 6) match {
           case 0 | 1 | 3 | 4 => "image"
           case 2 => "audio"
@@ -245,6 +228,47 @@ object Multimodal {
         }
         MediaRecord(id, payload, MediaMeta(kind, payload.length.toLong, w, h))
       }
+  }
+
+  /** The container SYNTHESIS kernel — the single definition of how a
+    * document becomes genuine container bytes, shared by
+    * [[mediaWithHeadersFrame]] and the fused audited-face pass so the
+    * two can never drift.
+    */
+  private[graft] def encodeContainer(
+      id: Long,
+      nChars: Long,
+      data: Array[Byte]): Array[Byte] = {
+    val w = (nChars % 640).toInt + 1
+    val h = (nChars % 480).toInt + 1
+    (id % 6) match {
+      case 0 | 3 => encodePng(w, h, data)
+      case 1 | 4 => encodeJpeg(w, h, data)
+      case 2 =>
+        // the audio duration split (r18, the MP4 movie-clock
+        // pattern): %12==2 keeps telephony-band rates (8-15 kHz —
+        // every sub-KB payload is then sub-35 ms and r_short
+        // honestly FAILS), %12==8 is a low-byte-rate telemetry
+        // stream (rate ≈ n_chars/4 Hz, mono — duration ≥ 500 ms,
+        // r_short PASSES), so the rule gates real audio rows both
+        // ways instead of failing the whole modality. The slice
+        // trades r_rate (sub-11 kHz fails the telephony floor) —
+        // at ≤ 550 payload bytes a WAV passing BOTH rate and
+        // duration is physically impossible (100 ms at 11 kHz
+        // mono 16-bit needs 2200 data bytes).
+        if (id % 12 == 8) encodeWav((nChars / 4).toInt.max(1), 1, data)
+        else encodeWav(8000 + (nChars % 8).toInt * 1000,
+          ((id / 6) % 2).toInt + 1, data)
+      case _ =>
+        // the duration-bearing split (r17): %12==5 carries a real
+        // movie clock (1.0-5.0 s — clears the 100 ms floor),
+        // %12==11 a SHORT clip (16-98 ms — fails it), so r_short
+        // gates WITHIN the modality, not merely along the format
+        // line. The mdat content is untouched either way.
+        val dur = if (id % 12 == 11) (nChars % 50).toInt + 10
+                  else (nChars % 2400).toInt + 600
+        encodeMp4(w, h, 600, dur, data)
+    }
   }
 
   // ---- container encoders (pure JVM, deterministic) ----
@@ -702,6 +726,52 @@ object Multimodal {
       .toDF("media_id", "kind", "n_bytes", "sig", "ffix")
   }
 
+  /** One fused content-face row ([[contentAuditedFace]]): fmt and
+    * fidelity for EVERY media off the dims walk, face columns present
+    * only when content extraction succeeds.
+    */
+  private[graft] final case class ContentAuditedRow(
+      media_id: Long,
+      fmt: String,
+      fidelity: Long,
+      content_bytes: Option[Long],
+      sig: Option[Long],
+      ffix: Option[Array[Long]])
+
+  /** The fused CONTENT pass (r20): one container synthesis + header walk
+    * per media emitting the content fingerprint face AND the
+    * dims-derived fidelity — [[contentNearDupDecision]]'s single decode
+    * product (kernels shared with [[contentFingerprintFace]] /
+    * [[auditOf]], so the values cannot drift).
+    */
+  private[graft] def contentAuditedFace(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaWithHeaders(spark, sfDir)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val (fmt, w, h, sr, ch) = parseMediaDims(r.payload)
+          val c = extractContent(r.payload)
+          ContentAuditedRow(r.media_id, fmt,
+            fidelityOf(fmt, w, h, sr, ch, r.meta.sizeBytes),
+            c.map(_.length.toLong), c.map(mediaSimHash(_, md)),
+            c.map(segmentFix))
+        }
+      }
+      .toDF()
+  }
+
+  /** Plan-level non-null stamp (the [[graft.sources.IO.readStamped]]
+    * idiom, locally): narrows an Option-encoded column the caller has
+    * already filtered non-null, so the banded consumers' codegen stays
+    * branch-free; an actually-null value fails loudly instead of
+    * becoming codegen garbage.
+    */
+  private def assertNN(c: org.apache.spark.sql.Column, why: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), Seq(why)))
+
   /** CROSS-FORMAT content NEAR-dup pairs: the near-dup analogue of
     * [[contentDedup]] (which needs EXACT content-md5 equality). Same
     * windows and the same lossless band-plus-flip blocking as
@@ -749,14 +819,24 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    val face = contentFingerprintFace(spark, sfDir).localCheckpoint()
+    // ONE container pass (r20): the fused content face carries the
+    // content fingerprint AND the dims-derived fidelity per media (the
+    // old shape re-synthesized and re-walked every container a second
+    // time through fidelityFrame just for its fidelity column, then
+    // re-attached it by a media_id join). Extraction failures ride the
+    // same frame with null face columns — exactly the rows the old left
+    // join produced.
+    val fused = contentAuditedFace(spark, sfDir).localCheckpoint()
+    val face = fused.where(col("sig").isNotNull)
+      .select(col("media_id"), col("fmt").as("kind"),
+        assertNN(col("content_bytes"), "content face n_bytes").as("n_bytes"),
+        assertNN(col("sig"), "content face sig").as("sig"),
+        assertNN(col("ffix"), "content face ffix").as("ffix"))
     val pairs = nearDupPairsOver(face, lenWindow, maxHamming, l1Window,
       kindBlocked = false)
     val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
       .withColumnRenamed("node", "media_id")
-    val base = fidelityFrame(spark, sfDir)
-      .join(face.select(col("media_id"), col("n_bytes").as("content_bytes")),
-        Seq("media_id"), "left")
+    val base = fused
       .join(comp, Seq("media_id"), "left")
       .select(col("media_id"), col("fmt"),
         coalesce(col("component"), col("media_id")).as("component_id"),
@@ -1043,6 +1123,73 @@ object Multimodal {
       .toDF("media_id", "kind", "n_bytes", "sig", "ffix")
   }
 
+  /** One fused audited-face row: the fingerprint face columns (sig/ffix
+    * over the RAW payload bytes, kind from the %3 modality map — exactly
+    * [[fingerprintFaceFrom]]'s contract) plus the container-audit columns
+    * ([[containerAudit]]'s contract: fmt, rule battery, keep, fidelity
+    * off the synthesized container walk).
+    */
+  private[graft] final case class AuditedFaceRow(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sig: Long,
+      ffix: Array[Long],
+      fmt: String,
+      r_parse: Boolean,
+      r_min_pixels: Option[Boolean],
+      r_aspect: Option[Boolean],
+      r_rate: Option[Boolean],
+      r_short: Option[Boolean],
+      r_dominant: Option[Boolean],
+      keep: Boolean,
+      fidelity: Long)
+
+  /** The FUSED decode pass (r20): ONE documents scan emitting, per
+    * media, the fingerprint face AND the container audit. Before this,
+    * every decision row paid two decode passes — a raw fingerprint pass
+    * plus a full container pass consumed only for its fidelity column —
+    * and re-attached the two by a media_id join. The fused pass
+    * synthesizes the container once, walks its headers once, and hashes
+    * the raw bytes once, so the decision rows read fidelity (and the
+    * curation capstone its quality gate) straight off the face: one
+    * decode product per decision row, no re-attach join. At 100 TB the
+    * decode IS the dominant cost, so halving the pass count is the
+    * honest production shape, not a bench shortcut.
+    *
+    * Column-for-column parity with the two passes it replaces is
+    * kernel-shared ([[encodeContainer]], [[auditOf]], [[mediaSimHash]],
+    * [[segmentFix]]) and spec-pinned (Round20OptSpec).
+    */
+  private[graft] def auditedFace(
+      spark: SparkSession,
+      sfDir: String,
+      fast: Boolean = false): DataFrame = {
+    import spark.implicits._
+    fusedDecodeBuilds.incrementAndGet()
+    // widen-if-narrow BEFORE the fused decode kernel (IO.widened)
+    graft.sources.IO.widened(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("n_chars")))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md =
+          if (fast) null else java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, nChars) =>
+          val data = text.getBytes("UTF-8")
+          val kind =
+            if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+          val payload = encodeContainer(id, nChars, data)
+          val a = auditOf(payload, payload.length.toLong)
+          AuditedFaceRow(id, kind, data.length.toLong,
+            if (fast) mediaSimHashFast(data) else mediaSimHash(data, md),
+            segmentFix(data), a.fmt, a.rParse, a.rPixels, a.rAspect,
+            a.rRate, a.rShort, a.rDom, a.keep, a.fidelity)
+        }
+      }
+      .toDF()
+  }
+
   /** The fingerprint itself as an oracled row: the DuckDB replay walks
     * the same hex/md5/majority chain, so a hash match certifies the
     * whole signature path — the mm_face_segments convention applied to
@@ -1247,45 +1394,80 @@ object Multimodal {
     records
       .mapPartitions { it =>
         it.map { r =>
-          val (fmt, w, h, sr, ch) = parseMediaDims(r.payload)
-          val (_, _, durMs) = parseMediaExtent(r.payload)
-          val parseOk = fmt != "unknown"
-          val visual = fmt == "png" || fmt == "jpeg" || fmt == "mp4"
-          val rPixels: Option[Boolean] =
-            if (visual) Some((for { ww <- w; hh <- h }
-              yield ww.toLong * hh.toLong >= MediaMinPixels).getOrElse(false))
-            else None
-          val rAspect: Option[Boolean] =
-            if (visual) Some((for { ww <- w; hh <- h }
-              yield math.max(ww, hh).toLong <= MediaAspectMax * math.min(ww, hh).toLong)
-              .getOrElse(false))
-            else None
-          val rRate: Option[Boolean] =
-            if (fmt == "wav") Some(sr.exists(_ >= MediaMinRate)) else None
-          val rShort: Option[Boolean] =
-            if (fmt == "wav" || fmt == "mp4")
-              Some(durMs.exists(_ >= MediaMinDurationMs))
-            else None
-          val rDom: Option[Boolean] =
-            extractContent(r.payload).map(dominantByteOk)
-          val keep = parseOk && rPixels.getOrElse(true) &&
-            rAspect.getOrElse(true) && rRate.getOrElse(true) &&
-            rShort.getOrElse(true) && rDom.getOrElse(false)
-          val fid = fmt match {
-            case "png" | "jpeg" | "mp4" =>
-              (for { ww <- w; hh <- h } yield ww.toLong * hh.toLong)
-                .getOrElse(r.meta.sizeBytes)
-            case "wav" =>
-              (for { s <- sr; c <- ch } yield s.toLong * c.toLong)
-                .getOrElse(r.meta.sizeBytes)
-            case _ => r.meta.sizeBytes
-          }
-          (r.media_id, fmt, parseOk, rPixels, rAspect, rRate, rShort, rDom,
-            keep, fid)
+          val a = auditOf(r.payload, r.meta.sizeBytes)
+          (r.media_id, a.fmt, a.rParse, a.rPixels, a.rAspect, a.rRate,
+            a.rShort, a.rDom, a.keep, a.fidelity)
         }
       }
       .toDF("media_id", "fmt", "r_parse", "r_min_pixels", "r_aspect",
         "r_rate", "r_short", "r_dominant", "keep", "fidelity")
+  }
+
+  /** One container's audit verdict — the per-payload kernel of
+    * [[containerAudit]], factored out so the fused audited-face pass
+    * applies the IDENTICAL rule battery and fidelity derivation (any
+    * drift between the two would flip oracled decision rows).
+    */
+  private[graft] final case class ContainerVerdict(
+      fmt: String,
+      rParse: Boolean,
+      rPixels: Option[Boolean],
+      rAspect: Option[Boolean],
+      rRate: Option[Boolean],
+      rShort: Option[Boolean],
+      rDom: Option[Boolean],
+      keep: Boolean,
+      fidelity: Long)
+
+  private[graft] def auditOf(
+      payload: Array[Byte],
+      sizeBytes: Long): ContainerVerdict = {
+    val (fmt, w, h, sr, ch) = parseMediaDims(payload)
+    val (_, _, durMs) = parseMediaExtent(payload)
+    val parseOk = fmt != "unknown"
+    val visual = fmt == "png" || fmt == "jpeg" || fmt == "mp4"
+    val rPixels: Option[Boolean] =
+      if (visual) Some((for { ww <- w; hh <- h }
+        yield ww.toLong * hh.toLong >= MediaMinPixels).getOrElse(false))
+      else None
+    val rAspect: Option[Boolean] =
+      if (visual) Some((for { ww <- w; hh <- h }
+        yield math.max(ww, hh).toLong <= MediaAspectMax * math.min(ww, hh).toLong)
+        .getOrElse(false))
+      else None
+    val rRate: Option[Boolean] =
+      if (fmt == "wav") Some(sr.exists(_ >= MediaMinRate)) else None
+    val rShort: Option[Boolean] =
+      if (fmt == "wav" || fmt == "mp4")
+        Some(durMs.exists(_ >= MediaMinDurationMs))
+      else None
+    val rDom: Option[Boolean] =
+      extractContent(payload).map(dominantByteOk)
+    val keep = parseOk && rPixels.getOrElse(true) &&
+      rAspect.getOrElse(true) && rRate.getOrElse(true) &&
+      rShort.getOrElse(true) && rDom.getOrElse(false)
+    ContainerVerdict(fmt, parseOk, rPixels, rAspect, rRate, rShort, rDom,
+      keep, fidelityOf(fmt, w, h, sr, ch, sizeBytes))
+  }
+
+  /** The fidelity derivation off a parsed header — [[auditOf]]'s ranking
+    * column, factored so the fused content pass (which only walks dims,
+    * never extent/dominant) derives the IDENTICAL value.
+    */
+  private[graft] def fidelityOf(
+      fmt: String,
+      w: Option[Int],
+      h: Option[Int],
+      sr: Option[Int],
+      ch: Option[Int],
+      sizeBytes: Long): Long = fmt match {
+    case "png" | "jpeg" | "mp4" =>
+      (for { ww <- w; hh <- h } yield ww.toLong * hh.toLong)
+        .getOrElse(sizeBytes)
+    case "wav" =>
+      (for { s <- sr; c <- ch } yield s.toLong * c.toLong)
+        .getOrElse(sizeBytes)
+    case _ => sizeBytes
   }
 
   /** The media DEDUP DECISION: connected components over the near-dup
@@ -1312,13 +1494,14 @@ object Multimodal {
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
     nearDupDecisionFrom(spark, sfDir,
-      fingerprintFace(spark, sfDir).localCheckpoint(),
+      auditedFace(spark, sfDir).localCheckpoint(),
       lenWindow, maxHamming, l1Window)
   }
 
-  /** The decision tail over an explicit (already-checkpointed) face —
-    * shared by the md5 row and its fast-family twin (the fidelity frame
-    * comes from the container parse, independent of the hash family).
+  /** The decision tail over an explicit (already-checkpointed) AUDITED
+    * face — shared by the md5 row and its fast-family twin. The face
+    * carries its own fidelity column (the r20 fused pass), so the old
+    * second decode pass and its media_id re-attach join are gone.
     */
   private def nearDupDecisionFrom(
       spark: SparkSession,
@@ -1331,9 +1514,7 @@ object Multimodal {
       kindBlocked = true)
     val comp = Cluster.connectedComponents(pairs, "media_a", "media_b")
       .withColumnRenamed("node", "media_id")
-    val base = face.select("media_id", "n_bytes")
-      .join(fidelityFrame(spark, sfDir).select("media_id", "fidelity"),
-        Seq("media_id"))
+    val base = face.select("media_id", "n_bytes", "fidelity")
       .join(comp, Seq("media_id"), "left")
       .select(col("media_id"),
         coalesce(col("component"), col("media_id")).as("component_id"),
@@ -1367,7 +1548,7 @@ object Multimodal {
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame =
     nearDupDecisionFrom(spark, sfDir,
-      fingerprintFaceFast(spark, sfDir).localCheckpoint(),
+      auditedFace(spark, sfDir, fast = true).localCheckpoint(),
       lenWindow, maxHamming, l1Window)
 
   /** INCREMENTAL media near-dup — the per-batch serve shape every other
@@ -1569,14 +1750,17 @@ object Multimodal {
       sfDir: String,
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
-      l1Window: Long = MediaFpL1Window): DataFrame =
+      l1Window: Long = MediaFpL1Window): DataFrame = {
+    // ONE fused decode pass (r20) where the r17 shape paid two: the
+    // audited face carries fingerprint AND audit columns, checkpointed
+    // once and projected per gate
+    val fused = auditedFace(spark, sfDir).localCheckpoint()
     curationFrom(
-      fingerprintFace(spark, sfDir).localCheckpoint(),
-      containerAudit(mediaWithHeaders(spark, sfDir))
-        .select(col("media_id"), col("fmt"), col("keep").as("quality_ok"),
-          col("fidelity"))
-        .localCheckpoint(),
+      fused,
+      fused.select(col("media_id"), col("fmt"), col("keep").as("quality_ok"),
+        col("fidelity")),
       lenWindow, maxHamming, l1Window)
+  }
 
   /** The capstone over explicit faces — shared by the live row (which
     * builds and checkpoints both) and the stored row (which reads both
@@ -1605,55 +1789,15 @@ object Multimodal {
     curationElect(base).orderBy("media_id")
   }
 
-  /** Stable artifact path for the persisted container-audit face (the
-    * full [[containerAudit]] schema — rule columns, keep, fidelity).
-    * Version token mmaudit_v2 covers the r18 synthesis (the %12==8
-    * low-byte-rate WAV slice changed the audit rows); a ruleset or
-    * synthesis change bumps the token so stale audits miss.
-    */
-  private[graft] def mediaAuditArtifactPath(spark: SparkSession, sfDir: String): String =
-    graft.sources.IO.contentKeyedArtifactPath(spark,
-      s"$sfDir/documents.parquet", "text",
-      "mmaudit", s"mmaudit_v2|$sfDir") + ".parquet"
-
-  /** The container-audit face's declared schema. The modality rules are
-    * genuinely tri-state (null = rule not applicable to this format;
-    * r_dominant null = content extraction failed), so only the
-    * unconditional columns re-stamp non-null.
-    */
-  private[graft] val MediaAuditSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("fmt", StringType, nullable = true),
-      StructField("r_parse", BooleanType, nullable = false),
-      StructField("r_min_pixels", BooleanType, nullable = true),
-      StructField("r_aspect", BooleanType, nullable = true),
-      StructField("r_rate", BooleanType, nullable = true),
-      StructField("r_short", BooleanType, nullable = true),
-      StructField("r_dominant", BooleanType, nullable = true),
-      StructField("keep", BooleanType, nullable = false),
-      StructField("fidelity", LongType, nullable = false)))
-  }
-
-  /** Build the container-audit face ONCE and persist it — the second
-    * artifact [[curationDecisionsStored]] consumes (the fingerprint
-    * face is the first). One thin row per media: fmt, per-rule
-    * verdicts, keep, fidelity.
-    */
-  private[graft] def persistMediaAudit(spark: SparkSession, sfDir: String): String = {
-    val path = mediaAuditArtifactPath(spark, sfDir)
-    containerAudit(mediaWithHeaders(spark, sfDir))
-      .write.mode("overwrite").parquet(path)
-    path
-  }
-
-  /** [[curationDecisions]] served from BOTH persisted faces
+  /** [[curationDecisions]] served from the persisted audited face
     * (self-priming): the production re-curation shape — a threshold or
     * precedence change re-runs the trail over stored thin rows without
     * decoding a single payload (the live row's dominant cost is the
-    * two decode passes; this row's plan contains none). Row-identical
-    * to the live row by construction, so it reuses the live oracle.
+    * decode pass; this row's plan contains none). Since mmface_v3 the
+    * fingerprint face and the audit gates come off ONE artifact read —
+    * the second artifact (and its prime-time decode pass) is retired.
+    * Row-identical to the live row by construction, so it reuses the
+    * live oracle.
     */
   def curationDecisionsStored(
       spark: SparkSession,
@@ -1661,21 +1805,17 @@ object Multimodal {
       lenWindow: Long = NearDupLenWindow,
       maxHamming: Int = MediaFpMaxHamming,
       l1Window: Long = MediaFpL1Window): DataFrame = {
-    // checkpoint the artifact reads (the capstone consumes the face in
+    // checkpoint the artifact read (the capstone consumes the face in
     // six places; a parquet scan re-executes per consumer where the
-    // live row's checkpointed RDD does not) and serve both through the
+    // live row's checkpointed RDD does not) and serve it through the
     // stamped-read seam so the re-stamped non-null schema keeps the
     // band/verify codegen branch-free — off a plain nullable read the
     // "decode-free" path measured SLOWER than live at x100.
+    val fused = servedAuditedFace(spark, sfDir).localCheckpoint()
     curationFrom(
-      servedMediaFace(spark, sfDir).localCheckpoint(),
-      graft.sources.IO.servedArtifact(spark,
-          mediaAuditArtifactPath(spark, sfDir), MediaAuditSchema) {
-          persistMediaAudit(spark, sfDir); ()
-        }
-        .select(col("media_id"), col("fmt"), col("keep").as("quality_ok"),
-          col("fidelity"))
-        .localCheckpoint(),
+      fused,
+      fused.select(col("media_id"), col("fmt"), col("keep").as("quality_ok"),
+        col("fidelity")),
       lenWindow, maxHamming, l1Window)
   }
 
@@ -1769,10 +1909,16 @@ object Multimodal {
   private[graft] def mediaFaceArtifactPath(spark: SparkSession, sfDir: String): String =
     graft.sources.IO.contentKeyedArtifactPath(spark,
       s"$sfDir/documents.parquet", "text",
-      "mmface", s"mmface_v2|$sfDir") + ".parquet"
+      "mmface", s"mmface_v3|$sfDir") + ".parquet"
 
-  /** Build the full fingerprint face ONCE and persist it — the artifact
-    * [[decontamReportStored]] consumes. The eval fingerprint index is
+  /** Build the full AUDITED face ONCE and persist it — the artifact
+    * every stored mm row consumes. Token mmface_v3 (r20): the artifact
+    * now carries the container-audit columns (fmt, rule battery, keep,
+    * fidelity) fused alongside the fingerprint face, so ONE prime pass
+    * and one artifact serve both the fingerprint consumers
+    * ([[decontamReportStored]], the streams) and the curation capstone's
+    * quality/fidelity gates — the separate mmaudit artifact and its
+    * second decode pass are retired. The eval fingerprint index is
     * STATIC by definition (a benchmark suite changes on release cadence,
     * not per query) and the corpus face is the standing index a
     * production pipeline maintains across crawl batches — neither should
@@ -1780,21 +1926,29 @@ object Multimodal {
     */
   private[graft] def persistMediaFace(spark: SparkSession, sfDir: String): String = {
     val path = mediaFaceArtifactPath(spark, sfDir)
-    fingerprintFace(spark, sfDir)
+    auditedFace(spark, sfDir)
       .write.mode("overwrite").parquet(path)
     path
   }
 
-  /** The full fingerprint face served from its artifact, self-priming —
-    * the one entry every stored/streaming consumer of the face shares
-    * (scheme-aware existence + validated stamped read via
+  /** The full audited face served from its artifact, self-priming —
+    * the one entry every stored/streaming consumer shares (scheme-aware
+    * existence + validated stamped read via
     * [[graft.sources.IO.servedArtifact]]).
     */
-  private[graft] def servedMediaFace(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def servedAuditedFace(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.IO.servedArtifact(spark,
-      mediaFaceArtifactPath(spark, sfDir), MediaFaceSchema) {
+      mediaFaceArtifactPath(spark, sfDir), MediaFaceSchemaV3) {
       persistMediaFace(spark, sfDir); ()
     }
+
+  /** The fingerprint-face projection of [[servedAuditedFace]] — the
+    * pre-r20 serve surface, unchanged for its consumers (the audit
+    * columns prune out of their scans).
+    */
+  private[graft] def servedMediaFace(spark: SparkSession, sfDir: String): DataFrame =
+    servedAuditedFace(spark, sfDir)
+      .select("media_id", "kind", "n_bytes", "sig", "ffix")
 
   /** The fingerprint face's declared schema — non-nullability guaranteed
     * by [[fingerprintFaceFrom]]'s tuple encoder (primitives cannot be
@@ -1814,6 +1968,26 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("sig", LongType, nullable = false),
       StructField("ffix", ArrayType(LongType, containsNull = false), nullable = true)))
+  }
+
+  /** The AUDITED face's declared schema (mmface_v3): [[MediaFaceSchema]]
+    * plus the container-audit columns. The modality rules are genuinely
+    * tri-state (null = rule not applicable to this format; r_dominant
+    * null = content extraction failed), so only the unconditional
+    * columns re-stamp non-null.
+    */
+  private[graft] val MediaFaceSchemaV3: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(MediaFaceSchema.fields.toSeq ++ Seq(
+      StructField("fmt", StringType, nullable = true),
+      StructField("r_parse", BooleanType, nullable = false),
+      StructField("r_min_pixels", BooleanType, nullable = true),
+      StructField("r_aspect", BooleanType, nullable = true),
+      StructField("r_rate", BooleanType, nullable = true),
+      StructField("r_short", BooleanType, nullable = true),
+      StructField("r_dominant", BooleanType, nullable = true),
+      StructField("keep", BooleanType, nullable = false),
+      StructField("fidelity", LongType, nullable = false)))
   }
 
   /** [[decontamReport]] served from the PERSISTED fingerprint face

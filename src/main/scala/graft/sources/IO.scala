@@ -47,6 +47,23 @@ object IO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Widen a NARROW frame to session parallelism before a heavy per-row
+    * pass. The testdata parquet files carry a single row group, so the
+    * scan is ONE task no matter how `maxPartitionBytes` /
+    * `minPartitionNum` slice the byte range (parquet can only split at
+    * row-group boundaries) — and a decode/hash kernel downstream of it
+    * then runs serially on any machine (measured r20: the 5000-media
+    * fingerprint pass held 1 partition on 32 cores). At production
+    * scale the scan already carries >= the session width and this is a
+    * NO-OP — no exchange is added; the width derives from the input,
+    * not from a constant tuned to either regime (guide §2
+    * "scale-adaptive partitioning").
+    */
+  def widened(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Testdata table loader (TESTDATA.md). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

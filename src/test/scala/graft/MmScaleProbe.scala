@@ -30,7 +30,6 @@ object MmScaleProbe {
     // the capstone runs — session aging contaminates its wall there)
     if (args.contains("curation")) {
       Multimodal.persistMediaFace(spark, sfDir)
-      Multimodal.persistMediaAudit(spark, sfDir)
       val s1 = time("curation_stored")(
         Multimodal.curationDecisionsStored(spark, sfDir).localCheckpoint())
       println(s"MMSCALE curation_stored rows ${s1.count()}")
@@ -76,11 +75,14 @@ object MmScaleProbe {
             .localCheckpoint())
         println(s"MMSCALE decontam_over_$label rows ${d.count()}")
       }
-      serve(spark.read.parquet(path), "raw_nullable")
+      val faceCols = Multimodal.MediaFaceSchema.fieldNames.toSeq
+      serve(spark.read.parquet(path)
+        .select(faceCols.map(col): _*), "raw_nullable")
       serve(spark.createDataFrame(
-        spark.read.parquet(path).rdd, Multimodal.MediaFaceSchema), "rdd_roundtrip")
-      serve(graft.sources.IO.readStamped(spark, path, Multimodal.MediaFaceSchema),
-        "stamped")
+        spark.read.parquet(path).rdd, Multimodal.MediaFaceSchemaV3)
+        .select(faceCols.map(col): _*), "rdd_roundtrip")
+      serve(graft.sources.IO.readStamped(spark, path, Multimodal.MediaFaceSchemaV3)
+        .select(faceCols.map(col): _*), "stamped")
       spark.stop(); return
     }
     // stage-level dissection of the stored-vs-live curation gap
@@ -197,9 +199,9 @@ object MmScaleProbe {
       Multimodal.curationDecisions(spark, sfDir).localCheckpoint())
     println(s"MMSCALE curation " + cur.groupBy("decision").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
-    // stored-faces re-curation: prime the audit artifact untimed, then
+    // stored-face re-curation: prime the audited face untimed, then
     // time the decode-free sweep
-    Multimodal.persistMediaAudit(spark, sfDir)
+    Multimodal.persistMediaFace(spark, sfDir)
     val curS = time("curation_stored")(
       Multimodal.curationDecisionsStored(spark, sfDir).localCheckpoint())
     println(s"MMSCALE curation_stored rows ${curS.count()} kept " +

@@ -390,13 +390,19 @@ class PlanAuditSpec extends SparkTestBase {
     // (today testForkedParallel is false and suites run sequentially —
     // the snapshot form keeps the test correct either way as long as
     // no OTHER suite runs Multimodal concurrently with these 3 lines).
+    // r20: the two passes (raw fingerprint + container audit) FUSED
+    // into one audited-face pass — the capstone now constructs exactly
+    // one decode pipeline of any kind
     val raw0 = operators.Multimodal.rawDecodeBuilds.get
     val cont0 = operators.Multimodal.containerDecodeBuilds.get
+    val fused0 = operators.Multimodal.fusedDecodeBuilds.get
     val df = operators.Multimodal.curationDecisions(spark, Sf)
-    assert(operators.Multimodal.rawDecodeBuilds.get - raw0 == 1,
-      s"raw decode passes: ${operators.Multimodal.rawDecodeBuilds.get - raw0} (want 1)")
-    assert(operators.Multimodal.containerDecodeBuilds.get - cont0 == 1,
-      s"container passes: ${operators.Multimodal.containerDecodeBuilds.get - cont0} (want 1)")
+    assert(operators.Multimodal.fusedDecodeBuilds.get - fused0 == 1,
+      s"fused decode passes: ${operators.Multimodal.fusedDecodeBuilds.get - fused0} (want 1)")
+    assert(operators.Multimodal.rawDecodeBuilds.get - raw0 == 0,
+      s"raw decode passes: ${operators.Multimodal.rawDecodeBuilds.get - raw0} (want 0)")
+    assert(operators.Multimodal.containerDecodeBuilds.get - cont0 == 0,
+      s"container passes: ${operators.Multimodal.containerDecodeBuilds.get - cont0} (want 0)")
     val p = plan(df)
     assert(!p.contains("FileScan"),
       s"the composed curation plan must read only checkpointed faces:\n${p.take(2000)}")

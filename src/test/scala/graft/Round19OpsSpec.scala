@@ -125,6 +125,7 @@ class Round19OpsSpec extends SparkTestBase {
       "mmfp token must have moved off v1")
     assert(Multimodal.mediaFaceArtifactPath(spark, Sf) ==
       IO.contentKeyedArtifactPath(spark, s"$Sf/documents.parquet", "text",
-        "mmface", s"mmface_v2|$Sf") + ".parquet")
+        "mmface", s"mmface_v3|$Sf") + ".parquet",
+      "mmface token must sit at v3 (the r20 audited-face schema fusion)")
   }
 }
