@@ -657,7 +657,10 @@ object TextAnalysis {
     // same oracle.
     val gram = (0 until k).map(o => s"element_at(toks, i + $o)").mkString(", ")
     val win = (0 until w).map(o => s"element_at(gh, i + $o)").mkString(", ")
-    docs
+    // widen-if-narrow: the md5-per-gram pass is the winnow family's
+    // dominant map cost and the single-row-group testdata scan would run
+    // it in ONE task (IO.widened — no-op at production scan widths)
+    IO.widened(docs.select("doc_id", "text"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("gh", expr(
         s"""transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)),

@@ -109,7 +109,10 @@ object Dedup {
     */
   private def withShingles(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    docs
+    // widen-if-narrow: shingling + the downstream minhash fold are the
+    // dominant map cost and the single-row-group testdata scan would
+    // run them in ONE task (IO.widened — no-op at production widths)
+    IO.widened(docs)
       .withColumn("toks", toks)
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
@@ -138,7 +141,7 @@ object Dedup {
     * [[graft.functions.SimHash64Expr]].
     */
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    IO.widened(IO.table(spark, sfDir, "documents").select("doc_id", "text"))
       .select(col("doc_id"),
         expr("simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
           .as("simhash"))
@@ -371,7 +374,8 @@ object Dedup {
       numPerms: Int = 32,
       bands: Int = 8): DataFrame =
     bandMd5Sigs(
-      docs.withColumn("feats", array_distinct(split(col("text"), " "))),
+      IO.widened(docs)
+        .withColumn("feats", array_distinct(split(col("text"), " "))),
       numPerms, bands)
 
   /** Shared banding tail: md5-prefix hash each feature string, fold the
@@ -632,7 +636,10 @@ object Dedup {
     * corpus carve separately.
     */
   private[graft] def simHashSignaturesMd5From(docs: DataFrame): DataFrame =
-    docs
+    // widen-if-narrow: the md5-per-token signature fold is the family's
+    // dominant map cost and the single-row-group testdata scan would run
+    // it in ONE task (IO.widened — no-op at production scan widths)
+    IO.widened(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         expr("""simhash64(transform(array_distinct(split(text, ' ')),
                 t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)))""")
@@ -1226,8 +1233,13 @@ object Dedup {
       .join(lens.select(col("doc_id").as("doc_b"),
         col("n_chars").as("n_chars_b")), "doc_b")
       .filter(abs(col("n_chars_a") - col("n_chars_b")) <= maxDist)
-    val lhs = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val rhs = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // widen-if-narrow: the banded-DP verify runs in the text-pull join
+    // task that STREAMS these scans — on the single-row-group testdata
+    // file that is one task for every candidate pair (IO.widened)
+    val lhs = IO.widened(
+      docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")))
+    val rhs = IO.widened(
+      docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")))
     // Text pulls STREAM the corpus with the candidate set as the
     // broadcast build side — never the reverse: left to its stats the
     // planner happily broadcasts a small-SF corpus (hash-building the
@@ -1368,7 +1380,8 @@ object Dedup {
     // no per-window string rebuild (the fingerprints rolling-hash trick;
     // the naive concat_ws form rebuilt ~w-token strings per position and
     // dominated the scan). Still exact on the token sequence.
-    val windows = IO.table(spark, sfDir, "documents")
+    val windows = IO.widened(
+        IO.table(spark, sfDir, "documents").select("doc_id", "text"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= w)
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
