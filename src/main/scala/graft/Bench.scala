@@ -167,6 +167,9 @@ object Bench {
     // components report (rounds, final contracted edges) so round-count
     // regressions are visible in the bench payload without GRAFT_CC_DEBUG
     val ccStats = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    // contraction action telemetry (r20): driver roundtrips per cc run,
+    // the currency of the loop-fusion claim (one action per round)
+    val ccActions = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // pagerank build/loop split: rebuild rows report how much of their
     // wall is edge construction vs power iteration
     val prStats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -204,6 +207,7 @@ object Bench {
           }
         }
         operators.Cluster.lastRunStats = None
+        operators.Cluster.lastRunActions = None
         operators.LinkGraph.lastBuildStats = None
         operators.LinkGraph.lastSccSweeps = None
         operators.LinkGraph.lastSccActions = None
@@ -214,6 +218,7 @@ object Bench {
           case (l, _) => l
         }
         operators.Cluster.lastRunStats.foreach(ccStats(name) = _)
+        operators.Cluster.lastRunActions.foreach(ccActions(name) = _)
         operators.LinkGraph.lastBuildStats.foreach(prStats(name) = _)
         operators.LinkGraph.lastSccSweeps.foreach(sccStats(name) = _)
         operators.LinkGraph.lastSccActions.foreach(sccActs(name) = _)
@@ -308,6 +313,8 @@ object Bench {
     val cc = ccStats
       .map { case (k, (r, e)) => s""""$k":{"cc_rounds":$r,"cc_edges":$e}""" }
       .mkString("{", ",", "}")
+    val ccActsJ = ccActions.map { case (k, n) => s""""$k":$n""" }
+      .mkString("{", ",", "}")
     val pr = prStats
       .map { case (k, (b, l)) =>
         s""""$k":{"build_sec":${math.round(b * 1000) / 1000.0},"loop_sec":${math.round(l * 1000) / 1000.0}}""" }
@@ -316,13 +323,28 @@ object Bench {
       .mkString("{", ",", "}")
     val sccA = sccActs.map { case (k, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"cc":$cc,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${msJ(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errors,"cc":$cc,"cc_actions":$ccActsJ,"pr_split":$pr,"scc_sweeps":$sccJ,"scc_actions":$sccA,"drift":$driftJ,"drift_mean":${msJ(driftMean)},"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // The COMPLETE payload goes to a file: the harness keeps only the last
     // ~2000 chars of output, and the full per-query map (~3 KB at 78
     // queries) cannot fit — BENCH_r07's committed artifact lost its head
     // exactly this way ("parsed": null, the error rows invisible).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full)
+    // Multi-run sessions used to DESTROY the per-query record: the
+    // driver benches twice (32-core, then 8-core for the scaling block)
+    // and the second run overwrote bench_full.json — r19's only
+    // surviving 32-core per-query record was the printed digest's 32-row
+    // subset (the r19 verdict's watch-item #2). Two additive fixes, no
+    // removal: a per-core-count full payload (latest run at THAT width
+    // survives any later run at another width) and an append-only
+    // journal holding every invocation in order.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"bench_full_c$cpus.json"), full)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_runs.jsonl"), full + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     // The PRINTED line is a compact digest sized to survive the tail
     // window whole: headline total, error count AND NAMES (a regression
     // must never vanish from the captured artifact), and the
@@ -340,7 +362,20 @@ object Bench {
       "corpus_decontam_bloom", "retrieval_bm25_topk",
       "retrieval_bm25_stored", "graph_pagerank", "graph_pagerank_rebuild",
       "decontam_neardup", "decontam_neardup_stored", "decontam_gate",
-      "dedup_incremental_components")
+      "dedup_incremental_components",
+      // r20 additions (additions-only): the rows this round's
+      // optimizations touch plus the biggest remaining board rows, so
+      // the driver can adjudicate them from the PRINTED line (the full
+      // map lives in bench_full_c<cpus>.json / bench_runs.jsonl — the
+      // one-line JSON cannot hold all ~215 rows inside the harness's
+      // 2000-char tail window; the digest is sized to survive it whole)
+      "graph_scc", "dedup_winnow_components", "dedup_cluster_keep_best",
+      "mm_dedup_decision", "mm_curation_decisions", "mm_content_decision",
+      "txt_winnow", "dedup_minhash_eval", "events_assoc_lift",
+      "events_bt_ratings", "ann_recall_report", "emb_knn_refine",
+      "mm_fingerprint", "ann_topk_bruteforce", "txt_bpe_segment",
+      "dedup_winnow_pairs_rebuild", "dedup_ngram_jaccard",
+      "dedup_substring_components")
     val byName = results.toMap
     val qsCompact = headline.flatMap(k => byName.get(k).map {
       case Right(sec) => s""""$k":${math.round(sec * 1000) / 1000.0}"""

@@ -14,6 +14,16 @@ import graft.sources.IO
   */
 object TextAnalysis {
 
+  /** The documents scan, widen-if-narrow (IO.widened): every operator in
+    * this file runs split/transform/hash kernels directly on the scan,
+    * and the single-row-group testdata file would run them in ONE task;
+    * at production scan widths the widening is a no-op.
+    */
+  private def widenedDocs(
+      spark: SparkSession,
+      sfDir: String): DataFrame =
+    IO.widened(IO.table(spark, sfDir, "documents"))
+
   /** Whitespace tokens. Leading whitespace would otherwise yield a
     * phantom empty first token (Spark's split keeps leading empties, only
     * trailing are trimmed) that inflates every count-derived signal —
@@ -29,7 +39,7 @@ object TextAnalysis {
     * for a real byte-pair vocabulary).
     */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(
         col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
@@ -45,7 +55,7 @@ object TextAnalysis {
     * agree (no backreferences, no lookaround).
     */
   def scrub(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(col("doc_id"), col("text"),
         regexp_replace(
           regexp_replace(
@@ -70,7 +80,7 @@ object TextAnalysis {
     */
   def repetitionScores(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = col("toks")
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("toks", wsTokens(col("text")))
       .select(
         col("doc_id"),
@@ -131,7 +141,7 @@ object TextAnalysis {
       t => lower(t).isInCollection(StopwordsEn))).cast("double")
     val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
       .cast("double")
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("toks", wsTokens(col("text")))
       .select(
         col("doc_id"),
@@ -172,7 +182,7 @@ object TextAnalysis {
     // CollapseProject refuses to inline a non-cheap expression referenced
     // more than once, so the scoring stays in its own projection.
     val best = array_max(array(scored: _*))
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("toks", wsTokens(lower(col("text"))))
       .withColumn("best", best)
       .select(
@@ -215,7 +225,7 @@ object TextAnalysis {
     * a TakeOrdered, not a global sort.
     */
   def topBigrams(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -352,7 +362,7 @@ object TextAnalysis {
     * vocabulary lifts the sums to DECIMAL (the moment-sum convention).
     */
   def sourceZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = IO.table(spark, sfDir, "documents")
+    val counts = widenedDocs(spark, sfDir)
       .select(col("source"), explode(wsTokens(col("text"))).as("term"))
       .groupBy("source", "term")
       .agg(count(lit(1)).as("cnt"))
@@ -462,7 +472,7 @@ object TextAnalysis {
   /** Count once, persist both tables. */
   def persistLmCounts(spark: SparkSession, sfDir: String): String = {
     val path = lmArtifactPath(spark, sfDir)
-    val toks = IO.table(spark, sfDir, "documents")
+    val toks = widenedDocs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
     toks.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ucnt"))
@@ -559,7 +569,7 @@ object TextAnalysis {
       spark: SparkSession,
       sfDir: String,
       lambda: Double = 0.7): DataFrame = {
-    val toks = IO.table(spark, sfDir, "documents")
+    val toks = widenedDocs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
     val (uni, bi) = lmCounts(spark, sfDir)
     val total = uni.agg(sum("ucnt").as("n"))
@@ -585,7 +595,7 @@ object TextAnalysis {
     * text for every position — the dominant cost of this linear scan).
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("th", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
       .select(
         col("doc_id"),
@@ -614,7 +624,7 @@ object TextAnalysis {
 
   /** Registered surface of [[normalizeText]]. */
   def normalize(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(col("doc_id"),
         normalizeText(col("text")).as("norm_text"),
         col("text"))
@@ -679,7 +689,7 @@ object TextAnalysis {
       sfDir: String,
       k: Int = 3,
       w: Int = 4): DataFrame =
-    winnowFingerprintFrame(IO.table(spark, sfDir, "documents"), k, w)
+    winnowFingerprintFrame(widenedDocs(spark, sfDir), k, w)
       .orderBy("doc_id", "fp")
 
   /** The Gopher rule suite (Rae et al. 2021, "Scaling Language Models",
@@ -697,7 +707,7 @@ object TextAnalysis {
     */
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .withColumn("toks", wsTokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .select(
@@ -731,7 +741,7 @@ object TextAnalysis {
     * shuffle at any scale except the presentation sort.
     */
   def piiReport(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(
         col("doc_id"),
         size(expr(
@@ -758,7 +768,7 @@ object TextAnalysis {
     * map-side combined; nothing else shuffles.
     */
   def domainStats(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(text, 'https?://[^\\\\s]+', 0)")).as("url"))
       .select(col("doc_id"),
@@ -796,7 +806,7 @@ object TextAnalysis {
       spark: SparkSession,
       sfDir: String,
       discount: Double = 0.75): DataFrame = {
-    val toks = IO.table(spark, sfDir, "documents")
+    val toks = widenedDocs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
     val occ = bigramOcc(toks)
     val bi = lmCounts(spark, sfDir)._2
@@ -879,7 +889,7 @@ object TextAnalysis {
     // each count expression evaluated twice (its output column + the
     // formula) — the syllable fold's per-word regexp ran twice per doc
     // (r19 plan audit). Same long values into the same double ops.
-    IO.table(spark, sfDir, "documents")
+    widenedDocs(spark, sfDir)
       .select(col("doc_id"),
         words.as("n_words"), sentences.as("n_sentences"),
         syllables.as("n_syllables"))

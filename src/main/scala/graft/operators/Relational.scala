@@ -948,11 +948,19 @@ object Relational {
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .where(col("item").isNotNull)
-      .distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy("item")))
-      .filter(col("rn") <= maxBasket)
-      .select("user_id", "item")
+      // capped basket as ONE per-user aggregation (r20): collect_set
+      // dedups, sort_array orders ascending, slice keeps the lowest
+      // maxBasket item ids — exactly the set the previous
+      // distinct + row_number(orderBy item) <= maxBasket form kept
+      // (items are distinct longs, so the per-user order has no ties
+      // and both forms keep the same lowest-id prefix; Round20OptSpec
+      // pins the frames identical on an over-cap adversarial user).
+      // One user_id exchange with partial map-side collect_set instead
+      // of the distinct exchange + the window exchange (guide §2).
+      .groupBy("user_id")
+      .agg(expr(s"slice(sort_array(collect_set(item)), 1, $maxBasket)")
+        .as("items"))
+      .select(col("user_id"), explode(col("items")).as("item"))
       // FOUR consumers below (item counts, user total, both pair sides) —
       // uncheckpointed, each re-paid the events scan + the distinct and
       // window exchanges (r19 before plan: 5 event scans). The basket is

@@ -73,7 +73,8 @@ object Retrieval {
     * replays the same positional join in SQL.
     */
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = IO.table(spark, sfDir, "documents")
+    val pos = IO.widened(
+        IO.table(spark, sfDir, "documents").select("doc_id", "text"))
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
       .localCheckpoint() // one posting build serves every phrase slice
@@ -301,7 +302,7 @@ object Retrieval {
   }
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "embeddings")
+    IO.widened(IO.table(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
 

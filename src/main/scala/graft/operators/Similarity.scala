@@ -73,7 +73,11 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    IO.table(spark, sfDir, "embeddings")
+    // widen-if-narrow: the per-pair cosine/dot kernels stream THIS scan
+    // (query sides broadcast), and the single-row-group testdata file
+    // would run them in ONE task (IO.widened — no-op at production
+    // scan widths)
+    IO.widened(IO.table(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
 

@@ -327,7 +327,7 @@ object Tokenize {
       val chainSql = merges.zipWithIndex.foldLeft("w") {
         case (acc, ((l, r), i)) => s"replace($acc, '$l$r', char(${i + 1}))"
       }
-      IO.table(spark, sfDir, "documents")
+      IO.widened(IO.table(spark, sfDir, "documents").select("doc_id", "text"))
         .select(
           col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
@@ -341,7 +341,7 @@ object Tokenize {
         merges.foldLeft(array_remove(split(w, ""), "")) {
           case (acc, (l, r)) => fuseFold(acc, l, r)
         })
-      IO.table(spark, sfDir, "documents")
+      IO.widened(IO.table(spark, sfDir, "documents").select("doc_id", "text"))
         .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
@@ -412,7 +412,8 @@ object Tokenize {
     val chainSql = merges.zipWithIndex.foldLeft("w") {
       case (acc, ((l, r), i)) => s"replace($acc, '$l$r', char(${i + 1}))"
     }
-    IO.table(spark, sfDir, "documents")
+    IO.widened(IO.table(spark, sfDir, "documents")
+        .select("source", "n_chars", "text"))
       .select(col("source"), col("n_chars").cast("long").as("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
         expr(s"aggregate(transform(split(text, ' '), w -> length($chainSql))," +

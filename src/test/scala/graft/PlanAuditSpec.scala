@@ -839,7 +839,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("semantic prune: map-side assignment, only (vec_id,cid,sim) triples exchange") {
     val df = Similarity.semanticPruneDecisions(spark, Sf)
-    shuffles(df).foreach { e =>
+    keyedShuffles(df).foreach { e =>
       assert(!e.output.exists(a => a.name == "v" || a.name == "embedding"
           || a.name == "sims"),
         s"embeddings must be pruned before the per-cell ranking exchange: ${e.output.map(_.name)}")
@@ -875,7 +875,7 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"cell-bounded candidates must stay a cid equi-join:\n$p")
-    shuffles(df).foreach { e =>
+    keyedShuffles(df).foreach { e =>
       assert(!e.output.exists(a => a.name == "v" || a.name == "bv"
           || a.name == "embedding" || a.name == "sims"),
         s"only verdict triples may shuffle: ${e.output.map(_.name)}")

@@ -73,6 +73,52 @@ class Round20OptSpec extends SparkTestBase {
     assert(Multimodal.containerDecodeBuilds.get - cont0 == 0)
   }
 
+  test("assoc-lift basket: aggregation form equals the distinct+window form") {
+    import org.apache.spark.sql.expressions.Window
+    // the old shape, inline as the reference: distinct (user, item),
+    // row_number over item asc, keep rn <= cap — vs the operator's
+    // slice(sort_array(collect_set)) form. Run at the default cap AND at
+    // cap=2 (which BINDS on this fixture) so the truncation tie-break is
+    // exercised, then pin the full operator output row-for-row.
+    def reference(maxBasket: Int, minUsers: Int, topN: Int) = {
+      val basket = spark.read.parquet(s"$Sf/events.parquet")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull)
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("item")))
+        .filter(col("rn") <= maxBasket)
+        .select("user_id", "item")
+        .localCheckpoint()
+      val ni = basket.groupBy("item").agg(count(lit(1)).as("n"))
+      val total = basket.select("user_id").distinct()
+        .agg(count(lit(1)).as("u"))
+      val pairs = basket.select(col("user_id"), col("item").as("item_a"))
+        .join(basket.select(col("user_id"), col("item").as("item_b")), "user_id")
+        .where(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minUsers)
+      pairs
+        .join(ni.select(col("item").as("item_a"), col("n").as("na")), "item_a")
+        .join(ni.select(col("item").as("item_b"), col("n").as("nb")), "item_b")
+        .crossJoin(broadcast(total))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          ((col("n_ab") * col("u")).cast("double")
+            / (col("na") * col("nb")).cast("double")).as("lift"))
+        .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
+        .limit(topN)
+    }
+    for ((cap, minU) <- Seq((64, 5), (2, 1))) {
+      val got = rowsOf(graft.operators.Relational.itemAssociationLift(
+        spark, Sf, minUsers = minU, maxBasket = cap))
+      val want = rowsOf(reference(cap, minU, 100))
+      assert(got == want, s"cap=$cap minUsers=$minU diverged")
+      if (cap == 2) assert(want.nonEmpty, "cap=2 run must produce pairs")
+    }
+  }
+
   test("content decision pays one container pass") {
     val cont0 = Multimodal.containerDecodeBuilds.get
     val df = Multimodal.contentNearDupDecision(spark, Sf)

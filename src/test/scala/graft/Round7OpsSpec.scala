@@ -121,7 +121,12 @@ class Round7OpsSpec extends SparkTestBase {
     for (df <- Seq(TextAnalysis.gopherRules(spark, Sf),
                    TextAnalysis.piiReport(spark, Sf))) {
       val p = df.queryExecution.executedPlan.toString
-      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      // r20: IO.widened's round-robin may widen the narrow testdata scan
+      // below the scoring kernels (no-op at production scan widths); the
+      // map-side claim is that no KEYED exchange appears besides the
+      // presentation sort
+      val exchanges = p.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
       assert(exchanges == 1, s"expected only the presentation-sort exchange:\n$p")
       assert(p.contains("rangepartitioning"), "the one exchange must be the sort")
     }
