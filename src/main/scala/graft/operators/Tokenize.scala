@@ -115,7 +115,11 @@ object Tokenize {
     // document row count (parquet footer, no job) upper-bounds the vocab
     LoopWidth.pinned(spark,
       IO.parquetRowCount(spark, s"$sfDir/documents.parquet")) {
-    var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
+    // LAZY checkpoint (the r20 loop fusion): each round's pairCounts
+    // collect is the single consumer before the cache fills and the job
+    // that materializes the vocab — one driver roundtrip per round
+    var vocab = weightedSymbolVocab(spark, sfDir)
+      .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 0
     var exhausted = false
@@ -129,7 +133,7 @@ object Tokenize {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round + 1, l, r, l + r, c))
         vocab = vocab.select(col("wcnt"), fuseFold(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         round += 1
       }
     }
@@ -218,7 +222,11 @@ object Tokenize {
     // must not schedule at the session's wide-start width
     LoopWidth.pinned(spark,
       IO.parquetRowCount(spark, s"$sfDir/documents.parquet")) {
-    var vocab = weightedSymbolVocab(spark, sfDir).localCheckpoint()
+    // LAZY checkpoint (the r20 loop fusion): each round's pairCounts
+    // collect is the single consumer before the cache fills and the job
+    // that materializes the vocab — one driver roundtrip per round
+    var vocab = weightedSymbolVocab(spark, sfDir)
+      .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var done = 0
     var rounds = 0
@@ -278,7 +286,8 @@ object Tokenize {
           val fusedAll = batch.foldLeft(col("syms")) {
             case (acc, (l, r, _)) => fuseFold(acc, l, r)
           }
-          vocab = vocab.select(col("wcnt"), fusedAll.as("syms")).localCheckpoint()
+          vocab = vocab.select(col("wcnt"), fusedAll.as("syms"))
+            .localCheckpoint(eager = false)
         }
       }
     }
