@@ -119,11 +119,8 @@ object Multimodal {
   private[graft] def mediaFromDocumentsFrame(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     rawDecodeBuilds.incrementAndGet()
-    // widen-if-narrow BEFORE the decode kernel: the single-row-group
-    // testdata scan is one task, and decode+hash is the dominant
-    // per-row cost — see IO.widened (no-op at production widths)
-    graft.sources.IO.widened(
-      docs.select(col("doc_id"), col("text"), col("n_chars")))
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val bytes = text.getBytes("UTF-8")
@@ -212,9 +209,8 @@ object Multimodal {
   private[graft] def mediaWithHeadersFrame(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     containerDecodeBuilds.incrementAndGet()
-    // widen-if-narrow BEFORE the synthesis+parse kernel (IO.widened)
-    graft.sources.IO.widened(
-      docs.select(col("doc_id"), col("text"), col("n_chars")))
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val data = text.getBytes("UTF-8")
@@ -713,7 +709,9 @@ object Multimodal {
     */
   private[graft] def contentFingerprintFace(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaWithHeaders(spark, sfDir)
+    // widened: md5 over every content byte dominates
+    mediaWithHeadersFrame(graft.sources.IO.widened(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
@@ -746,7 +744,9 @@ object Multimodal {
     */
   private[graft] def contentAuditedFace(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaWithHeaders(spark, sfDir)
+    // widened: md5 over every content byte dominates
+    mediaWithHeadersFrame(graft.sources.IO.widened(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
@@ -1068,7 +1068,10 @@ object Multimodal {
     */
   private[graft] def fingerprintFaceFast(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaFromDocuments(spark, sfDir)
+    // widened like the md5 face — the xx window hash is still the pass's
+    // dominant cost
+    mediaFromDocumentsFrame(graft.sources.IO.widened(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
       .mapPartitions { it =>
         it.map { r =>
           (r.media_id, r.meta.kind, r.payload.length.toLong,
@@ -1104,8 +1107,15 @@ object Multimodal {
     * face ([[segmentFix]]) retained as the secondary verify.
     */
   private[graft] def fingerprintFace(spark: SparkSession, sfDir: String): DataFrame =
+    // widen-if-narrow at the HEAVY entry point only (IO.widened): the
+    // md5-per-byte fingerprint kernel dominates this pass; the light
+    // mm rows (dims/extent/quality/segments) keep the plain scan — the
+    // round-close bench measured the blanket widen as a 1.5-2x
+    // regression on exactly those rows (trivial kernels, the exchange
+    // is pure overhead — the txt explode-row lesson)
     fingerprintFaceFrom(
-      mediaFromDocuments(spark, sfDir))
+      mediaFromDocumentsFrame(graft.sources.IO.widened(
+        spark.read.parquet(s"$sfDir/documents.parquet"))))
 
   /** [[fingerprintFace]] over an explicit media dataset (the stored-
     * index serve path decodes only the batch slice through this).
